@@ -1,13 +1,321 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.events.{ChangeEvents, ResumeTokens}
+import graft.ops.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator from SURVEY.md §2 is registered in
+  * `queries` with a DuckDB oracle in `oracleSql`. Column names and value
+  * formatting are engine-portable by construction (decimal-exact money,
+  * integer `div`, md5/sha256 content hashes, truncating ns→µs timestamp
+  * conversion); see SURVEY.md §5.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q5Join(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference-derived (change-event pipeline)
+    "change_events_json"   -> ((s, d) => ChangeEvents.normalize(s, d)),
+    "publish_payload"      -> ((s, d) => ChangeEvents.publishPayload(s, d)),
+    "publish_dedup"        -> ((s, d) => ChangeEvents.publishDedup(s, d)),
+    "pre_post_images"      -> ((s, d) => ChangeEvents.prePostImages(s, d)),
+    "fanout_routing"       -> ((s, d) => ChangeEvents.fanoutRouting(s, d)),
+    "resume_tokens_last"   -> ((s, d) => ResumeTokens.lastTokens(s, d)),
+    "resume_tokens_upsert" -> ((s, d) => ResumeTokens.upsertTokens(s, d)),
+    "resume_after"         -> ((s, d) => ResumeTokens.resumeAfter(s, d)),
+    "resume_tokens_capped" -> ((s, d) => ResumeTokens.cappedTokens(s, d)),
+    // B. LLM-data-pipeline
+    "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
+    "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
+    "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
+    "dedup_simhash"        -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
+    "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
+    "doc_fingerprint"      -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // C. batch analytics core
+    "q1_agg"               -> ((s, d) => Analytics.q1Agg(s, d)),
+    "q3_join"              -> ((s, d) => Analytics.q3Join(s, d)),
+    "q5_join"              -> ((s, d) => Analytics.q5Join(s, d)),
+    "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d))
+  )
+
+  /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
+  private val evCte =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Shared SQL fragment: the change-event full_document JSON. */
+  private val fullDoc =
+    """'{"event_id":' || event_id || ',"user_id":' || user_id ||
+      | ',"event_type":"' || event_type || '","value":' ||
+      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ',"props":' || props || '}'"""
+      .stripMargin.replaceAll("\\n\\s*", "")
+
+  private val opType =
+    "CASE WHEN event_type IN ('signup','purchase') THEN 'insert' " +
+      "WHEN event_type IN ('click','view') THEN 'update' ELSE 'delete' END"
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (xxhash64-based LSH internals, the mapPartitions decode stub) →
+    * driver records a weaker rows-only check; those are covered by
+    * ScalaTest specs instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "change_events_json" ->
+      s"""WITH $evCte
+         |SELECT printf('%016x', event_id) AS resume_token,
+         |       $opType AS operation_type,
+         |       'test' AS ns_db, 'testcoll' AS ns_coll,
+         |       user_id AS document_key,
+         |       $fullDoc AS full_document,
+         |       ts AS cluster_time, event_id
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "publish_payload" ->
+      s"""WITH $evCte
+         |SELECT event_id, 'stream_' || event_type AS queue,
+         |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS delivery_tag,
+         |       '{"operationType":"' || $opType || '","documentKey":' || user_id ||
+         |       ',"fullDocument":' || $fullDoc || '}' AS payload
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "publish_dedup" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, 1 AS attempt FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, 2 AS attempt FROM events WHERE event_id % 10 = 0)
+        |SELECT event_id, min(event_type) AS event_type, count(*) AS deliveries,
+        |       min(attempt) AS first_attempt
+        |FROM d GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    "pre_post_images" ->
+      s"""WITH $evCte,
+         |docs AS (SELECT event_id, user_id, $fullDoc AS full_document FROM ev)
+         |SELECT event_id, user_id, full_document,
+         |       lag(full_document, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+         |         AS full_document_before_change
+         |FROM docs ORDER BY event_id""".stripMargin,
+
+    "fanout_routing" ->
+      """SELECT 'stream_' || event_type AS queue, count(*) AS published,
+        |       min(event_id) AS first_event, max(event_id) AS last_event,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY queue""".stripMargin,
+
+    "resume_tokens_last" ->
+      """SELECT event_type AS stream_name, max(event_id) AS last_offset,
+        |       printf('%016x', max(event_id)) AS resume_token
+        |FROM events GROUP BY event_type ORDER BY stream_name""".stripMargin,
+
+    "resume_tokens_upsert" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        |old AS (SELECT event_type AS stream_name, max(event_id) AS offset
+        |        FROM events, m WHERE event_id <= mid GROUP BY event_type),
+        |new AS (SELECT event_type AS stream_name, max(event_id) AS offset
+        |        FROM events, m WHERE event_id > mid GROUP BY event_type)
+        |SELECT coalesce(old.stream_name, new.stream_name) AS stream_name,
+        |       coalesce(new.offset, old.offset) AS offset,
+        |       printf('%016x', coalesce(new.offset, old.offset)) AS resume_token,
+        |       new.offset IS NOT NULL AS updated
+        |FROM old FULL OUTER JOIN new ON old.stream_name = new.stream_name
+        |ORDER BY stream_name""".stripMargin,
+
+    "resume_after" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        |cp AS (SELECT event_type AS stream_name, max(event_id) AS checkpoint_offset
+        |       FROM events, m WHERE event_id <= mid GROUP BY event_type)
+        |SELECT e.event_id, cp.stream_name, cp.checkpoint_offset, e.user_id, e.value
+        |FROM events e JOIN cp ON e.event_type = cp.stream_name
+        |  AND e.event_id > cp.checkpoint_offset
+        |ORDER BY e.event_id""".stripMargin,
+
+    "resume_tokens_capped" ->
+      """SELECT stream_name, "offset", printf('%016x', "offset") AS resume_token, rank_desc
+        |FROM (SELECT event_type AS stream_name, event_id AS "offset",
+        |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS BIGINT) AS rank_desc
+        |      FROM events)
+        |WHERE rank_desc <= 100 ORDER BY stream_name, "offset"""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars, text_hash
+        |FROM (SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_stats" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+2], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+        |      FROM t),
+        |g AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        |        [list_min([md5(i || ':' || x) for x in sh]) for i in generate_series(0, 15)] AS sig
+        |      FROM s)
+        |SELECT doc_id, n_shingles,
+        |       md5(array_to_string(sig[1:4],  '|')) AS band_0,
+        |       md5(array_to_string(sig[5:8],  '|')) AS band_1,
+        |       md5(array_to_string(sig[9:12], '|')) AS band_2,
+        |       md5(array_to_string(sig[13:16],'|')) AS band_3
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,
+        |             string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id, source, len_bucket,
+        |        list_distinct([array_to_string(tok[i:i+2], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+        |        CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) AS szsum
+        |      FROM s a JOIN s b ON a.source = b.source AND a.len_bucket = b.len_bucket
+        |      WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
+        |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id,
+        |        round(
+        |          list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) /
+        |          (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |           sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+        |      FROM e, q WHERE vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id, cos
+        |FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |      FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS content_sha256,
+        |       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS stub_width,
+        |       CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS stub_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(tok, x -> list_contains(
+        |          ['the','a','of','and','to','in','is','it','for','on'], x))) AS BIGINT) AS hits,
+        |        CAST(len(tok) AS BIGINT) AS n_tokens
+        |      FROM t)
+        |SELECT doc_id, lang AS lang_declared, hits AS stopword_hits, n_tokens,
+        |       round(CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+        |       CASE WHEN CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.04
+        |            THEN 'en' ELSE 'und' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, length(text) AS len, string_split(text, ' ') AS tok
+        |           FROM documents),
+        |m AS (SELECT doc_id, n_chars,
+        |        CAST(len(tok) AS BIGINT) AS n_tokens,
+        |        CAST(len(tok) AS DOUBLE) AS nt,
+        |        CAST(len(list_distinct(tok)) AS DOUBLE) AS nu,
+        |        CAST(len AS DOUBLE) AS nc
+        |      FROM t)
+        |SELECT doc_id, n_chars, n_tokens,
+        |       round((nc - (nt - 1.0)) / nt, 6) AS mean_token_len,
+        |       round(nu / nt, 6) AS uniq_token_ratio,
+        |       round(least(1.0, nt / 200.0) * (nu / nt), 6) AS quality_score,
+        |       round(least(1.0, nt / 200.0) * (nu / nt), 6) >= 0.3 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents)
+        |SELECT doc_id, md5(text) AS doc_hash,
+        |       list_min([md5(array_to_string(tok[i:i+7], ' '))
+        |                 for i in generate_series(1, greatest(len(tok)-7, 1))]) AS min_shingle_hash,
+        |       CAST(greatest(len(tok)-7, 1) AS BIGINT) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |       CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |       CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "events_window" ->
+      s"""WITH $evCte
+         |SELECT event_id, user_id, event_type,
+         |       lag(value, 1) OVER w AS prev_value,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+         |       CAST(floor(epoch(ts)) AS BIGINT) -
+         |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS secs_since_prev
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT p_brand, price_rank, p_partkey, p_name, p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |             CAST(row_number() OVER (PARTITION BY p_brand
+        |               ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank
+        |      FROM part)
+        |WHERE price_rank <= 3 ORDER BY p_brand, price_rank""".stripMargin
+  )
 }

@@ -1,0 +1,134 @@
+package graft.events
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analog of the reference's change-stream pipeline.
+  *
+  * The reference (mrcon/src/mongo/connector.rs:127-167) watches a MongoDB
+  * collection and emits `ChangeStreamEvent` documents — operationType, ns
+  * (db/coll), documentKey, fullDocument, clusterTime, and a resume token —
+  * which it serializes to JSON and publishes to a queue
+  * (mrcon/src/rabbitmq/amqp.rs:95-110). Here the driver's `events` table
+  * stands in for the change feed: each row becomes one change event with a
+  * deterministic envelope, so the whole pipeline is a narrow projection that
+  * scales linearly (no shuffle at all for normalize/publish; window shuffles
+  * partition by entity key for pre/post images).
+  */
+object ChangeEvents {
+
+  /** event_type → Mongo operationType (documented, deterministic mapping). */
+  def operationType(eventType: Column): Column =
+    when(eventType.isin("signup", "purchase"), "insert")
+      .when(eventType.isin("click", "view"), "update")
+      .otherwise("delete")
+
+  /** JSON document for the row, built with deterministic decimal formatting
+    * so the DuckDB oracle reproduces it byte-for-byte (doubles are cast to
+    * decimal(18,2) before stringification on both sides).
+    */
+  def fullDocumentJson(df: DataFrame): Column =
+    concat(
+      lit("{\"event_id\":"), col("event_id").cast("string"),
+      lit(",\"user_id\":"), col("user_id").cast("string"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value\":"), col("value").cast("decimal(18,2)").cast("string"),
+      lit(",\"props\":"), col("props"),
+      lit("}")
+    )
+
+  /** A1 — normalize the event feed to the change-event envelope
+    * (connector.rs:145-153 ChangeStreamEvent fields). Narrow, shuffle-free;
+    * the ORDER BY exists only for deterministic verification output.
+    */
+  def normalize(spark: SparkSession, dir: String, db: String = "test", coll: String = "testcoll"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      format_string("%016x", col("event_id")).as("resume_token"),
+      operationType(col("event_type")).as("operation_type"),
+      lit(db).as("ns_db"),
+      lit(coll).as("ns_coll"),
+      col("user_id").as("document_key"),
+      fullDocumentJson(ev).as("full_document"),
+      col("ts").as("cluster_time"),
+      col("event_id")
+    ).orderBy("event_id")
+  }
+
+  /** A5 — publish payload: the JSON message body the queue sink would send,
+    * with its routing queue (= stream name, one queue per collection in the
+    * reference; here we route by event_type) and a per-queue delivery tag
+    * (the publisher-confirm sequence number). Window shuffles on the queue
+    * key only — bounded cardinality, no skew risk at scale.
+    */
+  def publishPayload(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byQueue = Window.partitionBy(col("queue")).orderBy(col("event_id"))
+    ev.withColumn("queue", concat(lit("stream_"), col("event_type")))
+      .withColumn("payload",
+        concat(
+          lit("{\"operationType\":\""), operationType(col("event_type")),
+          lit("\",\"documentKey\":"), col("user_id").cast("string"),
+          lit(",\"fullDocument\":"), fullDocumentJson(ev),
+          lit("}")
+        ))
+      .withColumn("delivery_tag", row_number().over(byQueue).cast("long"))
+      .select("event_id", "queue", "delivery_tag", "payload")
+      .orderBy("event_id")
+  }
+
+  /** A5b — consumer-side exactly-once: at-least-once delivery means the queue
+    * can contain duplicates; dedup by event key keeping the first delivery.
+    * Simulated by unioning a redelivered suffix (every 10th event) onto the
+    * stream. GroupBy on the event key — hash shuffle, scales linearly.
+    */
+  def publishDedup(spark: SparkSession, dir: String): DataFrame = {
+    val delivered = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), lit(1).as("attempt"))
+    val redelivered = delivered
+      .where(col("event_id") % 10 === 0)
+      .withColumn("attempt", lit(2))
+    delivered.unionAll(redelivered)
+      .groupBy(col("event_id"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        count(lit(1)).as("deliveries"),
+        min(col("attempt")).as("first_attempt")
+      )
+      .orderBy("event_id")
+  }
+
+  /** A6 — pre/post images (config.rs:122-126
+    * `change_stream_pre_and_post_images`): for each entity (user) the event's
+    * full document plus the previous full document for that entity. `lag`
+    * over (entity, sequence) — shuffle partitions by user_id, which is the
+    * natural high-cardinality key, so this scales to any event volume.
+    */
+  def prePostImages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.withColumn("full_document", fullDocumentJson(ev))
+      .withColumn("full_document_before_change", lag(col("full_document"), 1).over(byUser))
+      .select("event_id", "user_id", "full_document", "full_document_before_change")
+      .orderBy("event_id")
+  }
+
+  /** A7 — multi-collection fan-out (server.rs:174-199 spawns one job per
+    * configured collection): route events to per-collection queues and report
+    * per-queue publish stats. Money sums are decimal-exact, surfaced as
+    * double. Single hash-aggregate with map-side partials.
+    */
+  def fanoutRouting(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("queue", concat(lit("stream_"), col("event_type")))
+      .groupBy(col("queue"))
+      .agg(
+        count(lit(1)).as("published"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+      )
+      .orderBy("queue")
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics core — the headline bench queries.
+  *
+  * Design rules (SURVEY.md §4): money math is decimal-exact (sums of
+  * decimal(18,2), cast to double only at the very end, which also makes the
+  * DuckDB oracle agree bit-for-bit); dimension tables are broadcast
+  * explicitly; filters are plain column predicates so they push into the
+  * parquet scan; aggregates are hash aggregates with map-side partials.
+  */
+object Analytics {
+
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+  /** C1 — pricing summary (TPC-H Q1 shape): scan-heavy single aggregation.
+    * Partial aggregation happens map-side; the shuffle carries only
+    * (flag,status) groups — 6 rows regardless of input size.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** C2 — shipping priority (TPC-H Q3 shape): selective filters pushed to
+    * all three scans, then joins keyed on custkey/orderkey. customer and
+    * orders are both fact-sized at 100 TB, so those join via shuffle-hash
+    * on the keys (AQE picks SMJ/SHJ); no broadcast assumption is baked in.
+    */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** C3 — local supplier volume (TPC-H Q5 shape): the region→nation→supplier
+    * dimension chain is tiny at every scale (region=5, nation=25 rows even at
+    * 100 TB), so it is broadcast explicitly; lineitem⋈orders⋈customer carry
+    * the shuffles on their natural keys.
+    */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+
+    val dims = broadcast(
+      supp.join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(dims, li("l_suppkey") === dims("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+                  cust("c_nationkey") === dims("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** C4 — per-user event windows: previous value, running decimal-exact
+    * total, and seconds since the previous event. Single shuffle on the
+    * high-cardinality user key.
+    */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .withColumn("running_total",
+        sum(col("value").cast("decimal(18,2)")).over(byUser).cast("double"))
+      .withColumn("secs_since_prev",
+        (col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")))
+      .select("event_id", "user_id", "event_type", "prev_value", "running_total", "secs_since_prev")
+      .orderBy("event_id")
+  }
+
+  /** C5 — top-K per group: 3 priciest parts per brand. Ranked window on the
+    * group key; at scale Spark pushes a partial top-K below the shuffle
+    * (WindowGroupLimit) so only K rows per group per mapper move.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val byBrand = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("price_rank", row_number().over(byBrand).cast("long"))
+      .where(col("price_rank") <= k)
+      .select("p_brand", "price_rank", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "price_rank")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2 B6).
+  *
+  * Media payloads are opaque `binary` columns travelling next to typed
+  * metadata. The decode/feature-extract step is the only part that needs a
+  * codec library (absent in this container), so it is STUBBED with a
+  * deterministic fake — but the Spark-side plumbing is real: schema, batch
+  * shape (`mapPartitions` over iterator batches, the Scala analog of
+  * `mapInPandas`), and partition sizing all match what a real decoder would
+  * see. At 100 TB this pipeline is a narrow per-partition pass; media bytes
+  * never shuffle.
+  */
+object Multimodal {
+
+  /** Typed decode result a real image/audio decoder would produce. */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, mean_luma: Double)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("n_bytes", IntegerType)
+  ))
+
+  /** Build the media table: documents' text bytes stand in for media blobs;
+    * kind cycles image/audio/video by doc_id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes")
+    )
+
+  /** STUB decoder — deterministic fake standing in for e.g. libjpeg: derives
+    * "dimensions" and a "luma" from the payload bytes. A real deployment
+    * swaps only this function; the batching/schema contract is unchanged.
+    */
+  private def decodeStub(docId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+    val n = payload.length
+    val head = if (n > 0) payload(0) & 0xff else 0
+    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    MediaFeatures(docId, kind, n, width = 16 + head % 64, height = 16 + (n % 64),
+      mean_luma = if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** B6 — batched decode over partitions: the iterator-in/iterator-out shape
+    * means a real codec can amortize per-batch setup (model load, JNI
+    * context) exactly like `mapInPandas` batches.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows => rows.map { case (id, kind, payload) => decodeStub(id, kind, payload) } }
+      .toDF()
+  }
+
+  /** B6 (oracle path) — metadata extraction expressible in portable SQL:
+    * byte length, content digest, deterministic stub dimensions.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"), col("kind"), col("n_bytes"),
+        sha2(col("payload"), 256).as("content_sha256"),
+        (lit(16) + ascii(substring(col("payload").cast("string"), 1, 1)) % 64).cast("long").as("stub_width"),
+        (lit(16) + col("n_bytes") % 64).cast("long").as("stub_height")
+      )
+      .orderBy("doc_id")
+}

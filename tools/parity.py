@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify at a
+given SF dir, then replay oracle_sql.json in DuckDB over the same parquet
+tables and compare values column-by-column (columns sorted by name).
+
+Usage: python3 tools/parity.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import sys, os, json, glob, subprocess
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2:])
+    if "--skip-verify" not in sys.argv:
+        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+                           capture_output=True, text=True)
+        errs = [l for l in r.stdout.splitlines() if "[verify]" in l or "[error]" in l]
+        for l in errs: print(l)
+        if r.returncode != 0:
+            print("VERIFY FAILED rc=", r.returncode); print(r.stdout[-3000:]); sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only: continue
+        spark_path = f"{outdir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        sdf = pq.read_table(spark_path).to_pandas()
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_bad += 1; continue
+        ok, msg = compare(sdf, ddf)
+        if ok:
+            print(f"ok   {name} ({len(sdf)} rows)"); n_ok += 1
+        else:
+            print(f"FAIL {name}: {msg}"); n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    sys.exit(1 if n_bad else 0)
+
+def compare(sdf, ddf):
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return False, f"columns differ: spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}"
+    if len(sdf) != len(ddf):
+        return False, f"row count spark={len(sdf)} duckdb={len(ddf)}"
+    cols = sorted(sdf.columns)
+    sdf, ddf = sdf[cols], ddf[cols]
+    for c in cols:
+        a, b = sdf[c], ddf[c]
+        # dtype check (loose: both-numeric same kind)
+        if a.dtype != b.dtype and not (a.dtype.kind == b.dtype.kind):
+            return False, f"col {c} dtype spark={a.dtype} duckdb={b.dtype}"
+        av, bv = a.values, b.values
+        if a.dtype.kind == 'f':
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+        elif a.dtype.kind == 'M':
+            eq = (a.astype('datetime64[us]').values == b.astype('datetime64[us]').values)
+        else:
+            eq = np.array([x == y or (pd.isna(x) is True and pd.isna(y) is True)
+                           for x, y in zip(a.tolist(), b.tolist())])
+        if not eq.all():
+            i = int(np.argmin(eq))
+            return False, (f"col {c} first mismatch at row {i}: "
+                           f"spark={a.iloc[i]!r} duckdb={b.iloc[i]!r} "
+                           f"({int((~eq).sum())}/{len(eq)} rows differ)")
+    return True, ""
+
+if __name__ == "__main__":
+    main()
