@@ -165,21 +165,28 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
-    "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-        |s AS (SELECT doc_id,
-        |        list_distinct([array_to_string(tok[i:i+2], ' ')
-        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
-        |      FROM t),
-        |g AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
-        |        [list_min([md5(i || ':' || x) for x in sh]) for i in generate_series(0, 15)] AS sig
-        |      FROM s)
-        |SELECT doc_id, n_shingles,
-        |       md5(array_to_string(sig[1:4],  '|')) AS band_0,
-        |       md5(array_to_string(sig[5:8],  '|')) AS band_1,
-        |       md5(array_to_string(sig[9:12], '|')) AS band_2,
-        |       md5(array_to_string(sig[13:16],'|')) AS band_3
-        |FROM g ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" -> {
+      val sigExprs = graft.ops.Dedup.minhashCoefs(16).map { case (a, b) =>
+        s"list_min([($a * h + $b) % ${graft.ops.Dedup.MinhashP} for h in hashed])"
+      }.mkString(",\n        ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_distinct([array_to_string(tok[i:i+2], ' ')
+         |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+         |      FROM t),
+         |hb AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |        [('0x' || substr(md5(x), 1, 6))::BIGINT for x in sh] AS hashed
+         |      FROM s),
+         |g AS (SELECT doc_id, n_shingles,
+         |        [$sigExprs] AS sig
+         |      FROM hb)
+         |SELECT doc_id, n_shingles,
+         |       md5(array_to_string(sig[1:4],  '|')) AS band_0,
+         |       md5(array_to_string(sig[5:8],  '|')) AS band_1,
+         |       md5(array_to_string(sig[9:12], '|')) AS band_2,
+         |       md5(array_to_string(sig[13:16],'|')) AS band_3
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
 
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,
@@ -189,7 +196,7 @@ object SparkEntry {
         |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
         |      FROM t),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
         |        CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) AS szsum
         |      FROM s a JOIN s b ON a.source = b.source AND a.len_bucket = b.len_bucket
         |      WHERE a.doc_id < b.doc_id)

@@ -52,26 +52,43 @@ object Dedup {
       sequence(lit(1), greatest(size(split(text, " ")) - lit(k - 1), lit(1))),
       i => concat_ws(" ", slice(split(text, " "), i, lit(k)))))
 
-  /** B2 (oracle path) — MinHash signatures + LSH band keys per document,
-    * with engine-portable hashing: h_i(s) = md5(i || ':' || s), and the
-    * signature component is the lexicographic min — the classic MinHash
-    * argument holds for any total order on hash values. Bands concatenate
-    * r adjacent components and re-hash; equal band key ⇒ LSH candidate.
-    * Per-row array math only — the expensive part (banding join) happens on
-    * these keys downstream.
+  /** Engine-portable universal hash family used by the oracle-checked
+    * MinHash path: each shingle is hashed ONCE to a 24-bit base value
+    * (md5 prefix, parseable identically by Spark's `conv` and DuckDB's
+    * '0x' cast), then the i-th hash is the linear congruence
+    * (a_i * base + b_i) mod P — classic universal hashing, so the MinHash
+    * bound holds, and only |shingles| md5 calls happen per row instead of
+    * k*|shingles|. The coefficients are deterministic (fixed LCG) and
+    * shared verbatim with the generated oracle SQL.
+    */
+  val MinhashP = 16777213L // prime < 2^24; products stay < 2^44 (no overflow in any engine)
+  def minhashCoefs(k: Int): Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); (x >>> 40) % (MinhashP - 1) + 1 }
+    Seq.fill(k)((next(), next()))
+  }
+
+  /** B2 (oracle path) — MinHash signatures + LSH band keys per document.
+    * The signature component is min over shingles of the i-th universal
+    * hash; bands concatenate r adjacent components and re-hash. Per-row
+    * array math only — the expensive part (banding join) happens on these
+    * keys downstream.
     */
   def minhashSignature(spark: SparkSession, dir: String,
                        numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
     val r = numHashes / bands
+    val coefs = minhashCoefs(numHashes)
     val sh = shingles(col("text"), shingleK)
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+    val sigCols = coefs.map { case (a, b) =>
+      array_min(transform(col("hashed"), h => (h * a + b) % MinhashP))
+    }
     val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|", slice(col("sig"), b * r + 1, r))).as(s"band_$b")
+      md5(concat_ws("|", slice(col("sig"), lit(b * r + 1), lit(r)))).as(s"band_$b")
     }
     Tables.documents(spark, dir)
-      .select(col("doc_id"), sig.as("sig"), size(sh).cast("long").as("n_shingles"))
+      .withColumn("hashed", transform(sh, s => conv(substring(md5(s), 1, 6), 16, 10).cast("long")))
+      .withColumn("n_shingles", size(col("hashed")).cast("long"))
+      .withColumn("sig", array(sigCols: _*))
       .select(col("doc_id") +: col("n_shingles") +: bandCols: _*)
       .orderBy("doc_id")
   }
@@ -84,12 +101,17 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                    shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
     val r = numHashes / bands
-    val sh = shingles(col("text"), shingleK)
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    // One codegen'd xxhash64 per shingle, masked to 24 bits; the k-hash
+    // family is the same bounded linear congruence as the oracle path
+    // (products < 2^48, so no ANSI-mode overflow).
+    val coefs = minhashCoefs(numHashes)
+    val sigCols = coefs.map { case (a, b) =>
+      array_min(transform(col("hashed"), h => (h * a + b) % MinhashP))
+    }
     val signed = docs
-      .select(col("doc_id"), sig.as("sig"))
+      .withColumn("hashed",
+        transform(shingles(col("text"), shingleK), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFL))))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", xxhash64(col("band"), concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))))
     val a = signed.select(col("band"), col("band_key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -121,13 +143,14 @@ object Dedup {
     * by Hamming distance. Bit votes via bitwise ops on codegen'd hashes.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokens = split(col("text"), " ")
     val sim = (0 until 64).map { bit =>
-      val vote = aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val vote = aggregate(col("thashes"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << bit)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    docs.select(col("doc_id"), sim.as("simhash"))
+    docs
+      .withColumn("thashes", transform(split(col("text"), " "), t => xxhash64(t)))
+      .select(col("doc_id"), sim.as("simhash"))
       .withColumn("chunk0", col("simhash").bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
@@ -168,7 +191,7 @@ object Dedup {
         shingles(col("text"), shingleK).as("sh"))
     val a = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))).cast("double")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - inter
     a.join(b, Seq("source", "len_bucket"))
       .where(col("id_a") < col("id_b"))

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.config.{CollectionConfig, Settings}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Supervision of one streaming connector per configured collection —
+  * the Spark analog of the reference's Server (mrcon/src/server.rs:174-262):
+  * fan out one job per collection, restart failed jobs with error-type
+  * routing, keep the metrics registry in sync, expose liveness.
+  *
+  * In Spark the "task" is a StreamingQuery; failure shows up as
+  * `query.exception` being defined after termination. Restart = start a new
+  * query from the same checkpoint, which resumes after the last committed
+  * batch (the resume-token semantics come for free).
+  */
+final class Supervisor(spark: SparkSession, settings: Settings,
+                       metrics: MetricsRegistry,
+                       startQuery: (SparkSession, CollectionConfig) => StreamingQuery,
+                       maxRestarts: Int = 3) {
+
+  private val running = new ConcurrentHashMap[String, StreamingQuery]()
+  private val restarts = new ConcurrentHashMap[String, Integer]()
+
+  private def keyOf(c: CollectionConfig) = s"${c.watched.dbName}.${c.watched.collName}"
+
+  /** Classify a failure like server.rs:216-235 routes error types. Sink
+    * indicators are checked first: Spark wraps every foreachBatch failure in
+    * a StreamingQueryException whose text mentions generic "sources"
+    * classes, so a bare "source" substring match would misroute them.
+    */
+  def classify(e: Throwable): (String, String) = {
+    val msg = (Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.toString).getOrElse("")).toLowerCase
+    if (msg.contains("queue") || msg.contains("sink"))
+      ("sink_error", "sink_connection_failed")
+    else if (msg.contains("filenotfoundexception") || msg.contains("path does not exist"))
+      ("source_error", "source_connection_failed")
+    else ("unknown_error", "unhandled_error")
+  }
+
+  /** Start every configured collection's stream (server.rs:181-199). */
+  def startAll(): Unit = {
+    settings.collections.foreach { c =>
+      val q = startQuery(spark, c)
+      running.put(keyOf(c), q)
+      metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
+      metrics.recordTaskStart()
+    }
+    metrics.setServerCount(running.size().toLong)
+  }
+
+  /** One supervision pass (the `join_next` loop body, server.rs:200-252):
+    * reap terminated queries; restart failed ones (bounded), record metrics;
+    * a clean stop (collection dropped) is not restarted.
+    * Returns the number of restarts performed.
+    */
+  def superviseOnce(): Int = {
+    var restarted = 0
+    settings.collections.foreach { c =>
+      val k = keyOf(c)
+      Option(running.get(k)).foreach { q =>
+        if (!q.isActive) {
+          metrics.decrementCollectionServer(c.watched.collName, c.watched.dbName)
+          q.exception match {
+            case Some(e) =>
+              val (errorType, reason) = classify(e)
+              metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, errorType)
+              val n = restarts.merge(k, 1, (a, b) => a + b)
+              if (n <= maxRestarts) {
+                metrics.recordTaskRestart(c.watched.collName, c.watched.dbName, reason)
+                try {
+                  val nq = startQuery(spark, c)
+                  running.put(k, nq)
+                  metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
+                  metrics.recordTaskStart()
+                  restarted += 1
+                } catch { case NonFatal(e2) =>
+                  metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, classify(e2)._1)
+                }
+              } else running.remove(k)
+            case None =>
+              // Clean termination == watched collection dropped: do not
+              // restart (server.rs:205-207), tokens cleaned by checkpoint.
+              running.remove(k)
+          }
+        }
+      }
+    }
+    metrics.setServerCount(running.values.asScala.count(_.isActive).toLong)
+    restarted
+  }
+
+  /** Health endpoint semantics (mrcond/src/main.rs:53-60): healthy while at
+    * least one configured stream is live (or nothing was configured).
+    */
+  def healthy(): Boolean =
+    settings.collections.isEmpty || running.values.asScala.exists(_.isActive)
+
+  def activeQueries: Seq[StreamingQuery] = running.values.asScala.toSeq.filter(_.isActive)
+
+  def awaitAll(timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    running.values.asScala.foreach { q =>
+      val left = (deadline - System.currentTimeMillis()).max(1)
+      try q.awaitTermination(left) catch { case NonFatal(_) => () }
+    }
+  }
+
+  def stopAll(): Unit = running.values.asScala.foreach { q =>
+    try q.stop() catch { case NonFatal(_) => () }
+  }
+}
+
+object Supervisor {
+  /** Retry-with-timeout bootstrap (server.rs:38-69): retry `op` every
+    * `retryDelayMs` until `timeoutMs` elapses; first success wins.
+    */
+  def retryWithTimeout[T](timeoutMs: Long, retryDelayMs: Long)(op: () => T): T = {
+    val start = System.currentTimeMillis()
+    var last: Throwable = null
+    while (true) {
+      try return op()
+      catch { case NonFatal(e) =>
+        last = e
+        if (System.currentTimeMillis() - start >= timeoutMs) throw e
+        Thread.sleep(retryDelayMs)
+      }
+    }
+    throw last // unreachable
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.ops.Similarity
+
+/** ANN quality + plan shape (SURVEY.md §2 B5, VERDICT r1 next-round #6). */
+class AnnSpec extends SparkSpec {
+
+  test("LSH ANN recall@10 >= 0.9 vs brute force on sf0.001") {
+    val k = 10
+    val brute = Similarity.bruteTopK(spark, sf0001, nQueries = 5, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf0001, nQueries = 5, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@$k = $recall")
+  }
+
+  test("LSH plan joins on bucket keys — no cartesian / nested-loop join") {
+    val plan = Similarity.lshTopK(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+  }
+
+  test("brute-force top-k is deterministic and self-consistent") {
+    val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
+    assert(rows.length === 6)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === (1L to 3L), "ranks 1..k")
+      val cosByRank = g.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b }, "cos non-increasing")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.ChangeStreamJob
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Streaming e2e behaviors mirroring the reference suite
+  * (mrcond/tests/e2e.rs:386 bulk, :416 one-by-one, :445 drop) plus the
+  * resume-after-restart guarantee (connector.rs:135-142).
+  */
+class ChangeStreamSpec extends SparkSpec {
+
+  private def writeEvents(dir: String, name: String, ids: Range): Unit = {
+    val rows = ids.map { i =>
+      s"""{"event_id":$i,"ts_us":${1704067200000000L + i * 1000000L},"user_id":${i % 7},""" +
+        s""""event_type":"${Seq("signup", "click", "purchase", "view", "error")(i % 5)}",""" +
+        s""""value":${i % 100}.5,"props":"{\\"k\\": $i}"}"""
+    }
+    Files.write(Paths.get(dir, name), rows.mkString("\n").getBytes)
+  }
+
+  private def queueIds(queueDir: String): Seq[Long] =
+    spark.read.parquet(queueDir).select("event_id").collect().map(_.getLong(0)).toSeq
+
+  test("bulk delivery: all events reach the queue exactly once with the full envelope") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "batch0.json", 0 until 100)
+    val q = ChangeStreamJob.start(spark, src, queue, ckpt)
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(queue)
+    assert(out.count() === 100)
+    assert(queueIds(queue).sorted === (0L until 100L))
+    val row = out.where(col("event_id") === 0).collect().head
+    assert(row.getAs[String]("operation_type") === "insert")
+    assert(row.getAs[String]("resume_token") === "0000000000000000")
+    assert(row.getAs[String]("ns_db") === "test")
+    assert(row.getAs[String]("full_document").contains("\"event_id\":0"))
+  }
+
+  test("one-by-one delivery: events arriving file-at-a-time are all delivered in order") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    (0 until 5).foreach { i =>
+      writeEvents(src, s"one$i.json", i to i)
+      val q = ChangeStreamJob.start(spark, src, queue, ckpt)
+      q.awaitTermination(60000)
+    }
+    assert(queueIds(queue).sorted === (0L until 5L))
+  }
+
+  test("resume after restart: a restarted stream continues after the last committed event, no duplicates") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "first.json", 0 until 50)
+    val q1 = ChangeStreamJob.start(spark, src, queue, ckpt)
+    q1.awaitTermination(60000)
+    assert(queueIds(queue).size === 50)
+    // "crash", then more events arrive, then restart from the same checkpoint
+    writeEvents(src, "second.json", 50 until 80)
+    val q2 = ChangeStreamJob.start(spark, src, queue, ckpt)
+    q2.awaitTermination(60000)
+    val ids = queueIds(queue)
+    assert(ids.size === 80, "restart must not re-deliver the first batch")
+    assert(ids.sorted === (0L until 80L))
+  }
+
+  test("source drop: stream over an exhausted source terminates cleanly (no exception)") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "only.json", 0 until 10)
+    val q1 = ChangeStreamJob.start(spark, src, queue, ckpt)
+    q1.awaitTermination(60000)
+    // nothing new: AvailableNow over the same checkpoint commits nothing and stops
+    val q2 = ChangeStreamJob.start(spark, src, queue, ckpt)
+    q2.awaitTermination(60000)
+    assert(q2.exception.isEmpty)
+    assert(queueIds(queue).size === 10)
+  }
+}

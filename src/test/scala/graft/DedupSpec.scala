@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+
+/** Near-dup detection on planted duplicates (SURVEY.md §2 B1-B4). */
+class DedupSpec extends SparkSpec {
+
+  /** Corpus with two planted near-dup groups and unrelated docs. */
+  private def planted(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+    val nearA = base.replace("warm", "cold")                      // 1-token edit of 0
+    val b = "spark executes distributed dataframes with catalyst optimizing logical plans into efficient physical stages across many worker nodes"
+    val nearB = b.replace("many", "several") + " tonight"          // near-dup of 2
+    val others = Seq(
+      "completely unrelated text about cooking pasta with garlic butter and fresh basil leaves in a small kitchen",
+      "astronomy observations reveal distant galaxies drifting apart as the universe expands at an accelerating rate",
+      "financial markets closed higher today led by energy shares and a late rally in technology companies")
+    (Seq(base, nearA, b, nearB) ++ others).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exactly the planted near-dup pairs") {
+    val pairs = Dedup.minhashPairs(planted(), threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted pair (0,1) missed")
+    assert(pairs.contains((2L, 3L)), "planted pair (2,3) missed")
+    assert(pairs.forall(p => Set((0L, 1L), (2L, 3L)).contains(p)),
+      s"false positives: ${pairs -- Set((0L, 1L), (2L, 3L))}")
+  }
+
+  test("minhash dedup keeps the first of each dup group and all singletons") {
+    val kept = Dedup.minhashDedup(planted(), threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 4L, 5L, 6L), s"kept=$kept")
+  }
+
+  test("simhash bands find the 1-token-edit pair") {
+    val pairs = Dedup.simhashPairs(planted(), maxHamming = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"pairs=$pairs")
+    assert(!pairs.contains((4L, 5L)), "unrelated docs must not collide")
+  }
+
+  test("the driver's corpus contains planted near-dups and minhash surfaces them") {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sf0001), threshold = 0.8)
+    assert(pairs.count() > 0, "sf0.001 documents are known to contain near-dups")
+  }
+
+  test("minhash candidate generation never degenerates to a cartesian plan") {
+    val plan = Dedup.minhashPairs(planted()).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in plan:\n$plan")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.events.{ChangeEvents, ResumeTokens}
+import graft.ops.{Analytics, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behaviors not fully covered by the DuckDB oracle:
+  * multimodal decode batching, plan shapes, envelope invariants.
+  */
+class OpsSpec extends SparkSpec {
+
+  test("multimodal decode: batched stub produces typed features for every row") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val out = Multimodal.decodeFeatures(media)
+    assert(out.columns.toSeq === Seq("doc_id", "kind", "n_bytes", "width", "height", "mean_luma"))
+    val n = media.count()
+    assert(out.count() === n)
+    val r = out.where(col("doc_id") === 0).collect().head
+    assert(r.getAs[String]("kind") === "image")
+    assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+    assert(r.getAs[Double]("mean_luma") > 0)
+    // deterministic: same input, same features
+    val again = Multimodal.decodeFeatures(media).where(col("doc_id") === 0).collect().head
+    assert(again === r)
+  }
+
+  test("multimodal: media bytes survive the pipeline untouched (sha matches source text)") {
+    val meta = Multimodal.mediaMeta(spark, sf0001).where(col("doc_id") === 1).collect().head
+    val doc = Tables.documents(spark, sf0001).where(col("doc_id") === 1).collect().head
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(doc.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(meta.getAs[String]("content_sha256") === expected)
+  }
+
+  test("change-event envelope: operation_type covers every event_type deterministically") {
+    val ops = ChangeEvents.normalize(spark, sf0001)
+      .groupBy("operation_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet === Set("insert", "update", "delete"))
+    assert(ops.values.sum === Tables.events(spark, sf0001).count())
+  }
+
+  test("q5 plan broadcasts the dimension chain and pushes filters into scans") {
+    val plan = Analytics.q5Join(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"region filter not pushed:\n$plan")
+  }
+
+  test("q1 reads only the columns it needs (projection pruning reaches the scan)") {
+    val plan = Analytics.q1Agg(spark, sf0001).queryExecution.executedPlan.toString
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_partkey") && !scanSchema.contains("l_comment"),
+      s"scan reads unused columns: $scanSchema")
+    assert(scanSchema.contains("l_quantity"))
+  }
+
+  test("resume_after replays exactly the events past each stream's checkpoint") {
+    val out = ResumeTokens.resumeAfter(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    // every replayed event is strictly after its stream's checkpoint
+    assert(out.where(col("event_id") <= col("checkpoint_offset")).count() === 0)
+    // and nothing at/before the global midpoint that belongs to a checkpointed stream is replayed twice
+    val total = ev.count()
+    assert(out.count() > 0 && out.count() < total)
+  }
+
+  test("text analysis agrees with the documents table's own n_chars") {
+    val bad = TextAnalysis.tokenCount(spark, sf0001)
+      .join(Tables.documents(spark, sf0001), "doc_id")
+      .where(col("n_chars_computed") =!= col("n_chars")).count()
+    assert(bad === 0)
+  }
+}
