@@ -21,14 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * (Reference formulation; the hot paths use the codegen'd CosineSim
+    * expression below, which runs the identical arithmetic.)
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd one-pass cosine (graft.functions.CosineSim): same sequential
+    * double fold as dot/norm above, bit-identical results.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
 
   /** B5 baseline — exact top-k cosine neighbors for each query vector.
     * Queries (vec_id < nQueries) are broadcast; rank per query is a window
@@ -57,25 +63,13 @@ object Similarity {
     Seq.fill(totalPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** All `total` sign bits in one pass: project the vector on each constant
-    * plane row (element_at into the literal matrix) and keep the sign.
+  /** All LSH table keys in one codegen'd pass (graft.functions
+    * .HyperplaneSignKeys): long[tables], bit j of key t = sign of the
+    * projection onto plane t*k+j.
     */
-  private def signBits(vec: Column, total: Int, dim: Int): Column = {
-    val m = typedlit(planeMatrix(total, dim))
-    transform(sequence(lit(0), lit(total - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec, element_at(m, p + 1), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      proj > 0
-    })
-  }
-
-  /** One LSH table key per table: pack that table's `k` sign bits + the
-    * table id into a long via xxhash of the boolean slice.
-    */
-  private def tableKeys(bits: Column, tables: Int, k: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)),
-      t => xxhash64(t, concat_ws(",", slice(bits, t * k + 1, lit(k)).cast("array<string>"))))
+  private def tableKeys(vec: Column, tables: Int, k: Int, dim: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneKeys(vec,
+      planeMatrix(tables * k, dim).map(_.toArray).toArray, tables, k)
 
   /** B5 scale path — multi-table sign-LSH ANN (the classic (k, L) scheme):
     * L independent tables of k hyperplane sign bits each; a corpus vector
@@ -90,9 +84,8 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
               planesPerTable: Int = 4, tables: Int = 24, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val total = planesPerTable * tables
     val withKeys = emb.select(col("vec_id"), col("embedding"),
-      tableKeys(signBits(col("embedding"), total, dim), tables, planesPerTable).as("keys"))
+      tableKeys(col("embedding"), tables, planesPerTable, dim).as("keys"))
     val corpus = withKeys.select(col("vec_id"),
       posexplode(col("keys")).as(Seq("tbl", "tkey")))
     val probes = withKeys.where(col("vec_id") < nQueries)

@@ -21,7 +21,11 @@ import scala.util.control.NonFatal
 final class Supervisor(spark: SparkSession, settings: Settings,
                        metrics: MetricsRegistry,
                        startQuery: (SparkSession, CollectionConfig) => StreamingQuery,
-                       maxRestarts: Int = 3) {
+                       maxRestarts: Int = 3,
+                       lifecycleMetrics: Boolean = true) {
+  // With lifecycleMetrics=false (daemon mode) the GraftQueryListener owns the
+  // running/started gauges and the supervisor records only what it alone
+  // knows: classified failures and restart decisions.
 
   private val running = new ConcurrentHashMap[String, StreamingQuery]()
   private val restarts = new ConcurrentHashMap[String, Integer]()
@@ -48,10 +52,12 @@ final class Supervisor(spark: SparkSession, settings: Settings,
     settings.collections.foreach { c =>
       val q = startQuery(spark, c)
       running.put(keyOf(c), q)
-      metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
-      metrics.recordTaskStart()
+      if (lifecycleMetrics) {
+        metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
+        metrics.recordTaskStart()
+      }
     }
-    metrics.setServerCount(running.size().toLong)
+    if (lifecycleMetrics) metrics.setServerCount(running.size().toLong)
   }
 
   /** One supervision pass (the `join_next` loop body, server.rs:200-252):
@@ -65,7 +71,7 @@ final class Supervisor(spark: SparkSession, settings: Settings,
       val k = keyOf(c)
       Option(running.get(k)).foreach { q =>
         if (!q.isActive) {
-          metrics.decrementCollectionServer(c.watched.collName, c.watched.dbName)
+          if (lifecycleMetrics) metrics.decrementCollectionServer(c.watched.collName, c.watched.dbName)
           q.exception match {
             case Some(e) =>
               val (errorType, reason) = classify(e)
@@ -76,8 +82,10 @@ final class Supervisor(spark: SparkSession, settings: Settings,
                 try {
                   val nq = startQuery(spark, c)
                   running.put(k, nq)
-                  metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
-                  metrics.recordTaskStart()
+                  if (lifecycleMetrics) {
+                    metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
+                    metrics.recordTaskStart()
+                  }
                   restarted += 1
                 } catch { case NonFatal(e2) =>
                   metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, classify(e2)._1)
@@ -91,7 +99,7 @@ final class Supervisor(spark: SparkSession, settings: Settings,
         }
       }
     }
-    metrics.setServerCount(running.values.asScala.count(_.isActive).toLong)
+    if (lifecycleMetrics) metrics.setServerCount(running.values.asScala.count(_.isActive).toLong)
     restarted
   }
 
