@@ -50,6 +50,8 @@ object SparkEntry {
     "q3_join"              -> ((s, d) => Analytics.q3Join(s, d)),
     "q5_join"              -> ((s, d) => Analytics.q5Join(s, d)),
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+    "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
     "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d))
   )
 
@@ -316,6 +318,27 @@ object SparkEntry {
          |FROM ev
          |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
          |ORDER BY event_id""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH $evCte,
+         |f AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value FROM ev),
+         |g AS (SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER w > 1800 THEN 1
+         |                     WHEN lag(epoch_s) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+         |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_seq
+         |      FROM g)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |       min(event_id) AS first_event, max(event_id) AS last_event,
+         |       min(epoch_s) AS start_s, max(epoch_s) AS end_s,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q6_agg" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "topk_per_group" ->
       """SELECT p_brand, price_rank, p_partkey, p_name, p_retailprice

@@ -99,6 +99,21 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** C6 — forecast revenue change (TPC-H Q6 shape): pure scan + filter +
+    * 2-column aggregate. The whole predicate pushes into the parquet scan;
+    * decimal-exact product sum.
+    */
+  def q6Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(
+        sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
   /** C5 — top-K per group: 3 priciest parts per brand. Ranked window on the
     * group key; at scale Spark pushes a partial top-K below the shuffle
     * (WindowGroupLimit) so only K rows per group per mapper move.

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization of the event feed — the canonical stateful
+  * operator a CDC/event pipeline needs downstream of the connector.
+  *
+  * Batch path: two windows over the user key (flag session starts where the
+  * gap exceeds the threshold, running-sum the flags into session ids) — one
+  * shuffle on user_id, everything else map-side; SQL-expressible, so it is
+  * oracle-checked (SparkEntry "events_sessionize").
+  *
+  * Streaming path: `flatMapGroupsWithState` with per-user session state and
+  * processing-time timeout — Spark's custom-state API, the analog of
+  * hand-rolled per-key state machines in native stream processors. Sessions
+  * are emitted when the gap closes them; the state store is checkpointed
+  * with the query, so restarts resume mid-session.
+  */
+object Sessionize {
+
+  val GapSeconds = 1800L
+
+  // ------------------------------------------------------------------ batch
+
+  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = GapSeconds): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val flagged = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("is_new_session",
+        when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) > gapSeconds, 1)
+          .when(lag(col("epoch_s"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("is_new_session")).over(byUser).cast("long"))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        min(col("epoch_s")).as("start_s"),
+        max(col("epoch_s")).as("end_s"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")
+      )
+      .orderBy("user_id", "session_seq")
+  }
+
+  // -------------------------------------------------------------- streaming
+
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class SessionState(firstEvent: Long, lastEvent: Long, lastTsUs: Long,
+                          nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, first_event: Long, last_event: Long,
+                        n_events: Long, sum_value: Double, closed_by: String)
+
+  /** Per-user state machine: extend the open session while events arrive
+    * within the gap; emit the closed session when a gap or timeout ends it.
+    */
+  def updateSession(gapUs: Long)(userId: Long, events: Iterator[Event],
+                                 state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var out = List.empty[SessionOut]
+    var cur = state.getOption
+    events.toSeq.sortBy(_.event_id).foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.lastTsUs <= gapUs =>
+          cur = Some(SessionState(s.firstEvent, e.event_id, e.ts_us,
+            s.nEvents + 1, s.sumValue + e.value))
+        case Some(s) =>
+          out ::= SessionOut(userId, s.firstEvent, s.lastEvent, s.nEvents, s.sumValue, "gap")
+          cur = Some(SessionState(e.event_id, e.event_id, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.event_id, e.event_id, e.ts_us, 1, e.value))
+      }
+    }
+    if (state.hasTimedOut) {
+      cur.foreach(s => out ::= SessionOut(userId, s.firstEvent, s.lastEvent, s.nEvents, s.sumValue, "timeout"))
+      state.remove()
+    } else {
+      cur.foreach(state.update)
+    }
+    out.reverseIterator
+  }
+
+  /** Streaming sessionize over the json event feed (same schema as
+    * ChangeStreamJob). Emits closed sessions to `outDir` via foreachBatch.
+    */
+  def start(spark: SparkSession, sourceDir: String, outDir: String, checkpointDir: String,
+            gapUs: Long = GapSeconds * 1000000L) = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(ChangeStreamJob.eventSchema)
+      .json(sourceDir)
+      .as[Event]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        updateSession(gapUs))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+}
