@@ -39,6 +39,7 @@ object SparkEntry {
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -238,18 +239,30 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_chars_computed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "lang_id" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
-        |h AS (SELECT doc_id, lang,
-        |        CAST(len(list_filter(tok, x -> list_contains(
-        |          ['the','a','of','and','to','in','is','it','for','on'], x))) AS BIGINT) AS hits,
-        |        CAST(len(tok) AS BIGINT) AS n_tokens
-        |      FROM t)
-        |SELECT doc_id, lang AS lang_declared, hits AS stopword_hits, n_tokens,
-        |       round(CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-        |       CASE WHEN CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.04
-        |            THEN 'en' ELSE 'und' END AS lang_pred
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val sw = graft.ops.TextAnalysis.langStopwords
+      val hitExprs = sw.map { case (l, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(tok, x -> list_contains($arr, x))) AS BIGINT) AS hits_$l"
+      }.mkString(",\n        ")
+      val bestExpr = sw.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
+      val predCases = sw.map { case (l, _) =>
+        s"WHEN hits_$l = best_hits AND stopword_ratio > 0.04 THEN '$l'"
+      }.mkString("\n            ")
+      val hitNames = sw.map { case (l, _) => s"hits_$l" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |        $hitExprs,
+         |        CAST(len(tok) AS BIGINT) AS n_tokens
+         |      FROM t),
+         |b AS (SELECT *, $bestExpr AS best_hits,
+         |        round(CAST($bestExpr AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
+         |      FROM h)
+         |SELECT doc_id, lang AS lang_declared, $hitNames, n_tokens, best_hits, stopword_ratio,
+         |       CASE $predCases
+         |            ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, length(text) AS len, string_split(text, ' ') AS tok

@@ -110,4 +110,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "rank")
   }
+
+  /** B5c — embedding-cosine near-dup: corpus-wide near-duplicate pairs by
+    * cosine over LSH buckets (the brief's "embedding-cosine near-dup" dedup
+    * mode). Same (k, L) machinery as lshTopK but corpus×corpus: vectors meet
+    * only when some table key collides, then exact cosine verifies. The
+    * self-join is keyed on (table, key) — never all-pairs; near-identical
+    * vectors collide in every table, so recall for true dups ≈ 1.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.9,
+                       dim: Int = 64): DataFrame = {
+    // (k, L) must match the target similarity: collision prob per plane is
+    // p = 1 - θ/π, so per-table collision is p^k. High thresholds afford
+    // long codes (selective, cheap); low thresholds need short codes + more
+    // tables to keep recall, at the cost of a larger candidate fraction.
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    val planesPerTable = math.max(3, math.min(12, (math.log(0.05) / math.log(p)).toInt))
+    val tables = {
+      // L solving 1-(1-p^k)^L = 0.95
+      val pk = math.pow(p, planesPerTable)
+      math.max(4, math.min(40, math.ceil(math.log(0.05) / math.log(1 - pk)).toInt))
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+        posexplode(tableKeys(col("embedding"), tables, planesPerTable, dim)).as(Seq("tbl", "tkey")))
+    val a = keyed.select(col("tbl"), col("tkey"), col("vec_id").as("id_a"))
+    val b = keyed.select(col("tbl"), col("tkey"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("tbl", "tkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .where(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
 }

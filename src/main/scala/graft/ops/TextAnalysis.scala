@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Tiny English stopword set for the language heuristic. */
-  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  /** Tiny per-language stopword sets for the language heuristic (shared
+    * verbatim with the oracle SQL via [[langStopwords]]).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "en", "est"),
+    "es" -> Seq("el", "que", "y", "los", "se", "no", "por", "con", "las", "como"),
+    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "nicht"))
 
   private def toks(c: Column): Column = split(c, " ")
 
@@ -32,23 +38,32 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
-  /** B7 — language ID: stopword-hit-ratio heuristic. A token-level filter
-    * against a constant set — a codegen'd lambda, no join.
+  /** B7 — language ID: per-language stopword-hit scoring, argmax with a
+    * minimum-evidence threshold. Token-level filters against constant sets —
+    * codegen'd lambdas, no join; earlier language in [[langStopwords]] wins
+    * ties (deterministic, mirrored in the oracle SQL).
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = array(enStop.map(lit): _*)
     val tokens = toks(lower(col("text")))
-    val hits = size(filter(tokens, t => array_contains(stopArr, t)))
-    val ratio = hits.cast("double") / size(tokens).cast("double")
+    val hitCols = langStopwords.map { case (l, words) =>
+      val arr = array(words.map(lit): _*)
+      l -> size(filter(tokens, t => array_contains(arr, t))).cast("long")
+    }
+    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
+    // ties: earliest language wins because `when` chains evaluate in order
+    val predOrdered = langStopwords.map { case (l, _) => l }
+      .foldLeft(when(lit(false), "x")) { (acc, l) =>
+        acc.when(col(s"hits_$l") === col("best_hits") && col("stopword_ratio") > 0.04, l)
+      }.otherwise("und")
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("lang").as("lang_declared"),
-        hits.cast("long").as("stopword_hits"),
-        size(tokens).cast("long").as("n_tokens"),
-        round(ratio, 6).as("stopword_ratio"),
-        when(ratio > 0.04, "en").otherwise("und").as("lang_pred")
-      )
+      .withColumns(hitCols.map { case (l, c) => s"hits_$l" -> c }.toMap)
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("best_hits", best)
+      .withColumn("stopword_ratio", round(col("best_hits").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("lang_pred", predOrdered)
+      .select(Seq(col("doc_id"), col("lang").as("lang_declared")) ++
+        langStopwords.map { case (l, _) => col(s"hits_$l") } ++
+        Seq(col("n_tokens"), col("best_hits"), col("stopword_ratio"), col("lang_pred")): _*)
       .orderBy("doc_id")
   }
 

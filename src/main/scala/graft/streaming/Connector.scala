@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.config.{CollectionConfig, Connections}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Library-level facade mirroring the reference's `Connector` API
+  * (mrcon/src/mongo/connector.rs) so a user of the reference maps 1:1:
+  *
+  *   reference                              graft
+  *   ─────────────────────────────────────  ─────────────────────────────────
+  *   Connector::from_collection(            Connector.fromCollection(
+  *     mongo_uri, rabbitmq_uri, settings)     spark, connections, settings)
+  *   Connector::with_clients(client, conn)  Connector.withSession(spark, ...)
+  *   connector.connect(stream_name).await   connector.connect(streamName)
+  *
+  * `connect` starts the checkpointed stream for this collection and returns
+  * the StreamingQuery (the "running watch"). The resume token store is the
+  * streaming checkpoint (see ChangeStreamJob); `resumeTokensLocation` points
+  * at it, named by the stream like resume_tokens.rs keys tokens by
+  * stream_name.
+  */
+final class Connector(spark: SparkSession, connections: Connections,
+                      settings: CollectionConfig) {
+
+  def resumeTokensLocation(streamName: String): String =
+    s"${connections.sinkUri}/_checkpoints/$streamName"
+
+  /** Watch the configured collection, publish change events to its queue,
+    * resuming after the last persisted position (connector.rs:127-173).
+    */
+  def connect(streamName: String): StreamingQuery =
+    ChangeStreamJob.start(spark,
+      sourceDir = s"${connections.sourceUri}/${settings.watched.collName}",
+      queueDir = s"${connections.sinkUri}/${settings.queue.streamName}",
+      checkpointDir = resumeTokensLocation(streamName),
+      db = settings.watched.dbName, coll = settings.watched.collName,
+      queryName = s"${settings.watched.dbName}.${settings.watched.collName}")
+}
+
+object Connector {
+  /** connector.rs:50-63 `from_collection`: build everything from URIs. */
+  def fromCollection(spark: SparkSession, connections: Connections,
+                     settings: CollectionConfig): Connector =
+    new Connector(spark, connections, settings)
+
+  /** connector.rs:76-90 `with_clients`: share an existing session. */
+  def withSession(spark: SparkSession, connections: Connections,
+                  settings: CollectionConfig): Connector =
+    new Connector(spark, connections, settings)
+}

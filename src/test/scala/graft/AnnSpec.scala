@@ -23,6 +23,25 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
   }
 
+  test("embedding near-dup finds the same high-cosine pairs as a brute-force sweep") {
+    val tau = 0.4
+    val lsh = Similarity.embeddingNearDup(spark, sf0001, minCos = tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the small sf0.001 corpus via the existing cosine expr
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test needs at least one qualifying pair")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"near-dup recall $recall (found ${lsh.size} of ${brute.size})")
+    assert((lsh -- brute).isEmpty, "LSH must not invent pairs (cosine is verified exactly)")
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)
