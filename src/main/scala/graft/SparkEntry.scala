@@ -25,6 +25,7 @@ object SparkEntry {
     "publish_payload"      -> ((s, d) => ChangeEvents.publishPayload(s, d)),
     "publish_dedup"        -> ((s, d) => ChangeEvents.publishDedup(s, d)),
     "pre_post_images"      -> ((s, d) => ChangeEvents.prePostImages(s, d)),
+    "props_extract"        -> ((s, d) => ChangeEvents.propsExtract(s, d)),
     "fanout_routing"       -> ((s, d) => ChangeEvents.fanoutRouting(s, d)),
     "resume_tokens_last"   -> ((s, d) => ResumeTokens.lastTokens(s, d)),
     "resume_tokens_upsert" -> ((s, d) => ResumeTokens.upsertTokens(s, d)),
@@ -114,6 +115,15 @@ object SparkEntry {
          |SELECT event_id, user_id, full_document,
          |       lag(full_document, 1) OVER (PARTITION BY user_id ORDER BY event_id)
          |         AS full_document_before_change
+         |FROM docs ORDER BY event_id""".stripMargin,
+
+    "props_extract" ->
+      s"""WITH $evCte,
+         |docs AS (SELECT event_id, props, $fullDoc AS doc FROM ev)
+         |SELECT event_id,
+         |       CAST(json_extract(props, '$$.k') AS BIGINT) AS props_k,
+         |       json_extract_string(doc, '$$.event_type') AS doc_event_type,
+         |       json_extract_string(doc, '$$.value') AS doc_value_str
          |FROM docs ORDER BY event_id""".stripMargin,
 
     "fanout_routing" ->

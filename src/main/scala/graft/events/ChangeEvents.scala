@@ -115,6 +115,22 @@ object ChangeEvents {
       .orderBy("event_id")
   }
 
+  /** A5c — consumer-side payload parsing: what a queue consumer does with
+    * the published JSON (e2e.rs:404-411 reads `fullDocument` back out of
+    * every delivered message). `from_json` with an explicit schema gives
+    * typed columns; scales as a narrow projection.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val doc = fullDocumentJson(ev)
+    ev.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("props_k"),
+      get_json_object(doc, "$.event_type").as("doc_event_type"),
+      get_json_object(doc, "$.value").as("doc_value_str")
+    ).orderBy("event_id")
+  }
+
   /** A7 — multi-collection fan-out (server.rs:174-199 spawns one job per
     * configured collection): route events to per-collection queues and report
     * per-queue publish stats. Money sums are decimal-exact, surfaced as

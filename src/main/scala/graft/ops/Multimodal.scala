@@ -65,6 +65,38 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize stub: a real implementation rescales pixel buffers; the stub
+    * derives the target-box dimensions with aspect preserved — the part a
+    * pipeline actually schedules around (output schema + partition shape).
+    */
+  case class Resized(doc_id: Long, kind: String, out_w: Int, out_h: Int, payload: Array[Byte])
+  def resizeStub(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeFeatures(media).as[MediaFeatures].mapPartitions { rows =>
+      rows.map { f =>
+        val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+        Resized(f.doc_id, f.kind,
+          math.max(1, (f.width * scale).toInt), math.max(1, (f.height * scale).toInt),
+          Array.emptyByteArray /* stub: real codec writes rescaled bytes */)
+      }
+    }.toDF()
+  }
+
+  /** Frame-sample stub for video rows: emit every nth "frame" as its own row
+    * (explode shape) with deterministic frame offsets — the schema and
+    * row-multiplication behavior a real decoder produces. Non-video rows
+    * pass through with a single frame.
+    */
+  def frameSample(media: DataFrame, everyNth: Int = 10): DataFrame =
+    media
+      .withColumn("n_frames",
+        when(col("kind") === "video", greatest(expr("n_bytes div 20"), lit(1L))).otherwise(1L).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(expr(s"(n_frames - 1) div $everyNth").cast("int"), lit(0)))))
+      .select(col("doc_id"), col("kind"), (col("frame_idx") * everyNth).as("frame_offset"),
+        col("n_frames").cast("long").as("n_frames_total"))
+
   /** B6 (oracle path) — metadata extraction expressible in portable SQL:
     * byte length, content digest, deterministic stub dimensions.
     */

@@ -33,6 +33,22 @@ class OpsSpec extends SparkSpec {
     assert(meta.getAs[String]("content_sha256") === expected)
   }
 
+  test("multimodal resize + frame-sample stubs keep schema and row-shape contracts") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val resized = Multimodal.resizeStub(media, maxSide = 32)
+    assert(resized.columns.toSeq === Seq("doc_id", "kind", "out_w", "out_h", "payload"))
+    assert(resized.count() === media.count())
+    val tooBig = resized.where(col("out_w") > 32 || col("out_h") > 32).count()
+    assert(tooBig === 0, "resize must bound both sides")
+    val frames = Multimodal.frameSample(media, everyNth = 10)
+    // videos explode to multiple frames, others exactly one
+    val nonVideo = frames.where(col("kind") =!= "video")
+      .groupBy("doc_id").count().where(col("count") =!= 1).count()
+    assert(nonVideo === 0)
+    assert(frames.where(col("kind") === "video").count() >
+      media.where(col("kind") === "video").count(), "videos produce multiple frames")
+  }
+
   test("change-event envelope: operation_type covers every event_type deterministically") {
     val ops = ChangeEvents.normalize(spark, sf0001)
       .groupBy("operation_type").count().collect()
