@@ -26,6 +26,7 @@ object SparkEntry {
     "publish_dedup"        -> ((s, d) => ChangeEvents.publishDedup(s, d)),
     "pre_post_images"      -> ((s, d) => ChangeEvents.prePostImages(s, d)),
     "props_extract"        -> ((s, d) => ChangeEvents.propsExtract(s, d)),
+    "cdc_apply"            -> ((s, d) => ChangeEvents.applyChanges(s, d)),
     "fanout_routing"       -> ((s, d) => ChangeEvents.fanoutRouting(s, d)),
     "resume_tokens_last"   -> ((s, d) => ResumeTokens.lastTokens(s, d)),
     "resume_tokens_upsert" -> ((s, d) => ResumeTokens.upsertTokens(s, d)),
@@ -126,6 +127,18 @@ object SparkEntry {
          |       json_extract_string(doc, '$$.value') AS doc_value_str
          |FROM docs ORDER BY event_id""".stripMargin,
 
+    "cdc_apply" ->
+      s"""WITH $evCte,
+         |changes AS (SELECT user_id AS document_key, event_id,
+         |              $opType AS operation_type,
+         |              $fullDoc AS full_document
+         |            FROM ev),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY document_key ORDER BY event_id DESC) AS rn
+         |           FROM changes)
+         |SELECT document_key, event_id AS last_event_id, full_document
+         |FROM ranked WHERE rn = 1 AND operation_type <> 'delete'
+         |ORDER BY document_key""".stripMargin,
+
     "fanout_routing" ->
       """SELECT 'stream_' || event_type AS queue, count(*) AS published,
         |       min(event_id) AS first_event, max(event_id) AS last_event,
@@ -205,8 +218,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,
         |             string_split(text, ' ') AS tok FROM documents),
         |s AS (SELECT doc_id, source, len_bucket,
-        |        list_distinct([array_to_string(tok[i:i+2], ' ')
-        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+        |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
+        |         list_distinct([array_to_string(tok[i:i+2], ' ')
+        |                        for i in generate_series(1, greatest(len(tok)-2, 1))])] AS sh
         |      FROM t),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,

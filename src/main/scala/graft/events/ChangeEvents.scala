@@ -131,6 +131,27 @@ object ChangeEvents {
     ).orderBy("event_id")
   }
 
+  /** A8/A5d — apply-changes materialization: fold the change feed into the
+    * final per-document state, the operation every CDC consumer ultimately
+    * performs (insert/update upserts the fullDocument, a trailing delete
+    * removes the key). Ranked window on the document key — one shuffle on
+    * the natural high-cardinality key; at warehouse scale this is the
+    * incremental MERGE INTO pattern.
+    */
+  def applyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byKeyDesc = Window.partitionBy(col("document_key")).orderBy(col("event_id").desc)
+    ev.select(
+        col("user_id").as("document_key"),
+        col("event_id"),
+        operationType(col("event_type")).as("operation_type"),
+        fullDocumentJson(ev).as("full_document"))
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .where(col("rn") === 1 && col("operation_type") =!= "delete")
+      .select(col("document_key"), col("event_id").as("last_event_id"), col("full_document"))
+      .orderBy("document_key")
+  }
+
   /** A7 — multi-collection fan-out (server.rs:174-199 spawns one job per
     * configured collection): route events to per-collection queues and report
     * per-queue publish stats. Money sums are decimal-exact, surfaced as

@@ -186,9 +186,14 @@ object Dedup {
     * with an explicit distinct+filter (portable semantics across engines).
     */
   def ngramJaccard(spark: SparkSession, dir: String, shingleK: Int = 3): DataFrame = {
+    // Intersect on 60-bit md5-prefix hashes of the shingles rather than the
+    // strings: set sizes are unchanged (collisions ~ |sh|²/2^61 ≈ 0) and the
+    // candidate-pair intersect stops hashing long strings. The same hashing
+    // is reproduced in the DuckDB oracle ('0x'||substr(md5)::BIGINT).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket"),
-        shingles(col("text"), shingleK).as("sh"))
+        transform(shingles(col("text"), shingleK),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sh"))
     val a = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
