@@ -64,8 +64,18 @@ object Settings {
   def parseCollections(yaml: String): Either[String, Vector[CollectionConfig]] = {
     val items = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
     var current: Map[String, String] = null
+    def stripComment(s: String): String = {
+      // strip '#' comments only outside quoted scalars
+      var inQuote = false
+      val i = s.indexWhere {
+        case '"' => inQuote = !inQuote; false
+        case '#' => !inQuote
+        case _ => false
+      }
+      if (i < 0) s else s.substring(0, i)
+    }
     yaml.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#')
+      val line = stripComment(raw)
       val t = line.trim
       if (t.nonEmpty && t != "collections:") {
         val isItemStart = line.dropWhile(_ == ' ').startsWith("- ")

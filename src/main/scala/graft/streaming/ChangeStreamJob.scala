@@ -37,18 +37,18 @@ object ChangeStreamJob {
     StructField("props", StringType)
   ))
 
-  /** The change-event envelope + JSON payload, shared by every stream. */
+  /** The change-event envelope + JSON payload — same operationType mapping
+    * and full_document shape as the batch path (graft.events.ChangeEvents),
+    * so consumers see ONE document format regardless of pipeline.
+    */
   def toChangeEvents(events: DataFrame, db: String, coll: String): DataFrame =
     events.select(
       col("event_id"),
       format_string("%016x", col("event_id")).as("resume_token"),
-      when(col("event_type").isin("signup", "purchase"), "insert")
-        .when(col("event_type").isin("click", "view"), "update")
-        .otherwise("delete").as("operation_type"),
+      graft.events.ChangeEvents.operationType(col("event_type")).as("operation_type"),
       lit(db).as("ns_db"), lit(coll).as("ns_coll"),
       col("user_id").as("document_key"),
-      to_json(struct(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("props"))).as("full_document"),
+      graft.events.ChangeEvents.fullDocumentJson(events).as("full_document"),
       timestamp_micros(col("ts_us")).as("cluster_time")
     )
 
@@ -59,7 +59,8 @@ object ChangeStreamJob {
     */
   def start(spark: SparkSession, sourceDir: String, queueDir: String,
             checkpointDir: String, db: String = "test", coll: String = "testcoll",
-            queryName: String = "connector"): StreamingQuery = {
+            queryName: String = "connector",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val events = spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 4)
@@ -68,11 +69,16 @@ object ChangeStreamJob {
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Publish: one parquet file set per epoch == per-batch confirm.
+        // Publish one parquet partition per epoch, OVERWRITTEN on replay:
+        // if the stream crashes between the sink commit and the checkpoint
+        // commit, the re-run of this batch replaces (not duplicates) its
+        // epoch — exactly-once delivery for this idempotent sink.
         batch.withColumn("epoch", lit(batchId))
-          .write.mode("append").parquet(queueDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(queueDir)
         ()
       }
       .start()

@@ -68,14 +68,19 @@ object GraftDaemon {
     }
   }
 
-  /** One connector stream per collection: json feed subdir → queue subdir. */
+  /** One connector stream per collection: json feed subdir → queue subdir.
+    * Continuous micro-batch trigger — the daemon watches forever like the
+    * reference (connector.rs's `while let Some(change)` loop); tests use the
+    * draining AvailableNow variant directly via ChangeStreamJob.
+    */
   def startQuery(conn: Connections)(spark: SparkSession, c: CollectionConfig) =
     ChangeStreamJob.start(spark,
       sourceDir = s"${conn.sourceUri}/${c.watched.collName}",
       queueDir = s"${conn.sinkUri}/${c.queue.streamName}",
       checkpointDir = s"${conn.sinkUri}/_checkpoints/${c.queue.streamName}",
       db = c.watched.dbName, coll = c.watched.collName,
-      queryName = s"${c.watched.dbName}.${c.watched.collName}")
+      queryName = s"${c.watched.dbName}.${c.watched.collName}",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
 
   /** /health + /metrics on the JDK http server (main.rs:53-73). */
   def serveHttp(port: Int, metrics: MetricsRegistry, supervisor: Supervisor): HttpServer = {

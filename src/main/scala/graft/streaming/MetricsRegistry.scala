@@ -57,13 +57,17 @@ final class MetricsRegistry {
   def recordTaskFailure(coll: String, db: String, errorType: String): Unit =
     inc(MetricsRegistry.TaskFailures, "collection" -> coll, "database" -> db, "error_type" -> errorType)
 
-  /** Prometheus text exposition (metrics.rs `export`). */
+  /** Prometheus text exposition (metrics.rs `export`): exactly one `# TYPE`
+    * line per metric NAME (the format forbids repeats), then every label-set
+    * sample of that metric.
+    */
   def export(): String = {
     def block(m: ConcurrentHashMap[String, LongAdder], kind: String) =
-      m.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
-        val bare = k.takeWhile(_ != '{')
-        s"# TYPE $bare $kind\n$k ${v.sum()}"
-      }
+      m.asScala.toSeq.sortBy(_._1).groupBy(_._1.takeWhile(_ != '{')).toSeq.sortBy(_._1)
+        .map { case (bare, series) =>
+          (s"# TYPE $bare $kind" +: series.sortBy(_._1).map { case (k, v) => s"$k ${v.sum()}" })
+            .mkString("\n")
+        }
     (block(gauges, "gauge") ++ block(counters, "counter")).mkString("", "\n", "\n")
   }
 }

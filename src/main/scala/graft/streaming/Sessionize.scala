@@ -61,8 +61,9 @@ object Sessionize {
   /** Per-user state machine: extend the open session while events arrive
     * within the gap; emit the closed session when a gap or timeout ends it.
     */
-  def updateSession(gapUs: Long)(userId: Long, events: Iterator[Event],
-                                 state: GroupState[SessionState]): Iterator[SessionOut] = {
+  def updateSession(gapUs: Long, idleTimeout: Option[String] = None)
+                   (userId: Long, events: Iterator[Event],
+                    state: GroupState[SessionState]): Iterator[SessionOut] = {
     var out = List.empty[SessionOut]
     var cur = state.getOption
     events.toSeq.sortBy(_.event_id).foreach { e =>
@@ -82,26 +83,44 @@ object Sessionize {
       state.remove()
     } else {
       cur.foreach(state.update)
+      // Continuous mode: an idle user's open session is closed (and its
+      // state freed) when the processing-time timeout fires. Drain mode
+      // passes no timeout: the open session stays checkpointed for the
+      // next run.
+      if (cur.nonEmpty) idleTimeout.foreach(state.setTimeoutDuration)
     }
     out.reverseIterator
   }
 
   /** Streaming sessionize over the json event feed (same schema as
     * ChangeStreamJob). Emits closed sessions to `outDir` via foreachBatch.
+    *
+    * Two modes:
+    *  - drain (default): AvailableNow + NoTimeout — batch-incremental runs;
+    *    open sessions stay checkpointed for the next invocation (never
+    *    spuriously closed just because the feed drained);
+    *  - continuous: ProcessingTime trigger + ProcessingTimeTimeout — idle
+    *    users' open sessions are closed by timeout and their state FREED,
+    *    which is what bounds state growth on an unbounded feed.
     */
   def start(spark: SparkSession, sourceDir: String, outDir: String, checkpointDir: String,
-            gapUs: Long = GapSeconds * 1000000L) = {
+            gapUs: Long = GapSeconds * 1000000L, continuous: Boolean = false) = {
     import spark.implicits._
     val events = spark.readStream
       .schema(ChangeStreamJob.eventSchema)
       .json(sourceDir)
       .as[Event]
+    val timeoutMode =
+      if (continuous) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val trigger =
+      if (continuous) org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds")
+      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        updateSession(gapUs))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutMode)(
+        updateSession(gapUs, idleTimeout = if (continuous) Some("60 seconds") else None))
       .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>

@@ -50,11 +50,15 @@ final class Supervisor(spark: SparkSession, settings: Settings,
   /** Start every configured collection's stream (server.rs:181-199). */
   def startAll(): Unit = {
     settings.collections.foreach { c =>
+      // Idempotent: a retry-with-timeout wrapper may call startAll again
+      // after a partial failure; already-live streams must not be restarted.
+      if (!Option(running.get(keyOf(c))).exists(_.isActive)) {
       val q = startQuery(spark, c)
       running.put(keyOf(c), q)
       if (lifecycleMetrics) {
         metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
         metrics.recordTaskStart()
+      }
       }
     }
     if (lifecycleMetrics) metrics.setServerCount(running.size().toLong)
@@ -89,6 +93,9 @@ final class Supervisor(spark: SparkSession, settings: Settings,
                   restarted += 1
                 } catch { case NonFatal(e2) =>
                   metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, classify(e2)._1)
+                  // drop the dead query so the next pass doesn't re-count
+                  // this failure / re-decrement gauges
+                  running.remove(k)
                 }
               } else running.remove(k)
             case None =>

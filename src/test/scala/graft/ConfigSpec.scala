@@ -50,6 +50,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.queue === QueueSink("teststream"))
   }
 
+  test("comments are stripped but '#' inside quoted values survives") {
+    val yaml =
+      """collections:
+        |  - db_name: test   # trailing comment
+        |    coll_name: c
+        |    tokens_db_name: t
+        |    tokens_coll_name: tc
+        |    stream_name: "queue#prod"
+        |""".stripMargin
+    val res = Settings.parseCollections(yaml)
+    assert(res.isRight, res)
+    val c = res.toOption.get.head
+    assert(c.watched.dbName === "test")
+    assert(c.queue.streamName === "queue#prod")
+  }
+
   test("missing required key is reported with the collection index") {
     val res = Settings.parseCollections(
       "collections:\n  - db_name: test\n    coll_name: c\n")

@@ -27,6 +27,20 @@ class MetricsSpec extends AnyFunSuite {
       "collection" -> "c2", "database" -> "db", "error_type" -> "sink_error") === 1)
   }
 
+  test("export emits exactly one TYPE line per metric name across label sets") {
+    val m = new MetricsRegistry
+    m.incrementCollectionServer("c1", "db")
+    m.incrementCollectionServer("c2", "db")
+    m.recordTaskFailure("c1", "db", "sink_error")
+    m.recordTaskFailure("c2", "db", "source_error")
+    val out = m.export()
+    def typeLines(name: String) = out.linesIterator.count(_ == s"# TYPE $name gauge") +
+      out.linesIterator.count(_ == s"# TYPE $name counter")
+    assert(typeLines(MetricsRegistry.CollectionServers) === 1)
+    assert(typeLines(MetricsRegistry.TaskFailures) === 1)
+    assert(out.linesIterator.count(_.startsWith(MetricsRegistry.CollectionServers + "{")) === 2)
+  }
+
   test("export emits the reference metric names in prometheus text format") {
     val m = new MetricsRegistry
     m.setServerCount(3)

@@ -85,5 +85,8 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     val r2 = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").collect().head
     assert(math.abs(r2.getDouble(0)) < 1e-12)
+    // dimension mismatch is an error signal (null), never a truncated score
+    val r3 = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D, 3.0D), array(1.0D, 0.0D)) AS c").collect().head
+    assert(r3.isNullAt(0))
   }
 }
