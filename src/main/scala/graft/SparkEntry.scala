@@ -32,6 +32,7 @@ object SparkEntry {
     "resume_tokens_upsert" -> ((s, d) => ResumeTokens.upsertTokens(s, d)),
     "resume_after"         -> ((s, d) => ResumeTokens.resumeAfter(s, d)),
     "resume_tokens_capped" -> ((s, d) => ResumeTokens.cappedTokens(s, d)),
+    "resume_tokens_clean"  -> ((s, d) => ResumeTokens.cleanTokens(s, d)),
     // B. LLM-data-pipeline
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
@@ -171,6 +172,12 @@ object SparkEntry {
         |FROM events e JOIN cp ON e.event_type = cp.stream_name
         |  AND e.event_id > cp.checkpoint_offset
         |ORDER BY e.event_id""".stripMargin,
+
+    "resume_tokens_clean" ->
+      """SELECT event_type AS stream_name, max(event_id) AS last_offset,
+        |       printf('%016x', max(event_id)) AS resume_token
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY stream_name""".stripMargin,
 
     "resume_tokens_capped" ->
       """SELECT stream_name, "offset", printf('%016x', "offset") AS resume_token, rank_desc

@@ -42,6 +42,8 @@ object ResumeTokens {
     */
   def upsertTokens(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // scalar aggregate fetch (one 8-byte value to the driver, like a scalar
+    // subquery) — not a row collect; rows never leave the executors
     val mid = ev.agg(expr("max(event_id) div 2")).first().getLong(0)
     def lastPer(df: DataFrame) =
       df.groupBy(col("event_type").as("stream_name")).agg(max(col("event_id")).as("offset"))
@@ -67,6 +69,7 @@ object ResumeTokens {
     */
   def resumeAfter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+    // scalar aggregate fetch — see upsertTokens
     val mid = ev.agg(expr("max(event_id) div 2")).first().getLong(0)
     val checkpoints = ev.where(col("event_id") <= mid)
       .groupBy(col("event_type").as("stream_name"))
@@ -79,6 +82,22 @@ object ResumeTokens {
         col("event_id"), col("stream_name"), col("checkpoint_offset"),
         col("user_id"), col("value"))
       .orderBy("event_id")
+  }
+
+  /** A4b — cleanup on drop (resume_tokens.rs:195-204 `clean` +
+    * connector.rs:169-171): when watched collections are dropped, their
+    * persisted tokens are deleted. Batch shape: anti-join the tokens table
+    * against the dropped-stream set — the standard distributed delete
+    * (at warehouse scale: DELETE WHERE key IN, executed as a broadcast
+    * anti-join).
+    */
+  def cleanTokens(spark: SparkSession, dir: String,
+                  droppedStreams: Seq[String] = Seq("error")): DataFrame = {
+    val dropped = spark.createDataFrame(
+      droppedStreams.map(Tuple1(_))).toDF("stream_name")
+    lastTokens(spark, dir)
+      .join(broadcast(dropped), Seq("stream_name"), "left_anti")
+      .orderBy("stream_name")
   }
 
   /** A4 — capped token collection (resume_tokens.rs:206-226): bounded
