@@ -42,6 +42,7 @@ object SparkEntry {
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),

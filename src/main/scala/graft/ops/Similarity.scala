@@ -111,6 +111,80 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** B5b — mini-IVF (inverted-file) index: deterministic Lloyd's iterations
+    * produce C centroids; every corpus vector lives in exactly one cell;
+    * queries probe their `nprobe` nearest cells. The driver only ever holds
+    * the C×dim centroid matrix (KB-sized regardless of corpus scale) — the
+    * per-iteration mean recomputation is a distributed groupBy over
+    * (cell, component). Complements sign-LSH: IVF wins when the corpus is
+    * clustered (probe cost ~ nprobe/C of the data), LSH when it is not.
+    */
+  def ivfCentroids(emb: DataFrame, c: Int = 16, iters: Int = 2, dim: Int = 64): Array[Array[Double]] = {
+    // deterministic seeds: the C lowest vec_ids
+    var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(c)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "component")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("component").cast("double")).as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean") }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (struct-max trick: Spark orders
+    * structs field-by-field, so greatest(struct(cos, idx)) picks the best
+    * cell deterministically).
+    */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    greatest(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(cosine(vec, typedlit(ctr.toSeq)).as("cos"), lit(i).as("idx"))
+    }: _*).getField("idx")
+
+  /** Top-`nprobe` cells for a query (sorted struct array, slice, explode). */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(cosine(vec, typedlit(ctr.toSeq)).as("cos"), lit(i).as("idx"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("idx"))
+  }
+
+  /** B5b — IVF ANN search: corpus bucketed by cell once, queries probe their
+    * nprobe best cells; exact cosine re-ranks within the probed cells. The
+    * corpus↔query meet is an equi-join on the cell id.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+              cells: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopKOf(emb, nQueries, k, cells, nprobe, dim)
+  }
+
+  def ivfTopKOf(emb: DataFrame, nQueries: Int, k: Int, cells: Int, nprobe: Int,
+                dim: Int): DataFrame = {
+    val centroids = ivfCentroids(emb, cells, iters = 2, dim = dim)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        explode(probeCells(col("embedding"), centroids, nprobe)).as("cell"))
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** B5c — embedding-cosine near-dup: corpus-wide near-duplicate pairs by
     * cosine over LSH buckets (the brief's "embedding-cosine near-dup" dedup
     * mode). Same (k, L) machinery as lshTopK but corpus×corpus: vectors meet

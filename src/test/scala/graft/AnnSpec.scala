@@ -42,6 +42,27 @@ class AnnSpec extends SparkSpec {
     assert((lsh -- brute).isEmpty, "LSH must not invent pairs (cosine is verified exactly)")
   }
 
+  test("IVF finds in-cluster neighbors on clustered data with a fraction of the scan") {
+    val s = spark
+    import s.implicits._
+    // planted: 8 well-separated clusters of 40 vectors each (seeded RNG)
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 5))
+    val rows = for {
+      c <- centers.indices; j <- 0 until 40
+    } yield ((c * 40 + j).toLong, centers(c).map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopKOf(emb, nQueries = 4, k = 10, cells = 8, nprobe = 2, dim = dim)
+      .collect()
+    // every returned neighbor of query q belongs to q's planted cluster
+    ivf.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(2)
+      assert(q / 40 === n / 40, s"neighbor $n not in query $q's cluster")
+    }
+    assert(ivf.length === 4 * 10)
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)
