@@ -60,12 +60,23 @@ object ChangeStreamJob {
   def start(spark: SparkSession, sourceDir: String, queueDir: String,
             checkpointDir: String, db: String = "test", coll: String = "testcoll",
             queryName: String = "connector",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            dedupe: Boolean = false): StreamingQuery = {
     val events = spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 4)
       .json(sourceDir)
-    toChangeEvents(events, db, coll)
+    // Optional source-side exactly-once: an at-least-once feed (redeliveries
+    // under the same event_id) is deduped in-stream with watermark-bounded
+    // state — the streaming analog of the batch publish_dedup operator.
+    val deduped =
+      if (!dedupe) events
+      else events
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("event_time")
+    toChangeEvents(deduped, db, coll)
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)

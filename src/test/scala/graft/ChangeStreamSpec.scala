@@ -63,6 +63,16 @@ class ChangeStreamSpec extends SparkSpec {
     assert(ids.sorted === (0L until 80L))
   }
 
+  test("in-stream dedup: redelivered events are published exactly once") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "first.json", 0 until 20)
+    writeEvents(src, "redelivery.json", 10 until 20) // same ids again
+    val q = ChangeStreamJob.start(spark, src, queue, ckpt, dedupe = true)
+    q.awaitTermination(60000)
+    val ids = queueIds(queue)
+    assert(ids.sorted === (0L until 20L), s"duplicates survived: ${ids.sorted}")
+  }
+
   test("source drop: stream over an exhausted source terminates cleanly (no exception)") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     writeEvents(src, "only.json", 0 until 10)
