@@ -53,6 +53,47 @@ class SessionizeSpec extends SparkSpec {
     assert(u2.head.getAs[Double]("sum_value") === 56.0)
   }
 
+  test("continuous mode: an idle user's open session closes by timeout and frees state") {
+    val (src, out, ckpt) = (tempDir("ct_src"), tempDir("ct_out") + "/s", tempDir("ct_ckpt"))
+    val t0 = 1704067200000000L
+    Files.write(Paths.get(src, "a.json"),
+      s"""{"event_id":1,"ts_us":$t0,"user_id":5,"event_type":"click","value":2.0,"props":"{}"}"""
+        .getBytes)
+    // short idle timeout via a custom query (mirrors Sessionize.start
+    // continuous mode but with a test-sized timeout)
+    val s = spark
+    import s.implicits._
+    val q = s.readStream.schema(graft.streaming.ChangeStreamJob.eventSchema).json(src)
+      .as[Sessionize.Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)(
+        Sessionize.updateSession(Sessionize.GapSeconds * 1000000L, idleTimeout = Some("2 seconds")))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", ckpt)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        done = try spark.read.parquet(out).count() > 0 catch { case _: Throwable => false }
+      }
+      assert(done, "timed-out session was never emitted")
+      val row = spark.read.parquet(out).collect().head
+      assert(row.getAs[Long]("user_id") === 5L)
+      assert(row.getAs[String]("closed_by") === "timeout")
+      assert(row.getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
   test("batch sessionization matches a hand-computed session split") {
     val out = Sessionize.sessions(spark, sf0001)
     // sessions partition the events: total n_events == total events
