@@ -37,9 +37,10 @@ object SparkEntry {
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
-    "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairs(Tables.documents(s, d))),
-    "dedup_simhash"        -> ((s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairsPortable(s, d)),
+    "dedup_simhash"        -> ((s, d) => Dedup.simhashPortable(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "ngram_jaccard_lsh"    -> ((s, d) => Dedup.ngramJaccardLshPortable(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -77,6 +78,38 @@ object SparkEntry {
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** Shared DuckDB CTE chain replaying the oracle-portable MinHash banding
+    * (graft.ops.Dedup: md5-prefix base hash → universal-hash signature →
+    * md5 band keys → banded candidate pairs). Produces CTEs t/s/hb/g/bd/cand;
+    * `cand` has (id_a, id_b, sig_a, sig_b). The positional band OR-join is
+    * set-equivalent to Spark's (band, band_key) equi-join.
+    */
+  private def minhashBandedCtes(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    val sigExprs = graft.ops.Dedup.minhashCoefs(numHashes).map { case (a, b) =>
+      s"list_min([($a * h + $b) % ${graft.ops.Dedup.MinhashP} for h in hashed])"
+    }.mkString(",\n        ")
+    val bandExprs = (0 until bands).map { b =>
+      s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], '|'))"
+    }.mkString(",\n        ")
+    val bandMatch = (1 to bands).map(i => s"a.bands[$i] = b.bands[$i]").mkString(" OR ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |s AS (SELECT doc_id,
+       |        list_distinct([array_to_string(tok[i:i+2], ' ')
+       |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+       |      FROM t),
+       |hb AS (SELECT doc_id, sh, [('0x' || substr(md5(x), 1, 6))::BIGINT for x in sh] AS hashed
+       |       FROM s),
+       |g AS (SELECT doc_id, sh,
+       |        [$sigExprs] AS sig
+       |      FROM hb),
+       |bd AS (SELECT doc_id, sig,
+       |        [$bandExprs] AS bands
+       |      FROM g),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |         FROM bd a JOIN bd b ON a.doc_id < b.doc_id AND ($bandMatch))""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -221,6 +254,57 @@ object SparkEntry {
          |       md5(array_to_string(sig[13:16],'|')) AS band_3
          |FROM g ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_minhash_pairs" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)}
+         |SELECT id_a, id_b, est_jaccard
+         |FROM (SELECT id_a, id_b,
+         |        CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                       for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |      FROM cand)
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "ngram_jaccard_lsh" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |v AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
+         |      FROM hb),
+         |p AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(va.shh, vb.shh)) AS DOUBLE) AS inter,
+         |        CAST(len(va.shh) AS DOUBLE) + CAST(len(vb.shh) AS DOUBLE) AS szsum
+         |      FROM cand c JOIN v va ON c.id_a = va.doc_id JOIN v vb ON c.id_b = vb.doc_id)
+         |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
+         |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitTerms = (0 until 60).map { b =>
+        s"CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in hashed]) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" +\n          ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in tok] AS hashed
+         |      FROM t),
+         |f AS (SELECT doc_id,
+         |        ($bitTerms) AS simhash
+         |      FROM h)
+         |SELECT doc_id, simhash,
+         |       simhash & 32767 AS chunk0,
+         |       (simhash >> 15) & 32767 AS chunk1,
+         |       (simhash >> 30) & 32767 AS chunk2,
+         |       (simhash >> 45) & 32767 AS chunk3
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |             (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |             [unicode(c) for c in string_split(text, '')] AS cps
+        |           FROM documents)
+        |SELECT doc_id, kind, n_bytes,
+        |       CAST(16 + cps[1] % 64 AS INT) AS width,
+        |       CAST(16 + n_bytes % 64 AS INT) AS height,
+        |       CAST(list_sum(cps) AS DOUBLE) / len(cps) AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,

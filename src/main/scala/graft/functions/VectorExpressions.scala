@@ -2,11 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.{shim => sqlshim}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-heavy operators (SURVEY.md §2
   * B5). The built-in higher-order functions (`zip_with` + `aggregate`) are
@@ -29,6 +31,26 @@ object VectorExpressions {
     */
   def hyperplaneKeys(vec: Column, planes: Array[Array[Double]], tables: Int, k: Int): Column =
     sqlshim.column(HyperplaneSignKeys(sqlshim.expression(vec), planes, tables, k))
+
+  /** MinHash signature from pre-hashed shingles: sig[i] = min over h of
+    * (a_i*h + b_i) mod p. One codegen pass over elements×hashes.
+    */
+  def minhashFamily(hashes: Column, coefs: Seq[(Long, Long)], p: Long): Column =
+    sqlshim.column(MinHashFamily(sqlshim.expression(hashes),
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray, p))
+
+  /** SimHash-style bit-vote fingerprint over pre-hashed tokens: bit b of the
+    * result is 1 iff Σ_h (±1 by bit b of h) > 0, for b < nbits.
+    */
+  def bitVote(hashes: Column, nbits: Int): Column =
+    sqlshim.column(BitVoteFingerprint(sqlshim.expression(hashes), nbits))
+
+  /** Distinct token k-shingles of a text, hashed in one row-level pass:
+    * struct(h24: the 24-bit banding base hash, hv: the wide verify hash —
+    * 60-bit md5 prefix or full xxhash64). See ShingleHashes.
+    */
+  def shingleHashes(text: Column, k: Int, md5Based: Boolean): Column =
+    sqlshim.column(ShingleHashes(sqlshim.expression(text), k, md5Based))
 }
 
 /** Cosine similarity of two numeric arrays, computed in one pass:
@@ -172,5 +194,218 @@ case class HyperplaneSignKeys(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignKeys =
+    copy(child = newChild)
+}
+
+/** MinHash signature family over a pre-hashed shingle array: for each of the
+  * k (a, b) coefficient pairs, the min over elements of (a*h + b) mod p.
+  * Replaces k interpreted `transform`+`array_min` passes (one boxed lambda
+  * call per element per hash) with a single codegen'd elements×k loop —
+  * the same universal-hash arithmetic, identical results.
+  */
+case class MinHashFamily(child: Expression, coefA: Array[Long], coefB: Array[Long],
+                         p: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_family expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val k = coefA.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * coefA(j) + coefB(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    // empty input → the identity of min; callers guarantee ≥1 shingle
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
+    val k = coefA.length
+    nullSafeCodeGen(ctx, ev, hs => {
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+        int $n = $hs.numElements();
+        long[] $mins = new long[$k];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $hs.getLong($i);
+          for (int $j = 0; $j < $k; $j++) {
+            long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+            if ($v < $mins[$j]) $mins[$j] = $v;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFamily =
+    copy(child = newChild)
+}
+
+/** Bit-vote fingerprint (SimHash core) over a pre-hashed token array: for
+  * each bit b < nbits, votes += (bit b of h set ? +1 : -1) over all hashes;
+  * the output bit is 1 iff votes > 0. One codegen'd pass over elements,
+  * replacing nbits interpreted `aggregate` folds.
+  */
+case class BitVoteFingerprint(child: Expression, nbits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bit_vote expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](nbits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < nbits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < nbits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+        int $n = $hs.numElements();
+        int[] $votes = new int[$nbits];
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $hs.getLong($i);
+          for (int $b = 0; $b < $nbits; $b++) {
+            if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < $nbits; $b++) {
+          if ($votes[$b] > 0) $out |= (1L << $b);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BitVoteFingerprint =
+    copy(child = newChild)
+}
+
+/** Distinct token k-shingles of a text, hashed, in ONE pass per row:
+  * tokenize on single spaces (split(text, ' ') semantics, trailing empties
+  * kept), emit max(n-k+1, 1) shingles joined by ' ', de-duplicate
+  * (first-occurrence order, matching array_distinct / list_distinct), and
+  * hash each shingle once:
+  *
+  *  - md5Based = true  (oracle-portable): h24 = first 6 hex chars of
+  *    md5(shingle) as a number — DuckDB's ('0x'||substr(md5(x),1,6))::BIGINT;
+  *    hv = first 15 hex chars (60 bits) the same way;
+  *  - md5Based = false (production): h24 = xxhash64(shingle, seed 42) &
+  *    0xFFFFFF (the seed Spark's builtin xxhash64 uses); hv = the full hash.
+  *
+  * The composed builtin formulation (transform over a generated sequence of
+  * concat_ws slices, then a second transform applying the hash) evaluates
+  * interpreted lambdas per shingle per pass; this runs the identical string
+  * math in a tight JVM loop per ROW. CodegenFallback: one interpreted call
+  * per row is noise next to ~10² digests computed inside it, and the
+  * surrounding projection stays whole-stage-codegen'd.
+  */
+case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h24", ArrayType(LongType, containsNull = false)),
+    StructField("hv", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects string, got $t")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    val m = math.max(n - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val h24 = new Array[Long](seen.size)
+    val hv = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      val bytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (md5Based) {
+        val digest = md5Local.get()
+        digest.reset()
+        val d = digest.digest(bytes)
+        h24(idx) = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        hv(idx) = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      } else {
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        h24(idx) = h & 0xFFFFFFL
+        hv(idx) = h
+      }
+      idx += 1
+    }
+    InternalRow(new GenericArrayData(h24), new GenericArrayData(hv))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }

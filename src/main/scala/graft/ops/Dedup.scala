@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,8 +12,21 @@ import org.apache.spark.sql.functions._
   * groups on a content hash; near-dup generates candidates only inside LSH
   * buckets (MinHash bands / SimHash chunks) and verifies only those
   * candidates. At 100 TB the only shuffles are hash-partition-by-band-key
-  * and the final candidate join — both linear in data size for bounded
-  * bucket width (salt or re-band if a bucket explodes).
+  * and the final candidate join — both linear in data size because bucket
+  * width is bounded: buckets wider than `maxBucket` degrade from all-pairs
+  * to a linear star around the bucket's representative (see guardedPairs),
+  * so one degenerate key (empty docs, boilerplate text) can never go
+  * quadratic.
+  *
+  * Two hash families appear throughout:
+  *  - production: xxhash64 (codegen'd, no string churn) — not reproducible
+  *    outside the JVM, covered by behavioral specs;
+  *  - oracle-portable: a 24/60-bit md5-prefix base hash parseable
+  *    identically by Spark's `conv` and DuckDB's '0x' cast, so the driver's
+  *    DuckDB oracle replays the full pipeline bit-for-bit.
+  * Signature/fingerprint math on top of the base hash runs in the codegen'd
+  * MinHashFamily / BitVoteFingerprint expressions (one pass over elements,
+  * no interpreted lambda per element per hash).
   */
 object Dedup {
 
@@ -44,7 +58,7 @@ object Dedup {
       )
       .orderBy("keep_id")
 
-  // -------------------------------------------------------------- minhash
+  // ------------------------------------------------------- shared LSH core
 
   /** Token k-shingles of the text (distinct, as the MinHash set elements). */
   private def shingles(text: Column, k: Int): Column =
@@ -52,21 +66,91 @@ object Dedup {
       sequence(lit(1), greatest(size(split(text, " ")) - lit(k - 1), lit(1))),
       i => concat_ws(" ", slice(split(text, " "), i, lit(k)))))
 
-  /** Engine-portable universal hash family used by the oracle-checked
-    * MinHash path: each shingle is hashed ONCE to a 24-bit base value
-    * (md5 prefix, parseable identically by Spark's `conv` and DuckDB's
-    * '0x' cast), then the i-th hash is the linear congruence
+  /** Engine-portable universal hash family: each shingle is hashed ONCE to a
+    * 24-bit base value, then the i-th hash is the linear congruence
     * (a_i * base + b_i) mod P — classic universal hashing, so the MinHash
-    * bound holds, and only |shingles| md5 calls happen per row instead of
-    * k*|shingles|. The coefficients are deterministic (fixed LCG) and
+    * bound holds, and only |shingles| base-hash calls happen per row instead
+    * of k*|shingles|. The coefficients are deterministic (fixed LCG) and
     * shared verbatim with the generated oracle SQL.
     */
-  val MinhashP = 16777213L // prime < 2^24; products stay < 2^44 (no overflow in any engine)
+  val MinhashP = 16777213L // prime < 2^24; products stay < 2^48 (no overflow in any engine)
   def minhashCoefs(k: Int): Seq[(Long, Long)] = {
     var x = 42L
     def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); (x >>> 40) % (MinhashP - 1) + 1 }
     Seq.fill(k)((next(), next()))
   }
+
+  /** 60-bit md5-prefix hash for per-token use — DuckDB: 15 hex chars. */
+  private[ops] val portableHash60: Column => Column = s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, sig): MinHash signature per doc — shingling, base-hashing and
+    * the k-min family each run once per row (ShingleHashes + MinHashFamily).
+    */
+  private def signatures(docs: DataFrame, md5Based: Boolean,
+                         numHashes: Int, shingleK: Int): DataFrame =
+    docs.select(col("doc_id"),
+      VectorExpressions.minhashFamily(
+        VectorExpressions.shingleHashes(col("text"), shingleK, md5Based).getField("h24"),
+        minhashCoefs(numHashes), MinhashP).as("sig"))
+
+  /** Explode a signature into (id, band, band_key) LSH bucket rows. The
+    * portable key is the md5 string of the band's signature slice (DuckDB:
+    * md5(array_to_string(sig[i:j],'|'))); the production key packs band +
+    * slice through xxhash64.
+    */
+  private def explodedBands(signed: DataFrame, bands: Int, r: Int, portable: Boolean): DataFrame = {
+    val e = signed.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+    val bandSlice = concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))
+    val key = if (portable) md5(bandSlice) else xxhash64(col("band"), bandSlice)
+    e.select(col("doc_id").as("id"), col("band"), key.as("band_key"))
+  }
+
+  /** Candidate (id_a, id_b) pairs within buckets, with an explosion guard:
+    * buckets up to `cap` wide produce all within-bucket pairs (the normal
+    * LSH regime); wider buckets — degenerate keys: empty docs, boilerplate,
+    * zero vectors — would go quadratic, so they degrade to a linear star,
+    * pairing every member with the bucket's smallest id. Dedup semantics
+    * survive (every member still meets a representative) at O(bucket) cost.
+    * The wide-bucket list is found by a partial-aggregated groupBy and is
+    * tiny by construction (≤ |rows|/cap entries), so it broadcasts; callers
+    * keep `keyed`'s expensive upstream out of the double evaluation by
+    * persisting the per-doc hash table first (see pairsFrom).
+    */
+  private[ops] def guardedPairs(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val kc = keyCols.map(col)
+    val wide = keyed.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bucket_n"), min(col("id")).as("bucket_rep"))
+      .where(col("bucket_n") > cap)
+      .select(kc :+ col("bucket_rep"): _*)
+    val flagged = keyed.join(broadcast(wide), keyCols, "left_outer")
+    val small = flagged.where(col("bucket_rep").isNull)
+    val a = small.select(kc :+ col("id").as("id_a"): _*)
+    val b = small.select(kc :+ col("id").as("id_b"): _*)
+    val smallPairs = a.join(b, keyCols)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // bucket_rep = min(id), so id_a < id_b holds for star edges too
+    val widePairs = flagged
+      .where(col("bucket_rep").isNotNull && col("id") =!= col("bucket_rep"))
+      .select(col("bucket_rep").as("id_a"), col("id").as("id_b"))
+    smallPairs.unionByName(widePairs)
+  }
+
+  /** Diagnostic: the buckets the guard would degrade at this cap. */
+  def oversizedBuckets(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cap)
+
+  /** Banded candidate ids (scalar-only: the distinct shuffles bare id pairs,
+    * never signature payloads — those re-attach by key afterwards).
+    */
+  private def minhashCandidates(signed: DataFrame, numHashes: Int, bands: Int,
+                                maxBucket: Int, portable: Boolean): DataFrame =
+    guardedPairs(explodedBands(signed, bands, numHashes / bands, portable),
+      Seq("band", "band_key"), maxBucket).distinct()
+
+  // -------------------------------------------------------------- minhash
 
   /** B2 (oracle path) — MinHash signatures + LSH band keys per document.
     * The signature component is min over shingles of the i-th universal
@@ -77,18 +161,13 @@ object Dedup {
   def minhashSignature(spark: SparkSession, dir: String,
                        numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val coefs = minhashCoefs(numHashes)
-    val sh = shingles(col("text"), shingleK)
-    val sigCols = coefs.map { case (a, b) =>
-      array_min(transform(col("hashed"), h => (h * a + b) % MinhashP))
-    }
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", slice(col("sig"), lit(b * r + 1), lit(r)))).as(s"band_$b")
     }
     Tables.documents(spark, dir)
-      .withColumn("hashed", transform(sh, s => conv(substring(md5(s), 1, 6), 16, 10).cast("long")))
+      .withColumn("hashed", VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true).getField("h24"))
       .withColumn("n_shingles", size(col("hashed")).cast("long"))
-      .withColumn("sig", array(sigCols: _*))
+      .withColumn("sig", VectorExpressions.minhashFamily(col("hashed"), minhashCoefs(numHashes), MinhashP))
       .select(col("doc_id") +: col("n_shingles") +: bandCols: _*)
       .orderBy("doc_id")
   }
@@ -96,30 +175,41 @@ object Dedup {
   /** B2 (scale path) — LSH candidate pairs via explode-on-band + self-join
     * on (band index, band key), then MinHash-estimated Jaccard from
     * signature agreement. xxhash64-based hash family (codegen'd, no md5
-    * string churn). Never all-pairs: the join key is the band bucket.
+    * string churn). Never all-pairs: the join key is the band bucket, and
+    * guardedPairs bounds every bucket.
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val r = numHashes / bands
-    // One codegen'd xxhash64 per shingle, masked to 24 bits; the k-hash
-    // family is the same bounded linear congruence as the oracle path
-    // (products < 2^48, so no ANSI-mode overflow).
-    val coefs = minhashCoefs(numHashes)
-    val sigCols = coefs.map { case (a, b) =>
-      array_min(transform(col("hashed"), h => (h * a + b) % MinhashP))
-    }
-    val signed = docs
-      .withColumn("hashed",
-        transform(shingles(col("text"), shingleK), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFL))))
-      .select(col("doc_id"), array(sigCols: _*).as("sig"))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", xxhash64(col("band"), concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))))
-    val a = signed.select(col("band"), col("band_key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = signed.select(col("band"), col("band_key"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+                   shingleK: Int = 3, threshold: Double = 0.5,
+                   maxBucket: Int = 256): DataFrame = {
+    val signed = signatures(docs, md5Based = false, numHashes, shingleK)
+    pairsFrom(signed, numHashes, bands, threshold, maxBucket, portable = false)
+  }
+
+  /** B2 (oracle-portable pairs) — the same pipeline on the md5-prefix hash
+    * family, so the driver's DuckDB oracle replays candidates AND estimates
+    * end-to-end. Registered as `dedup_minhash_pairs`.
+    */
+  def minhashPairsPortable(spark: SparkSession, dir: String, numHashes: Int = 32,
+                           bands: Int = 16, shingleK: Int = 3, threshold: Double = 0.5,
+                           maxBucket: Int = 256): DataFrame = {
+    val signed = signatures(Tables.documents(spark, dir), md5Based = true, numHashes, shingleK)
+    pairsFrom(signed, numHashes, bands, threshold, maxBucket, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def pairsFrom(signed0: DataFrame, numHashes: Int, bands: Int,
+                        threshold: Double, maxBucket: Int, portable: Boolean): DataFrame = {
+    // The per-doc signature table fans out to four consumers (bucket stats,
+    // band join, and both sides of the signature re-attach). Persisting it
+    // makes the expensive pass — shingling + content hashing — run exactly
+    // once; everything downstream reads the narrow (doc_id, sig) cache.
+    // ~40 B + 8 B/hash per doc: memory-trivial relative to the corpus, and
+    // MEMORY_AND_DISK spills gracefully at cluster scale.
+    val signed = signed0.persist()
+    val cands = minhashCandidates(signed, numHashes, bands, maxBucket, portable)
+    val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
@@ -140,38 +230,48 @@ object Dedup {
 
   /** B3 — SimHash: 64-bit fingerprint from per-token xxhash64 bit votes;
     * near-dups share a fingerprint chunk (4×16-bit bands) and are verified
-    * by Hamming distance. Bit votes via bitwise ops on codegen'd hashes.
+    * by Hamming distance. The bit votes run in the codegen'd
+    * BitVoteFingerprint expression (one pass, not 64 interpreted folds).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val sim = (0 until 64).map { bit =>
-      val vote = aggregate(col("thashes"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    docs
+    val fp = docs
       .withColumn("thashes", transform(split(col("text"), " "), t => xxhash64(t)))
-      .select(col("doc_id"), sim.as("simhash"))
-      .withColumn("chunk0", col("simhash").bitwiseAND(lit(0xFFFFL)))
+      .select(col("doc_id"), VectorExpressions.bitVote(col("thashes"), 64).as("simhash"))
+    fp.withColumn("chunk0", col("simhash").bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
   }
 
+  /** B3 (oracle-portable) — the same bit-vote construction on a 60-bit
+    * md5-prefix token hash (15 hex chars parse identically in Spark and
+    * DuckDB), banded as 4×15-bit chunks. Registered as `dedup_simhash`.
+    */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hashed", transform(split(col("text"), " "), portableHash60))
+      .select(col("doc_id"), VectorExpressions.bitVote(col("hashed"), 60).as("simhash"))
+      .withColumn("chunk0", col("simhash").bitwiseAND(lit(0x7FFFL)))
+      .withColumn("chunk1", shiftright(col("simhash"), 15).bitwiseAND(lit(0x7FFFL)))
+      .withColumn("chunk2", shiftright(col("simhash"), 30).bitwiseAND(lit(0x7FFFL)))
+      .withColumn("chunk3", shiftright(col("simhash"), 45).bitwiseAND(lit(0x7FFFL)))
+      .orderBy("doc_id")
+
   /** B3b — SimHash candidate pairs: equal 16-bit chunk ⇒ candidate (catches
     * all pairs within Hamming distance 3 by pigeonhole); verify by exact
-    * Hamming distance on the full fingerprint.
+    * Hamming distance on the full fingerprint. Scalar-only candidate dedup;
+    * fingerprints re-attach by key; buckets bounded by guardedPairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    // one token-hash + bit-vote pass; fingerprints are 5 longs/doc
+    val sh = simhash(docs).persist()
+    val keyed = sh.select(col("doc_id").as("id"),
         explode(array((0 until 4).map(i => struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk_val"))
-    val a = chunks.select(col("chunk_id"), col("chunk_val"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
-    val b = chunks.select(col("chunk_id"), col("chunk_val"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk_id", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct()
+      .select(col("id"), col("c.chunk_id"), col("c.chunk_val"))
+    val cands = guardedPairs(keyed, Seq("chunk_id", "chunk_val"), maxBucket).distinct()
+    val fa = sh.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val fb = sh.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -179,11 +279,11 @@ object Dedup {
 
   // -------------------------------------------------- n-gram Jaccard verify
 
-  /** B4 — exact n-gram Jaccard on candidate pairs only. Candidates here come
-    * from cheap blocking (same source + length bucket) to exercise the
-    * verify stage with an oracle; the LSH paths above plug their candidate
-    * sets into the same verification shape. The intersection is computed
-    * with an explicit distinct+filter (portable semantics across engines).
+  /** B4 (oracle anchor) — exact n-gram Jaccard on candidate pairs from cheap
+    * blocking (same source + length bucket). Correct but quadratic WITHIN a
+    * block, so this variant exists to give the verify stage a simple oracle;
+    * the scale path is ngramJaccardLsh below, where candidates arrive via
+    * the bounded LSH band join instead.
     */
   def ngramJaccard(spark: SparkSession, dir: String, shingleK: Int = 3): DataFrame = {
     // Intersect on 60-bit md5-prefix hashes of the shingles rather than the
@@ -192,8 +292,7 @@ object Dedup {
     // is reproduced in the DuckDB oracle ('0x'||substr(md5)::BIGINT).
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), expr("n_chars div 100").as("len_bucket"),
-        transform(shingles(col("text"), shingleK),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sh"))
+        VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true).getField("hv").as("sh"))
     val a = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("source"), col("len_bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -203,5 +302,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
       .where(col("jaccard") >= 0.05)
       .orderBy("id_a", "id_b")
+  }
+
+  /** B4 (scale path) — exact n-gram Jaccard verify fed by MinHash-LSH
+    * candidates: the banded equi-join proposes pairs, the exact intersect
+    * confirms them. Linear in data size for bounded buckets — the composed
+    * near-dup pipeline a 100 TB run registers. Production hash family.
+    */
+  def ngramJaccardLsh(docs: DataFrame, shingleK: Int = 3, minJaccard: Double = 0.5,
+                      numHashes: Int = 64, bands: Int = 32, maxBucket: Int = 256): DataFrame =
+    verifyJaccard(hashedDocs(docs, shingleK, md5Based = false),
+      numHashes, bands, maxBucket, portable = false, minJaccard)
+
+  /** B4 (scale path, oracle-portable) — the same composition on the
+    * md5-prefix families so DuckDB replays candidates AND the exact verify.
+    * Each shingle is md5'd ONCE; the 24-bit banding base and the 60-bit
+    * verify hash are prefixes of that one digest. Registered as
+    * `ngram_jaccard_lsh`.
+    */
+  def ngramJaccardLshPortable(spark: SparkSession, dir: String, shingleK: Int = 3,
+                              minJaccard: Double = 0.5, numHashes: Int = 32,
+                              bands: Int = 16, maxBucket: Int = 256): DataFrame =
+    verifyJaccard(hashedDocs(Tables.documents(spark, dir), shingleK, md5Based = true),
+      numHashes, bands, maxBucket, portable = true, minJaccard)
+      .orderBy("id_a", "id_b")
+
+  /** (doc_id, hs struct(h24, hv)): one shingling + hashing pass per doc. */
+  private def hashedDocs(docs: DataFrame, shingleK: Int, md5Based: Boolean): DataFrame =
+    docs.select(col("doc_id"),
+      VectorExpressions.shingleHashes(col("text"), shingleK, md5Based).as("hs"))
+
+  /** LSH candidates + exact-Jaccard verification over a hashed per-doc
+    * table (doc_id, hs(h24, hv)). The hashed table is persisted so the one
+    * expensive pass — shingling + content hashing — feeds bucket stats, the
+    * band join, and both verify sides without recomputation; signatures
+    * derive from the cached h24 (a cheap codegen'd fold) and only candidate
+    * pairs pay the set-intersect cost on hv.
+    */
+  private def verifyJaccard(hashed0: DataFrame, numHashes: Int, bands: Int,
+                            maxBucket: Int, portable: Boolean, minJaccard: Double): DataFrame = {
+    val hashed = hashed0.persist()
+    val signed = hashed.select(col("doc_id"),
+      VectorExpressions.minhashFamily(col("hs.h24"), minhashCoefs(numHashes), MinhashP).as("sig"))
+    val cands = minhashCandidates(signed, numHashes, bands, maxBucket, portable)
+    val a = hashed.select(col("doc_id").as("id_a"), col("hs.hv").as("sh_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("hs.hv").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - inter
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
   }
 }

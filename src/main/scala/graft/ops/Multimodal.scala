@@ -41,15 +41,19 @@ object Multimodal {
     )
 
   /** STUB decoder — deterministic fake standing in for e.g. libjpeg: derives
-    * "dimensions" and a "luma" from the payload bytes. A real deployment
-    * swaps only this function; the batching/schema contract is unchanged.
+    * "dimensions" and a "luma" from the payload's decoded code points (the
+    * payloads here are UTF-8 text standing in for media bytes; code points
+    * make the fake engine-portable, so the DuckDB oracle replays it). A real
+    * deployment swaps only this function; the batching/schema contract is
+    * unchanged.
     */
   private def decodeStub(docId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
     val n = payload.length
-    val head = if (n > 0) payload(0) & 0xff else 0
-    val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray
+    val head = if (cps.nonEmpty) cps(0) else 0
+    val sum = cps.foldLeft(0L)(_ + _)
     MediaFeatures(docId, kind, n, width = 16 + head % 64, height = 16 + (n % 64),
-      mean_luma = if (n == 0) 0.0 else sum.toDouble / n)
+      mean_luma = if (cps.isEmpty) 0.0 else sum.toDouble / cps.length)
   }
 
   /** B6 — batched decode over partitions: the iterator-in/iterator-out shape

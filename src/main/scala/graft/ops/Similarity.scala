@@ -206,13 +206,12 @@ object Similarity {
       math.max(4, math.min(40, math.ceil(math.log(0.05) / math.log(1 - pk)).toInt))
     }
     val emb = Tables.embeddings(spark, dir)
-    val keyed = emb.select(col("vec_id"), col("embedding"),
-        posexplode(tableKeys(col("embedding"), tables, planesPerTable, dim)).as(Seq("tbl", "tkey")))
-    val a = keyed.select(col("tbl"), col("tkey"), col("vec_id").as("id_a"))
-    val b = keyed.select(col("tbl"), col("tkey"), col("vec_id").as("id_b"))
-    val candidates = a.join(b, Seq("tbl", "tkey"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Bucket-width guard via Dedup.guardedPairs: a degenerate key (e.g. the
+    // all-zero vector's bucket) degrades to a linear star instead of an
+    // all-pairs blowup; normal buckets behave exactly as before.
+    val keyed = emb.select(col("vec_id").as("id"),
+      posexplode(tableKeys(col("embedding"), tables, planesPerTable, dim)).as(Seq("tbl", "tkey")))
+    val candidates = Dedup.guardedPairs(keyed, Seq("tbl", "tkey"), cap = 256).distinct()
     val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
     candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))

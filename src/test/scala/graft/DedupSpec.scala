@@ -54,4 +54,51 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in plan:\n$plan")
   }
+
+  test("bucket guard: 1000 identical docs yield a linear star, not a quadratic clique") {
+    val s = spark
+    import s.implicits._
+    val boiler = (0L until 1000L)
+      .map(i => (i, "identical boilerplate text repeated across the whole crawl shard again and again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(boiler, maxBucket = 64)
+    // every band bucket holds all 1000 docs → guard degrades each to a star
+    // around doc 0: exactly n-1 edges instead of n(n-1)/2 = 499 500
+    assert(pairs.count() === 999L, "expected one star edge per non-representative doc")
+    assert(pairs.where($"id_a" =!= 0L).count() === 0L, "star must center on the min doc_id")
+    // dedup semantics survive the guard: one survivor
+    assert(Dedup.minhashDedup(boiler.withColumn("extra", $"doc_id"), threshold = 0.9).count() === 1L)
+  }
+
+  test("bucket guard is a no-op when no bucket exceeds the cap") {
+    val base = Dedup.minhashPairs(planted(), threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap=1 turns every ≥2-doc bucket into a star; planted dup groups are
+    // pairs, and a 2-member bucket's star IS its only pair — identical output
+    val starred = Dedup.minhashPairs(planted(), threshold = 0.3, maxBucket = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starred === base)
+  }
+
+  test("ngram_jaccard_lsh: LSH candidates + exact verify recover exactly the planted pairs") {
+    val pairs = Dedup.ngramJaccardLsh(planted(), minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)), s"pairs=$pairs")
+  }
+
+  test("ngram_jaccard_lsh plan: candidates arrive via keyed joins, never all-pairs") {
+    val plan = Dedup.ngramJaccardLsh(planted()).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in plan:\n$plan")
+  }
+
+  test("portable variants match the production shape on real data") {
+    val fast = Dedup.ngramJaccardLsh(Tables.documents(spark, sf0001), minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = Dedup.ngramJaccardLshPortable(spark, sf0001, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both hash families verify with EXACT jaccard, so high-similarity pairs
+    // agree (LSH recall can differ at the margin; planted dups are j≈1)
+    assert(portable === fast, s"portable=$portable fast=$fast")
+  }
 }
