@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   *
   * All operators read through here so scale-sensitive read settings live in
   * one place. `events.parquet` carries nanosecond timestamps, which Spark's
-  * parquet reader rejects by default; we read them as raw longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to microsecond
-  * timestamps with integer division (never via double — a 19-digit nano
-  * epoch loses precision in a double mantissa).
+  * parquet reader rejects by default; sessions that read it must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` AT SESSION BUILD (every
+  * entry-point builder in this repo does — Verify/Bench/QueryBench/
+  * PlanAudit/GraftDaemon/the test session). It is deliberately NOT set here:
+  * flipping session conf inside a reader would silently change other readers
+  * on a shared session. The raw longs convert to microsecond timestamps with
+  * integer division (never via double — a 19-digit nano epoch loses
+  * precision in a double mantissa).
   */
 object Tables {
 
@@ -31,9 +35,7 @@ object Tables {
     * DuckDB equivalent of the conversion: `CAST(ts AS TIMESTAMP)` (both
     * truncate nanos toward negative infinity for the epochs in our data).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 }

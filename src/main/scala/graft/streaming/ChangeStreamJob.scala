@@ -1,9 +1,64 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Where change batches come from. The sandbox binding watches a JSON file
+  * directory; the production binding for the reference's change stream
+  * (mrcon/src/mongo/connector.rs:142 `collection.watch()`) is any
+  * `readStream` source producing the same row schema — a Kafka topic fed by
+  * a CDC tool, a Kinesis stream — configured in, not coded in.
+  */
+trait EventSource {
+  /** A STREAMING DataFrame of raw feed rows (ChangeStreamJob.eventSchema). */
+  def load(spark: SparkSession): DataFrame
+}
+
+/** Sandbox source: a directory of JSON files; each new file is a change
+  * batch. Bounded files-per-trigger keeps micro-batches sized like the
+  * reference's cursor batches.
+  */
+final case class JsonDirSource(sourceDir: String, maxFilesPerTrigger: Int = 4) extends EventSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(ChangeStreamJob.eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(sourceDir)
+}
+
+/** Where change-event payloads go. Called once per epoch from foreachBatch;
+  * implementations MUST be idempotent per epochId — after a crash between
+  * sink commit and checkpoint commit the epoch is replayed, and replay must
+  * replace, not duplicate (the publisher-confirm semantics of
+  * mrcon/src/rabbitmq/amqp.rs:95-110, re-expressed as epoch idempotence).
+  */
+trait QueuePublisher extends Serializable {
+  def publish(batch: DataFrame, epochId: Long): Unit
+}
+
+/** Sandbox queue: one parquet partition per epoch, OVERWRITTEN on replay —
+  * exactly-once delivery for this idempotent sink. The production binding
+  * publishes the same batch to a broker inside the same epoch contract.
+  */
+final case class ParquetQueuePublisher(queueDir: String) extends QueuePublisher {
+  override def publish(batch: DataFrame, epochId: Long): Unit =
+    batch.withColumn("epoch", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(queueDir)
+}
+
+/** Toy in-driver publisher proving the QueuePublisher seam in tests. */
+final class InMemoryQueuePublisher extends QueuePublisher {
+  import scala.jdk.CollectionConverters._
+  private val store = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Row]]()
+  override def publish(batch: DataFrame, epochId: Long): Unit =
+    store.put(epochId, batch.collect().toSeq)
+  def rows: Seq[Row] = store.values.asScala.flatten.toSeq
+  def epochs: Set[Long] = store.keySet().asScala.toSet
+}
 
 /** Structured-Streaming analog of the reference's connector pipeline
   * (mrcon/src/mongo/connector.rs:127-173): watch a feed, publish each change
@@ -11,19 +66,19 @@ import org.apache.spark.sql.types._
   * last processed event.
   *
   * Spark-first mapping:
-  *  - change stream  → file-source `readStream` over an events directory
-  *    (new files = new change batches), same envelope as the batch path;
+  *  - change stream  → an [[EventSource]] `readStream` (file source in the
+  *    sandbox), same envelope as the batch path;
   *  - resume tokens  → the streaming checkpoint (offsets + commits): Spark's
   *    checkpoint IS the resume-token store, giving exactly the
   *    `resume_after(token)` restart semantics (connector.rs:135-142) without
   *    a hand-rolled token table;
-  *  - publisher with confirms → `foreachBatch` writing the JSON payloads to
-  *    a per-queue "queue" directory; the batch is atomically committed with
-  *    the checkpoint, so delivery is at-least-once end-to-end and
-  *    exactly-once for an idempotent sink (parquet overwrite per epoch).
-  *
-  * At scale this runs unchanged: file source → kafka/kinesis source,
-  * parquet queue dir → real broker sink inside the same foreachBatch.
+  *  - publisher with confirms → a [[QueuePublisher]] called per epoch from
+  *    `foreachBatch`; the batch is atomically committed with the checkpoint,
+  *    so delivery is at-least-once end-to-end and exactly-once for an
+  *    idempotent publisher;
+  *  - pre/post images (config.rs:7 `change_stream_pre_and_post_images`) →
+  *    per-key state over the checkpoint (flatMapGroupsWithState) carrying
+  *    each document's last image across micro-batches.
   */
 object ChangeStreamJob {
 
@@ -52,20 +107,56 @@ object ChangeStreamJob {
       timestamp_micros(col("ts_us")).as("cluster_time")
     )
 
-  /** Start one connector stream: watch `sourceDir` (json files), publish
-    * change-event JSON to `queueDir`, checkpoint in `checkpointDir`.
+  /** Typed envelope rows for the stateful pre/post-image stage. */
+  case class ChangeEnvelope(event_id: Long, resume_token: String, operation_type: String,
+                            ns_db: String, ns_coll: String, document_key: Long,
+                            full_document: String, cluster_time: java.sql.Timestamp)
+  case class ChangeEnvelopePrePost(event_id: Long, resume_token: String, operation_type: String,
+                                   ns_db: String, ns_coll: String, document_key: Long,
+                                   full_document: String,
+                                   full_document_before_change: Option[String],
+                                   cluster_time: java.sql.Timestamp)
+
+  /** A6 (streaming) — `full_document_before_change`: per-document-key state
+    * holds the last published image; each event emits it as the before-image
+    * then replaces it. State lives in the checkpoint, so the before-image
+    * survives micro-batch boundaries AND restarts — the semantics a
+    * reference user gets from `change_stream_pre_and_post_images = true`.
+    * Within a batch, events apply in event_id order (the feed's total order).
+    */
+  def withBeforeImages(envelope: DataFrame): DataFrame = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    envelope.as[ChangeEnvelope]
+      .groupByKey(_.document_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[ChangeEnvelope],
+         state: org.apache.spark.sql.streaming.GroupState[String]) =>
+          val ordered = events.toSeq.sortBy(_.event_id)
+          var last = state.getOption
+          val out = ordered.map { e =>
+            val r = ChangeEnvelopePrePost(e.event_id, e.resume_token, e.operation_type,
+              e.ns_db, e.ns_coll, e.document_key, e.full_document, last, e.cluster_time)
+            last = Some(e.full_document)
+            r
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Start one connector stream over explicit source/publisher bindings.
     * Restarting with the same checkpointDir resumes after the last committed
     * batch — the A2 semantics.
     */
-  def start(spark: SparkSession, sourceDir: String, queueDir: String,
-            checkpointDir: String, db: String = "test", coll: String = "testcoll",
-            queryName: String = "connector",
-            trigger: Trigger = Trigger.AvailableNow(),
-            dedupe: Boolean = false): StreamingQuery = {
-    val events = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 4)
-      .json(sourceDir)
+  def startStream(spark: SparkSession, source: EventSource, publisher: QueuePublisher,
+                  checkpointDir: String, db: String = "test", coll: String = "testcoll",
+                  queryName: String = "connector",
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  dedupe: Boolean = false,
+                  preAndPostImages: Boolean = false): StreamingQuery = {
+    val events = source.load(spark)
     // Optional source-side exactly-once: an at-least-once feed (redeliveries
     // under the same event_id) is deduped in-stream with watermark-bounded
     // state — the streaming analog of the batch publish_dedup operator.
@@ -76,22 +167,29 @@ object ChangeStreamJob {
         .withWatermark("event_time", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .drop("event_time")
-    toChangeEvents(deduped, db, coll)
+    val envelope = toChangeEvents(deduped, db, coll)
+    val shaped = if (preAndPostImages) withBeforeImages(envelope) else envelope
+    shaped
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Publish one parquet partition per epoch, OVERWRITTEN on replay:
-        // if the stream crashes between the sink commit and the checkpoint
-        // commit, the re-run of this batch replaces (not duplicates) its
-        // epoch — exactly-once delivery for this idempotent sink.
-        batch.withColumn("epoch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch").parquet(queueDir)
+        publisher.publish(batch, batchId)
         ()
       }
       .start()
   }
+
+  /** Sandbox binding: watch `sourceDir` (json files), publish change-event
+    * JSON to a per-epoch parquet `queueDir`, checkpoint in `checkpointDir`.
+    */
+  def start(spark: SparkSession, sourceDir: String, queueDir: String,
+            checkpointDir: String, db: String = "test", coll: String = "testcoll",
+            queryName: String = "connector",
+            trigger: Trigger = Trigger.AvailableNow(),
+            dedupe: Boolean = false,
+            preAndPostImages: Boolean = false): StreamingQuery =
+    startStream(spark, JsonDirSource(sourceDir), ParquetQueuePublisher(queueDir),
+      checkpointDir, db, coll, queryName, trigger, dedupe, preAndPostImages)
 }

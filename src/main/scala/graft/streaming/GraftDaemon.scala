@@ -41,6 +41,7 @@ object GraftDaemon {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-daemon")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,22 +57,40 @@ object GraftDaemon {
     }
 
     val http = serveHttp(port, metrics, supervisor)
+    // Graceful teardown on SIGTERM/SIGINT (mrcond/src/main.rs runs under a
+    // signal-driven tokio shutdown): stop serving /health first so a k8s-
+    // style orchestrator sees the pod leaving, then stop every stream —
+    // queries quiesce at their last committed checkpoint, so the next boot
+    // resumes exactly after the last published epoch.
+    val hook = new Thread(() => shutdown(http, supervisor), "graft-shutdown")
+    Runtime.getRuntime.addShutdownHook(hook)
     try {
       while (supervisor.healthy()) {
         Thread.sleep(2000)
         supervisor.superviseOnce()
       }
     } finally {
-      http.stop(0)
-      supervisor.stopAll()
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () } // already shutting down
+      shutdown(http, supervisor)
       spark.stop()
     }
+  }
+
+  /** Stop the control plane, then the data plane. Idempotent — safe to call
+    * from both the shutdown hook and the supervision loop's exit path.
+    */
+  def shutdown(http: HttpServer, supervisor: Supervisor): Unit = {
+    try http.stop(0) catch { case scala.util.control.NonFatal(_) => () }
+    supervisor.stopAll()
   }
 
   /** One connector stream per collection: json feed subdir → queue subdir.
     * Continuous micro-batch trigger — the daemon watches forever like the
     * reference (connector.rs's `while let Some(change)` loop); tests use the
-    * draining AvailableNow variant directly via ChangeStreamJob.
+    * draining AvailableNow variant directly via ChangeStreamJob. The
+    * collection's pre/post-images flag (config.rs:7) turns on the stateful
+    * before-image stage.
     */
   def startQuery(conn: Connections)(spark: SparkSession, c: CollectionConfig) =
     ChangeStreamJob.start(spark,
@@ -80,7 +99,8 @@ object GraftDaemon {
       checkpointDir = s"${conn.sinkUri}/_checkpoints/${c.queue.streamName}",
       db = c.watched.dbName, coll = c.watched.collName,
       queryName = s"${c.watched.dbName}.${c.watched.collName}",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"),
+      preAndPostImages = c.watched.preAndPostImages)
 
   /** /health + /metrics on the JDK http server (main.rs:53-73). */
   def serveHttp(port: Int, metrics: MetricsRegistry, supervisor: Supervisor): HttpServer = {

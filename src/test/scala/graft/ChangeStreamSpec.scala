@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.ChangeStreamJob
+import graft.streaming.{ChangeStreamJob, InMemoryQueuePublisher, JsonDirSource}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
@@ -71,6 +71,44 @@ class ChangeStreamSpec extends SparkSpec {
     q.awaitTermination(60000)
     val ids = queueIds(queue)
     assert(ids.sorted === (0L until 20L), s"duplicates survived: ${ids.sorted}")
+  }
+
+  test("pre/post images: flag on carries each key's before-image ACROSS batch boundaries") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "first.json", 0 until 10)
+    val q1 = ChangeStreamJob.start(spark, src, queue, ckpt, preAndPostImages = true)
+    q1.awaitTermination(60000)
+    // second batch, separate run: state must survive the restart too
+    writeEvents(src, "second.json", 10 until 20)
+    val q2 = ChangeStreamJob.start(spark, src, queue, ckpt, preAndPostImages = true)
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(queue)
+    assert(out.columns.contains("full_document_before_change"))
+    // event 10 (user 3) was preceded by event 3 (user 3) in the FIRST batch
+    val e10 = out.where(col("event_id") === 10).collect().head
+    val before = e10.getAs[String]("full_document_before_change")
+    assert(before != null && before.contains("\"event_id\":3"), s"before=$before")
+    // a key's first-ever event has no before-image
+    val e0 = out.where(col("event_id") === 0).collect().head
+    assert(e0.getAs[String]("full_document_before_change") == null)
+    // flag off: the column does not exist (reference behavior when unset)
+    val (src2, queue2, ckpt2) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src2, "only.json", 0 until 5)
+    val q3 = ChangeStreamJob.start(spark, src2, queue2, ckpt2)
+    q3.awaitTermination(60000)
+    assert(!spark.read.parquet(queue2).columns.contains("full_document_before_change"))
+  }
+
+  test("source/publisher seam: the same pipeline runs against a toy in-memory publisher") {
+    val (src, ckpt) = (tempDir("src"), tempDir("ckpt"))
+    writeEvents(src, "batch.json", 0 until 30)
+    val sink = new InMemoryQueuePublisher
+    val q = ChangeStreamJob.startStream(spark, JsonDirSource(src), sink, ckpt)
+    q.awaitTermination(60000)
+    val ids = sink.rows.map(_.getAs[Long]("event_id")).sorted
+    assert(ids === (0L until 30L), s"seam lost rows: $ids")
+    assert(sink.epochs.nonEmpty)
+    assert(sink.rows.head.schema.fieldNames.contains("full_document"))
   }
 
   test("source drop: stream over an exhausted source terminates cleanly (no exception)") {

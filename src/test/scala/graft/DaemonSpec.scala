@@ -61,7 +61,39 @@ class DaemonSpec extends SparkSpec {
         // delivered to the queue
         assert(spark.read.parquet(s"$base/queues/stream_testcoll")
           .where(org.apache.spark.sql.functions.col("event_id") === 7).count() === 1)
-      } finally http.stop(0)
+      } finally {
+        http.stop(0)
+        supervisor.stopAll() // the continuous-trigger stream must not outlive the test
+      }
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("graceful shutdown stops the control plane first, then quiesces every stream") {
+    val base = tempDir("daemon-shutdown")
+    val src = s"$base/source/shutcoll"
+    Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(src, "events.json"),
+      """{"event_id":1,"ts_us":1704067200000000,"user_id":1,"event_type":"view","value":1.5,"props":"{}"}"""
+        .getBytes)
+    val metrics = new MetricsRegistry
+    val settings = Settings.create(
+      Connections(s"$base/source", s"$base/queues"),
+      Seq(CollectionConfig(WatchedDb("test", "shutcoll"),
+        ResumeTokensDb("test", "tokens"), QueueSink("stream_shutcoll")))).toOption.get
+    // the daemon's own continuous trigger: the stream stays live until stopped
+    val supervisor = new Supervisor(spark, settings, metrics,
+      GraftDaemon.startQuery(settings.connections), lifecycleMetrics = false)
+    val port = 3312
+    val http = GraftDaemon.serveHttp(port, metrics, supervisor)
+    supervisor.startAll()
+    assert(supervisor.healthy(), "stream should be live before shutdown")
+
+    GraftDaemon.shutdown(http, supervisor)
+
+    assert(supervisor.activeQueries.isEmpty, "streams must be stopped")
+    assert(!supervisor.healthy(), "no live stream may remain after shutdown")
+    intercept[java.io.IOException] { get(s"http://localhost:$port/health") }
+    // idempotent: a second call (hook + finally both fire) must not throw
+    GraftDaemon.shutdown(http, supervisor)
   }
 }
