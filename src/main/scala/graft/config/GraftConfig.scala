@@ -7,7 +7,7 @@ package graft.config
   *  - RabbitMq(stream_name)  → here: the sink queue name
   *  - Collection = watched + resume_tokens + rabbitmq
   *  - Settings   = connections + collections, with duplicate-collection
-  *    rejection (config.rs:162-176) and env-prefix connection overrides
+  *    rejection (config.rs:44-58) and env-prefix connection overrides
   *    (mrcond/src/main.rs:34-46).
   */
 final case class WatchedDb(dbName: String, collName: String,
@@ -29,7 +29,7 @@ final case class Settings private (connections: Connections,
                                    collections: Vector[CollectionConfig])
 
 object Settings {
-  /** Duplicate-configuration validation (config.rs:144-160): two identical
+  /** Duplicate-configuration validation (config.rs:44-58): two identical
     * collection configs are a user error — reject with both indices.
     */
   def create(connections: Connections,

@@ -100,7 +100,7 @@ object ChangeEvents {
       .orderBy("event_id")
   }
 
-  /** A6 — pre/post images (config.rs:122-126
+  /** A6 — pre/post images (config.rs:7
     * `change_stream_pre_and_post_images`): for each entity (user) the event's
     * full document plus the previous full document for that entity. `lag`
     * over (entity, sequence) — shuffle partitions by user_id, which is the

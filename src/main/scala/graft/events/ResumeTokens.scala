@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
 /** Resume-token semantics as batch operators.
   *
   * The reference persists one resume token per stream with upsert semantics
-  * (mrcon/src/mongo/resume_tokens.rs:248-282 `set_last_resume_token`),
-  * reads it back on restart (resume_tokens.rs:227-239
+  * (mrcon/src/mongo/resume_tokens.rs:91-108 `set_last_resume_token`),
+  * reads it back on restart (resume_tokens.rs:74-90
   * `get_last_resume_token` + connector.rs:135-142 `resume_after`), stores
-  * tokens in an optionally capped collection (resume_tokens.rs:206-226) and
+  * tokens in an optionally capped collection (resume_tokens.rs:32-53) and
   * wipes them when the watched collection is dropped
-  * (resume_tokens.rs:195-204 `clean`, connector.rs:169-171).
+  * (resume_tokens.rs:59-62 `clean`, connector.rs:169-171).
   *
   * Streams are keyed by event_type here (one stream per watched collection in
   * the reference). Tokens are the zero-padded hex of the event offset — same
@@ -84,7 +84,7 @@ object ResumeTokens {
       .orderBy("event_id")
   }
 
-  /** A4b — cleanup on drop (resume_tokens.rs:195-204 `clean` +
+  /** A4b — cleanup on drop (resume_tokens.rs:59-62 `clean` +
     * connector.rs:169-171): when watched collections are dropped, their
     * persisted tokens are deleted. Batch shape: anti-join the tokens table
     * against the dropped-stream set — the standard distributed delete
@@ -100,7 +100,7 @@ object ResumeTokens {
       .orderBy("stream_name")
   }
 
-  /** A4 — capped token collection (resume_tokens.rs:206-226): bounded
+  /** A4 — capped token collection (resume_tokens.rs:32-53): bounded
     * retention keeps only the newest `cap` tokens per stream; older ones are
     * evicted like a capped MongoDB collection. Ranked window per stream key.
     */
