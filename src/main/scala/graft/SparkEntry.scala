@@ -79,6 +79,29 @@ object SparkEntry {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** DuckDB list literal of per-table sign-LSH keys for a double-list column
+    * `v`: element t is t*2^k + Σ_j 2^j·[proj onto plane t*k+j > 0] — the
+    * same encoding as joining on Spark's (tbl, tkey) pair, flattened so the
+    * oracle can candidate-match with one list_intersect. The hyperplanes are
+    * graft.ops.Similarity.lshPlanes literals (deterministic, identical
+    * matrix on both engines).
+    */
+  private def lshKeysSql(tables: Int, k: Int, dim: Int): String = {
+    val planes = graft.ops.Similarity.lshPlanes(tables, k, dim)
+    (0 until tables).map { t =>
+      val bits = (0 until k).map { j =>
+        val row = planes(t * k + j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(list_zip(v, $row), p -> p[1] * p[2])) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"(${t * (1 << k)} + $bits)"
+    }.mkString("[", ",\n        ", "]")
+  }
+
+  private val cosSql =
+    "round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / " +
+      "(sqrt(list_sum(list_transform(v, x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(qv, x -> x * x)))), 6)"
+
   /** Shared DuckDB CTE chain replaying the oracle-portable MinHash banding
     * (graft.ops.Dedup: md5-prefix base hash → universal-hash signature →
     * md5 band keys → banded candidate pairs). Produces CTEs t/s/hb/g/bd/cand;
@@ -338,6 +361,38 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |      FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |ks AS (SELECT vec_id, v,
+         |        ${lshKeysSql(tables = 24, k = 4, dim = 64)} AS jk
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, jk AS qjk FROM ks WHERE vec_id < 5),
+         |cand AS (SELECT q.query_id, c.vec_id, c.v, q.qv
+         |         FROM ks c, q
+         |         WHERE c.vec_id <> q.query_id AND len(list_intersect(c.jk, q.qjk)) > 0),
+         |s AS (SELECT query_id, vec_id, $cosSql AS cos FROM cand)
+         |SELECT query_id, rank, neighbor_id, cos
+         |FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |      FROM s)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "embedding_near_dup" -> {
+      val (k, tables) = graft.ops.Similarity.nearDupParams(0.45)
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |ks AS (SELECT vec_id, v,
+         |        ${lshKeysSql(tables, k, dim = 64)} AS jk
+         |      FROM e),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS v, b.v AS qv
+         |         FROM ks a, ks b
+         |         WHERE a.vec_id < b.vec_id AND len(list_intersect(a.jk, b.jk)) > 0)
+         |SELECT id_a, id_b, cos
+         |FROM (SELECT id_a, id_b, $cosSql AS cos FROM cand)
+         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -63,6 +63,26 @@ object Similarity {
     Seq.fill(totalPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** The deterministic plane matrix, exposed so the generated DuckDB oracle
+    * SQL can embed the identical hyperplanes as literals (shortest-repr
+    * doubles round-trip exactly through SQL parsing).
+    */
+  def lshPlanes(tables: Int, k: Int, dim: Int): Array[Array[Double]] =
+    planeMatrix(tables * k, dim).map(_.toArray).toArray
+
+  /** (planesPerTable, tables) derived from the target cosine — shared by
+    * embeddingNearDup and its oracle generator so both sides band
+    * identically. Collision prob per plane is p = 1 - θ/π; k targets ~5%
+    * per-table collision for non-dups, L solves 1-(1-p^k)^L = 0.95.
+    */
+  def nearDupParams(minCos: Double): (Int, Int) = {
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    val planesPerTable = math.max(3, math.min(12, (math.log(0.05) / math.log(p)).toInt))
+    val pk = math.pow(p, planesPerTable)
+    val tables = math.max(4, math.min(40, math.ceil(math.log(0.05) / math.log(1 - pk)).toInt))
+    (planesPerTable, tables)
+  }
+
   /** All LSH table keys in one codegen'd pass (graft.functions
     * .HyperplaneSignKeys): long[tables], bit j of key t = sign of the
     * projection onto plane t*k+j.
@@ -194,17 +214,10 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.9,
                        dim: Int = 64): DataFrame = {
-    // (k, L) must match the target similarity: collision prob per plane is
-    // p = 1 - θ/π, so per-table collision is p^k. High thresholds afford
-    // long codes (selective, cheap); low thresholds need short codes + more
+    // (k, L) must match the target similarity: high thresholds afford long
+    // codes (selective, cheap); low thresholds need short codes + more
     // tables to keep recall, at the cost of a larger candidate fraction.
-    val p = 1.0 - math.acos(minCos) / math.Pi
-    val planesPerTable = math.max(3, math.min(12, (math.log(0.05) / math.log(p)).toInt))
-    val tables = {
-      // L solving 1-(1-p^k)^L = 0.95
-      val pk = math.pow(p, planesPerTable)
-      math.max(4, math.min(40, math.ceil(math.log(0.05) / math.log(1 - pk)).toInt))
-    }
+    val (planesPerTable, tables) = nearDupParams(minCos)
     val emb = Tables.embeddings(spark, dir)
     // Bucket-width guard via Dedup.guardedPairs: a degenerate key (e.g. the
     // all-zero vector's bucket) degrades to a linear star instead of an
