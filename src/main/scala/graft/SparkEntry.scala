@@ -47,6 +47,9 @@ object SparkEntry {
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
+    "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
+    "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
+    "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -402,6 +405,40 @@ object SparkEntry {
         |       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS stub_width,
         |       CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "train_split" -> {
+      val trainCut = (0.9 * (1 << 24)).toLong
+      val valCut = (0.95 * (1 << 24)).toLong
+      s"""SELECT doc_id, lang, source,
+         |       CASE WHEN u < $trainCut THEN 'train'
+         |            WHEN u < $valCut THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, source,
+         |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
+        |      FROM s),
+        |p AS (SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+        |        CAST(len(list_intersect(e.shh, c.shh)) AS BIGINT) AS n_shared
+        |      FROM h e JOIN h c ON e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0)
+        |SELECT eval_id, corpus_id, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY eval_id, corpus_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

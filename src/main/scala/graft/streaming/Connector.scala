@@ -30,12 +30,22 @@ final class Connector(spark: SparkSession, connections: Connections,
     * resuming after the last persisted position (connector.rs:127-173).
     */
   def connect(streamName: String): StreamingQuery =
-    ChangeStreamJob.start(spark,
-      sourceDir = s"${connections.sourceUri}/${settings.watched.collName}",
-      queueDir = s"${connections.sinkUri}/${settings.queue.streamName}",
+    connectWith(
+      JsonDirSource(s"${connections.sourceUri}/${settings.watched.collName}"),
+      ParquetQueuePublisher(s"${connections.sinkUri}/${settings.queue.streamName}"),
+      streamName)
+
+  /** The `with_clients` analog at the binding level (connector.rs:74-90:
+    * bring your own clients): run this collection's pipeline over
+    * caller-supplied source/publisher bindings.
+    */
+  def connectWith(source: EventSource, publisher: QueuePublisher,
+                  streamName: String): StreamingQuery =
+    ChangeStreamJob.startStream(spark, source, publisher,
       checkpointDir = resumeTokensLocation(streamName),
       db = settings.watched.dbName, coll = settings.watched.collName,
-      queryName = s"${settings.watched.dbName}.${settings.watched.collName}")
+      queryName = s"${settings.watched.dbName}.${settings.watched.collName}",
+      preAndPostImages = settings.watched.preAndPostImages)
 }
 
 object Connector {

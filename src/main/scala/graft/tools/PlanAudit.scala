@@ -12,8 +12,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = Seq("q1_agg", "q3_join", "q5_join", "q6_agg", "dedup_exact",
-      "dedup_minhash_pairs", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_dup", "ann_brute_topk", "events_sessionize",
-      "resume_after", "change_events_json")
+      "dedup_minhash_pairs", "ngram_jaccard_lsh", "ann_lsh_topk", "ann_ivf_topk",
+      "embedding_near_dup", "ann_brute_topk", "events_sessionize",
+      "resume_after", "change_events_json", "contamination", "train_split")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
