@@ -38,7 +38,9 @@ object SparkEntry {
     "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
     "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairsPortable(s, d)),
+    "dedup_minhash_keep"   -> ((s, d) => Dedup.minhashDedupPortable(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashPortable(s, d)),
+    "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairsPortable(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ngram_jaccard_lsh"    -> ((s, d) => Dedup.ngramJaccardLshPortable(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
@@ -98,6 +100,21 @@ object SparkEntry {
       }.mkString(" + ")
       s"(${t * (1 << k)} + $bits)"
     }.mkString("[", ",\n        ", "]")
+  }
+
+  /** DuckDB CTEs t/h/f replaying the portable SimHash: 60-bit md5-prefix
+    * token hashes, bit-vote fingerprint in `f(doc_id, simhash)`.
+    */
+  private lazy val simhashCtes: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in hashed]) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" +\n          ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in tok] AS hashed
+       |      FROM t),
+       |f AS (SELECT doc_id,
+       |        ($bitTerms) AS simhash
+       |      FROM h)""".stripMargin
   }
 
   private val cosSql =
@@ -302,23 +319,37 @@ object SparkEntry {
          |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_simhash" -> {
-      val bitTerms = (0 until 60).map { b =>
-        s"CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END for h in hashed]) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
-      }.mkString(" +\n          ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-         |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in tok] AS hashed
-         |      FROM t),
-         |f AS (SELECT doc_id,
-         |        ($bitTerms) AS simhash
-         |      FROM h)
+    "dedup_simhash" ->
+      s"""WITH $simhashCtes
          |SELECT doc_id, simhash,
          |       simhash & 32767 AS chunk0,
          |       (simhash >> 15) & 32767 AS chunk1,
          |       (simhash >> 30) & 32767 AS chunk2,
          |       (simhash >> 45) & 32767 AS chunk3
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |c AS (SELECT doc_id, simhash,
+         |        simhash & 32767 AS c0, (simhash >> 15) & 32767 AS c1,
+         |        (simhash >> 30) & 32767 AS c2, (simhash >> 45) & 32767 AS c3
+         |      FROM f)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM c a JOIN c b ON a.doc_id < b.doc_id
+         |  AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_keep" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.5)
+         |ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode" ->
       """WITH m AS (SELECT doc_id,

@@ -226,6 +226,21 @@ object Dedup {
     docs.join(dups, Seq("doc_id"), "left_anti")
   }
 
+  /** B2c (oracle-portable) — the dedup decision on the md5-prefix family:
+    * the surviving corpus after keep-first near-dup removal. Registered as
+    * `dedup_minhash_keep`.
+    */
+  def minhashDedupPortable(spark: SparkSession, dir: String, numHashes: Int = 32,
+                           bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val signed = signatures(docs, md5Based = true, numHashes, shingleK = 3)
+    val dups = pairsFrom(signed, numHashes, bands, threshold, maxBucket = 256, portable = true)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(dups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** B3 — SimHash: 64-bit fingerprint from per-token xxhash64 bit votes;
@@ -248,6 +263,9 @@ object Dedup {
     * DuckDB), banded as 4×15-bit chunks. Registered as `dedup_simhash`.
     */
   def simhashPortable(spark: SparkSession, dir: String): DataFrame =
+    simhashPortable0(spark, dir).orderBy("doc_id")
+
+  private def simhashPortable0(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("hashed", transform(split(col("text"), " "), portableHash60))
       .select(col("doc_id"), VectorExpressions.bitVote(col("hashed"), 60).as("simhash"))
@@ -255,7 +273,26 @@ object Dedup {
       .withColumn("chunk1", shiftright(col("simhash"), 15).bitwiseAND(lit(0x7FFFL)))
       .withColumn("chunk2", shiftright(col("simhash"), 30).bitwiseAND(lit(0x7FFFL)))
       .withColumn("chunk3", shiftright(col("simhash"), 45).bitwiseAND(lit(0x7FFFL)))
-      .orderBy("doc_id")
+
+  /** B3c (oracle-portable pairs) — chunk-banded candidates + exact Hamming
+    * verify on the 60-bit portable fingerprint, end-to-end replayable by
+    * DuckDB. Registered as `dedup_simhash_pairs`.
+    */
+  def simhashPairsPortable(spark: SparkSession, dir: String, maxHamming: Int = 8,
+                           maxBucket: Int = 256): DataFrame = {
+    val sh = simhashPortable0(spark, dir).persist()
+    val keyed = sh.select(col("doc_id").as("id"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
+      .select(col("id"), col("c.chunk_id"), col("c.chunk_val"))
+    val cands = guardedPairs(keyed, Seq("chunk_id", "chunk_val"), maxBucket).distinct()
+    val fa = sh.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val fb = sh.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
 
   /** B3b — SimHash candidate pairs: equal 16-bit chunk ⇒ candidate (catches
     * all pairs within Hamming distance 3 by pigeonhole); verify by exact
