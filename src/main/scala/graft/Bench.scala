@@ -29,6 +29,10 @@ object Bench {
     try SparkEntry.queries("q6_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Queries that persist intermediates (LSH paths) must not hand a warm
+      // cache to a later query with an identical sub-plan — every number
+      // below is a cold, self-contained run.
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

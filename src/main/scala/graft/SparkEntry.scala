@@ -122,13 +122,32 @@ object SparkEntry {
       "(sqrt(list_sum(list_transform(v, x -> x * x))) * " +
       "sqrt(list_sum(list_transform(qv, x -> x * x)))), 6)"
 
+  /** CTEs replaying Dedup.guardedPairs over a `kb(id, band, bkey)` bucket
+    * relation: all pairs within buckets of width ≤ cap, a star around the
+    * min-id representative for wider buckets, UNION-deduped — so the oracle
+    * models the bucket-width guard exactly, including on degenerate data.
+    * Produces CTEs wide/smallkb/cand0; `cand0` has (id_a, id_b).
+    */
+  private def guardedCand0Ctes(cap: Int): String =
+    s"""wide AS (SELECT band, bkey, min(id) AS rep FROM kb
+       |         GROUP BY band, bkey HAVING count(*) > $cap),
+       |smallkb AS (SELECT kb.id, kb.band, kb.bkey FROM kb LEFT JOIN wide USING (band, bkey)
+       |            WHERE wide.rep IS NULL),
+       |cand0 AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM smallkb a JOIN smallkb b USING (band, bkey) WHERE a.id < b.id
+       |  UNION
+       |  SELECT DISTINCT w.rep AS id_a, kb.id AS id_b
+       |  FROM kb JOIN wide w USING (band, bkey) WHERE kb.id <> w.rep)""".stripMargin
+
   /** Shared DuckDB CTE chain replaying the oracle-portable MinHash banding
     * (graft.ops.Dedup: md5-prefix base hash → universal-hash signature →
-    * md5 band keys → banded candidate pairs). Produces CTEs t/s/hb/g/bd/cand;
-    * `cand` has (id_a, id_b, sig_a, sig_b). The positional band OR-join is
-    * set-equivalent to Spark's (band, band_key) equi-join.
+    * md5 band keys → guarded banded candidate pairs). Produces CTEs
+    * t/s/hb/g/bd/kb/wide/smallkb/cand0/cand; `cand` has
+    * (id_a, id_b, sig_a, sig_b). The (band, bkey) bucket join is exactly
+    * Spark's (band, band_key) equi-join, guard included.
     */
-  private def minhashBandedCtes(numHashes: Int, bands: Int): String = {
+  private def minhashBandedCtes(numHashes: Int, bands: Int, cap: Int = 256): String = {
     val r = numHashes / bands
     val sigExprs = graft.ops.Dedup.minhashCoefs(numHashes).map { case (a, b) =>
       s"list_min([($a * h + $b) % ${graft.ops.Dedup.MinhashP} for h in hashed])"
@@ -136,7 +155,6 @@ object SparkEntry {
     val bandExprs = (0 until bands).map { b =>
       s"md5(array_to_string(sig[${b * r + 1}:${b * r + r}], '|'))"
     }.mkString(",\n        ")
-    val bandMatch = (1 to bands).map(i => s"a.bands[$i] = b.bands[$i]").mkString(" OR ")
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
        |s AS (SELECT doc_id,
        |        list_distinct([array_to_string(tok[i:i+2], ' ')
@@ -150,8 +168,12 @@ object SparkEntry {
        |bd AS (SELECT doc_id, sig,
        |        [$bandExprs] AS bands
        |      FROM g),
-       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-       |         FROM bd a JOIN bd b ON a.doc_id < b.doc_id AND ($bandMatch))""".stripMargin
+       |kb AS (SELECT doc_id AS id, i AS band, bd.bands[i] AS bkey
+       |       FROM bd, generate_series(1, $bands) AS s2(i)),
+       |${guardedCand0Ctes(cap)},
+       |cand AS (SELECT c.id_a, c.id_b, ga.sig AS sig_a, gb.sig AS sig_b
+       |         FROM cand0 c JOIN g ga ON c.id_a = ga.doc_id
+       |                      JOIN g gb ON c.id_b = gb.doc_id)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,13 +353,15 @@ object SparkEntry {
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |c AS (SELECT doc_id, simhash,
-         |        simhash & 32767 AS c0, (simhash >> 15) & 32767 AS c1,
-         |        (simhash >> 30) & 32767 AS c2, (simhash >> 45) & 32767 AS c3
-         |      FROM f)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        [simhash & 32767, (simhash >> 15) & 32767,
+         |         (simhash >> 30) & 32767, (simhash >> 45) & 32767] AS chunks
+         |      FROM f),
+         |kb AS (SELECT doc_id AS id, i AS band, c.chunks[i] AS bkey
+         |       FROM c, generate_series(1, 4) AS s2(i)),
+         |${guardedCand0Ctes(cap = 256)}
+         |SELECT p.id_a, p.id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM c a JOIN c b ON a.doc_id < b.doc_id
-         |  AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+         |FROM cand0 p JOIN c a ON p.id_a = a.doc_id JOIN c b ON p.id_b = b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -415,14 +439,20 @@ object SparkEntry {
 
     "embedding_near_dup" -> {
       val (k, tables) = graft.ops.Similarity.nearDupParams(0.45)
+      // jk elements already encode table*2^k + key, so `band` is constant
+      // and the bucket identity lives in bkey — identical to Spark's
+      // (tbl, tkey) join, guard included.
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
          |ks AS (SELECT vec_id, v,
          |        ${lshKeysSql(tables, k, dim = 64)} AS jk
          |      FROM e),
-         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS v, b.v AS qv
-         |         FROM ks a, ks b
-         |         WHERE a.vec_id < b.vec_id AND len(list_intersect(a.jk, b.jk)) > 0)
+         |kb AS (SELECT vec_id AS id, 0 AS band, ks.jk[i] AS bkey
+         |       FROM ks, generate_series(1, $tables) AS s2(i)),
+         |${guardedCand0Ctes(cap = 256)},
+         |cand AS (SELECT p.id_a, p.id_b, a.v AS v, b.v AS qv
+         |         FROM cand0 p JOIN ks a ON p.id_a = a.vec_id
+         |                      JOIN ks b ON p.id_b = b.vec_id)
          |SELECT id_a, id_b, cos
          |FROM (SELECT id_a, id_b, $cosSql AS cos FROM cand)
          |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin

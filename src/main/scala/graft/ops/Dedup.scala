@@ -203,8 +203,8 @@ object Dedup {
     // band join, and both sides of the signature re-attach). Persisting it
     // makes the expensive pass — shingling + content hashing — run exactly
     // once; everything downstream reads the narrow (doc_id, sig) cache.
-    // ~40 B + 8 B/hash per doc: memory-trivial relative to the corpus, and
-    // MEMORY_AND_DISK spills gracefully at cluster scale.
+    // Size: ~8 B/hash per doc (k×8 B ≈ 0.5 KB/doc at k=64) — a small
+    // fraction of the raw text; MEMORY_AND_DISK spills at cluster scale.
     val signed = signed0.persist()
     val cands = minhashCandidates(signed, numHashes, bands, maxBucket, portable)
     val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -374,7 +374,11 @@ object Dedup {
     * expensive pass — shingling + content hashing — feeds bucket stats, the
     * band join, and both verify sides without recomputation; signatures
     * derive from the cached h24 (a cheap codegen'd fold) and only candidate
-    * pairs pay the set-intersect cost on hv.
+    * pairs pay the set-intersect cost on hv. NOTE the cache is corpus-scale
+    * (~8 B per shingle ≈ half the raw text bytes): the standard
+    * materialize-the-signature-table shape of large dedup runs, with
+    * MEMORY_AND_DISK spill; a cluster that cannot afford it trades the
+    * persist for recompute (3 passes) by dropping this line.
     */
   private def verifyJaccard(hashed0: DataFrame, numHashes: Int, bands: Int,
                             maxBucket: Int, portable: Boolean, minJaccard: Double): DataFrame = {

@@ -123,25 +123,46 @@ object ChangeStreamJob {
     * survives micro-batch boundaries AND restarts — the semantics a
     * reference user gets from `change_stream_pre_and_post_images = true`.
     * Within a batch, events apply in event_id order (the feed's total order).
+    *
+    * State bounding: `stateTtl` (refreshed on every event for the key)
+    * evicts images of keys that have gone silent, so unbounded key spaces
+    * cannot grow the state store forever; a key updated after eviction gets
+    * a null before-image — the same answer the reference gives when the
+    * pre-image window has expired server-side. The TTL uses
+    * ProcessingTimeTimeout, which Spark supports only under continuous
+    * triggers — the daemon (ProcessingTime) sets it; draining
+    * AvailableNow runs (tests, catch-up replays) must leave it None
+    * (flatMapGroupsWithState + ProcessingTimeTimeout hangs the
+    * MultiBatchExecutor).
     */
-  def withBeforeImages(envelope: DataFrame): DataFrame = {
+  def withBeforeImages(envelope: DataFrame,
+                       stateTtlMs: Option[Long] = None): DataFrame = {
     val spark = envelope.sparkSession
     import spark.implicits._
+    val timeoutMode =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     envelope.as[ChangeEnvelope]
       .groupByKey(_.document_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutMode) {
         (_: Long, events: Iterator[ChangeEnvelope],
          state: org.apache.spark.sql.streaming.GroupState[String]) =>
-          val ordered = events.toSeq.sortBy(_.event_id)
-          var last = state.getOption
-          val out = ordered.map { e =>
-            val r = ChangeEnvelopePrePost(e.event_id, e.resume_token, e.operation_type,
-              e.ns_db, e.ns_coll, e.document_key, e.full_document, last, e.cluster_time)
-            last = Some(e.full_document)
-            r
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = events.toSeq.sortBy(_.event_id)
+            var last = state.getOption
+            val out = ordered.map { e =>
+              val r = ChangeEnvelopePrePost(e.event_id, e.resume_token, e.operation_type,
+                e.ns_db, e.ns_coll, e.document_key, e.full_document, last, e.cluster_time)
+              last = Some(e.full_document)
+              r
+            }
+            last.foreach(state.update)
+            stateTtlMs.foreach(ttl => if (state.exists) state.setTimeoutDuration(ttl))
+            out.iterator
           }
-          last.foreach(state.update)
-          out.iterator
       }
       .toDF()
   }
@@ -155,7 +176,17 @@ object ChangeStreamJob {
                   queryName: String = "connector",
                   trigger: Trigger = Trigger.AvailableNow(),
                   dedupe: Boolean = false,
-                  preAndPostImages: Boolean = false): StreamingQuery = {
+                  preAndPostImages: Boolean = false,
+                  beforeImageTtlMs: Option[Long] = None): StreamingQuery = {
+    // Spark cannot chain dropDuplicatesWithinWatermark into
+    // flatMapGroupsWithState (two stateful operators in one append query) —
+    // refuse clearly at start rather than failing in analysis. Feeds that
+    // need both run the dedup in a first hop (queue→queue) and the
+    // before-image stage in a second.
+    require(!(dedupe && preAndPostImages),
+      "dedupe and preAndPostImages cannot be combined in one stream: " +
+        "Structured Streaming forbids chaining dropDuplicatesWithinWatermark " +
+        "into flatMapGroupsWithState; run them as two chained streams")
     val events = source.load(spark)
     // Optional source-side exactly-once: an at-least-once feed (redeliveries
     // under the same event_id) is deduped in-stream with watermark-bounded
@@ -168,7 +199,7 @@ object ChangeStreamJob {
         .dropDuplicatesWithinWatermark("event_id")
         .drop("event_time")
     val envelope = toChangeEvents(deduped, db, coll)
-    val shaped = if (preAndPostImages) withBeforeImages(envelope) else envelope
+    val shaped = if (preAndPostImages) withBeforeImages(envelope, beforeImageTtlMs) else envelope
     shaped
       .writeStream
       .queryName(queryName)
@@ -189,7 +220,9 @@ object ChangeStreamJob {
             queryName: String = "connector",
             trigger: Trigger = Trigger.AvailableNow(),
             dedupe: Boolean = false,
-            preAndPostImages: Boolean = false): StreamingQuery =
+            preAndPostImages: Boolean = false,
+            beforeImageTtlMs: Option[Long] = None): StreamingQuery =
     startStream(spark, JsonDirSource(sourceDir), ParquetQueuePublisher(queueDir),
-      checkpointDir, db, coll, queryName, trigger, dedupe, preAndPostImages)
+      checkpointDir, db, coll, queryName, trigger, dedupe, preAndPostImages,
+      beforeImageTtlMs)
 }

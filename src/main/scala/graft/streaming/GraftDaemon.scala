@@ -100,7 +100,10 @@ object GraftDaemon {
       db = c.watched.dbName, coll = c.watched.collName,
       queryName = s"${c.watched.dbName}.${c.watched.collName}",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"),
-      preAndPostImages = c.watched.preAndPostImages)
+      preAndPostImages = c.watched.preAndPostImages,
+      // continuous trigger → the before-image state TTL is supported; bound
+      // the state store for unbounded key spaces (30 days, refreshed per key)
+      beforeImageTtlMs = Some(30L * 24 * 3600 * 1000))
 
   /** /health + /metrics on the JDK http server (main.rs:53-73). */
   def serveHttp(port: Int, metrics: MetricsRegistry, supervisor: Supervisor): HttpServer = {

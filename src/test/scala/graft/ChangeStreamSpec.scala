@@ -99,6 +99,15 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!spark.read.parquet(queue2).columns.contains("full_document_before_change"))
   }
 
+  test("dedupe + preAndPostImages is refused up front (unsupported stateful chain)") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "only.json", 0 until 3)
+    val e = intercept[IllegalArgumentException] {
+      ChangeStreamJob.start(spark, src, queue, ckpt, dedupe = true, preAndPostImages = true)
+    }
+    assert(e.getMessage.contains("two chained streams"))
+  }
+
   test("source/publisher seam: the same pipeline runs against a toy in-memory publisher") {
     val (src, ckpt) = (tempDir("src"), tempDir("ckpt"))
     writeEvents(src, "batch.json", 0 until 30)
