@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.VectorExpressions
+import graft.ops.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The custom expressions must be bit-identical to the composed-builtin
+  * formulations they replace — that equivalence is what keeps the DuckDB
+  * oracles honest. Checked on real corpus text plus crafted edge cases
+  * (multiple spaces → empty tokens, short docs, non-ASCII).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def corpus(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      (9001L, "short"),
+      (9002L, "two tokens"),
+      (9003L, "a  double  space musters empty tokens"),
+      (9004L, "héllo wörld ünicode text straße añejo"),
+      (9005L, "x y z x y z x y z")) // repeated shingles → distinct matters
+    Tables.documents(spark, sf0001).select("doc_id", "text").limit(20)
+      .union(crafted.toDF("doc_id", "text"))
+  }
+
+  /** The builtin shingle formulation ShingleHashes replaces. */
+  private def builtinShingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(split(text, " ")) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(split(text, " "), i, lit(k)))))
+
+  test("ShingleHashes(xxhash64) == transform(shingles, xxhash64) element for element") {
+    val df = corpus().select(
+      VectorExpressions.shingleHashes(col("text"), 3, md5Based = false).as("hs"),
+      transform(builtinShingles(col("text"), 3), s => xxhash64(s)).as("expected_hv"),
+      transform(builtinShingles(col("text"), 3), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFL))).as("expected_h24"))
+    val bad = df.where(col("hs.hv") =!= col("expected_hv") || col("hs.h24") =!= col("expected_h24"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
+  test("ShingleHashes(md5) == conv(substring(md5(shingle))) prefixes") {
+    val df = corpus().select(
+      VectorExpressions.shingleHashes(col("text"), 3, md5Based = true).as("hs"),
+      transform(builtinShingles(col("text"), 3),
+        s => conv(substring(md5(s), 1, 6), 16, 10).cast("long")).as("expected_h24"),
+      transform(builtinShingles(col("text"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("expected_hv"))
+    val bad = df.where(col("hs.hv") =!= col("expected_hv") || col("hs.h24") =!= col("expected_h24"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
+  test("MinHashFamily == the k transform+array_min passes it replaces") {
+    val coefs = Dedup.minhashCoefs(16)
+    val hashed = transform(builtinShingles(col("text"), 3),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFL)))
+    val expected = array(coefs.map { case (a, b) =>
+      array_min(transform(hashed, h => (h * a + b) % Dedup.MinhashP))
+    }: _*)
+    val df = corpus().select(
+      VectorExpressions.minhashFamily(hashed, coefs, Dedup.MinhashP).as("got"),
+      expected.as("expected"))
+    val bad = df.where(col("got") =!= col("expected"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
+  test("BitVoteFingerprint == the per-bit aggregate folds it replaces") {
+    val hashed = transform(split(col("text"), " "), t => xxhash64(t))
+    val expected = (0 until 64).map { bit =>
+      val vote = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val df = corpus().select(
+      VectorExpressions.bitVote(hashed, 64).as("got"), expected.as("expected"))
+    val bad = df.where(col("got") =!= col("expected"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+}
