@@ -52,6 +52,13 @@ object SparkEntry {
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
+    "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
+    "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
+    "boilerplate_frac"     -> ((s, d) => graft.ops.Curation.boilerplateFraction(s, d)),
+    "stratified_sample"    -> ((s, d) => graft.ops.Curation.stratifiedSample(s, d)),
+    "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
+    "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
+    "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -500,6 +507,97 @@ object SparkEntry {
         |      FROM h e JOIN h c ON e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0)
         |SELECT eval_id, corpus_id, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY eval_id, corpus_id""".stripMargin,
+
+    "repetition_metrics" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |        [array_to_string(tok[i:i+1], ' ') for i in generate_series(1, greatest(len(tok)-1, 1))] AS g2,
+        |        [array_to_string(tok[i:i+2], ' ') for i in generate_series(1, greatest(len(tok)-2, 1))] AS g3
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(tok) AS w FROM t),
+        |c AS (SELECT doc_id, w, count(*) AS cnt FROM e GROUP BY doc_id, w),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id),
+        |m AS (SELECT g.doc_id, n_tokens, top_cnt,
+        |        round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+        |        round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 6) AS dup_2gram_frac,
+        |        round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6) AS dup_3gram_frac
+        |      FROM g JOIN top ON g.doc_id = top.doc_id)
+        |SELECT doc_id, n_tokens, top_cnt, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+        |       top_token_frac <= 0.15 AND dup_2gram_frac <= 0.15 AND dup_3gram_frac <= 0.10 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+2], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, unnest(sh) AS g FROM s))
+        |SELECT h, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM e GROUP BY h HAVING count(*) >= 5 ORDER BY h""".stripMargin,
+
+    "boilerplate_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+2], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-2, 1))]) AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+        |bo AS (SELECT h FROM e GROUP BY h HAVING count(*) >= 5),
+        |a AS (SELECT e.doc_id, count(*) AS n_shingles, count(bo.h) AS n_boiler,
+        |        round(CAST(count(bo.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS boiler_frac
+        |      FROM e LEFT JOIN bo USING (h) GROUP BY e.doc_id)
+        |SELECT doc_id, n_shingles, n_boiler, boiler_frac, boiler_frac <= 0.5 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang),
+        |t AS (SELECT min(lang_n) AS target_n FROM c)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents JOIN c USING (lang), t
+        |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT * lang_n
+        |      < target_n * 16777216
+        |ORDER BY doc_id""".stripMargin,
+
+    "pseudonymize" ->
+      """SELECT event_id,
+        |       substr(sha256('pepper:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseud,
+        |       event_type,
+        |       regexp_replace(props, '\d+', '<NUM>', 'g') AS props_redacted
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, label,
+        |       round(maxabs / 127.0, 6) AS scale,
+        |       round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+        |       array_to_string([CASE WHEN maxabs = 0 THEN 0
+        |                             ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END
+        |                        for x in v], ',') AS q_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    "dup_clusters" ->
+      s"""WITH RECURSIVE ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand),
+         |d AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |ed AS (SELECT id_a AS a, id_b AS b FROM d UNION ALL SELECT id_b AS a, id_a AS b FROM d),
+         |nd AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nd
+         |  UNION
+         |  SELECT ed.a, r.lbl FROM ed JOIN reach r ON ed.b = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

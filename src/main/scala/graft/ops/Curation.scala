@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the cleaning/filtering stage a training-data
+  * pipeline runs before dedup (SURVEY.md §2 B14-B17).
+  *
+  * Scale shapes:
+  *  - repetition metrics: per-row array math for the n-gram signals plus ONE
+  *    explode→two-level-aggregate for the top-token signal (partial
+  *    aggregation makes the exploded shuffle carry (doc_id, token) partial
+  *    counts, never raw token lists);
+  *  - boilerplate detection: explode distinct shingle hashes → groupBy hash
+  *    (map-side combined); the resulting common-ngram table is tiny by
+  *    construction (HAVING count ≥ N on an ~unique hash space) and
+  *    broadcasts back for the per-doc fraction;
+  *  - stratified sampling: one tiny groupBy for class counts (broadcast) +
+  *    a pure-projection integer-exact hash filter — scan speed, resumable,
+  *    same doc kept on every run/engine;
+  *  - pseudonymization: pure projection (sha256 + regexp), scan speed.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** n-gram arrays of the token vector (NOT distinct — repetition math needs
+    * multiplicity; k-grams of a doc shorter than k degrade to one gram,
+    * mirroring `greatest(..., 1)` in the oracle).
+    */
+  private def grams(tok: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tok) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(tok, i, lit(k))))
+
+  /** B14 — Gopher-style repetition metrics: the fraction of mass held by the
+    * most frequent token, and the duplicate fraction among 2-grams and
+    * 3-grams. Heavily repetitive machine-generated text scores high on all
+    * three; `keep` applies the published-style thresholds. The n-gram
+    * signals are per-row (distinct-vs-total over the gram arrays); the
+    * top-token signal is an explode→groupBy so no row ever does quadratic
+    * work, and at 100 TB the exploded aggregate partial-combines per
+    * partition before shuffling (doc_id, token) pairs.
+    */
+  def repetitionMetrics(spark: SparkSession, dir: String,
+                        maxTopTokenFrac: Double = 0.15,
+                        maxDup2Frac: Double = 0.15,
+                        maxDup3Frac: Double = 0.10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = toks(col("text"))
+    def dupFrac(k: Int): Column = {
+      val g = grams(tok, k)
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
+    }
+    val top = docs
+      .select(col("doc_id"), explode(tok).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+    docs
+      .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
+        dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
+      .join(top, Seq("doc_id"))
+      .withColumn("top_token_frac",
+        round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("keep",
+        col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_2gram_frac") <= maxDup2Frac &&
+          col("dup_3gram_frac") <= maxDup3Frac)
+      .select("doc_id", "n_tokens", "top_cnt", "top_token_frac",
+        "dup_2gram_frac", "dup_3gram_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, h): one row per DISTINCT k-shingle hash per doc (60-bit
+    * md5-prefix hash — engine-portable, one digest per shingle).
+    */
+  private def docShingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(VectorExpressions.shingleHashes(col("text"), k, md5Based = true)
+        .getField("hv")).as("h"))
+
+  /** B15a — boilerplate n-gram detection: k-shingles appearing in at least
+    * `minDocs` distinct documents (headers, footers, license blocks, nav
+    * chrome). Shingles are distinct within each doc, so a plain count equals
+    * the distinct-doc count — one map-side-combined groupBy on the hash.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String,
+                        shingleK: Int = 3, minDocs: Int = 5): DataFrame =
+    boilerplate0(Tables.documents(spark, dir), shingleK, minDocs)
+      .orderBy("h")
+
+  private def boilerplate0(docs: DataFrame, shingleK: Int, minDocs: Int): DataFrame =
+    docShingleHashes(docs, shingleK)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /** B15b — per-document boilerplate fraction: the share of a doc's distinct
+    * k-shingles that are corpus-common. The common-ngram table is tiny
+    * (bounded by |corpus shingles| / minDocs) and broadcasts; the per-doc
+    * side streams through one left join + aggregate. Docs past
+    * `maxBoilerFrac` are template/chrome pages a quality pipeline drops.
+    */
+  def boilerplateFraction(spark: SparkSession, dir: String,
+                          shingleK: Int = 3, minDocs: Int = 5,
+                          maxBoilerFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val boiler = boilerplate0(docs, shingleK, minDocs)
+      .select(col("h"), lit(1).as("is_boiler"))
+    docShingleHashes(docs, shingleK)
+      .join(broadcast(boiler), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("is_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("keep", col("boiler_frac") <= maxBoilerFrac)
+      .orderBy("doc_id")
+  }
+
+  /** B16 — deterministic stratified rebalancing sample: downsample each
+    * language class to the size of the smallest class. The keep decision is
+    * integer-exact — u * class_n < target_n * 2^24 with u a 24-bit
+    * content-free hash of the doc id — so both engines and every rerun keep
+    * the SAME documents (no RNG, no float rounding at the boundary). Class
+    * counts are one tiny groupBy that broadcasts; the filter itself is a
+    * pure projection at scan speed.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val target = counts.agg(min("lang_n").as("target_n"))
+    val u = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(target))
+      .where(u * col("lang_n") < col("target_n") * lit(1L << 24))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
+    * user → same pseudonym, not reversible without the pepper) and numeric
+    * PII-pattern redaction in the free-form payload. Pure projection — at
+    * 100 TB this runs at scan speed with zero shuffle.
+    */
+  def pseudonymize(spark: SparkSession, dir: String,
+                   pepper: String = "pepper:"): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        substring(sha2(concat(lit(pepper), col("user_id").cast("string")), 256), 1, 16)
+          .as("user_pseud"),
+        col("event_type"),
+        regexp_replace(col("props"), "\\d+", "<NUM>").as("props_redacted"))
+      .orderBy("event_id")
+}

@@ -369,6 +369,60 @@ object Dedup {
     docs.select(col("doc_id"),
       VectorExpressions.shingleHashes(col("text"), shingleK, md5Based).as("hs"))
 
+  // ------------------------------------------------------ duplicate clusters
+
+  /** B19 — duplicate-cluster assembly: connected components over the
+    * near-dup pair graph (a≈b, b≈c ⇒ {a,b,c} are one cluster), the step that
+    * turns pairwise LSH output into the keep-one-per-cluster decision a real
+    * dedup run ships. Iterative min-label propagation: every node starts
+    * labeled with its own id and repeatedly takes the min of its neighbors'
+    * labels; at fixpoint the label is the component's min id.
+    *
+    * Scale shape: each iteration is one keyed join + partial-aggregated
+    * groupBy on the edge list — no collect of data rows; the driver reads
+    * ONE scalar (the changed-label count) per iteration to detect
+    * convergence, and `localCheckpoint` truncates the growing lineage.
+    * Iterations = component diameter; near-dup clusters are dense (most are
+    * cliques from a shared bucket), so diameter stays small. A worst-case
+    * chain topology would take O(n) rounds — the standard escalation is
+    * large-star/small-star contraction (O(log n) rounds, same per-round
+    * shape); maxIter bounds the loop and any unconverged remainder is
+    * reported honestly rather than looped forever.
+    */
+  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                  maxIter: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val signed = signatures(docs, md5Based = true, numHashes = 32, shingleK = 3)
+    val pairs = pairsFrom(signed, numHashes = 32, bands = 16, threshold,
+      maxBucket = 256, portable = true).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), Seq("id"))
+        .where(col("lbl") =!= col("old_lbl")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
   /** LSH candidates + exact-Jaccard verification over a hashed per-doc
     * table (doc_id, hs(h24, hv)). The hashed table is persisted so the one
     * expensive pass — shingling + content hashing — feeds bucket stats, the

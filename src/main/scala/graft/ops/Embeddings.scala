@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding storage operators (SURVEY.md §2 B18): per-vector max-abs int8
+  * quantization — the standard 4× storage/bandwidth reduction applied before
+  * a 100 TB embedding corpus is written or served. Pure per-row projection:
+  * zero shuffle, runs at parquet scan speed on any cluster size.
+  */
+object Embeddings {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Quantize a double-array column to int8 with a per-vector max-abs scale.
+    * Rounding is `floor(x * 127 / maxabs + 0.5)` — explicit half-up, chosen
+    * over `round` because engines disagree on half-even vs half-away ties;
+    * this exact formula is replayed by the DuckDB oracle. Zero vectors
+    * quantize to zeros (scale 0).
+    */
+  def quantizeCols(v: Column): (Column, Column) = {
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      when(maxabs === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / maxabs + lit(0.5)).cast("long")))
+    (maxabs / lit(127.0), q)
+  }
+
+  /** Library form: embeddings with an int8 (tinyint) payload + scale, the
+    * columns a production write would persist. Dequantization is
+    * `q * scale`.
+    */
+  def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val (scale, q) = quantizeCols(asDouble(col(vecCol)))
+    df.withColumn("scale", scale)
+      .withColumn("q", transform(q, x => x.cast("byte")))
+  }
+
+  /** B18 (registered, oracle-portable) — quantization summary per vector:
+    * the scale factor, the l2 norm, and the quantized vector serialized as a
+    * csv string (arrays hash engine-differently in the parity gate; the
+    * string form is canonical). Registered as `embedding_quantize`.
+    */
+  def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val (scale, q) = quantizeCols(v)
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(scale, 6).as("scale"),
+        round(norm, 6).as("l2_norm"),
+        concat_ws(",", q).as("q_csv"))
+      .orderBy("vec_id")
+  }
+}

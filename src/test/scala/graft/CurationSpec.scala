@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.{Curation, Dedup, Embeddings}
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the curation operators (SURVEY.md §2 B14-B19) on
+  * planted data: the signals must actually separate the pathological docs
+  * they exist to catch from normal text.
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Write a documents.parquet with the given rows under a temp sf dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("curation")
+    rows.map { case (id, text) => (id, text, "en", s"src${id % 3}", text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val varied =
+    "the quick brown fox jumps over a lazy dog while many other animals watch from the tall grass nearby every day"
+
+  test("repetition metrics flag a degenerate doc and keep varied text") {
+    val dir = docsDir(Seq(
+      1L -> Seq.fill(30)("spam").mkString(" "), // one token repeated
+      2L -> (varied + " " + varied),            // whole-text repetition
+      3L -> varied))
+    val m = Curation.repetitionMetrics(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("top_token_frac") === 1.0)
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(2L).getAs[Double]("dup_3gram_frac") > 0.4)
+    assert(!m(2L).getAs[Boolean]("keep"))
+    assert(m(3L).getAs[Boolean]("keep"))
+  }
+
+  test("boilerplate ngrams find the shared template; fraction flags the template-only doc") {
+    val template = "all rights reserved contact site admin"
+    // 5 docs carry the template + fully doc-unique tails; doc 99 is pure template.
+    val dir = docsDir(
+      (1L to 5L).map(i => i -> (s"$template " + (1 to 15).map(j => s"w${i}x$j").mkString(" "))) :+
+        (99L -> template))
+    val ngrams = Curation.boilerplateNgrams(spark, dir, shingleK = 3, minDocs = 5).collect()
+    assert(ngrams.nonEmpty, "shared template 3-grams must reach the minDocs threshold")
+    assert(ngrams.forall(_.getAs[Long]("n_docs") >= 5))
+    val frac = Curation.boilerplateFraction(spark, dir, shingleK = 3, minDocs = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(frac(99L).getAs[Double]("boiler_frac") === 1.0)
+    assert(!frac(99L).getAs[Boolean]("keep"))
+    assert(frac(3L).getAs[Double]("boiler_frac") < 0.5)
+  }
+
+  test("stratified sample keeps every doc of the smallest class and is deterministic") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("strat")
+    val rows = (1L to 40L).map(i => (i, varied, if (i <= 36) "en" else "fr", "src0", varied.length))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Curation.stratifiedSample(spark, dir).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // smallest class: u * 4 < 4 * 2^24 always holds — all 4 fr docs survive
+    assert(byLang("fr") === 4)
+    assert(byLang.getOrElse("en", 0) < 36, "majority class must be downsampled")
+    val again = Curation.stratifiedSample(spark, dir).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("pseudonymize is a stable 1:1 mapping and strips every digit from props") {
+    val out = Curation.pseudonymize(spark, sf0001)
+    val mapping = out
+      .join(Tables.events(spark, sf0001).select("event_id", "user_id"), Seq("event_id"))
+      .select("user_id", "user_pseud").distinct()
+    val users = mapping.select("user_id").distinct().count()
+    assert(mapping.count() === users, "same user must always get the same pseudonym")
+    assert(mapping.select("user_pseud").distinct().count() === users, "no pseudonym collisions")
+    assert(out.where(col("props_redacted").rlike("[0-9]")).count() === 0)
+  }
+
+  test("int8 quantization round-trips within half a quantization step") {
+    val q = Embeddings.quantize(Tables.embeddings(spark, sf0001).limit(100))
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("deq", transform(col("q"), x => x.cast("double") * col("scale")))
+    val bad = q.select(col("scale"), explode(arrays_zip(col("vd"), col("deq"))).as("z"))
+      .where(abs(col("z.vd") - col("z.deq")) > col("scale") * 0.5 + lit(1e-9))
+    assert(bad.count() === 0, "dequantized value must be within half a step of the original")
+    val range = q.select(explode(col("q")).as("v"))
+      .agg(min("v").as("lo"), max("v").as("hi")).head()
+    assert(range.getAs[Byte]("lo") >= -127 && range.getAs[Byte]("hi") <= 127)
+  }
+
+  test("dup clusters are transitive: a~b and b~c land in one cluster") {
+    val base = varied.split(" ")
+    def mutate(n: Int) = base.zipWithIndex
+      .map { case (w, i) => if (i < n) s"swap$i" else w }.mkString(" ")
+    val dir = docsDir(Seq(
+      10L -> base.mkString(" "),
+      11L -> mutate(1),
+      12L -> mutate(2),
+      50L -> Seq.fill(25)("unrelated different words entirely").mkString(" ")))
+    val cl = Dedup.dupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(Set(10L, 11L, 12L).subsetOf(cl.keySet), "all three near-dups must be clustered")
+    val ids = Set(10L, 11L, 12L).map(id => cl(id).getAs[Long]("cluster_id"))
+    assert(ids.size === 1, s"expected one transitive cluster, got $ids")
+    assert(cl(10L).getAs[Long]("cluster_size") === 3)
+    assert(!cl.contains(50L) || cl(50L).getAs[Long]("cluster_size") === 1)
+  }
+}
