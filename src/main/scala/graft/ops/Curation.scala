@@ -106,10 +106,15 @@ object Curation {
   def boilerplateFraction(spark: SparkSession, dir: String,
                           shingleK: Int = 3, minDocs: Int = 5,
                           maxBoilerFrac: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val boiler = boilerplate0(docs, shingleK, minDocs)
+    // One shingling+hashing pass feeds both the common-ngram aggregate and
+    // the per-doc join side (persisted: (doc_id, h) longs only, a fraction
+    // of the raw text; without it the expensive explode runs twice).
+    val hashed = docShingleHashes(Tables.documents(spark, dir), shingleK).persist()
+    val boiler = hashed.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
       .select(col("h"), lit(1).as("is_boiler"))
-    docShingleHashes(docs, shingleK)
+    hashed
       .join(broadcast(boiler), Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

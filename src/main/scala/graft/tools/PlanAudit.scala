@@ -14,7 +14,9 @@ object PlanAudit {
     val names = Seq("q1_agg", "q3_join", "q5_join", "q6_agg", "dedup_exact",
       "dedup_minhash_pairs", "ngram_jaccard_lsh", "ann_lsh_topk", "ann_ivf_topk",
       "embedding_near_dup", "ann_brute_topk", "events_sessionize",
-      "resume_after", "change_events_json", "contamination", "train_split")
+      "resume_after", "change_events_json", "contamination", "train_split",
+      "repetition_metrics", "boilerplate_frac", "stratified_sample",
+      "embedding_quantize")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
