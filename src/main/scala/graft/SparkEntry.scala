@@ -124,6 +124,61 @@ object SparkEntry {
        |      FROM h)""".stripMargin
   }
 
+  /** DuckDB replay of the mini-IVF pipeline (Similarity.ivfTopK): seeds are
+    * the `cells` lowest vec_ids; each unrolled Lloyd's iteration assigns
+    * every vector to its max-cosine centroid (ties → higher cell, mirroring
+    * Spark's greatest(struct(cos, idx))) and recomputes per-component means
+    * rounded to 6 decimals (the rounding both engines share, see
+    * ivfCentroids); empty cells keep their previous centroid. Final corpus
+    * assignment + top-`nprobe` probed cells per query + exact re-rank.
+    */
+  private def ivfOracleSql(nQueries: Int = 5, k: Int = 5, cells: Int = 16,
+                           nprobe: Int = 4, iters: Int = 2, dim: Int = 64): String = {
+    def cosOf(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))"
+    val iterCtes = (0 until iters).map { i =>
+      val prev = if (i == 0) "c0" else s"c${i}f"
+      s"""s$i AS (SELECT e.vec_id, c.cell, ${cosOf("e.v", "c.ctr")} AS cs
+         |        FROM e CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn
+         |          FROM s$i) WHERE rn = 1),
+         |m${i + 1} AS (SELECT a$i.cell, i AS pos, round(avg(e.v[i]), 6) AS m
+         |        FROM a$i JOIN e USING (vec_id), generate_series(1, $dim) gs(i)
+         |        GROUP BY a$i.cell, i),
+         |l${i + 1} AS (SELECT cell, list(m ORDER BY pos) AS ctr FROM m${i + 1} GROUP BY cell),
+         |c${i + 1}f AS (SELECT p.cell, coalesce(l.ctr, p.ctr) AS ctr FROM $prev p LEFT JOIN l${i + 1} l USING (cell))"""
+        .stripMargin
+    }.mkString(",\n")
+    val fc = s"c${iters}f"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS ctr
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $cells)),
+       |$iterCtes,
+       |sf AS (SELECT e.vec_id, c.cell, ${cosOf("e.v", "c.ctr")} AS cs
+       |       FROM e CROSS JOIN $fc c),
+       |af AS (SELECT vec_id, cell FROM (
+       |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn
+       |         FROM sf) WHERE rn = 1),
+       |corpus AS (SELECT af.vec_id, e.v, af.cell FROM af JOIN e USING (vec_id)),
+       |qp AS (SELECT q.query_id, q.qv, c.cell,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |                            ORDER BY ${cosOf("q.qv", "c.ctr")} DESC, c.cell DESC) AS pr
+       |       FROM (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries) q
+       |       CROSS JOIN $fc c),
+       |probes AS (SELECT query_id, qv, cell FROM qp WHERE pr <= $nprobe),
+       |sc AS (SELECT p.query_id, c.vec_id, round(${cosOf("c.v", "p.qv")}, 6) AS cos
+       |       FROM corpus c JOIN probes p USING (cell)
+       |       WHERE c.vec_id <> p.query_id),
+       |d AS (SELECT DISTINCT query_id, vec_id, cos FROM sc)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM d) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private val cosSql =
     "round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / " +
       "(sqrt(list_sum(list_transform(v, x -> x * x))) * " +
@@ -426,6 +481,8 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |      FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_topk" -> ivfOracleSql(),
 
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -146,10 +146,14 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     for (_ <- 0 until iters) {
       val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
+      // Means round to 6 decimals: Spark's distributed double sum and
+      // DuckDB's sequential one differ in the last ulp; rounding makes the
+      // centroid literals identical on both engines (and costs IVF nothing —
+      // centroids are arbitrary quantization anchors).
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "component")))
         .groupBy("cell", "pos")
-        .agg(avg(col("component").cast("double")).as("mean"))
+        .agg(round(avg(col("component").cast("double")), 6).as("mean"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean") }
