@@ -35,6 +35,7 @@ object SparkEntry {
     "resume_tokens_clean"  -> ((s, d) => ResumeTokens.cleanTokens(s, d)),
     // B. LLM-data-pipeline
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_incremental"    -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
     "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairsPortable(s, d)),
@@ -353,6 +354,16 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+        |hist AS (SELECT DISTINCT md5(text) AS text_hash FROM documents, m WHERE doc_id <= mid),
+        |inc AS (SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash,
+        |               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |        FROM documents, m WHERE doc_id > mid)
+        |SELECT doc_id, lang, source, n_chars, text_hash
+        |FROM inc WHERE rn = 1 AND text_hash NOT IN (SELECT text_hash FROM hist)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_stats" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies,

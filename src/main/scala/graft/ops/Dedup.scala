@@ -369,6 +369,31 @@ object Dedup {
     docs.select(col("doc_id"),
       VectorExpressions.shingleHashes(col("text"), shingleK, md5Based).as("hs"))
 
+  /** B20 (batch analog of the streaming ingest, oracle path) — incremental
+    * dedup: the corpus's newer half arrives as a delivery and is deduped
+    * against the older half's content-hash index — keep-first within the
+    * delivery, then a left-anti join against history. The index side is a
+    * bare hash column (narrow), the join is keyed on the hash: the exact
+    * shape `graft.streaming.DedupIngest` runs per micro-batch at 100 TB.
+    * The split point is max(doc_id)/2 computed as a broadcast 1-row join —
+    * no driver-side scalar fetch.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = docs.agg(expr("max(doc_id) div 2").as("mid"))
+    val withMid = docs.crossJoin(broadcast(m))
+    val hist = withMid.where(col("doc_id") <= col("mid"))
+      .select(md5(col("text")).as("text_hash")).distinct()
+    val byHash = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    withMid.where(col("doc_id") > col("mid"))
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(byHash))
+      .where(col("rn") === 1)
+      .join(hist, Seq("text_hash"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars", "text_hash")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ duplicate clusters
 
   /** B19 — duplicate-cluster assembly: connected components over the

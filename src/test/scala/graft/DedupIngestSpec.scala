@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.DedupIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming incremental dedup (SURVEY.md §2 B20): content seen in ANY
+  * earlier micro-batch must never be emitted again, the index must
+  * accumulate across restarts, and epoch replay must be idempotent.
+  */
+class DedupIngestSpec extends SparkSpec {
+
+  private def writeBatch(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("cross-batch dedup: history suppresses repeats; index accumulates over restarts") {
+    val src = tempDir("ingest-src")
+    val out = tempDir("ingest-out")
+    val idx = tempDir("ingest-idx") + "/index" // not yet existing
+    val cp = tempDir("ingest-cp")
+
+    // batch 1: two distinct texts, one in-batch dup
+    writeBatch(src, "b1", Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon", 3L -> "alpha beta gamma"))
+    val q1 = DedupIngest.start(spark, src, out, idx, cp, trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    val out1 = spark.read.parquet(out)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "in-batch dup must keep only the first doc_id")
+
+    // batch 2 after a restart: one historical dup, one new text
+    writeBatch(src, "b2", Seq(4L -> "delta epsilon", 5L -> "zeta eta theta"))
+    val q2 = DedupIngest.start(spark, src, out, idx, cp, trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    val all = spark.read.parquet(out)
+    assert(all.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L),
+      "text already in the index must be dropped after restart")
+    assert(spark.read.parquet(idx).select("text_hash").distinct().count() === 3)
+
+    // re-running with no new input must change nothing (epoch idempotence)
+    val q3 = DedupIngest.start(spark, src, out, idx, cp, trigger = Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() === 3)
+    assert(spark.read.parquet(idx).count() === 3)
+  }
+
+  test("dedupBatch against an explicit index is a pure keyed anti-join") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((10L, "seen before"), (11L, "brand new"), (12L, "brand new"))
+      .toDF("doc_id", "text")
+    val index = Seq(java.security.MessageDigest.getInstance("MD5")
+      .digest("seen before".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .toDF("text_hash")
+    val fresh = DedupIngest.dedupBatch(batch, index)
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
+}
