@@ -54,6 +54,7 @@ object SparkEntry {
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
+    "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
     "boilerplate_frac"     -> ((s, d) => graft.ops.Curation.boilerplateFraction(s, d)),
     "stratified_sample"    -> ((s, d) => graft.ops.Curation.stratifiedSample(s, d)),
@@ -71,7 +72,9 @@ object SparkEntry {
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
-    "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d))
+    "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d)),
+    "corpus_rollup"        -> ((s, d) => Analytics.corpusRollup(s, d)),
+    "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d))
   )
 
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
@@ -594,6 +597,43 @@ object SparkEntry {
         |       top_token_frac <= 0.15 AND dup_2gram_frac <= 0.15 AND dup_3gram_frac <= 0.10 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "corpus_pipeline" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand),
+         |ndrop AS (SELECT DISTINCT id_b FROM est WHERE est_jaccard >= 0.5),
+         |q1 AS (SELECT doc_id,
+         |         round(least(1.0, CAST(len(tok) AS DOUBLE) / 200.0) *
+         |               (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE)), 6) >= 0.1 AS qkeep
+         |       FROM t),
+         |r1 AS (SELECT doc_id,
+         |         [array_to_string(tok[i:i+1], ' ') for i in generate_series(1, greatest(len(tok)-1, 1))] AS g2,
+         |         [array_to_string(tok[i:i+2], ' ') for i in generate_series(1, greatest(len(tok)-2, 1))] AS g3
+         |       FROM t),
+         |rc AS (SELECT doc_id, w, count(*) AS cnt
+         |       FROM (SELECT doc_id, unnest(tok) AS w FROM t) GROUP BY doc_id, w),
+         |rt AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n FROM rc GROUP BY doc_id),
+         |rk AS (SELECT r1.doc_id,
+         |         round(CAST(rt.top_cnt AS DOUBLE) / CAST(rt.n AS DOUBLE), 6) <= 0.15
+         |         AND round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 6) <= 0.15
+         |         AND round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6) <= 0.10 AS rkeep
+         |       FROM r1 JOIN rt ON r1.doc_id = rt.doc_id),
+         |be AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+         |       FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+         |bb AS (SELECT h FROM be GROUP BY h HAVING count(*) >= 5),
+         |bf AS (SELECT be.doc_id,
+         |         round(CAST(count(bb.h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) <= 0.5 AS bkeep
+         |       FROM be LEFT JOIN bb USING (h) GROUP BY be.doc_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN q1 ON d.doc_id = q1.doc_id AND q1.qkeep
+         |JOIN rk ON d.doc_id = rk.doc_id AND rk.rkeep
+         |JOIN bf ON d.doc_id = bf.doc_id AND bf.bkeep
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM ndrop)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "boilerplate_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |s AS (SELECT doc_id,
@@ -794,6 +834,22 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY p_brand
         |               ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank
         |      FROM part)
-        |WHERE price_rank <= 3 ORDER BY p_brand, price_rank""".stripMargin
+        |WHERE price_rank <= 3 ORDER BY p_brand, price_rank""".stripMargin,
+
+    "corpus_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    "token_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(quantile_cont(ntok, 0.25), 6) AS p25,
+        |       round(quantile_cont(ntok, 0.5), 6) AS p50,
+        |       round(quantile_cont(ntok, 0.9), 6) AS p90,
+        |       round(quantile_cont(ntok, 0.99), 6) AS p99
+        |FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

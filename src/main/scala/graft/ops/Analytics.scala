@@ -127,4 +127,43 @@ object Analytics {
       .select("p_brand", "price_rank", "p_partkey", "p_name", "p_retailprice")
       .orderBy("p_brand", "price_rank")
   }
+
+  /** C8 — hierarchical rollup: per-(lang, source) corpus volumes with
+    * per-lang subtotals and a grand total in one pass (`ROLLUP`). One
+    * aggregation, three grouping sets — Spark expands the sets map-side, so
+    * the shuffle still carries only partial aggregates. Null group keys
+    * surface as '<all>' so both engines order subtotal rows identically.
+    */
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("gid"), col("n_docs"), col("n_chars"))
+      .orderBy("gid", "lang", "source")
+
+  /** C9 — distribution stats: EXACT token-count percentiles per language
+    * (p25/p50/p90/p99, linear interpolation — the same definition as
+    * SQL `quantile_cont`, so the oracle agrees bit-for-bit). Exact
+    * percentile sorts within each group; at 100 TB the production variant
+    * swaps in `percentile_approx` (mergeable sketches, one pass, no sort) —
+    * same shape, bounded error, and the swap is a one-line change.
+    */
+  def tokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    Tables.documents(spark, dir)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("double"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile(ntok, array(${ps.mkString(", ")}))").as("pct"))
+      .select(col("lang") +: col("n_docs") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("pct"), i + 1), 6).as(s"p${(p * 100).toInt}")
+        }: _*)
+      .orderBy("lang")
+  }
 }

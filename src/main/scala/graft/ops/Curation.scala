@@ -146,6 +146,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B21 — the composed curation pipeline: documents that pass quality
+    * scoring AND repetition filters AND the boilerplate cap AND survive
+    * MinHash near-dup removal — i.e. the corpus a training run actually
+    * reads. Composition is by keep-list joins on doc_id (each stage's
+    * output is a narrow id set; the joins are keyed and the dedup stage is
+    * the bounded-bucket LSH path). This registered variant favors oracle
+    * replay over fusion; a production run fuses the three per-row stages
+    * into one projection pass and leaves only dedup as a join.
+    */
+  def curatedCorpus(spark: SparkSession, dir: String,
+                    qualityMin: Double = 0.1): DataFrame = {
+    // The pipeline thresholds quality_score directly (default 0.1) rather
+    // than reusing TextAnalysis.quality's stricter standalone `keep`: cutoffs
+    // are corpus-tuned in practice, and a flagship composition that filters
+    // a normal corpus to nothing demonstrates only the thresholds.
+    val q = TextAnalysis.quality(spark, dir)
+      .where(col("quality_score") >= qualityMin).select("doc_id")
+    val r = repetitionMetrics(spark, dir).where(col("keep")).select("doc_id")
+    val b = boilerplateFraction(spark, dir).where(col("keep")).select("doc_id")
+    Dedup.minhashDedupPortable(spark, dir)
+      .join(q, Seq("doc_id"))
+      .join(r, Seq("doc_id"))
+      .join(b, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

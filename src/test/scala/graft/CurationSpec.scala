@@ -92,6 +92,21 @@ class CurationSpec extends SparkSpec {
     assert(range.getAs[Byte]("lo") >= -127 && range.getAs[Byte]("hi") <= 127)
   }
 
+  test("curated corpus is the intersection of every stage's keep set") {
+    val piped = Curation.curatedCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quality = graft.ops.TextAnalysis.quality(spark, sf0001)
+      .where(col("quality_score") >= 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val rep = Curation.repetitionMetrics(spark, sf0001)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val boiler = Curation.boilerplateFraction(spark, sf0001)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dedup = graft.ops.Dedup.minhashDedupPortable(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(piped === (quality & rep & boiler & dedup))
+    assert(piped.nonEmpty, "a normal corpus must not be filtered to nothing")
+  }
+
   test("dup clusters are transitive: a~b and b~c land in one cluster") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex
