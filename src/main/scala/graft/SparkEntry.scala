@@ -365,7 +365,8 @@ object SparkEntry {
         |               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |        FROM documents, m WHERE doc_id > mid)
         |SELECT doc_id, lang, source, n_chars, text_hash
-        |FROM inc WHERE rn = 1 AND text_hash NOT IN (SELECT text_hash FROM hist)
+        |FROM inc WHERE rn = 1
+        |  AND NOT EXISTS (SELECT 1 FROM hist WHERE hist.text_hash = inc.text_hash)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_stats" ->

@@ -26,15 +26,6 @@ object Curation {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** n-gram arrays of the token vector (NOT distinct — repetition math needs
-    * multiplicity; k-grams of a doc shorter than k degrade to one gram,
-    * mirroring `greatest(..., 1)` in the oracle).
-    */
-  private def grams(tok: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(tok) - lit(k - 1), lit(1))),
-      i => concat_ws(" ", slice(tok, i, lit(k))))
-
   /** B14 — Gopher-style repetition metrics: the fraction of mass held by the
     * most frequent token, and the duplicate fraction among 2-grams and
     * 3-grams. Heavily repetitive machine-generated text scores high on all
@@ -50,9 +41,19 @@ object Curation {
                         maxDup3Frac: Double = 0.10): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = toks(col("text"))
+    // Duplicate-gram fraction = 1 - distinct/total. Distinct grams count via
+    // the codegen'd ShingleHashes expression (one tight loop per row — the
+    // interpreted transform-lambda formulation is this repo's measured 20×
+    // bench trap); total gram count is closed-form. Distinct HASHES stand in
+    // for distinct strings exactly as in ngramJaccard: 60-bit md5 prefixes,
+    // collision odds ~|grams|²/2⁶¹ ≈ 0, and the oracle's list_distinct over
+    // the strings agrees.
     def dupFrac(k: Int): Column = {
-      val g = grams(tok, k)
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6)
+      val total = greatest(size(tok) - lit(k - 1), lit(1)).cast("double")
+      val distinctGrams = size(
+        VectorExpressions.shingleHashes(col("text"), k, md5Based = true).getField("hv"))
+        .cast("double")
+      round(lit(1.0) - distinctGrams / total, 6)
     }
     val top = docs
       .select(col("doc_id"), explode(tok).as("w"))
@@ -108,7 +109,11 @@ object Curation {
                           maxBoilerFrac: Double = 0.5): DataFrame = {
     // One shingling+hashing pass feeds both the common-ngram aggregate and
     // the per-doc join side (persisted: (doc_id, h) longs only, a fraction
-    // of the raw text; without it the expensive explode runs twice).
+    // of the raw text; without it the expensive explode runs twice). The
+    // cache is session-lifetime by design — the returned frame is lazy, so
+    // there is no safe unpersist point inside this builder; MEMORY_AND_DISK
+    // persists are LRU-evictable under pressure, and batch drivers (Bench)
+    // clear the cache between queries.
     val hashed = docShingleHashes(Tables.documents(spark, dir), shingleK).persist()
     val boiler = hashed.groupBy("h")
       .agg(count(lit(1)).as("n_docs"))

@@ -384,12 +384,10 @@ object Dedup {
     val withMid = docs.crossJoin(broadcast(m))
     val hist = withMid.where(col("doc_id") <= col("mid"))
       .select(md5(col("text")).as("text_hash")).distinct()
-    val byHash = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
-    withMid.where(col("doc_id") > col("mid"))
-      .withColumn("text_hash", md5(col("text")))
-      .withColumn("rn", row_number().over(byHash))
-      .where(col("rn") === 1)
-      .join(hist, Seq("text_hash"), "left_anti")
+    // the per-delivery dedup itself IS the streaming implementation — one
+    // shared body, so the oracle on this query covers the ingest path too
+    graft.streaming.DedupIngest.dedupBatch(
+        withMid.where(col("doc_id") > col("mid")), hist)
       .select("doc_id", "lang", "source", "n_chars", "text_hash")
       .orderBy("doc_id")
   }
@@ -411,11 +409,14 @@ object Dedup {
     * cliques from a shared bucket), so diameter stays small. A worst-case
     * chain topology would take O(n) rounds — the standard escalation is
     * large-star/small-star contraction (O(log n) rounds, same per-round
-    * shape); maxIter bounds the loop and any unconverged remainder is
-    * reported honestly rather than looped forever.
+    * shape); the loop runs to convergence — labels only ever decrease, so
+    * termination is guaranteed in ≤ diameter rounds — and `maxIter` is a
+    * safety valve that FAILS (rather than silently returning unconverged
+    * labels that would diverge from the exact recursive oracle) with a
+    * pointer to the star-contraction escalation.
     */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val signed = signatures(docs, md5Based = true, numHashes = 32, shingleK = 3)
     val pairs = pairsFrom(signed, numHashes = 32, bands = 16, threshold,
@@ -441,6 +442,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds (component diameter " +
+          "exceeds the cap); escalate to large-star/small-star contraction for " +
+          "chain-shaped duplicate graphs")
     labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size",

@@ -16,16 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Maintenance {
 
-  /** Total bytes + file count under `dir` (recursive, data files only). */
+  /** Total bytes + file count under `dir` (recursive, data files only —
+    * every path component under `dir` must be non-hidden by Spark's
+    * convention: no '_' or '.' prefix, which also skips the `_temporary`
+    * subtree debris of in-flight or failed writes).
+    */
   def fileCensus(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = path.toUri.getPath
     val it = fs.listFiles(path, true)
     var bytes = 0L
     var files = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) { bytes += f.getLen; files += 1 }
+      val rel = f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split("/").exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) { bytes += f.getLen; files += 1 }
     }
     (bytes, files)
   }

@@ -92,6 +92,18 @@ class CurationSpec extends SparkSpec {
     assert(range.getAs[Byte]("lo") >= -127 && range.getAs[Byte]("hi") <= 127)
   }
 
+  test("dup clusters stay bounded on 1000 identical docs (star guard, fast convergence)") {
+    val dir = docsDir((1L to 1000L).map(i => i -> varied))
+    val t0 = System.nanoTime()
+    val cl = Dedup.dupClusters(spark, dir).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cl.length === 1000, "every identical doc must be clustered")
+    assert(cl.map(_.getAs[Long]("cluster_id")).toSet === Set(1L),
+      "one degenerate bucket must collapse to a single cluster around the min id")
+    assert(cl.forall(_.getAs[Long]("cluster_size") === 1000L))
+    assert(secs < 120, s"degenerate input must stay bounded, took $secs s")
+  }
+
   test("curated corpus is the intersection of every stage's keep set") {
     val piped = Curation.curatedCorpus(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
