@@ -31,8 +31,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Queries that persist intermediates (LSH paths) must not hand a warm
       // cache to a later query with an identical sub-plan — every number
-      // below is a cold, self-contained run.
+      // below is a cold, self-contained run. clearCache only drops blocks
+      // the cache manager owns; localCheckpoint blocks (dup_clusters'
+      // per-round label tables) live as bare persistent RDDs and kept
+      // inflating every later query 4-9x under block-manager pressure
+      // (VERDICT r3 "What's wrong" #1) — drop those too.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -465,21 +465,22 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,
-        |             string_split(text, ' ') AS tok FROM documents),
-        |s AS (SELECT doc_id, source, len_bucket,
-        |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
-        |         list_distinct([array_to_string(tok[i:i+2], ' ')
-        |                        for i in generate_series(1, greatest(len(tok)-2, 1))])] AS sh
-        |      FROM t),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |        CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) AS szsum
-        |      FROM s a JOIN s b ON a.source = b.source AND a.len_bucket = b.len_bucket
-        |      WHERE a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
-        |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.05
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, source, n_chars // 100 AS len_bucket,
+         |             string_split(text, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id, source, len_bucket,
+         |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
+         |         list_distinct([array_to_string(tok[i:i+2], ' ')
+         |                        for i in generate_series(1, greatest(len(tok)-2, 1))])] AS sh
+         |      FROM t),
+         |kb AS (SELECT doc_id AS id, source AS band, len_bucket AS bkey FROM s),
+         |${guardedCand0Ctes(cap = 256)},
+         |p AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         |        CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) AS szsum
+         |      FROM cand0 c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id)
+         |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
+         |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -757,12 +758,15 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents)
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id, text,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t)
         |SELECT doc_id, md5(text) AS doc_hash,
-        |       list_min([md5(array_to_string(tok[i:i+7], ' '))
-        |                 for i in generate_series(1, greatest(len(tok)-7, 1))]) AS min_shingle_hash,
-        |       CAST(greatest(len(tok)-7, 1) AS BIGINT) AS n_shingles
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |       list_min([('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh]) AS min_shingle_hash,
+        |       CAST(len(sh) AS BIGINT) AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

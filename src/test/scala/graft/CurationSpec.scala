@@ -119,6 +119,33 @@ class CurationSpec extends SparkSpec {
     assert(piped.nonEmpty, "a normal corpus must not be filtered to nothing")
   }
 
+  test("star contraction resolves a 200-node chain in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // worst case for min-label propagation: diameter 199, O(n) rounds there
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.starContraction(edges)
+    val l = labels.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    assert(l.size === 200, "every chain node must be labeled")
+    assert(l.values.toSet === Set(1L), "the whole chain is one component rooted at the min id")
+    assert(rounds <= 15, s"star contraction must converge in O(log n) rounds on a chain, took $rounds")
+  }
+
+  test("dup clusters escalate to star contraction past maxIter and agree with propagation") {
+    val base = varied.split(" ")
+    def mutate(n: Int) = base.zipWithIndex
+      .map { case (w, i) => if (i < n) s"swap$i" else w }.mkString(" ")
+    val dir = docsDir(Seq(
+      10L -> base.mkString(" "), 11L -> mutate(1), 12L -> mutate(2)))
+    val viaPropagation = Dedup.dupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
+    // maxIter = 0 forces the escalation immediately; the answer must not change
+    val viaStars = Dedup.dupClusters(spark, dir, maxIter = 0).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
+    assert(viaStars === viaPropagation)
+    assert(viaStars.map(_._2) === Set(10L))
+  }
+
   test("dup clusters are transitive: a~b and b~c land in one cluster") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex
