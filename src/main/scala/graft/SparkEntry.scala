@@ -74,7 +74,10 @@ object SparkEntry {
     "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
     "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "corpus_rollup"        -> ((s, d) => Analytics.corpusRollup(s, d)),
-    "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d))
+    "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d)),
+    // no oracleSql entry: the sketch picks an engine-specific order
+    // statistic (rows-only driver check; rank-error bound in OpsSpec)
+    "token_percentiles_approx" -> ((s, d) => Analytics.tokenPercentilesApprox(s, d))
   )
 
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */

@@ -166,4 +166,28 @@ object Analytics {
         }: _*)
       .orderBy("lang")
   }
+
+  /** C9b — the one-pass 100 TB variant of [[tokenPercentiles]]:
+    * `percentile_approx` (Greenwald-Khanna mergeable sketches — partial
+    * sketches combine map-side, no per-group sort, bounded rank error
+    * n/accuracy). Registered rows-only: the sketch returns an engine-specific
+    * order statistic, not `quantile_cont` interpolation, so there is no
+    * bit-exact cross-engine oracle — OpsSpec instead asserts each approx
+    * value's RANK in the group stays within the published error bound of the
+    * exact percentile's rank.
+    */
+  def tokenPercentilesApprox(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    Tables.documents(spark, dir)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("double"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile_approx(ntok, array(${ps.mkString(", ")}), $accuracy)").as("pct"))
+      .select(col("lang") +: col("n_docs") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("pct"), i + 1), 6).as(s"p${(p * 100).toInt}")
+        }: _*)
+      .orderBy("lang")
+  }
 }

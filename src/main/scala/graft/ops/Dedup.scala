@@ -197,8 +197,8 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def pairsFrom(signed0: DataFrame, numHashes: Int, bands: Int,
-                        threshold: Double, maxBucket: Int, portable: Boolean): DataFrame = {
+  private[ops] def pairsFrom(signed0: DataFrame, numHashes: Int, bands: Int,
+                             threshold: Double, maxBucket: Int, portable: Boolean): DataFrame = {
     // The per-doc signature table fans out to four consumers (bucket stats,
     // band join, and both sides of the signature re-attach). Persisting it
     // makes the expensive pass — shingling + content hashing — run exactly

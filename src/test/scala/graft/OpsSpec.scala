@@ -72,6 +72,31 @@ class OpsSpec extends SparkSpec {
     assert(scanSchema.contains("l_quantity"))
   }
 
+  test("approx token percentiles stay within the sketch's rank-error bound of exact") {
+    val accuracy = 10000
+    val approx = Analytics.tokenPercentilesApprox(spark, sf0001, accuracy).collect()
+    assert(approx.nonEmpty)
+    val ntoks = Tables.documents(spark, sf0001)
+      .select(col("lang"), size(split(col("text"), " ")).cast("double").as("ntok"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for {
+      r <- approx
+      (p, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    } {
+      val xs = ntoks(r.getAs[String]("lang"))
+      val v = r.getAs[Double](colName)
+      val n = xs.length
+      assert(xs.contains(v), s"$colName=$v must be an actual sample of the group")
+      // Greenwald-Khanna guarantee: returned value's rank within n/accuracy
+      // of the target rank (+1 slack for the rank-definition boundary)
+      val eps = n.toDouble / accuracy + 1
+      val below = xs.count(_ < v)
+      val leq = xs.count(_ <= v)
+      assert(below <= p * n + eps && leq >= p * n - eps,
+        s"$colName=$v rank [$below,$leq] outside target ${p * n} ± $eps (n=$n)")
+    }
+  }
+
   test("resume_after replays exactly the events past each stream's checkpoint") {
     val out = ResumeTokens.resumeAfter(spark, sf0001)
     val ev = Tables.events(spark, sf0001)
