@@ -111,27 +111,27 @@ object Dedup {
     * zero vectors — would go quadratic, so they degrade to a linear star,
     * pairing every member with the bucket's smallest id. Dedup semantics
     * survive (every member still meets a representative) at O(bucket) cost.
-    * The wide-bucket list is found by a partial-aggregated groupBy and is
-    * tiny by construction (≤ |rows|/cap entries), so it broadcasts; callers
-    * keep `keyed`'s expensive upstream out of the double evaluation by
-    * persisting the per-doc hash table first (see pairsFrom).
+    * Bucket stats come from a window over the bucket key — ONE shuffle of
+    * the bare (key, id) rows that the self-join's two sides then REUSE
+    * (identical Exchange subtrees → ReusedExchange, and the window preserves
+    * the join's required partitioning), where the earlier census-groupBy +
+    * broadcast-join formulation shuffled the keyed rows three times.
     */
   private[ops] def guardedPairs(keyed: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val kc = keyCols.map(col)
-    val wide = keyed.groupBy(kc: _*)
-      .agg(count(lit(1)).as("bucket_n"), min(col("id")).as("bucket_rep"))
-      .where(col("bucket_n") > cap)
-      .select(kc :+ col("bucket_rep"): _*)
-    val flagged = keyed.join(broadcast(wide), keyCols, "left_outer")
-    val small = flagged.where(col("bucket_rep").isNull)
+    val w = Window.partitionBy(kc: _*)
+    val stats = keyed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_rep", min(col("id")).over(w))
+    val small = stats.where(col("bucket_n") <= cap)
     val a = small.select(kc :+ col("id").as("id_a"): _*)
     val b = small.select(kc :+ col("id").as("id_b"): _*)
     val smallPairs = a.join(b, keyCols)
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     // bucket_rep = min(id), so id_a < id_b holds for star edges too
-    val widePairs = flagged
-      .where(col("bucket_rep").isNotNull && col("id") =!= col("bucket_rep"))
+    val widePairs = stats
+      .where(col("bucket_n") > cap && col("id") =!= col("bucket_rep"))
       .select(col("bucket_rep").as("id_a"), col("id").as("id_b"))
     smallPairs.unionByName(widePairs)
   }

@@ -58,4 +58,78 @@ object Maintenance {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(nOut)
   }
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Sibling staging paths for an in-place compaction of `dir`. The '_'
+    * prefix keeps Spark/Hadoop readers from ever listing them as data.
+    */
+  private def stagingPaths(dir: String): (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path,
+      new org.apache.hadoop.fs.Path(path.getParent, "_" + path.getName + ".compact-tmp"),
+      new org.apache.hadoop.fs.Path(path.getParent, "_" + path.getName + ".compact-old"))
+  }
+
+  /** Compact `dir` IN PLACE with a swap-on-success commit: the rewrite goes
+    * to a hidden sibling temp dir; only after it fully succeeds AND the row
+    * count verifies equal does the swap happen — two directory renames
+    * (dir→old, tmp→dir), each atomic on POSIX and HDFS. Readers therefore
+    * observe the old file set or the new one, never a partial mix; any
+    * failure before the first rename leaves the original untouched, a
+    * failure between the renames is rolled back here and is recoverable
+    * after a crash via [[recoverCompaction]]. Returns
+    * (rows, filesBefore, filesAfter).
+    */
+  def compactInPlace(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val (path, tmp, old) = stagingPaths(dir)
+    val fs = fsOf(spark, path)
+    fs.delete(tmp, true)
+    require(!fs.exists(old),
+      s"$old exists — an interrupted compaction needs recoverCompaction($dir) first")
+    val (bytes, before) = fileCensus(spark, dir)
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val inRows = spark.read.parquet(dir).count()
+    spark.read.parquet(dir).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (rows != inRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction rewrite of $dir produced $rows rows, expected $inRows — aborting before swap")
+    }
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"could not stage $dir aside to $old")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll the original back in
+      throw new java.io.IOException(s"could not swap $tmp into $dir — original restored")
+    }
+    fs.delete(old, true)
+    val (_, after) = fileCensus(spark, dir)
+    (rows, before, after)
+  }
+
+  /** Finish or roll back an in-place compaction interrupted by a crash.
+    * State machine over the three staging paths (see [[compactInPlace]]):
+    *  - dir present, old present  → crash after the commit rename: the new
+    *    data is live, drop the staged-aside old copy;
+    *  - dir absent, old present   → crash between the renames: roll the old
+    *    copy back in and discard the (possibly incomplete) temp dir;
+    *  - otherwise                 → nothing in flight, drop temp debris.
+    * Idempotent; safe to call unconditionally at reader/writer startup.
+    */
+  def recoverCompaction(spark: SparkSession, dir: String): String = {
+    val (path, tmp, old) = stagingPaths(dir)
+    val fs = fsOf(spark, path)
+    val state =
+      if (fs.exists(path) && fs.exists(old)) { fs.delete(old, true); "committed" }
+      else if (!fs.exists(path) && fs.exists(old)) {
+        if (!fs.rename(old, path))
+          throw new java.io.IOException(s"could not restore $old to $dir")
+        "rolled-back"
+      } else "clean"
+    fs.delete(tmp, true)
+    state
+  }
 }

@@ -28,6 +28,27 @@ final case class JsonDirSource(sourceDir: String, maxFilesPerTrigger: Int = 4) e
       .json(sourceDir)
 }
 
+/** Continuously-streaming sandbox source: Spark's built-in rate source
+  * mapped onto the event schema — proves the [[EventSource]] seam against a
+  * genuinely unbounded multi-batch source (the closest in-container analog
+  * of a live change stream; a Kafka/CDC binding is the same config swap,
+  * reference mrcon/src/mongo/connector.rs:142). Deterministic derivation
+  * from the rate counter, so delivered events are checkable.
+  */
+final case class RateEventSource(rowsPerSecond: Int = 200) extends EventSource {
+  override def load(spark: SparkSession): DataFrame = {
+    val types = array(Seq("signup", "click", "purchase", "view", "error").map(lit): _*)
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("value").as("event_id"),
+        (lit(1704067200000000L) + col("value") * lit(1000000L)).as("ts_us"),
+        pmod(col("value"), lit(7L)).as("user_id"),
+        element_at(types, (pmod(col("value"), lit(5L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(100L)).cast("double") + lit(0.5)).as("value"),
+        format_string("{\"k\": %d}", col("value")).as("props"))
+  }
+}
+
 /** Where change-event payloads go. Called once per epoch from foreachBatch;
   * implementations MUST be idempotent per epochId — after a crash between
   * sink commit and checkpoint commit the epoch is replayed, and replay must

@@ -30,6 +30,7 @@ object QueryBench {
     catch { case _: Throwable => () }
     for (i <- 1 to reps) {
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()

@@ -120,6 +120,57 @@ class ChangeStreamSpec extends SparkSpec {
     assert(sink.rows.head.schema.fieldNames.contains("full_document"))
   }
 
+  test("publisher confirm failure mid-epoch: the replayed epoch REPLACES the partial delivery") {
+    val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
+    writeEvents(src, "batch.json", 0 until 40)
+    // a publisher whose broker "nacks": it lands half the epoch in the queue,
+    // then fails before confirming — the crash window between sink write and
+    // checkpoint commit (amqp.rs:95-110's confirm-await, where an error means
+    // the epoch was NOT acknowledged and will be redelivered)
+    val flaky = new graft.streaming.QueuePublisher {
+      override def publish(batch: org.apache.spark.sql.DataFrame, epochId: Long): Unit = {
+        batch.limit((batch.count() / 2).toInt).withColumn("epoch", lit(epochId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(queue)
+        throw new RuntimeException("broker nack: publisher confirm failed mid-epoch")
+      }
+    }
+    val q1 = ChangeStreamJob.startStream(spark, JsonDirSource(src), flaky, ckpt)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(60000)
+    }
+    assert(failed.getMessage.contains("confirm failed"))
+    val partial = queueIds(queue)
+    assert(partial.nonEmpty && partial.size < 40,
+      s"test needs a half-delivered epoch, got ${partial.size} rows")
+    // restart from the same checkpoint with a healthy publisher: the
+    // unconfirmed epoch replays under the SAME epoch id and must replace the
+    // partial delivery — exactly-once end-to-end, not at-least-once debris
+    val q2 = ChangeStreamJob.startStream(spark, JsonDirSource(src),
+      graft.streaming.ParquetQueuePublisher(queue), ckpt)
+    q2.awaitTermination(60000)
+    val ids = queueIds(queue)
+    assert(ids.size === ids.distinct.size, "replay must replace, never duplicate")
+    assert(ids.sorted === (0L until 40L), s"every event delivered exactly once: ${ids.sorted}")
+  }
+
+  test("rate-source binding: the connector runs against an unbounded streaming source") {
+    val ckpt = tempDir("ckpt")
+    val sink = new InMemoryQueuePublisher
+    val q = ChangeStreamJob.startStream(spark, graft.streaming.RateEventSource(500), sink, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (sink.rows.size < 50 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val ids = sink.rows.map(_.getAs[Long]("event_id"))
+    assert(ids.size >= 50, s"unbounded source must deliver continuously, got ${ids.size}")
+    assert(ids.distinct.size === ids.size, "no duplicate deliveries")
+    assert(sink.epochs.size >= 2, "delivery must span multiple micro-batches")
+    val e = sink.rows.find(_.getAs[Long]("event_id") == 1L)
+    assert(e.forall(_.getAs[String]("full_document").contains("\"event_id\":1")))
+  }
+
   test("source drop: stream over an exhausted source terminates cleanly (no exception)") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     writeEvents(src, "only.json", 0 until 10)

@@ -26,4 +26,64 @@ class MaintenanceSpec extends SparkSpec {
     assert(after === 1, s"200 tiny rows must compact to one file, got $after")
     assert(spark.read.parquet(out).select("id").distinct().count() === 200)
   }
+
+  private def writeEpochs(dir: String, epochs: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    (0 until epochs).foreach { epoch =>
+      (epoch * 10 until (epoch + 1) * 10).map(i => (i.toLong, s"row$i"))
+        .toDF("id", "payload")
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+  }
+
+  test("in-place compaction swaps atomically: readers see old or new, never a mix") {
+    val dir = tempDir("compact-swap") + "/data"
+    writeEpochs(dir, 10)
+    val (_, before) = Maintenance.fileCensus(spark, dir)
+    assert(before >= 10)
+    val (rows, b, after) = Maintenance.compactInPlace(spark, dir)
+    assert(rows === 100 && b === before)
+    assert(after === 1, s"100 tiny rows must land in one file, got $after")
+    // the listing is ONLY the new file set — no leftover small files, no
+    // staging debris a reader could pick up
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val siblings = fs.listStatus(parent).map(_.getPath.getName).toSet
+    assert(siblings === Set("data"), s"staging dirs must not survive the swap: $siblings")
+    assert(spark.read.parquet(dir).select("id").distinct().count() === 100)
+  }
+
+  test("interrupted swap recovers to exactly the old or the new listing") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash BETWEEN the renames: dir gone, old staged aside, tmp complete →
+    // recovery must roll the original back in, bit-identical
+    val d1 = tempDir("compact-crash1") + "/data"
+    writeEpochs(d1, 5)
+    val p1 = new org.apache.hadoop.fs.Path(d1)
+    val old1 = new org.apache.hadoop.fs.Path(p1.getParent, "_data.compact-old")
+    val tmp1 = new org.apache.hadoop.fs.Path(p1.getParent, "_data.compact-tmp")
+    spark.read.parquet(d1).repartition(1).write.parquet(tmp1.toString)
+    assert(fs.rename(p1, old1))
+    assert(Maintenance.recoverCompaction(spark, d1) === "rolled-back")
+    assert(spark.read.parquet(d1).count() === 50)
+    assert(!fs.exists(old1) && !fs.exists(tmp1), "recovery must clear all staging state")
+    // crash AFTER the commit rename: dir is the new data, old still staged →
+    // recovery keeps the new data and drops the old copy
+    val d2 = tempDir("compact-crash2") + "/data"
+    writeEpochs(d2, 5)
+    val p2 = new org.apache.hadoop.fs.Path(d2)
+    val old2 = new org.apache.hadoop.fs.Path(p2.getParent, "_data.compact-old")
+    spark.read.parquet(d2).repartition(1).write.parquet(old2.toString + ".stage")
+    assert(fs.rename(p2, old2))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(old2.toString + ".stage"), p2))
+    assert(Maintenance.recoverCompaction(spark, d2) === "committed")
+    assert(spark.read.parquet(d2).count() === 50)
+    assert(!fs.exists(old2), "old copy must be dropped once the commit is live")
+    // nothing in flight → no-op
+    assert(Maintenance.recoverCompaction(spark, d2) === "clean")
+  }
 }
