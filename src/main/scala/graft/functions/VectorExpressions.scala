@@ -51,6 +51,18 @@ object VectorExpressions {
     */
   def shingleHashes(text: Column, k: Int, md5Based: Boolean): Column =
     sqlshim.column(ShingleHashes(sqlshim.expression(text), k, md5Based))
+
+  /** Int8 max-abs quantization summary in one pass: struct(maxabs, ss,
+    * q_csv). See QuantizeVector.
+    */
+  def quantizeVector(vec: Column): Column =
+    sqlshim.column(QuantizeVector(sqlshim.expression(vec)))
+
+  /** Per-language stopword hit counts + token count in one tokenize pass:
+    * struct(hits: array<long>, n_tokens). See StopwordHits.
+    */
+  def stopwordHits(text: Column, stopwords: Seq[Seq[String]]): Column =
+    sqlshim.column(StopwordHits(sqlshim.expression(text), stopwords.map(_.toArray).toArray))
 }
 
 /** Cosine similarity of two numeric arrays, computed in one pass:
@@ -346,6 +358,117 @@ case class BitVoteFingerprint(child: Expression, nbits: Int) extends UnaryExpres
   * per row is noise next to ~10² digests computed inside it, and the
   * surrounding projection stays whole-stage-codegen'd.
   */
+/** Int8 max-abs quantization of a numeric vector in ONE pass per row:
+  * struct(maxabs: max |x_i|; ss: Σ x_i² as a sequential left-fold; q_csv:
+  * the quantized vector floor(x·127/maxabs + 0.5) serialized as csv — the
+  * canonical cross-engine form, array hashing differs between engines).
+  * Replaces four interpreted HOF lambdas (abs-transform, array_max,
+  * quantize-transform, aggregate fold) with identical double arithmetic in
+  * identical order, so the DuckDB oracle parity is bit-for-bit unchanged.
+  * CodegenFallback: one call per row around a tight loop; the surrounding
+  * projection stays whole-stage-codegen'd (same trade as ShingleHashes).
+  */
+case class QuantizeVector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("maxabs", DoubleType),
+    StructField("ss", DoubleType),
+    StructField("q_csv", StringType)))
+  override def nullable: Boolean = child.nullable
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantize_vector expects array<float|double>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val isF = elemIsFloat
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(x)
+      if (i == 0 || a > maxabs) maxabs = a
+      i += 1
+    }
+    var ss = 0.0
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      ss += x * x
+      // identical order to the HOF form: (x * 127.0 / maxabs) + 0.5
+      val q = if (maxabs == 0.0) 0L else math.floor(x * 127.0 / maxabs + 0.5).toLong
+      if (i > 0) sb.append(',')
+      sb.append(q)
+      i += 1
+    }
+    InternalRow(maxabs, ss, UTF8String.fromString(sb.toString))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVector =
+    copy(child = newChild)
+}
+
+/** Per-language stopword hit counts in ONE tokenize pass per row:
+  * struct(hits: array<long> aligned with the given stopword lists;
+  * n_tokens: the whitespace token count). Tokenization matches
+  * split(lower(text), ' ') exactly (UTF8String lowercase, trailing empties
+  * kept). Replaces one interpreted filter-lambda pass PER LANGUAGE with a
+  * single loop over tokens probing per-language hash sets.
+  */
+case class StopwordHits(child: Expression, stopwords: Array[Array[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", ArrayType(LongType, containsNull = false)),
+    StructField("n_tokens", LongType)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stopword_hits expects string, got $t")
+    }
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    stopwords.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(" ", -1)
+    val hits = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(toks(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    InternalRow(new GenericArrayData(hits), toks.length.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
 case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
     extends UnaryExpression with CodegenFallback {
 

@@ -40,19 +40,21 @@ object Embeddings {
   /** B18 (registered, oracle-portable) — quantization summary per vector:
     * the scale factor, the l2 norm, and the quantized vector serialized as a
     * csv string (arrays hash engine-differently in the parity gate; the
-    * string form is canonical). Registered as `embedding_quantize`.
+    * string form is canonical). One codegen'd QuantizeVector pass per row —
+    * the HOF formulation in [[quantizeCols]] evaluates four interpreted
+    * lambda passes per vector — with identical arithmetic order, so the
+    * oracle hash is unchanged. Registered as `embedding_quantize`.
     */
   def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
-    val v = asDouble(col("embedding"))
-    val (scale, q) = quantizeCols(v)
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val qz = graft.functions.VectorExpressions.quantizeVector(col("embedding"))
     Tables.embeddings(spark, dir)
+      .withColumn("qz", qz)
       .select(
         col("vec_id"),
         col("label"),
-        round(scale, 6).as("scale"),
-        round(norm, 6).as("l2_norm"),
-        concat_ws(",", q).as("q_csv"))
+        round(col("qz.maxabs") / lit(127.0), 6).as("scale"),
+        round(sqrt(col("qz.ss")), 6).as("l2_norm"),
+        col("qz.q_csv").as("q_csv"))
       .orderBy("vec_id")
   }
 }

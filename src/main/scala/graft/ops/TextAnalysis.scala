@@ -39,26 +39,28 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** B7 — language ID: per-language stopword-hit scoring, argmax with a
-    * minimum-evidence threshold. Token-level filters against constant sets —
-    * codegen'd lambdas, no join; earlier language in [[langStopwords]] wins
-    * ties (deterministic, mirrored in the oracle SQL).
+    * minimum-evidence threshold. All four languages' hit counts come from
+    * ONE codegen'd StopwordHits tokenize pass (the per-language
+    * filter-lambda formulation paid four interpreted passes per row);
+    * earlier language in [[langStopwords]] wins ties (deterministic,
+    * mirrored in the oracle SQL).
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = toks(lower(col("text")))
-    val hitCols = langStopwords.map { case (l, words) =>
-      val arr = array(words.map(lit): _*)
-      l -> size(filter(tokens, t => array_contains(arr, t))).cast("long")
-    }
-    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
+    val hc = graft.functions.VectorExpressions
+      .stopwordHits(col("text"), langStopwords.map(_._2))
     // ties: earliest language wins because `when` chains evaluate in order
     val predOrdered = langStopwords.map { case (l, _) => l }
       .foldLeft(when(lit(false), "x")) { (acc, l) =>
         acc.when(col(s"hits_$l") === col("best_hits") && col("stopword_ratio") > 0.04, l)
       }.otherwise("und")
     Tables.documents(spark, dir)
-      .withColumns(hitCols.map { case (l, c) => s"hits_$l" -> c }.toMap)
-      .withColumn("n_tokens", size(tokens).cast("long"))
-      .withColumn("best_hits", best)
+      .withColumn("hc", hc)
+      .withColumns(langStopwords.zipWithIndex.map { case ((l, _), i) =>
+        s"hits_$l" -> element_at(col("hc.hits"), i + 1)
+      }.toMap)
+      .withColumn("n_tokens", col("hc.n_tokens"))
+      .withColumn("best_hits",
+        langStopwords.map { case (l, _) => col(s"hits_$l") }.reduce((a, b) => greatest(a, b)))
       .withColumn("stopword_ratio", round(col("best_hits").cast("double") / col("n_tokens").cast("double"), 6))
       .withColumn("lang_pred", predOrdered)
       .select(Seq(col("doc_id"), col("lang").as("lang_declared")) ++

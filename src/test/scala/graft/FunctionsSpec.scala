@@ -65,6 +65,37 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("QuantizeVector == the four HOF passes it replaces, bit for bit") {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      when(maxabs === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / maxabs + lit(0.5)).cast("long")))
+    val df = Tables.embeddings(spark, sf0001).limit(100).select(
+      VectorExpressions.quantizeVector(col("embedding")).as("got"),
+      maxabs.as("e_maxabs"),
+      aggregate(v, lit(0.0), (acc, x) => acc + x * x).as("e_ss"),
+      concat_ws(",", q).as("e_csv"))
+    val bad = df.where(col("got.maxabs") =!= col("e_maxabs") ||
+      col("got.ss") =!= col("e_ss") || col("got.q_csv") =!= col("e_csv"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
+  test("StopwordHits == one filter-lambda pass per language, token count included") {
+    val sw = graft.ops.TextAnalysis.langStopwords
+    val tokens = split(lower(col("text")), " ")
+    val expected = array(sw.map { case (_, words) =>
+      val arr = array(words.map(lit): _*)
+      size(filter(tokens, t => array_contains(arr, t))).cast("long")
+    }: _*)
+    val df = corpus().select(
+      VectorExpressions.stopwordHits(col("text"), sw.map(_._2)).as("got"),
+      expected.as("e_hits"),
+      size(tokens).cast("long").as("e_n"))
+    val bad = df.where(col("got.hits") =!= col("e_hits") || col("got.n_tokens") =!= col("e_n"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
   test("BitVoteFingerprint == the per-bit aggregate folds it replaces") {
     val hashed = transform(split(col("text"), " "), t => xxhash64(t))
     val expected = (0 until 64).map { bit =>
