@@ -433,8 +433,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // seeded init: lbl = min(id, min neighbor) — the same aggregation a
+    // plain distinct() would shuffle, but it folds what would otherwise be
+    // the entire first propagation round into the seed (dense clusters
+    // converge one round earlier)
     var (labels, labelBlocks) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+      edges.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("lbl"))
+        .select(col("src").as("id"), col("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

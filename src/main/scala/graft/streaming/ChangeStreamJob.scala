@@ -49,6 +49,23 @@ final case class RateEventSource(rowsPerSecond: Int = 200) extends EventSource {
   }
 }
 
+/** Network sandbox source: newline-delimited event JSON over a TCP socket,
+  * parsed against the event schema — proves the [[EventSource]] seam across
+  * a real network boundary (a broker-backed CDC binding differs only in the
+  * `format`/options, reference mrcon/src/mongo/connector.rs:142). Spark's
+  * socket source is a dev transport (no replay after restart) — the
+  * checkpointed exactly-once story needs a replayable source (files, Kafka);
+  * this binding exists to exercise the seam, not to ship.
+  */
+final case class SocketEventSource(host: String, port: Int) extends EventSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(from_json(col("value"), ChangeStreamJob.eventSchema).as("e"))
+      .select(col("e.*"))
+      .where(col("event_id").isNotNull)
+}
+
 /** Where change-event payloads go. Called once per epoch from foreachBatch;
   * implementations MUST be idempotent per epochId — after a crash between
   * sink commit and checkpoint commit the epoch is replayed, and replay must

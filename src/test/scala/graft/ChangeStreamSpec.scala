@@ -171,6 +171,39 @@ class ChangeStreamSpec extends SparkSpec {
     assert(e.forall(_.getAs[String]("full_document").contains("\"event_id\":1")))
   }
 
+  test("socket-source binding: events delivered over a TCP boundary reach the queue") {
+    val server = new java.net.ServerSocket(0)
+    val lines = (0 until 25).map { i =>
+      s"""{"event_id":$i,"ts_us":${1704067200000000L + i},"user_id":${i % 7},""" +
+        s""""event_type":"click","value":$i.5,"props":"{}"}"""
+    }
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        lines.foreach(out.println)
+        out.flush()
+        // keep the connection open until the query is done reading
+        Thread.sleep(30000)
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val sink = new InMemoryQueuePublisher
+    val q = ChangeStreamJob.startStream(spark,
+      graft.streaming.SocketEventSource("localhost", server.getLocalPort), sink,
+      tempDir("ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (sink.rows.size < 25 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally { q.stop(); server.close() }
+    val ids = sink.rows.map(_.getAs[Long]("event_id")).sorted
+    assert(ids === (0L until 25L), s"socket delivery incomplete: $ids")
+    assert(sink.rows.head.schema.fieldNames.contains("full_document"))
+  }
+
   test("source drop: stream over an exhausted source terminates cleanly (no exception)") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     writeEvents(src, "only.json", 0 until 10)
