@@ -149,14 +149,19 @@ object Similarity {
       // Means round to 6 decimals: Spark's distributed double sum and
       // DuckDB's sequential one differ in the last ulp; rounding makes the
       // centroid literals identical on both engines (and costs IVF nothing —
-      // centroids are arbitrary quantization anchors).
+      // centroids are arbitrary quantization anchors). One avg aggregate per
+      // component (map-side partials of C×dim doubles per partition) instead
+      // of posexploding every vector into dim shuffled rows — the shuffle
+      // carries cells, not the corpus.
       val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "component")))
-        .groupBy("cell", "pos")
-        .agg(round(avg(col("component").cast("double")), 6).as("mean"))
+        .groupBy("cell")
+        .agg(array((0 until dim).map(i =>
+          round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)): _*).as("ctr"))
         .collect()
       val next = centroids.map(_.clone())
-      means.foreach { r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean") }
+      means.foreach { r =>
+        next(r.getAs[Int]("cell")) = r.getSeq[Double](1).toArray
+      }
       centroids = next
     }
     centroids
