@@ -53,6 +53,8 @@ object SparkEntry {
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
+    "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
+    "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -850,6 +852,27 @@ object SparkEntry {
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
+
+    "vocab_top" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS cnt FROM e GROUP BY doc_id, token)
+        |SELECT token, CAST(sum(cnt) AS BIGINT) AS tf, count(*) AS df
+        |FROM c GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "doc_top_terms" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS cnt FROM e GROUP BY doc_id, token),
+        |d AS (SELECT token, count(*) AS df FROM c GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT c.doc_id, c.token,
+        |        round(CAST(c.cnt AS DOUBLE) * n.n_docs / d.df, 6) AS score
+        |      FROM c JOIN d USING (token), n)
+        |SELECT doc_id, term_rank, token, score FROM (
+        |  SELECT doc_id, token, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, token) AS BIGINT) AS term_rank
+        |  FROM s)
+        |WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin,
 
     "token_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -48,6 +48,48 @@ object Corpus {
       )
       .orderBy("lang", "source")
 
+  /** B22 — corpus vocabulary: per-token corpus frequency (tf) and document
+    * frequency (df), deterministic top-k by tf — the counting pass a
+    * tokenizer/BPE training run makes over the corpus. Two-level
+    * aggregation: (doc, token) counts collapse map-side before the first
+    * shuffle, the second groupBy shuffles at most one row per distinct
+    * (doc, token), and the top-k is TakeOrdered — no global sort at 100 TB.
+    */
+  def vocabTop(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token").agg(sum("cnt").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
+  /** B23 — per-document salient terms: top-k tokens by a rarity-weighted
+    * score, `cnt · N / df` — tf·idf with a LINEAR idf. The linear form is
+    * deliberate: it is integer-ratio double math, IEEE-exact on every
+    * engine, where `ln` is library-dependent in the last ulp and would make
+    * the oracle flaky at rounding boundaries. Shapes: one (doc, token)
+    * partial-aggregated count, a token-keyed join against the df table, a
+    * broadcast scalar for N, and a per-doc ranked window.
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val dfTable = counts.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    counts.join(dfTable, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("cnt").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("term_rank", row_number().over(byDoc).cast("long"))
+      .where(col("term_rank") <= k)
+      .select("doc_id", "term_rank", "token", "score")
+      .orderBy("doc_id", "term_rank")
+  }
+
   /** B13 — benchmark-contamination check: which corpus docs share at least
     * `minOverlap` distinct 8-gram shingles with an eval-set doc (the
     * standard n-gram-overlap decontamination test). The eval set here is a
