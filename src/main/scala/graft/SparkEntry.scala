@@ -55,6 +55,7 @@ object SparkEntry {
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
+    "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -873,6 +874,16 @@ object SparkEntry {
         |           ORDER BY score DESC, token) AS BIGINT) AS term_rank
         |  FROM s)
         |WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |x AS (SELECT doc_id, tok,
+        |        greatest(1, (len(tok) - 8 + 55) // 56) AS nch FROM t),
+        |c AS (SELECT doc_id, tok, unnest(generate_series(1, nch)) AS i FROM x)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |       CAST(len(tok[(i-1)*56+1:(i-1)*56+64]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(tok[(i-1)*56+1:(i-1)*56+64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "token_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

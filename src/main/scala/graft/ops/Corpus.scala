@@ -90,6 +90,34 @@ object Corpus {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** B24 — sequence chunking: split each document into fixed-size token
+    * windows with overlap (stride = window − overlap) — the packing step
+    * that turns cleaned documents into training sequences. Chunk count is
+    * integer-exact (`(n − overlap + stride − 1) div stride`, floor of 1) so
+    * both engines derive identical chunks; the explode is a pure per-row
+    * widening at scan speed — no shuffle at any corpus size.
+    */
+  def chunk(spark: SparkSession, dir: String,
+            window: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap < window, "overlap must be smaller than the window")
+    val stride = window - overlap
+    val tok = split(col("text"), " ")
+    val nchunks = greatest(lit(1L),
+      expr(s"(size(split(text, ' ')) - $overlap + ${stride - 1}) div $stride"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tok.as("tok"), nchunks.as("nch"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0L), col("nch") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** B13 — benchmark-contamination check: which corpus docs share at least
     * `minOverlap` distinct 8-gram shingles with an eval-set doc (the
     * standard n-gram-overlap decontamination test). The eval set here is a
