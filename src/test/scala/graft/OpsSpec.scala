@@ -72,6 +72,34 @@ class OpsSpec extends SparkSpec {
     assert(scanSchema.contains("l_quantity"))
   }
 
+  test("vocab_top takes its top-k without a global sort (TakeOrdered in plan)") {
+    val plan = graft.ops.Corpus.vocabTop(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered top-k:\n$plan")
+  }
+
+  test("doc_chunks shuffles only for the verification ORDER BY") {
+    val plan = graft.ops.Corpus.chunk(spark, sf0001).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunking itself must not shuffle:\n$plan")
+  }
+
+  test("doc_chunks covers every token with the configured overlap") {
+    // pick the longest doc so the multi-chunk path is actually exercised
+    val target = Tables.documents(spark, sf0001)
+      .orderBy(size(split(col("text"), " ")).desc, col("doc_id")).limit(1)
+      .select("doc_id", "text").collect().head
+    val docId = target.getLong(0)
+    val out = graft.ops.Corpus.chunk(spark, sf0001, window = 64, overlap = 8)
+      .where(col("doc_id") === docId).collect()
+    val doc = target.getString(1)
+    val toks = doc.split(" ", -1)
+    val rebuilt = out.sortBy(_.getAs[Long]("chunk_id")).zipWithIndex.flatMap { case (r, i) =>
+      val ct = r.getAs[String]("chunk_text").split(" ", -1)
+      if (i == 0) ct else ct.drop(8) // later chunks repeat the 8-token overlap
+    }
+    assert(rebuilt.toSeq === toks.toSeq, "chunks must tile the document exactly")
+  }
+
   test("approx token percentiles stay within the sketch's rank-error bound of exact") {
     val accuracy = 10000
     val approx = Analytics.tokenPercentilesApprox(spark, sf0001, accuracy).collect()
