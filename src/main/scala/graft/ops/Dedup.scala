@@ -441,24 +441,32 @@ object Dedup {
       edges.groupBy("src")
         .agg(least(min(col("dst")), col("src")).as("lbl"))
         .select(col("src").as("id"), col("lbl")))
-    var changed = 1L
+    // convergence probe: labels only ever DECREASE, so the label sum is a
+    // strictly-decreasing potential until fixpoint — comparing one scalar
+    // aggregate per round replaces a keyed join against the previous round
+    // (decimal sum: overflow-proof at any corpus size)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min("lbl").as("nbr_lbl"))
       val (next, nextBlocks) = checkpointTracked(
         labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
-      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), Seq("id"))
-        .where(col("lbl") =!= col("old_lbl")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labelBlocks.foreach(_.unpersist(blocking = false))
       labels = next
       labelBlocks = nextBlocks
       iter += 1
     }
     val resolved =
-      if (changed == 0) labels
+      if (converged) labels
       else {
         // Diameter exceeded the propagation budget: chain-shaped graph.
         // Star contraction converges in O(log² n) rounds regardless of

@@ -86,4 +86,32 @@ class MaintenanceSpec extends SparkSpec {
     // nothing in flight → no-op
     assert(Maintenance.recoverCompaction(spark, d2) === "clean")
   }
+
+  test("corpus writer: lang-partitioned layout, manifest counts match, committed-last gate") {
+    val out = tempDir("corpus-out") + "/corpus"
+    val docs = Tables.documents(spark, sf0001)
+    assert(!graft.ops.CorpusWriter.isCommitted(docs, out))
+    val manifest = graft.ops.CorpusWriter.write(docs, out)
+    assert(graft.ops.CorpusWriter.isCommitted(docs, out))
+    // data landed partitioned and complete
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    val langDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.nonEmpty, "expected lang=... partition directories")
+    // manifest agrees with an independent recount of what was written
+    val counts = back.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (lang, n) =>
+      assert(manifest.contains(s""""$lang": {"n_rows": $n"""),
+        s"manifest must carry the $lang count $n:\n$manifest")
+    }
+    assert(manifest.contains(s""""total_rows": ${docs.count()}"""))
+    // one writer task per partition: no small-file spray (a handful of
+    // files per lang dir at this scale, not tasks x partitions)
+    langDirs.foreach { d =>
+      val files = new java.io.File(out, d).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"$d must not spray small files, got $files")
+    }
+  }
 }
