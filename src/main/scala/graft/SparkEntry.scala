@@ -61,6 +61,7 @@ object SparkEntry {
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
     "boilerplate_frac"     -> ((s, d) => graft.ops.Curation.boilerplateFraction(s, d)),
     "stratified_sample"    -> ((s, d) => graft.ops.Curation.stratifiedSample(s, d)),
+    "temperature_sample"   -> ((s, d) => graft.ops.Curation.temperatureSample(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -675,6 +676,15 @@ object SparkEntry {
         |FROM documents JOIN c USING (lang), t
         |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT * lang_n
         |      < target_n * 16777216
+        |ORDER BY doc_id""".stripMargin,
+
+    "temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang),
+        |m AS (SELECT min(lang_n) AS min_n FROM c)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents JOIN c USING (lang), m
+        |WHERE CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS DOUBLE)
+        |      < sqrt(CAST(min_n AS DOUBLE) / CAST(lang_n AS DOUBLE)) * 16777216.0
         |ORDER BY doc_id""".stripMargin,
 
     "pseudonymize" ->

@@ -231,6 +231,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B25 — temperature-flattened rebalancing (√-law, the downsample-only
+    * analog of mT5-style temperature sampling at α = 0.5): every language
+    * class keeps `sqrt(min_n · n_l)` documents — the geometric mean of its
+    * size and the smallest class's — so large classes are flattened toward
+    * the small ones without ever upsampling; the smallest class keeps 100%.
+    * The keep rule is `u < sqrt(min_n / n_l) · 2²⁴` with u a content-free
+    * 24-bit hash: IEEE division and sqrt are correctly-rounded on every
+    * engine (unlike pow/ln), and ·2²⁴ is an exact exponent shift, so both
+    * engines keep the SAME documents. Class counts broadcast; the filter is
+    * a pure projection at scan speed.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val minN = counts.agg(min("lang_n").as("min_n"))
+    val u = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minN))
+      .where(u.cast("double") <
+        sqrt(col("min_n").cast("double") / col("lang_n").cast("double")) * lit((1L << 24).toDouble))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

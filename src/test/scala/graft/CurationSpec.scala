@@ -69,6 +69,23 @@ class CurationSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("doc_id")).toSet === again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("temperature sample keeps the smallest class whole and flattens the largest toward sqrt") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("tempsample")
+    val rows = (1L to 40L).map(i => (i, varied, if (i <= 36) "en" else "fr", "src0", varied.length))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Curation.temperatureSample(spark, dir).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(byLang("fr") === 4, "smallest class keeps 100%")
+    // expected en keep = sqrt(4 * 36) = 12; the 24-bit hash realizes a count near it
+    val en = byLang.getOrElse("en", 0)
+    assert(en < 36 && en > 4, s"largest class must flatten toward sqrt(min*n)=12, kept $en")
+    val again = Curation.temperatureSample(spark, dir).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("pseudonymize is a stable 1:1 mapping and strips every digit from props") {
     val out = Curation.pseudonymize(spark, sf0001)
     val mapping = out
