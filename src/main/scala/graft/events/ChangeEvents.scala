@@ -123,12 +123,15 @@ object ChangeEvents {
   def propsExtract(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val doc = fullDocumentJson(ev)
+    // json_tuple parses the payload ONCE for both doc fields (get_json_object
+    // re-parses per field); scalar extraction semantics are identical
     ev.select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("props_k"),
-      get_json_object(doc, "$.event_type").as("doc_event_type"),
-      get_json_object(doc, "$.value").as("doc_value_str")
-    ).orderBy("event_id")
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("props_k"),
+        json_tuple(doc, "event_type", "value"))
+      .withColumnRenamed("c0", "doc_event_type")
+      .withColumnRenamed("c1", "doc_value_str")
+      .orderBy("event_id")
   }
 
   /** A8/A5d — apply-changes materialization: fold the change feed into the

@@ -63,6 +63,63 @@ object VectorExpressions {
     */
   def stopwordHits(text: Column, stopwords: Seq[Seq[String]]): Column =
     sqlshim.column(StopwordHits(sqlshim.expression(text), stopwords.map(_.toArray).toArray))
+
+  /** Per-token hashes (duplicates KEPT — SimHash bit votes are
+    * frequency-weighted) in one tokenize pass. See TokenHashes.
+    */
+  def tokenHashes(text: Column, md5Based: Boolean): Column =
+    sqlshim.column(TokenHashes(sqlshim.expression(text), md5Based))
+}
+
+/** Whitespace tokens hashed in ONE pass per row, duplicates kept (unlike
+  * ShingleHashes, which dedups for set semantics): md5Based=true → 60-bit
+  * md5 prefix (engine-portable, ('0x'||substr(md5(x),1,15))::BIGINT in
+  * DuckDB); false → xxhash64 seed 42 (Spark's builtin). Replaces the
+  * interpreted per-token transform lambda in the SimHash paths.
+  */
+case class TokenHashes(child: Expression, md5Based: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_hashes expects string, got $t")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (md5Based) {
+        val digest = md5Local.get()
+        digest.reset()
+        val d = digest.digest(bytes)
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        out(i) = (v << 4) | ((d(7) & 0xffL) >>> 4)
+      } else {
+        out(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
 }
 
 /** Cosine similarity of two numeric arrays, computed in one pass:

@@ -80,9 +80,6 @@ object Dedup {
     Seq.fill(k)((next(), next()))
   }
 
-  /** 60-bit md5-prefix hash for per-token use — DuckDB: 15 hex chars. */
-  private[ops] val portableHash60: Column => Column = s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-
   /** (doc_id, sig): MinHash signature per doc — shingling, base-hashing and
     * the k-min family each run once per row (ShingleHashes + MinHashFamily).
     */
@@ -250,7 +247,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val fp = docs
-      .withColumn("thashes", transform(split(col("text"), " "), t => xxhash64(t)))
+      .withColumn("thashes", VectorExpressions.tokenHashes(col("text"), md5Based = false))
       .select(col("doc_id"), VectorExpressions.bitVote(col("thashes"), 64).as("simhash"))
     fp.withColumn("chunk0", col("simhash").bitwiseAND(lit(0xFFFFL)))
       .withColumn("chunk1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
@@ -267,7 +264,7 @@ object Dedup {
 
   private def simhashPortable0(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("hashed", transform(split(col("text"), " "), portableHash60))
+      .withColumn("hashed", VectorExpressions.tokenHashes(col("text"), md5Based = true))
       .select(col("doc_id"), VectorExpressions.bitVote(col("hashed"), 60).as("simhash"))
       .withColumn("chunk0", col("simhash").bitwiseAND(lit(0x7FFFL)))
       .withColumn("chunk1", shiftright(col("simhash"), 15).bitwiseAND(lit(0x7FFFL)))

@@ -96,6 +96,17 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("TokenHashes == the per-token transform lambdas, duplicates kept") {
+    val tokens = split(col("text"), " ")
+    val df = corpus().select(
+      VectorExpressions.tokenHashes(col("text"), md5Based = true).as("got_md5"),
+      transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("e_md5"),
+      VectorExpressions.tokenHashes(col("text"), md5Based = false).as("got_xx"),
+      transform(tokens, t => xxhash64(t)).as("e_xx"))
+    val bad = df.where(col("got_md5") =!= col("e_md5") || col("got_xx") =!= col("e_xx"))
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
   test("BitVoteFingerprint == the per-bit aggregate folds it replaces") {
     val hashed = transform(split(col("text"), " "), t => xxhash64(t))
     val expected = (0 until 64).map { bit =>
