@@ -154,6 +154,37 @@ class ChangeStreamSpec extends SparkSpec {
     assert(ids.sorted === (0L until 40L), s"every event delivered exactly once: ${ids.sorted}")
   }
 
+  test("two-hop chain: dedupe stream feeds a before-image stream, as the refusal prescribes") {
+    val (src, q1dir, ckpt1) = (tempDir("src"), tempDir("queue") + "/q1", tempDir("ckpt"))
+    val (q2dir, ckpt2) = (tempDir("queue") + "/q2", tempDir("ckpt"))
+    // hop 1: at-least-once feed (ids 5-9 redelivered) -> dedup -> queue 1
+    writeEvents(src, "first.json", 0 until 10)
+    writeEvents(src, "redelivery.json", 5 until 10)
+    val h1 = ChangeStreamJob.start(spark, src, q1dir, ckpt1, dedupe = true)
+    h1.awaitTermination(60000)
+    assert(queueIds(q1dir).sorted === (0L until 10L))
+    // hop 2: queue 1 IS the source (file stream over the envelope parquet),
+    // before-image state applies on the deduped feed
+    val envSchema = spark.read.parquet(q1dir).drop("epoch").schema
+    val env = spark.readStream.schema(envSchema).parquet(q1dir)
+    val shaped = ChangeStreamJob.withBeforeImages(env)
+    val sink = new InMemoryQueuePublisher
+    val h2 = shaped.writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => sink.publish(b, id); () }
+      .start()
+    h2.awaitTermination(60000)
+    val rows = sink.rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(rows.keySet === (0L until 10L).toSet, "hop 2 must carry every deduped event exactly once")
+    // user 7's second event (id 7 follows id 0, both user 0? -> compute): user_id = i % 7,
+    // so event 7 (user 0) is preceded by event 0 (user 0)
+    val before7 = rows(7L).getAs[String]("full_document_before_change")
+    assert(before7 != null && before7.contains("\"event_id\":0"), s"before=$before7")
+    val before0 = rows(0L).getAs[String]("full_document_before_change")
+    assert(before0 == null, "a key's first event has no before-image")
+  }
+
   test("rate-source binding: the connector runs against an unbounded streaming source") {
     val ckpt = tempDir("ckpt")
     val sink = new InMemoryQueuePublisher
