@@ -69,6 +69,61 @@ object VectorExpressions {
     */
   def tokenHashes(text: Column, md5Based: Boolean): Column =
     sqlshim.column(TokenHashes(sqlshim.expression(text), md5Based))
+
+  /** Count of positions where two long arrays agree — the MinHash
+    * signature-agreement kernel. See ArrayAgreeCount.
+    */
+  def agreeCount(a: Column, b: Column): Column =
+    sqlshim.column(ArrayAgreeCount(sqlshim.expression(a), sqlshim.expression(b)))
+}
+
+/** Positions where two long arrays hold equal values, as a whole-stage
+  * codegen'd loop — the per-candidate-pair MinHash agreement count that the
+  * `aggregate(zip_with(...))` formulation evaluates with an interpreted
+  * lambda per element. Arrays of different lengths compare over the shorter
+  * prefix (zip_with semantics would pad with null ≠ anything — callers only
+  * ever pass equal-length signatures).
+  */
+case class ArrayAgreeCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"agree_count expects two array<long>, got $l, $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${ev.value} = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayAgreeCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Whitespace tokens hashed in ONE pass per row, duplicates kept (unlike

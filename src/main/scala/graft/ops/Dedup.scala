@@ -207,9 +207,12 @@ object Dedup {
     val sa = signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      // agreement count in a codegen'd loop (ArrayAgreeCount) — the
+      // aggregate(zip_with(...)) form pays an interpreted lambda per
+      // signature component per candidate pair
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+        VectorExpressions.agreeCount(col("sig_a"), col("sig_b")).cast("double")
+          / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }

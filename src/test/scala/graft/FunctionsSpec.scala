@@ -107,6 +107,24 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("ArrayAgreeCount == the zip_with+aggregate fold it replaces") {
+    val coefs = Dedup.minhashCoefs(16)
+    val hashed = transform(builtinShingles(col("text"), 3),
+      s => xxhash64(s).bitwiseAND(lit(0xFFFFFFL)))
+    val sig = VectorExpressions.minhashFamily(hashed, coefs, Dedup.MinhashP)
+    // compare a signature against a shifted variant of itself so agreement
+    // is nontrivial (some positions equal, some not)
+    val other = VectorExpressions.minhashFamily(
+      transform(hashed, h => (h + lit(1L)) % lit(0x1000000L)), coefs, Dedup.MinhashP)
+    val df = corpus().select(
+      VectorExpressions.agreeCount(sig, other).as("got"),
+      aggregate(zip_with(sig, other, (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).as("expected"),
+      VectorExpressions.agreeCount(sig, sig).as("self"))
+    val bad = df.where(col("got") =!= col("expected") || col("self") =!= 16L)
+    assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
+  }
+
   test("BitVoteFingerprint == the per-bit aggregate folds it replaces") {
     val hashed = transform(split(col("text"), " "), t => xxhash64(t))
     val expected = (0 until 64).map { bit =>
