@@ -75,6 +75,122 @@ object VectorExpressions {
     */
   def agreeCount(a: Column, b: Column): Column =
     sqlshim.column(ArrayAgreeCount(sqlshim.expression(a), sqlshim.expression(b)))
+
+  /** Index of the max-cosine centroid (ties → higher index, NaN greatest —
+    * Spark double-ordering semantics). See NearestCentroid.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    sqlshim.column(NearestCentroid(sqlshim.expression(vec), centroids))
+
+  /** The `nprobe` best cells for a query vector, descending (cos, idx) —
+    * identical ordering to reverse(array_sort(struct(cos, idx))). See
+    * ProbeCellIds.
+    */
+  def probeCellIds(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    sqlshim.column(ProbeCellIds(sqlshim.expression(vec), centroids, nprobe))
+}
+
+/** Shared kernel for the IVF cell expressions: cosines of a vector against
+  * a centroid matrix carried as an expression FIELD — the composed
+  * formulation (one CosineSim per typedlit centroid) code-generates the
+  * whole C×dim matrix as Java literals, and compilation dominates runtime.
+  * Arithmetic matches CosineSim exactly (sequential double folds), and
+  * comparisons use java.lang.Double.compare — Spark's double ordering
+  * (NaN greatest), so tie/NaN behavior is identical to the
+  * greatest(struct(cos, idx)) / array_sort formulations.
+  */
+private[functions] object CentroidKernel {
+  def cosines(v: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Array[Double] = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    var na = 0.0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      na += x(i) * x(i)
+      i += 1
+    }
+    val sna = math.sqrt(na)
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val m = math.min(n, ctr.length)
+      var dot = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < m) { dot += x(j) * ctr(j); nb += ctr(j) * ctr(j); j += 1 }
+      out(c) = dot / (sna * math.sqrt(nb))
+      c += 1
+    }
+    out
+  }
+
+  def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def checkVec(e: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $t")
+    }
+}
+
+/** argmax-cosine cell id; ties resolve to the HIGHER index, NaN ranks
+  * greatest — bit-compatible with greatest(struct(CosineSim, idx)).getField("idx").
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernel.checkVec(child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
+      CentroidKernel.elemIsFloat(child), centroids)
+    var best = 0
+    var i = 1
+    while (i < cos.length) {
+      if (java.lang.Double.compare(cos(i), cos(best)) >= 0) best = i
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Top-`nprobe` cell ids by descending (cosine, idx) — the ordering of
+  * reverse(array_sort(struct(cos, idx))) under Spark double ordering.
+  */
+case class ProbeCellIds(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernel.checkVec(child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
+      CentroidKernel.elemIsFloat(child), centroids)
+    val idx = Array.range(0, cos.length)
+    val ordered = idx.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(cos(a), cos(b))
+      if (c != 0) c > 0 else a > b
+    }
+    new GenericArrayData(ordered.take(math.min(nprobe, ordered.length)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCellIds =
+    copy(child = newChild)
 }
 
 /** Positions where two long arrays hold equal values, as a whole-stage

@@ -167,22 +167,21 @@ object Similarity {
     centroids
   }
 
-  /** Index of the max-cosine centroid (struct-max trick: Spark orders
-    * structs field-by-field, so greatest(struct(cos, idx)) picks the best
-    * cell deterministically).
+  /** Index of the max-cosine centroid. The centroid matrix rides as an
+    * expression FIELD (graft.functions.NearestCentroid) — the composed
+    * greatest(struct(CosineSim, idx)) formulation code-generated the whole
+    * C×dim matrix as Java literals and Janino compilation dominated the
+    * query. Ordering semantics are identical (ties → higher idx, NaN
+    * greatest — Spark double ordering via Double.compare).
     */
   private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    greatest(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(cosine(vec, typedlit(ctr.toSeq)).as("cos"), lit(i).as("idx"))
-    }: _*).getField("idx")
+    graft.functions.VectorExpressions.nearestCentroid(vec, centroids)
 
-  /** Top-`nprobe` cells for a query (sorted struct array, slice, explode). */
-  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(cosine(vec, typedlit(ctr.toSeq)).as("cos"), lit(i).as("idx"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, nprobe), s => s.getField("idx"))
-  }
+  /** Top-`nprobe` cells for a query, descending (cos, idx) — same ordering
+    * as reverse(array_sort(struct(cos, idx))), matrix as a field.
+    */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    graft.functions.VectorExpressions.probeCellIds(vec, centroids, nprobe)
 
   /** B5b — IVF ANN search: corpus bucketed by cell once, queries probe their
     * nprobe best cells; exact cosine re-ranks within the probed cells. The
