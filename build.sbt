@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 57 cold queries' worth of whole-stage-codegen classes fit in the JDK 17
+  // default 240m with ~50% headroom (measured); doubled now that Bench runs
+  // 2 samples per query, so the JIT can never silently shut off mid-bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

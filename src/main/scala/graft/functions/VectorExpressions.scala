@@ -62,7 +62,7 @@ object VectorExpressions {
     * struct(hits: array<long>, n_tokens). See StopwordHits.
     */
   def stopwordHits(text: Column, stopwords: Seq[Seq[String]]): Column =
-    sqlshim.column(StopwordHits(sqlshim.expression(text), stopwords.map(_.toArray).toArray))
+    sqlshim.column(StopwordHits(sqlshim.expression(text), stopwords.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Per-token hashes (duplicates KEPT — SimHash bit votes are
     * frequency-weighted) in one tokenize pass. See TokenHashes.
@@ -80,14 +80,16 @@ object VectorExpressions {
     * Spark double-ordering semantics). See NearestCentroid.
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
-    sqlshim.column(NearestCentroid(sqlshim.expression(vec), centroids))
+    sqlshim.column(NearestCentroid(sqlshim.expression(vec),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   /** The `nprobe` best cells for a query vector, descending (cos, idx) —
     * identical ordering to reverse(array_sort(struct(cos, idx))). See
     * ProbeCellIds.
     */
   def probeCellIds(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
-    sqlshim.column(ProbeCellIds(sqlshim.expression(vec), centroids, nprobe))
+    sqlshim.column(ProbeCellIds(sqlshim.expression(vec),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 }
 
 /** Shared kernel for the IVF cell expressions: cosines of a vector against
@@ -143,7 +145,7 @@ private[functions] object CentroidKernel {
 /** argmax-cosine cell id; ties resolve to the HIGHER index, NaN ranks
   * greatest — bit-compatible with greatest(struct(CosineSim, idx)).getField("idx").
   */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
@@ -151,9 +153,15 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     CentroidKernel.checkVec(child)
 
+  // the matrix field stays a Seq so case-class equality is structural (two
+  // plans with the same centroids canonicalize/CSE together); the hot loop
+  // reads this array view
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any = {
     val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
-      CentroidKernel.elemIsFloat(child), centroids)
+      CentroidKernel.elemIsFloat(child), matrix)
     var best = 0
     var i = 1
     while (i < cos.length) {
@@ -170,7 +178,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 /** Top-`nprobe` cell ids by descending (cosine, idx) — the ordering of
   * reverse(array_sort(struct(cos, idx))) under Spark double ordering.
   */
-case class ProbeCellIds(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+case class ProbeCellIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -178,9 +186,12 @@ case class ProbeCellIds(child: Expression, centroids: Array[Array[Double]], npro
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     CentroidKernel.checkVec(child)
 
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any = {
     val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
-      CentroidKernel.elemIsFloat(child), centroids)
+      CentroidKernel.elemIsFloat(child), matrix)
     val idx = Array.range(0, cos.length)
     val ordered = idx.sortWith { (a, b) =>
       val c = java.lang.Double.compare(cos(a), cos(b))
@@ -622,12 +633,18 @@ case class QuantizeVector(child: Expression)
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
     val isF = elemIsFloat
+    // empty vector: array_max over an empty array is null in the HOF form;
+    // ss (an aggregate fold from 0.0) and q_csv (concat_ws over no
+    // elements) are 0.0 / "" there, so only maxabs goes null
+    if (n == 0) return InternalRow(null, 0.0, UTF8String.fromString(""))
+    // NaN-greatest max, Spark's double ordering (array_max semantics): a
+    // NaN component makes maxabs NaN no matter where it sits in the vector
     var maxabs = 0.0
     var i = 0
     while (i < n) {
       val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
       val a = math.abs(x)
-      if (i == 0 || a > maxabs) maxabs = a
+      if (i == 0 || java.lang.Double.compare(a, maxabs) > 0) maxabs = a
       i += 1
     }
     var ss = 0.0
@@ -636,7 +653,9 @@ case class QuantizeVector(child: Expression)
     while (i < n) {
       val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
       ss += x * x
-      // identical order to the HOF form: (x * 127.0 / maxabs) + 0.5
+      // identical order to the HOF form: (x * 127.0 / maxabs) + 0.5;
+      // .toLong of a NaN quotient is 0, matching the non-ANSI double→long
+      // cast the HOF form applies after floor
       val q = if (maxabs == 0.0) 0L else math.floor(x * 127.0 / maxabs + 0.5).toLong
       if (i > 0) sb.append(',')
       sb.append(q)
@@ -656,7 +675,7 @@ case class QuantizeVector(child: Expression)
   * kept). Replaces one interpreted filter-lambda pass PER LANGUAGE with a
   * single loop over tokens probing per-language hash sets.
   */
-case class StopwordHits(child: Expression, stopwords: Array[Array[String]])
+case class StopwordHits(child: Expression, stopwords: Seq[Seq[String]])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
@@ -676,7 +695,7 @@ case class StopwordHits(child: Expression, stopwords: Array[Array[String]])
       val s = new java.util.HashSet[String]()
       ws.foreach(s.add)
       s
-    }
+    }.toArray
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split(" ", -1)

@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object CorpusWriter {
 
+  /** RFC 8259 string escape — partition values and column names are user
+    * data and may hold quotes/backslashes/control chars; raw interpolation
+    * would emit invalid JSON.
+    */
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   /** Write `df` under `outDir` partitioned by `partitionCol`; returns the
     * manifest JSON string that was committed.
     */
@@ -42,15 +57,15 @@ object CorpusWriter {
       .partitionBy(partitionCol)
       .parquet(outDir)
     val parts = stats.map { r =>
-      val key = Option(r.get(0)).map(_.toString).getOrElse("null")
+      val key = Option(r.get(0)).map(v => jsonStr(v.toString)).getOrElse("\"null\"")
       val chars = Option(r.get(2)).map(_.toString).getOrElse("null")
-      s"""    "$key": {"n_rows": ${r.getLong(1)}, "n_chars": $chars}"""
+      s"""    $key: {"n_rows": ${r.getLong(1)}, "n_chars": $chars}"""
     }.mkString(",\n")
     val manifest =
       s"""{
-         |  "partition_col": "$partitionCol",
+         |  "partition_col": ${jsonStr(partitionCol)},
          |  "total_rows": ${stats.map(_.getLong(1)).sum},
-         |  "columns": [${statCols.map("\"" + _ + "\"").mkString(", ")}],
+         |  "columns": [${statCols.map(jsonStr).mkString(", ")}],
          |  "partitions": {
          |$parts
          |  }

@@ -489,11 +489,17 @@ object Dedup {
     * owned by the SQL cache manager — clearCache never frees it).
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    // Pull the checkpointed RDD straight out of the returned plan (a
+    // localCheckpoint'd Dataset is a LogicalRDD leaf over the persisted
+    // blocks) rather than diffing sc.getPersistentRDDs around the call —
+    // the set-diff would also capture RDDs a CONCURRENT job persisted in
+    // that window, and unpersisting a stranger's lineage-truncated
+    // checkpoint kills that job.
     val cp = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.collect { case (id, r) if !before.contains(id) => r }.toSeq
-    (cp, added)
+    val owned = cp.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    (cp, owned)
   }
 
   /** Connected components by alternating large-star/small-star contraction

@@ -62,6 +62,11 @@ object Maintenance {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Stores whose "directories" are key prefixes: rename is copy+delete,
+    * non-atomic, so the swap protocol cannot run there.
+    */
+  private val RenameUnsafeSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+
   /** Sibling staging paths for an in-place compaction of `dir`. The '_'
     * prefix keeps Spark/Hadoop readers from ever listing them as data.
     */
@@ -81,11 +86,28 @@ object Maintenance {
     * failure between the renames is rolled back here and is recoverable
     * after a crash via [[recoverCompaction]]. Returns
     * (rows, filesBefore, filesAfter).
+    *
+    * ASSUMPTIONS (enforced where detectable): single writer — the census,
+    * count, and rewrite are separate scans of a live directory, so a
+    * concurrent append between them aborts the compaction (safe, but wasted
+    * work) and a writer racing the swap itself can land files in the
+    * staged-aside copy; schedule compaction in the sink's maintenance
+    * window, as the reference's capped-collection cleanup does. Directory
+    * rename is atomic on POSIX and HDFS (and ADLS Gen2); object stores that
+    * fake directories (s3://, gs://) copy-and-delete instead, so the swap
+    * would expose a partial listing — those schemes are rejected up front.
+    * Use [[compacted]] + a write-to-new-location commit there.
     */
   def compactInPlace(spark: SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
     val (path, tmp, old) = stagingPaths(dir)
     val fs = fsOf(spark, path)
+    val scheme = Option(path.toUri.getScheme).getOrElse(
+      fs.getUri.getScheme match { case null => "file"; case s => s })
+    require(!RenameUnsafeSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT)),
+      s"compactInPlace swaps directories by rename, which '$scheme' cannot do " +
+        "atomically — write a compacted copy via Maintenance.compacted and commit " +
+        "it with the store's own atomic primitive instead")
     fs.delete(tmp, true)
     require(!fs.exists(old),
       s"$old exists — an interrupted compaction needs recoverCompaction($dir) first")

@@ -148,6 +148,20 @@ class CurationSpec extends SparkSpec {
     assert(rounds <= 15, s"star contraction must converge in O(log n) rounds on a chain, took $rounds")
   }
 
+  test("iterative rounds release superseded checkpoints (no persistent-RDD accumulation)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.size
+    // ~8 contraction rounds on the chain: if per-round checkpoint tracking
+    // ever stops finding the LogicalRDD blocks, every round leaks one RDD
+    // and this bound breaks
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    Dedup.starContraction(edges)._1.collect()
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"expected at most the live final checkpoint to remain, grew $before -> $after")
+  }
+
   test("dup clusters escalate to star contraction past maxIter and agree with propagation") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex

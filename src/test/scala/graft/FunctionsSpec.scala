@@ -81,6 +81,34 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("QuantizeVector matches the HOF form on degenerate vectors (empty, NaN, zero)") {
+    val s = spark
+    import s.implicits._
+    val weird = Seq(
+      Array.empty[Double],
+      Array(Double.NaN, 1.0),
+      Array(1.0, Double.NaN),
+      Array(0.0, 0.0),
+      Array(Double.PositiveInfinity, -2.0)
+    ).toDF("embedding")
+    val v = col("embedding")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x =>
+      when(maxabs === 0.0, lit(0L))
+        .otherwise(floor(x * lit(127.0) / maxabs + lit(0.5)).cast("long")))
+    val df = weird.select(
+      VectorExpressions.quantizeVector(v).as("got"),
+      maxabs.as("e_maxabs"),
+      aggregate(v, lit(0.0), (acc, x) => acc + x * x).as("e_ss"),
+      concat_ws(",", q).as("e_csv"))
+    val bad = df.where(
+      (col("got.maxabs") =!= col("e_maxabs")) ||
+        (col("got.maxabs").isNull =!= col("e_maxabs").isNull) ||
+        (isnan(col("got.maxabs")) =!= isnan(col("e_maxabs"))) ||
+        col("got.ss") =!= col("e_ss") || col("got.q_csv") =!= col("e_csv"))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("\n"))
+  }
+
   test("StopwordHits == one filter-lambda pass per language, token count included") {
     val sw = graft.ops.TextAnalysis.langStopwords
     val tokens = split(lower(col("text")), " ")
