@@ -65,6 +65,7 @@ object SparkEntry {
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
+    "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -75,6 +76,8 @@ object SparkEntry {
     "q5_join"              -> ((s, d) => Analytics.q5Join(s, d)),
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+    "asof_join"            -> ((s, d) => graft.ops.Joins.clickPurchaseAsof(s, d)),
+    "range_join"           -> ((s, d) => graft.ops.Joins.prePurchaseViews(s, d)),
     "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
     "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "corpus_rollup"        -> ((s, d) => Analytics.corpusRollup(s, d)),
@@ -817,6 +820,30 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "asof_join" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id, user_id, ts, value AS click_value FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts, max(event_id) AS purch_id, arg_max(value, event_id) AS purch_value
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         |SELECT c.event_id, c.user_id, c.click_value, p.purch_id, p.purch_value,
+         |       CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT) AS wait_secs
+         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+         |ORDER BY c.event_id""".stripMargin,
+
+    "range_join" ->
+      s"""WITH $evCte,
+         |fp AS (SELECT user_id, min(event_id) AS fp_event,
+         |              arg_min(CAST(floor(epoch(ts)) AS BIGINT), event_id) AS fp_s
+         |       FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+         |iv AS (SELECT user_id, fp_event, fp_s - 86400 AS start_s, fp_s AS end_s FROM fp),
+         |v AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS view_s,
+         |             value AS view_value
+         |      FROM ev WHERE event_type = 'view')
+         |SELECT v.user_id, iv.fp_event, v.event_id AS view_event, v.view_value,
+         |       iv.end_s - v.view_s AS secs_before_purchase
+         |FROM v JOIN iv ON v.user_id = iv.user_id AND v.view_s BETWEEN iv.start_s AND iv.end_s
+         |ORDER BY v.user_id, view_event""".stripMargin,
+
     "events_window" ->
       s"""WITH $evCte
          |SELECT event_id, user_id, event_type,
@@ -894,6 +921,20 @@ object SparkEntry {
         |       CAST(len(tok[(i-1)*56+1:(i-1)*56+64]) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(tok[(i-1)*56+1:(i-1)*56+64], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |x AS (SELECT doc_id, tok, greatest(1, (len(tok) + 31) // 32) AS nch FROM t),
+        |c AS (SELECT doc_id, tok, unnest(generate_series(1, nch)) AS i FROM x),
+        |ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+        |              array_to_string(tok[(i-1)*32+1:(i-1)*32+32], ' ') AS chunk_text
+        |       FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |      FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "token_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -98,13 +98,21 @@ object Corpus {
     * widening at scan speed — no shuffle at any corpus size.
     */
   def chunk(spark: SparkSession, dir: String,
-            window: Int = 64, overlap: Int = 8): DataFrame = {
+            window: Int = 64, overlap: Int = 8): DataFrame =
+    chunksOf(Tables.documents(spark, dir), window, overlap)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Frame-level chunking body shared by [[chunk]] and
+    * [[Dedup.passageDedup]] (which re-chunks with overlap 0 so every token
+    * belongs to exactly one passage). Unordered: callers sort or aggregate.
+    */
+  def chunksOf(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
     require(overlap < window, "overlap must be smaller than the window")
     val stride = window - overlap
     val tok = split(col("text"), " ")
     val nchunks = greatest(lit(1L),
       expr(s"(size(split(text, ' ')) - $overlap + ${stride - 1}) div $stride"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), tok.as("tok"), nchunks.as("nch"))
       .select(col("doc_id"), col("tok"),
         explode(sequence(lit(0L), col("nch") - 1)).as("chunk_id"))
@@ -115,7 +123,6 @@ object Corpus {
           .cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** B13 — benchmark-contamination check: which corpus docs share at least

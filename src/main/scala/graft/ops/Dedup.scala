@@ -47,6 +47,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B26 — passage-level dedup (the C4/RefinedWeb line-dedup analog for a
+    * corpus without line structure): split every document into
+    * non-overlapping `window`-token passages, keep each distinct passage's
+    * FIRST occurrence corpus-wide (ordered by doc_id, then position), and
+    * reassemble what survives of each document in original order.
+    *
+    * Scale shape: passages group on md5(chunk_text) — the min-(doc_id,
+    * chunk_id) aggregate partial-combines map-side, so a boilerplate
+    * passage repeated across millions of docs arrives at the reducer
+    * pre-collapsed to one row per mapper (no hot-key sort, unlike a ranked
+    * window over the passage hash); the keep-decision joins back on the
+    * same hash, AQE-skew-splittable. Reassembly is one groupBy(doc_id)
+    * whose collect_list is bounded by the document's own passage count.
+    */
+  def passageDedup(spark: SparkSession, dir: String, window: Int = 32): DataFrame = {
+    val ch = Corpus.chunksOf(Tables.documents(spark, dir), window, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("h"))
+    val firsts = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+    ch.join(firsts, Seq("h"))
+      .withColumn("is_first",
+        col("m.doc_id") === col("doc_id") && col("m.chunk_id") === col("chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_first"),
+              struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text")),
+          " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** B1b — dedup group stats: copies per distinct content. */
   def exactStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
