@@ -37,6 +37,7 @@ object SparkEntry {
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_exact_stats"    -> ((s, d) => Dedup.exactStats(s, d)),
+    "dedup_normalized"     -> ((s, d) => Dedup.dedupNormalized(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
     "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairsPortable(s, d)),
     "dedup_minhash_keep"   -> ((s, d) => Dedup.minhashDedupPortable(s, d)),
@@ -66,6 +67,8 @@ object SparkEntry {
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
+    "sparse_sim_pairs"     -> ((s, d) => graft.ops.Relevance.sparseCosinePairs(s, d)),
+    "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -81,6 +84,9 @@ object SparkEntry {
     "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
     "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "corpus_rollup"        -> ((s, d) => Analytics.corpusRollup(s, d)),
+    "events_cube"          -> ((s, d) => Analytics.eventsCube(s, d)),
+    "retention_cohorts"    -> ((s, d) => Analytics.retentionCohorts(s, d)),
+    "funnel_counts"        -> ((s, d) => Analytics.funnelCounts(s, d)),
     "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d)),
     // no oracleSql entry: the sketch picks an engine-specific order
     // statistic (rows-only driver check; rank-error bound in OpsSpec)
@@ -891,6 +897,42 @@ object SparkEntry {
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY gid, lang, source""".stripMargin,
 
+    "events_cube" ->
+      s"""WITH $evCte,
+         |e AS (SELECT event_type,
+         |             (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+         |             value FROM ev)
+         |SELECT coalesce(event_type, '<all>') AS event_type,
+         |       coalesce(dow, -1) AS dow,
+         |       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e GROUP BY CUBE (event_type, dow)
+         |ORDER BY gid, event_type, dow""".stripMargin,
+
+    "retention_cohorts" ->
+      s"""WITH $evCte,
+         |w AS (SELECT DISTINCT user_id,
+         |             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM ev),
+         |c AS (SELECT user_id, week,
+         |             min(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
+         |SELECT cohort_week, week - cohort_week AS weeks_since, count(*) AS n_users
+         |FROM c GROUP BY cohort_week, weeks_since
+         |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "funnel_counts" ->
+      s"""WITH $evCte,
+         |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v1
+         |      FROM ev GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS c1 FROM ev e JOIN u ON e.user_id = u.user_id
+         |      WHERE e.event_type = 'click' AND e.ts >= u.v1 GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS p1 FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts >= c.c1 GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM u) AS n_users,
+         |       (SELECT count(*) FROM u WHERE v1 IS NOT NULL) AS n_viewed,
+         |       (SELECT count(*) FROM c) AS n_clicked_after_view,
+         |       (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin,
+
     "vocab_top" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT doc_id, token, count(*) AS cnt FROM e GROUP BY doc_id, token)
@@ -935,6 +977,46 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace is first-match-only without the 'g' flag
+    // (Spark's is always global) — every replace below passes 'g'.
+    "dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, lang, source,
+        |                  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY norm_hash) AS n_variants FROM n)
+        |SELECT doc_id, lang, source, norm_hash, CAST(n_variants AS BIGINT) AS n_variants
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "sparse_sim_pairs" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, token
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+        |rare AS (SELECT token FROM tok GROUP BY token HAVING count(*) BETWEEN 2 AND 10),
+        |kept AS (SELECT t.doc_id, t.token FROM tok t JOIN rare USING (token)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+        |       round(p.shared / sqrt(sa.n * sb.n), 6) AS cosine
+        |FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a JOIN sz sb ON sb.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tok FROM documents),
+        |b0 AS (SELECT tok, unnest(generate_series(1, len(tok) - 1)) AS i FROM t),
+        |b AS (SELECT tok[i] AS w1, tok[i + 1] AS w2 FROM b0),
+        |u AS (SELECT w, count(*) AS cnt
+        |      FROM (SELECT unnest(tok) AS w FROM t) GROUP BY w),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM u),
+        |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT pc.w1, pc.w2, CAST(pc.pair_cnt AS BIGINT) AS pair_cnt,
+        |       round(CAST(pc.pair_cnt * n.n_tokens AS DOUBLE) /
+        |             CAST(u1.cnt * u2.cnt AS DOUBLE), 6) AS lift
+        |FROM pc JOIN u u1 ON u1.w = pc.w1 JOIN u u2 ON u2.w = pc.w2 CROSS JOIN n
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "token_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -146,6 +146,73 @@ object Analytics {
         col("gid"), col("n_docs"), col("n_chars"))
       .orderBy("gid", "lang", "source")
 
+  /** C12 — multi-dimensional cube: event volumes and decimal-exact value
+    * sums by (event_type, day-of-week), with all four grouping sets
+    * (detail, per-type, per-dow, grand total) in ONE aggregation —
+    * `CUBE` expands the sets map-side, so the shuffle still carries only
+    * partial aggregates over a tiny key space. Day-of-week is integer
+    * epoch math (`epoch_days + 4 mod 7`, 0 = Sunday) — identical on every
+    * engine, where date-part functions disagree on week origin. Null group
+    * keys surface as sentinels ('<all>' / -1) and an explicit grouping id
+    * keeps cross-engine ordering deterministic.
+    */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dow", expr("(cast(ts as long) div 86400 + 4) % 7"))
+      .cube(col("event_type"), col("dow"))
+      .agg((grouping(col("event_type")) * 2 + grouping(col("dow"))).cast("long").as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("gid"), col("n_events"), col("sum_value"))
+      .orderBy("gid", "event_type", "dow")
+
+  /** C13 — cohort retention: users grouped by first-activity week, counted
+    * in each subsequent week they return. The (user, week) activity grid
+    * collapses map-side via distinct; the cohort week rides a min-window
+    * over the SAME user partitioning (no second shuffle, no self-join);
+    * the final count is a partial-aggregated groupBy on the tiny
+    * (cohort, offset) key space. Weeks are integer epoch weeks — engine-
+    * exact, no calendar-week-origin disagreement.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr("cast(ts as long) div 604800").as("week"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    weeks
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** C14 — ordered funnel: how many users progressed view → click →
+    * purchase IN ORDER (each stage at or after the previous stage's first
+    * completion). One shuffle on user_id; the three stage timestamps are
+    * sequential min-windows over the same partitioning (each references
+    * the previous stage's materialized column — Spark stacks the Window
+    * operators on one exchange), and the final count is a single-row
+    * global aggregate.
+    */
+  def funnelCounts(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c1", min(when(col("event_type") === "click" && col("ts") >= col("v1"),
+        col("ts"))).over(byUser))
+      .withColumn("p1", min(when(col("event_type") === "purchase" && col("ts") >= col("c1"),
+        col("ts"))).over(byUser))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("v1").isNotNull, col("user_id"))).as("n_viewed"),
+        countDistinct(when(col("c1").isNotNull, col("user_id"))).as("n_clicked_after_view"),
+        countDistinct(when(col("p1").isNotNull, col("user_id"))).as("n_purchased_after_click"))
+  }
+
   /** C9 — distribution stats: EXACT token-count percentiles per language
     * (p25/p50/p90/p99, linear interpolation — the same definition as
     * SQL `quantile_cont`, so the oracle agrees bit-for-bit). Exact

@@ -47,6 +47,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B1c — normalization-aware exact dedup: identical after lowercasing,
+    * stripping non-alphanumerics, and collapsing whitespace — the standard
+    * "exact" pass real pipelines run (C4, RefinedWeb), which catches
+    * case/punctuation variants plain byte-equality misses. Same one-shuffle
+    * ranked-window shape as [[exact]], grouped on md5(normalized); the
+    * normalizer is three codegen'd string ops whose regex classes
+    * (`[^a-z0-9 ]`, ` +`) behave identically under Java regex and RE2, so
+    * the DuckDB oracle replays it verbatim. Reports each survivor's variant
+    * count — `n_variants > 1` rows are the near-misses byte-exact dedup
+    * would have kept twice.
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val byHash = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("norm_hash", md5(norm))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("n_variants", count(lit(1)).over(Window.partitionBy(col("norm_hash"))))
+      .where(col("rn") === 1)
+      .select("doc_id", "lang", "source", "norm_hash", "n_variants")
+      .orderBy("doc_id")
+  }
+
   /** B26 — passage-level dedup (the C4/RefinedWeb line-dedup analog for a
     * corpus without line structure): split every document into
     * non-overlapping `window`-token passages, keep each distinct passage's

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse-text relevance operators (SURVEY.md §2 B27/B28): document
+  * similarity over an inverted token index and bigram collocation mining.
+  * Both are the df-capped keyed-join shapes sparse retrieval systems use at
+  * scale — candidates ever meet only on a shared (rare) token, never
+  * all-pairs, and the df cap is the knob that bounds the worst key.
+  */
+object Relevance {
+
+  /** B27 — sparse document similarity via an inverted index: cosine over
+    * binary rare-token vectors, `|A∩B| / sqrt(|A|·|B|)`.
+    *
+    * The scale shape is the classic df-capped inverted index:
+    *  1. distinct (doc, token) pairs (map-side combine collapses a token
+    *     repeated within one doc before the shuffle);
+    *  2. df per token, keeping only `2 <= df <= maxDf` — a token shared by
+    *     more than maxDf docs is a stopword for similarity purposes AND the
+    *     quadratic hot key that would melt the self-join, so one cap serves
+    *     relevance and scale at once: each surviving token contributes at
+    *     most maxDf·(maxDf−1)/2 candidate pairs regardless of corpus size;
+    *  3. the self-join meets docs ONLY on shared surviving tokens
+    *     (`doc_a < doc_b` halves the pairs), partial-aggregated count of
+    *     shared tokens per pair;
+    *  4. two keyed joins attach the per-doc vector sizes.
+    *
+    * The filtered index is persisted: it feeds the size table and both
+    * sides of the self-join, so the tokenize+df work runs once (the bench
+    * harness drops the blocks between queries — each run stays cold).
+    *
+    * The score is engine-exact: integers into one IEEE sqrt and one divide
+    * (both correctly rounded on Spark and DuckDB), unlike a float tf-idf
+    * dot product whose sum order differs per engine.
+    */
+  def sparseCosinePairs(spark: SparkSession, dir: String,
+                        maxDf: Int = 10, minShared: Int = 3): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val rare = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("token")
+    val kept = tok.join(rare, Seq("token"))
+      .select(col("token"), col("doc_id")).persist()
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("token"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared") / sqrt((col("na") * col("nb")).cast("double")), 6)
+          .as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** B28 — bigram collocation mining: adjacent token pairs whose corpus
+    * frequency beats chance, scored by LIFT
+    * `count(xy) · N / (count(x) · count(y))` — pointwise mutual information
+    * without the log (PMI's `ln` differs in the last ulp across math
+    * libraries; lift is an integer-ratio divide, engine-exact, and induces
+    * the same ranking).
+    *
+    * Shapes: bigrams explode per row (zero shuffle), global bigram counts
+    * partial-aggregate map-side, the unigram attach is two token-keyed
+    * joins, N is one broadcast scalar. Top-k by TakeOrdered — no global
+    * sort. All counting is occurrence-based (a pair repeated in one doc
+    * counts each time), the standard collocation statistic.
+    */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("tok"))
+    // tok[i] is 0-based in Spark SQL; slice is 1-based — pairs (tok[i], tok[i+1])
+    // for i in 0..n-2. One-token docs produce an empty slice, no rows.
+    val bigrams = toks
+      .select(explode(expr(
+        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> struct(x AS w1, tok[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("tok")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val n = uni.agg(sum("cnt").as("n_tokens"))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        round((col("pair_cnt") * col("n_tokens")).cast("double") /
+          (col("c1") * col("c2")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops.{Analytics, Dedup, Relevance}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelevanceSpec extends SparkSpec {
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text) => (id, text, "en", "src", text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("sparseCosinePairs: rare shared tokens pair docs; hot tokens are capped out") {
+    val dir = tempDir("sparse")
+    // "the" appears in all 5 docs (df=5 > maxDf=3 → dropped); docs 1,2
+    // share rare tokens r1 r2 r3; doc 3 shares only one rare token with 1.
+    writeDocs(dir, Seq(
+      (1L, "the r1 r2 r3 only1"),
+      (2L, "the r1 r2 r3 only2"),
+      (3L, "the r1 single3"),
+      (4L, "the lonely4 words4"),
+      (5L, "the lonely5 words5")
+    ))
+    val got = Relevance.sparseCosinePairs(spark, dir, maxDf = 3, minShared = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("shared")) ===
+      ((1L, 2L, 3L)))
+    // doc1 keeps {r1, r2, r3} (only1 has df=1 → dropped), doc2 likewise:
+    // cosine = 3 / sqrt(3·3) = 1.0 — identical rare-token vectors.
+    assert(r.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("sparseCosinePairs plan: no cartesian or nested-loop join") {
+    val plan = Relevance.sparseCosinePairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"inverted index must meet docs only on shared tokens:\n$plan")
+  }
+
+  test("collocations: adjacent-pair lift, one-token docs contribute nothing") {
+    val dir = tempDir("colloc")
+    // "new york" always adjacent (5×); "a b" appear but never adjacent
+    // enough; one-token doc must not produce a bigram row.
+    writeDocs(dir, Seq(
+      (1L, "new york new york new york"),
+      (2L, "new york new york a"),
+      (3L, "b"),
+      (4L, "a b a b a b a b")
+    ))
+    val got = Relevance.collocations(spark, dir, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("pair_cnt"),
+        r.getAs[Double]("lift"))).toList
+    // bigram counts: new→york 5×, york→new 3×, a→b 4× (below minCount), b→a 3× (below)
+    // N=20 tokens; cnt(new)=5, cnt(york)=5 → lift(new,york) = 5·20/25 = 4.0
+    assert(got === List(("new", "york", 5L, 4.0)))
+  }
+
+  test("dedupNormalized collapses case/punctuation variants that byte-exact dedup keeps") {
+    val dir = tempDir("normdedup")
+    writeDocs(dir, Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")
+    ))
+    val exact = Dedup.exact(spark, dir).count()
+    val norm = Dedup.dedupNormalized(spark, dir).collect()
+    assert(exact === 4, "byte-exact sees 4 distinct docs")
+    assert(norm.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 4L))
+    assert(norm.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("n_variants") === 3L)
+  }
+
+  test("funnelCounts: stages count only in-order progressions") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("funnel")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // u1: view→click→purchase in order (full funnel)
+    // u2: click BEFORE its first view, purchase after nothing → only viewed
+    // u3: no view at all → not even stage 1
+    Seq(
+      (1L, 10L, "view", ts(100)), (2L, 10L, "click", ts(200)), (3L, 10L, "purchase", ts(300)),
+      (4L, 20L, "click", ts(100)), (5L, 20L, "view", ts(200)),
+      (6L, 30L, "purchase", ts(100))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      // store as ns longs like the driver's events.parquet
+      .withColumn("ts", expr("cast(ts as long) * 1000000000"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.funnelCounts(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") === 3L)
+    assert(r.getAs[Long]("n_viewed") === 2L)                 // u1, u2
+    assert(r.getAs[Long]("n_clicked_after_view") === 1L)     // u1 only
+    assert(r.getAs[Long]("n_purchased_after_click") === 1L)  // u1 only
+  }
+
+  test("retentionCohorts: offsets measured from each user's first week") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("cohort")
+    val wk = 604800L
+    // u1 first in week 0, returns week 2; u2 first in week 2 only.
+    Seq(
+      (1L, 10L, wk * 0 + 5), (2L, 10L, wk * 2 + 5),
+      (3L, 20L, wk * 2 + 9)
+    ).map { case (eid, uid, sec) => (eid, uid, "view", sec * 1000000000L, 1.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("weeks_since"),
+        r.getAs[Long]("n_users"))).toList
+    assert(got === List((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("eventsCube: grand total row equals the sum of detail rows") {
+    val cube = Analytics.eventsCube(spark, sf0001).collect()
+    val detail = cube.filter(_.getAs[Long]("gid") == 0L)
+    val total = cube.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length === 1)
+    assert(total.head.getAs[Long]("n_events") === detail.map(_.getAs[Long]("n_events")).sum)
+    // 4 grouping sets present
+    assert(cube.map(_.getAs[Long]("gid")).distinct.sorted.toList === List(0L, 1L, 2L, 3L))
+  }
+}
