@@ -194,8 +194,11 @@ object Analytics {
     * completion). One shuffle on user_id; the three stage timestamps are
     * sequential min-windows over the same partitioning (each references
     * the previous stage's materialized column — Spark stacks the Window
-    * operators on one exchange), and the final count is a single-row
-    * global aggregate.
+    * operators on one exchange). The stage values are constant per user,
+    * so the count collapses to one row per user ON that same exchange
+    * (dropDuplicates keys on user_id — no new shuffle, unlike a 4-way
+    * countDistinct whose Expand would re-shuffle 4× the event rows) and a
+    * single-row global aggregate counts non-null stages.
     */
   def funnelCounts(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
@@ -206,11 +209,13 @@ object Analytics {
         col("ts"))).over(byUser))
       .withColumn("p1", min(when(col("event_type") === "purchase" && col("ts") >= col("c1"),
         col("ts"))).over(byUser))
+      .select(col("user_id"), col("v1"), col("c1"), col("p1"))
+      .dropDuplicates("user_id")
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(when(col("v1").isNotNull, col("user_id"))).as("n_viewed"),
-        countDistinct(when(col("c1").isNotNull, col("user_id"))).as("n_clicked_after_view"),
-        countDistinct(when(col("p1").isNotNull, col("user_id"))).as("n_purchased_after_click"))
+        count(lit(1)).as("n_users"),
+        count(col("v1")).as("n_viewed"),
+        count(col("c1")).as("n_clicked_after_view"),
+        count(col("p1")).as("n_purchased_after_click"))
   }
 
   /** C9 — distribution stats: EXACT token-count percentiles per language
