@@ -87,10 +87,12 @@ object SparkEntry {
     "events_cube"          -> ((s, d) => Analytics.eventsCube(s, d)),
     "retention_cohorts"    -> ((s, d) => Analytics.retentionCohorts(s, d)),
     "funnel_counts"        -> ((s, d) => Analytics.funnelCounts(s, d)),
+    "distinct_users"       -> ((s, d) => Analytics.distinctUsers(s, d)),
     "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d)),
-    // no oracleSql entry: the sketch picks an engine-specific order
-    // statistic (rows-only driver check; rank-error bound in OpsSpec)
-    "token_percentiles_approx" -> ((s, d) => Analytics.tokenPercentilesApprox(s, d))
+    // no oracleSql entries: sketches return engine-specific estimates
+    // (rows-only driver check; error bounds pinned in OpsSpec/RelevanceSpec)
+    "token_percentiles_approx" -> ((s, d) => Analytics.tokenPercentilesApprox(s, d)),
+    "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d))
   )
 
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
@@ -932,6 +934,11 @@ object SparkEntry {
          |       (SELECT count(*) FROM u WHERE v1 IS NOT NULL) AS n_viewed,
          |       (SELECT count(*) FROM c) AS n_clicked_after_view,
          |       (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin,
+
+    "distinct_users" ->
+      s"""WITH $evCte
+         |SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "vocab_top" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -218,6 +218,34 @@ object Analytics {
         count(col("p1")).as("n_purchased_after_click"))
   }
 
+  /** C15 — distinct cardinality per group (exact): unique users per event
+    * type. A single distinct aggregate plans as two-level aggregation
+    * (partial dedupe of (type, user) map-side, then count) — no Expand.
+    * Exact distinct is the oracle anchor; [[distinctUsersApprox]] is the
+    * one-pass sketch variant a 100 TB job runs.
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** C15b — the mergeable-sketch variant of [[distinctUsers]]:
+    * `approx_count_distinct` (HyperLogLog++, fixed-size sketch, partials
+    * merge map-side — one pass, no dedupe shuffle, corpus-size-independent
+    * memory). Registered rows-only: HLL's estimate is engine-specific, so
+    * no bit-exact cross-engine oracle exists; RelevanceSpec instead bounds
+    * the relative error against the exact counts at the configured rsd.
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String,
+                          rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** C9 — distribution stats: EXACT token-count percentiles per language
     * (p25/p50/p90/p99, linear interpolation — the same definition as
     * SQL `quantile_cont`, so the oracle agrees bit-for-bit). Exact

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Dataset maintenance (SURVEY.md §2 D11): small-file compaction. A
   * long-running epoch-partitioned stream (queue sink, dedup-ingest index)
@@ -57,6 +58,23 @@ object Maintenance {
     val (bytes, _) = fileCensus(spark, inDir)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(nOut)
+  }
+
+  /** D13 — range-clustered layout: rewrite `df` so each output file covers
+    * a DISJOINT range of `keys`. `repartitionByRange` samples the key
+    * distribution (balanced files even under value skew — a hash layout
+    * can't promise that) and the within-partition sort tightens parquet
+    * row-group min/max statistics, so a reader filtering on the cluster
+    * key prunes every non-covering file at planning time and every
+    * non-covering row group at scan time. This is the layout step a
+    * 100 TB time-range or id-range workload runs after compaction; the
+    * census-driven file sizing is [[compacted]]'s, reused.
+    */
+  def writeClustered(df: DataFrame, outDir: String, nFiles: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "clustering needs at least one key column")
+    df.repartitionByRange(math.max(1, nFiles), keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
   }
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =

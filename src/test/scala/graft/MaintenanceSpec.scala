@@ -114,4 +114,29 @@ class MaintenanceSpec extends SparkSpec {
       assert(files <= 2, s"$d must not spray small files, got $files")
     }
   }
+
+  test("writeClustered lays out disjoint key ranges across files (data-skipping layout)") {
+    import org.apache.spark.sql.functions._
+    val out = tempDir("clustered") + "/lineitem"
+    val li = graft.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_shipdate")
+    Maintenance.writeClustered(li, out, nFiles = 4, "l_shipdate")
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length === 4)
+    // per-file [min, max] shipdate ranges must not overlap — that is the
+    // property that lets a date-filtered scan prune whole files
+    val ranges = files.map { f =>
+      // TIMESTAMP_NTZ: compare as ISO strings (lexicographic = chronological)
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_shipdate").cast("string")), max(col("l_shipdate").cast("string"))).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file ranges overlap: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(out).count() === li.count())
+  }
 }

@@ -117,6 +117,20 @@ class RelevanceSpec extends SparkSpec {
     assert(got === List((0L, 0L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
   }
 
+  test("distinctUsersApprox stays within the HLL error bound of exact counts") {
+    val rsd = 0.02
+    val exact = Analytics.distinctUsers(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val approx = Analytics.distinctUsersApprox(spark, sf0001, rsd).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users_approx")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      // 5x rsd: HLL++'s rsd is a standard deviation, not a hard bound
+      assert(err <= 5 * rsd, s"$k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
   test("eventsCube: grand total row equals the sum of detail rows") {
     val cube = Analytics.eventsCube(spark, sf0001).collect()
     val detail = cube.filter(_.getAs[Long]("gid") == 0L)
