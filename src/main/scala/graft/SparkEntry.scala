@@ -88,6 +88,8 @@ object SparkEntry {
     "retention_cohorts"    -> ((s, d) => Analytics.retentionCohorts(s, d)),
     "funnel_counts"        -> ((s, d) => Analytics.funnelCounts(s, d)),
     "distinct_users"       -> ((s, d) => Analytics.distinctUsers(s, d)),
+    "daily_trend"          -> ((s, d) => Analytics.dailyTrend(s, d)),
+    "viewers_no_purchase"  -> ((s, d) => Analytics.viewersNoPurchase(s, d)),
     "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d)),
     // no oracleSql entries: sketches return engine-specific estimates
     // (rows-only driver check; error bounds pinned in OpsSpec/RelevanceSpec)
@@ -939,6 +941,25 @@ object SparkEntry {
       s"""WITH $evCte
          |SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "daily_trend" ->
+      s"""WITH $evCte,
+         |d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |             sum(CAST(value AS DECIMAL(18,2))) AS rev, count(*) AS n
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY day)
+         |SELECT day, CAST(rev AS DOUBLE) AS revenue, n AS n_purchases,
+         |       round(CAST(sum(rev) OVER w AS DOUBLE) /
+         |             CAST(sum(n) OVER w AS DOUBLE), 6) AS avg_purchase_7d
+         |FROM d WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin,
+
+    "viewers_no_purchase" ->
+      s"""WITH $evCte
+         |SELECT user_id, count(*) AS n_views FROM ev
+         |WHERE event_type = 'view'
+         |  AND user_id NOT IN (SELECT user_id FROM ev
+         |                      WHERE event_type = 'purchase' AND value > 90.0)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "vocab_top" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -218,6 +218,44 @@ object Analytics {
         count(col("p1")).as("n_purchased_after_click"))
   }
 
+  /** C16 — trailing-window trend: daily event revenue with a TRUE 7-day
+    * trailing average — a RANGE frame over integer epoch days, so gap days
+    * shrink the window (a ROWS frame would silently average the last 7
+    * OBSERVATIONS instead). Day totals partial-aggregate map-side to one
+    * row per day before the window; the window itself runs on that tiny
+    * per-day table. Average is decimal-exact sum / exact count, divided
+    * once in double — engine-exact.
+    */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val trailing7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(expr("cast(ts as long) div 86400").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"), count(lit(1)).as("n"))
+      .select(col("day"), col("rev").cast("double").as("revenue"), col("n").as("n_purchases"),
+        round(sum(col("rev")).over(trailing7).cast("double") /
+          sum(col("n")).over(trailing7).cast("double"), 6).as("avg_purchase_7d"))
+      .orderBy("day")
+  }
+
+  /** C17 — anti-join audience: viewers with NO high-value purchase
+    * (value > minValue) — the unconverted-audience query. The view side
+    * partial-aggregates to one row per user BEFORE the anti join, so the
+    * join carries user-cardinality rows, not event-cardinality; left-anti
+    * hash join broadcast- or shuffle-hashes on the key like any equi-join
+    * — no NOT IN subquery nest-loop.
+    */
+  def viewersNoPurchase(spark: SparkSession, dir: String,
+                        minValue: Double = 90.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+    val whales = ev.where(col("event_type") === "purchase" && col("value") > minValue)
+      .select("user_id").distinct()
+    views.join(whales, Seq("user_id"), "left_anti")
+      .orderBy("user_id")
+  }
+
   /** C15 — distinct cardinality per group (exact): unique users per event
     * type. A single distinct aggregate plans as two-level aggregation
     * (partial dedupe of (type, user) map-side, then count) — no Expand.

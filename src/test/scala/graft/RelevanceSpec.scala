@@ -131,6 +131,34 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("dailyTrend: RANGE frame shrinks across gap days (not last-7-rows)") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("trend")
+    // purchases on days 0, 1, and 10: the day-10 window [4, 10] must see
+    // ONLY day 10 — a ROWS frame would wrongly pull days 0 and 1 in.
+    Seq((1L, 1L, 0L, 10.0), (2L, 2L, 1L, 20.0), (3L, 3L, 10L, 40.0))
+      .map { case (eid, uid, day, v) =>
+        (eid, uid, "purchase", day * 86400L * 1000000000L, v, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.dailyTrend(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("avg_purchase_7d")).toMap
+    assert(got === Map(0L -> 10.0, 1L -> 15.0, 10L -> 40.0))
+  }
+
+  test("viewersNoPurchase: anti join stays a hash join, excludes purchasers") {
+    val df = Analytics.viewersNoPurchase(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"anti join must hash on the key:\n$plan")
+    // every sf0.001 user views, some have whale purchases — result must be
+    // a strict, non-empty subset of viewers
+    val nViewers = graft.Tables.events(spark, sf0001)
+      .where(col("event_type") === "view").select("user_id").distinct().count()
+    assert(df.count() > 0 && df.count() < nViewers)
+  }
+
   test("eventsCube: grand total row equals the sum of detail rows") {
     val cube = Analytics.eventsCube(spark, sf0001).collect()
     val detail = cube.filter(_.getAs[Long]("gid") == 0L)
