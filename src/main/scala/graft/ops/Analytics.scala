@@ -170,24 +170,24 @@ object Analytics {
       .orderBy("gid", "event_type", "dow")
 
   /** C13 — cohort retention: users grouped by first-activity week, counted
-    * in each subsequent week they return. The (user, week) activity grid
-    * collapses map-side via distinct; the cohort week rides a min-window
-    * over the SAME user partitioning (no second shuffle, no self-join);
-    * the final count is a partial-aggregated groupBy on the tiny
-    * (cohort, offset) key space. Weeks are integer epoch weeks — engine-
-    * exact, no calendar-week-origin disagreement.
+    * in each subsequent week they return. ONE full-data shuffle: the
+    * per-user week set aggregates directly on the user key (set partials
+    * union map-side, so raw events collapse before the exchange; the set
+    * is bounded by weeks-of-history, not activity volume), the cohort
+    * week is `array_min` of that set — no separate distinct pass, no
+    * min-window, no self-join — and the final count is a partial-
+    * aggregated groupBy on the tiny (cohort, offset) key space. Weeks are
+    * integer epoch weeks — engine-exact, no calendar-week-origin
+    * disagreement.
     */
-  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.events(spark, dir)
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), expr("cast(ts as long) div 604800").as("week"))
-      .distinct()
-    val byUser = Window.partitionBy(col("user_id"))
-    weeks
-      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "weeks_since")
-  }
 
   /** C14 — ordered funnel: how many users progressed view → click →
     * purchase IN ORDER (each stage at or after the previous stage's first
