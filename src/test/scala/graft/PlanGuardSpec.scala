@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wide plan invariants over EVERY registered query (SURVEY.md §4):
+  * individual specs pin per-operator plan shapes; this guard keeps future
+  * edits from quietly reintroducing the two scale-killers anywhere in the
+  * surface — cartesian products and non-scalar nested-loop joins.
+  *
+  * Planning only: `executedPlan` builds the physical plan without running
+  * jobs for lazy queries (a handful of iterative/stateful builders execute
+  * by construction — at sf0.001 that is cheap).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose ONLY nested-loop join is a broadcast of a 1-row scalar
+    * aggregate (count/median/total rows) — the pattern the verdict
+    * adjudicated as sound: the build side is one row by construction, so
+    * "nested loop" degenerates to attaching constants.
+    */
+  private val scalarBroadcastOk = Set(
+    "doc_top_terms",      // broadcast n_docs scalar
+    "ngram_jaccard",      // broadcast median-length scalar
+    "stratified_sample",  // broadcast min-class-size scalar
+    "temperature_sample", // broadcast min-class-size scalar
+    "contamination",      // broadcast eval-sample row count
+    "collocations",       // broadcast total-token scalar
+    "corpus_pipeline",    // composed: inherits the scalar joins above
+    "dedup_incremental",  // broadcast epoch scalar
+    "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
+                          // vectors (bounded by construction, not by data)
+                          // against the corpus; ann_lsh/ann_ivf are the
+                          // scale paths and stay equi-join-only
+  )
+
+  test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val cartesian = plan.contains("CartesianProduct")
+      val nestedLoop = plan.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name)
+      if (cartesian || nestedLoop)
+        Some(s"$name: cartesian=$cartesian unexpectedNestedLoop=$nestedLoop")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
+  }
+}
