@@ -57,6 +57,7 @@ object SparkEntry {
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
+    "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -566,6 +567,20 @@ object SparkEntry {
         |       CAST(16 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS stub_width,
         |       CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |o AS (SELECT doc_id, shard, ntok,
+        |             sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - ntok AS start_off
+        |      FROM d)
+        |SELECT doc_id, shard, ntok, CAST(start_off AS BIGINT) AS start_off,
+        |       CAST(start_off // 2048 AS BIGINT) AS pack_id,
+        |       CAST(start_off % 2048 AS BIGINT) AS pack_off
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "train_split" -> {
       val trainCut = (0.9 * (1 << 24)).toLong

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a training-data pipeline runs after cleaning
@@ -123,6 +124,36 @@ object Corpus {
           .cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(window)))
           .as("chunk_text"))
+  }
+
+  /** B30 — document packing (GPT-style concat-and-cut): assign each doc a
+    * position in a fixed-token-budget training pack. Docs concatenate in
+    * deterministic (shard, doc_id) order; a doc's pack is the budget
+    * window containing its START offset (docs crossing a boundary overflow
+    * their pack — the standard simple packing; the trainer's loader cuts
+    * sequences, this op decides placement).
+    *
+    * Scale shape: a global concat order would serialize the corpus through
+    * one sort, so docs first land in `shards` deterministic content-free
+    * shards (md5 of doc_id — NOT doc_id ranges, which would correlate with
+    * ingest order); the running-offset window then runs per shard —
+    * `shards` independent sorted partitions, each a fraction of the
+    * corpus, exactly how a 1000-executor packing job wants to run. All
+    * integer math, engine-exact.
+    */
+  def docPacking(spark: SparkSession, dir: String,
+                 budget: Long = 2048, shards: Int = 8): DataFrame = {
+    val shard = conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("start_off", sum(col("ntok")).over(w) - col("ntok"))
+      .select(col("doc_id"), col("shard"), col("ntok"), col("start_off"),
+        expr(s"start_off div ${budget}L").as("pack_id"),
+        expr(s"start_off % ${budget}L").as("pack_off"))
+      .orderBy("doc_id")
   }
 
   /** B13 — benchmark-contamination check: which corpus docs share at least

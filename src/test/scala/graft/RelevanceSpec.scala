@@ -159,6 +159,25 @@ class RelevanceSpec extends SparkSpec {
     assert(df.count() > 0 && df.count() < nViewers)
   }
 
+  test("docPacking: contiguous per-shard offsets, pack boundaries at the budget") {
+    val budget = 100L
+    val rows = graft.ops.Corpus.docPacking(spark, sf0001, budget = budget, shards = 4)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedOff = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("start_off") === expectedOff, "offsets must concatenate gap-free")
+        assert(r.getAs[Long]("pack_id") === expectedOff / budget)
+        assert(r.getAs[Long]("pack_off") === expectedOff % budget)
+        expectedOff += r.getAs[Long]("ntok")
+      }
+    }
+    // sharding must actually spread docs
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length === 4)
+  }
+
   test("eventsCube: grand total row equals the sum of detail rows") {
     val cube = Analytics.eventsCube(spark, sf0001).collect()
     val detail = cube.filter(_.getAs[Long]("gid") == 0L)
