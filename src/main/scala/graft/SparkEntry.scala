@@ -54,6 +54,7 @@ object SparkEntry {
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
+    "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
@@ -615,6 +616,22 @@ object SparkEntry {
         |      FROM h e JOIN h c ON e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0)
         |SELECT eval_id, corpus_id, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY eval_id, corpus_id""".stripMargin,
+
+    "decontaminated" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
+        |      FROM s),
+        |p AS (SELECT c.doc_id AS corpus_id,
+        |        CAST(len(list_intersect(e.shh, c.shh)) AS BIGINT) AS n_shared
+        |      FROM h e JOIN h c ON e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT DISTINCT corpus_id FROM p WHERE n_shared >= 3)
+        |ORDER BY doc_id""".stripMargin,
 
     "repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

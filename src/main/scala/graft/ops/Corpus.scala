@@ -179,4 +179,23 @@ object Corpus {
       .where(col("n_shared") >= minOverlap)
       .orderBy("eval_id", "corpus_id")
   }
+
+  /** B13b — decontamination REMOVAL: the corpus with every doc flagged by
+    * [[contamination]] dropped — check → remove as one operator, the step
+    * an actual training run executes. The flagged set (already tiny: docs
+    * sharing ≥ minOverlap 8-gram shingles with the eval sample) collapses
+    * to distinct ids before a left-anti hash join against the corpus — the
+    * join carries flagged-cardinality rows, the corpus side streams
+    * through at scan speed.
+    */
+  def decontaminated(spark: SparkSession, dir: String, shingleK: Int = 8,
+                     minOverlap: Int = 3): DataFrame = {
+    val flagged = contamination(spark, dir, shingleK, minOverlap)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 50 =!= 0) // eval rows are not corpus members
+      .select("doc_id", "lang", "source", "n_chars")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 }
