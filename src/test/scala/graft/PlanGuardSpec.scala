@@ -46,4 +46,22 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
   }
+
+  test("filter-heavy scans push their predicates into parquet") {
+    // Queries whose FIRST thing is a selective predicate on a scanned
+    // column: the filter must reach the parquet reader (PushedFilters),
+    // or at 100 TB the scan reads everything and filters after.
+    // (funnel_counts is deliberately absent: its n_users denominator
+    // counts users with ANY event, so the full scan is the semantics)
+    val mustPush = Seq("q1_agg", "q3_join", "q6_agg", "daily_trend",
+      "asof_join", "range_join", "viewers_no_purchase")
+    val offenders = mustPush.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+      if (pushed) None else Some(name)
+    }
+    assert(offenders.isEmpty,
+      s"no parquet-pushed filters in: ${offenders.mkString(", ")}")
+  }
 }
