@@ -92,6 +92,7 @@ object SparkEntry {
     "distinct_users"       -> ((s, d) => Analytics.distinctUsers(s, d)),
     "daily_trend"          -> ((s, d) => Analytics.dailyTrend(s, d)),
     "viewers_no_purchase"  -> ((s, d) => Analytics.viewersNoPurchase(s, d)),
+    "rolling_active_users" -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
     "token_percentiles"    -> ((s, d) => Analytics.tokenPercentiles(s, d)),
     // no oracleSql entries: sketches return engine-specific estimates
     // (rows-only driver check; error bounds pinned in OpsSpec/RelevanceSpec)
@@ -992,6 +993,16 @@ object SparkEntry {
          |  AND user_id NOT IN (SELECT user_id FROM ev
          |                      WHERE event_type = 'purchase' AND value > 90.0)
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "rolling_active_users" ->
+      s"""WITH $evCte,
+         |g AS (SELECT DISTINCT user_id,
+         |             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM ev),
+         |days AS (SELECT DISTINCT day FROM g),
+         |x AS (SELECT g.user_id, d.day
+         |      FROM g JOIN days d ON d.day BETWEEN g.day AND g.day + 6)
+         |SELECT day, count(DISTINCT user_id) AS active_7d
+         |FROM x GROUP BY day ORDER BY day""".stripMargin,
 
     "vocab_top" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -238,6 +238,30 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** C18 — rolling active users (WAU): distinct users over the trailing
+    * 7 days, for every day with data. Rolling DISTINCT does not decompose
+    * like a rolling sum, so the shape is a CONTRIBUTION EXPLODE: the
+    * (user, day) activity grid (map-side-collapsed distinct) emits one row
+    * per window it belongs to (7 rows, a fixed fan-out — not a 7-way
+    * self-join, not a per-day re-scan), then one distinct-count per window
+    * day (two-level partial aggregation). Windows are anchored to days
+    * that actually occur (semi-join against the day set — days are
+    * year-cardinality, broadcast at any scale).
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val days = grid.select("day").distinct()
+    grid
+      .select(col("user_id"), col("day").as("active_day"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+      .join(broadcast(days), Seq("day")) // only windows ending on a real day
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as(s"active_${windowDays}d"))
+      .orderBy("day")
+  }
+
   /** C17 — anti-join audience: viewers with NO high-value purchase
     * (value > minValue) — the unconverted-audience query. The view side
     * partial-aggregates to one row per user BEFORE the anti join, so the

@@ -178,6 +178,21 @@ class RelevanceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("shard")).distinct.length === 4)
   }
 
+  test("rollingActiveUsers: trailing-7d distinct, windows anchored to real days") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("wau")
+    // u1 day 0, u2 day 8, u3 day 5 → WAU(0)={u1}, WAU(5)={u1,u3}, WAU(8)={u2,u3}
+    Seq((1L, 10L, 0L), (2L, 20L, 8L), (3L, 30L, 5L))
+      .map { case (eid, uid, day) =>
+        (eid, uid, "view", day * 86400L * 1000000000L, 1.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.rollingActiveUsers(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("active_7d")).toList
+    assert(got === List(0L -> 1L, 5L -> 2L, 8L -> 2L))
+  }
+
   test("eventsCube: grand total row equals the sum of detail rows") {
     val cube = Analytics.eventsCube(spark, sf0001).collect()
     val detail = cube.filter(_.getAs[Long]("gid") == 0L)
