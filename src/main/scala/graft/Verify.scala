@@ -22,8 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // bound cache growth across the 40+ persisting queries
+      // bound cache growth across the persisting queries; also drop bare
+      // persistent RDDs (localCheckpoint debris from the iterative ops —
+      // the cache manager does not own those, same lesson as Bench)
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
