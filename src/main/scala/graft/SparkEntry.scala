@@ -1062,8 +1062,9 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "sparse_sim_pairs" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, token
-        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS token
+        |        FROM arr, unnest(generate_series(1, len(t) - 2)) AS g(i)),
         |rare AS (SELECT token FROM tok GROUP BY token HAVING count(*) BETWEEN 2 AND 10),
         |kept AS (SELECT t.doc_id, t.token FROM tok t JOIN rare USING (token)),
         |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),

@@ -30,14 +30,15 @@ object VectorExpressions {
     * the projection onto plane t*k+j.
     */
   def hyperplaneKeys(vec: Column, planes: Array[Array[Double]], tables: Int, k: Int): Column =
-    sqlshim.column(HyperplaneSignKeys(sqlshim.expression(vec), planes, tables, k))
+    sqlshim.column(HyperplaneSignKeys(sqlshim.expression(vec),
+      planes.map(_.toSeq).toSeq, tables, k))
 
   /** MinHash signature from pre-hashed shingles: sig[i] = min over h of
     * (a_i*h + b_i) mod p. One codegen pass over elements×hashes.
     */
   def minhashFamily(hashes: Column, coefs: Seq[(Long, Long)], p: Long): Column =
     sqlshim.column(MinHashFamily(sqlshim.expression(hashes),
-      coefs.map(_._1).toArray, coefs.map(_._2).toArray, p))
+      coefs.map(_._1), coefs.map(_._2), p))
 
   /** SimHash-style bit-vote fingerprint over pre-hashed tokens: bit b of the
     * result is 1 iff Σ_h (±1 by bit b of h) > 0, for b < nbits.
@@ -377,8 +378,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   * low bits are the signs of the vector's projections onto that table's
   * hyperplanes. One pass over tables×k×dim in codegen'd arithmetic.
   */
-case class HyperplaneSignKeys(child: Expression, planes: Array[Array[Double]],
+case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
                               tables: Int, k: Int) extends UnaryExpression {
+
+  // Seq constants give structural equals/hashCode (Array fields compare by
+  // reference, defeating plan canonicalization / subexpression elimination);
+  // the hot loops run over this one-time Array view.
+  @transient private lazy val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -398,7 +404,7 @@ case class HyperplaneSignKeys(child: Expression, planes: Array[Array[Double]],
       var bits = 0L
       var j = 0
       while (j < k) {
-        val row = planes(t * k + j)
+        val row = planesArr(t * k + j)
         var proj = 0.0
         val n = math.min(dim, row.length)
         var i = 0
@@ -417,7 +423,7 @@ case class HyperplaneSignKeys(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
     val get = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, vec => {
       val keys = ctx.freshName("keys"); val t = ctx.freshName("t"); val j = ctx.freshName("j")
@@ -454,8 +460,13 @@ case class HyperplaneSignKeys(child: Expression, planes: Array[Array[Double]],
   * call per element per hash) with a single codegen'd elements×k loop —
   * the same universal-hash arithmetic, identical results.
   */
-case class MinHashFamily(child: Expression, coefA: Array[Long], coefB: Array[Long],
+case class MinHashFamily(child: Expression, coefA: Seq[Long], coefB: Seq[Long],
                          p: Long) extends UnaryExpression {
+
+  // Seq constants for structural equality (see HyperplaneSignKeys); hot
+  // loops and codegen references use the one-time Array views.
+  @transient private lazy val coefAArr: Array[Long] = coefA.toArray
+  @transient private lazy val coefBArr: Array[Long] = coefB.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -470,14 +481,14 @@ case class MinHashFamily(child: Expression, coefA: Array[Long], coefB: Array[Lon
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    val k = coefA.length
+    val k = coefAArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
       var j = 0
       while (j < k) {
-        val v = (h * coefA(j) + coefB(j)) % p
+        val v = (h * coefAArr(j) + coefBArr(j)) % p
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -488,9 +499,9 @@ case class MinHashFamily(child: Expression, coefA: Array[Long], coefB: Array[Lon
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
-    val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
-    val k = coefA.length
+    val aRef = ctx.addReferenceObj("coefA", coefAArr, "long[]")
+    val bRef = ctx.addReferenceObj("coefB", coefBArr, "long[]")
+    val k = coefAArr.length
     nullSafeCodeGen(ctx, ev, hs => {
       val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")

@@ -88,11 +88,15 @@ object Analytics {
     */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // Explicit ROWS frame for the running total: the default RANGE frame
+    // pays a peer-group scan per row; ROWS streams. Identical results —
+    // event_id is unique within a user, so every row is its own peer group.
+    val runningRows = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .withColumn("prev_value", lag(col("value"), 1).over(byUser))
       .withColumn("running_total",
-        sum(col("value").cast("decimal(18,2)")).over(byUser).cast("double"))
+        sum(col("value").cast("decimal(18,2)")).over(runningRows).cast("double"))
       .withColumn("secs_since_prev",
         (col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")))
       .select("event_id", "user_id", "event_type", "prev_value", "running_total", "secs_since_prev")

@@ -145,7 +145,10 @@ object Corpus {
                  budget: Long = 2048, shards: Int = 8): DataFrame = {
     val shard = conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
       .cast("long") % shards
+    // ROWS frame: doc_id is unique, so ROWS ≡ RANGE but streams instead of
+    // paying the default RANGE frame's peer-group scan per row.
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), shard.as("shard"),
         size(split(col("text"), " ")).cast("long").as("ntok"))

@@ -35,11 +35,28 @@ object Relevance {
     * The score is engine-exact: integers into one IEEE sqrt and one divide
     * (both correctly rounded on Spark and DuckDB), unlike a float tf-idf
     * dot product whose sum order differs per engine.
+    *
+    * The index unit is a `shingleN`-word shingle (default 3). Unigrams only
+    * discriminate when the vocabulary is large; on a small-vocabulary corpus
+    * every word is a stopword by the df cap and the index goes empty, while
+    * word shingles recover a long-tailed df distribution from word ORDER —
+    * the same reason MinHash shingles rather than bags words. `shingleN = 1`
+    * gives the classic unigram index.
     */
   def sparseCosinePairs(spark: SparkSession, dir: String,
-                        maxDf: Int = 10, minShared: Int = 3): DataFrame = {
+                        maxDf: Int = 10, minShared: Int = 3,
+                        shingleN: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    // Guard sequence() against size < shingleN: Spark auto-steps NEGATIVE
+    // when start > stop, which would fabricate shingles on short docs.
+    val unit =
+      if (shingleN == 1) explode(words)
+      else explode(when(size(words) >= shingleN,
+        transform(sequence(lit(0), size(words) - shingleN),
+          i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))))
+        .otherwise(array()))
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), unit.as("token"))
       .distinct()
     val rare = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))

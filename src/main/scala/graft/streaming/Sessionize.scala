@@ -28,14 +28,21 @@ object Sessionize {
 
   def sessions(spark: SparkSession, dir: String, gapSeconds: Long = GapSeconds): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    // Project lag ONCE (two `when` branches over lag plan two identical
+    // window expressions — Spark does not dedupe them), and give the running
+    // sum an explicit ROWS frame: the default RANGE frame pays a peer-group
+    // scan per row, while ROWS streams — identical results here because
+    // event_id is unique within a user.
+    val runningRows = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("prev_s", lag(col("epoch_s"), 1).over(byUser))
       .withColumn("is_new_session",
-        when(col("epoch_s") - lag(col("epoch_s"), 1).over(byUser) > gapSeconds, 1)
-          .when(lag(col("epoch_s"), 1).over(byUser).isNull, 1)
+        when(col("prev_s").isNull || col("epoch_s") - col("prev_s") > gapSeconds, 1)
           .otherwise(0))
-      .withColumn("session_seq", sum(col("is_new_session")).over(byUser).cast("long"))
+      .withColumn("session_seq", sum(col("is_new_session")).over(runningRows).cast("long"))
     flagged
       .groupBy(col("user_id"), col("session_seq"))
       .agg(

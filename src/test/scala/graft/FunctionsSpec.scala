@@ -153,6 +153,25 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("constant-carrying expressions compare structurally (canonicalization works)") {
+    // Two independently-built instances over the same constants must be
+    // equal, or Catalyst never recognizes identical subplans (CSE, exchange
+    // reuse). Array fields would compare by reference and fail this.
+    import graft.functions.{HyperplaneSignKeys, MinHashFamily}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val in = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val hin = BoundReference(0, ArrayType(LongType), nullable = true)
+    def planes() = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    def coefs() = Seq(5L, 6L)
+    assert(HyperplaneSignKeys(in, planes(), 1, 2) === HyperplaneSignKeys(in, planes(), 1, 2))
+    assert(HyperplaneSignKeys(in, planes(), 1, 2).hashCode ===
+      HyperplaneSignKeys(in, planes(), 1, 2).hashCode)
+    assert(MinHashFamily(hin, coefs(), coefs(), 97L) === MinHashFamily(hin, coefs(), coefs(), 97L))
+    assert(MinHashFamily(hin, coefs(), coefs(), 97L).hashCode ===
+      MinHashFamily(hin, coefs(), coefs(), 97L).hashCode)
+  }
+
   test("BitVoteFingerprint == the per-bit aggregate folds it replaces") {
     val hashed = transform(split(col("text"), " "), t => xxhash64(t))
     val expected = (0 until 64).map { bit =>

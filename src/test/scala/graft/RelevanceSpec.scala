@@ -25,7 +25,8 @@ class RelevanceSpec extends SparkSpec {
       (4L, "the lonely4 words4"),
       (5L, "the lonely5 words5")
     ))
-    val got = Relevance.sparseCosinePairs(spark, dir, maxDf = 3, minShared = 3).collect()
+    val got = Relevance.sparseCosinePairs(spark, dir, maxDf = 3, minShared = 3,
+      shingleN = 1).collect()
     assert(got.length === 1)
     val r = got.head
     assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("shared")) ===
@@ -33,6 +34,35 @@ class RelevanceSpec extends SparkSpec {
     // doc1 keeps {r1, r2, r3} (only1 has df=1 → dropped), doc2 likewise:
     // cosine = 3 / sqrt(3·3) = 1.0 — identical rare-token vectors.
     assert(r.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("sparseCosinePairs shingle mode: word order discriminates, short docs drop") {
+    val dir = tempDir("sparse3")
+    // Docs 1,2 share the 3-shingles "a b c" / "b c d" / "c d e" (shared=3);
+    // doc 3 has the SAME words as doc 1 in reverse order — zero shared
+    // shingles, which is the point of shingling over a bag of words.
+    // Doc 4 is shorter than one shingle and must contribute nothing.
+    writeDocs(dir, Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e x"),
+      (3L, "e d c b a"),
+      (4L, "a b")
+    ))
+    val got = Relevance.sparseCosinePairs(spark, dir, maxDf = 3, minShared = 3,
+      shingleN = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("shared")) ===
+      ((1L, 2L, 3L)))
+    // doc1 keeps {a b c, b c d, c d e} (df=2 each), doc2 those plus
+    // "d e x" (df=1 → dropped): cosine = 3 / sqrt(3·3) = 1.0.
+    assert(r.getAs[Double]("cosine") === 1.0)
+  }
+
+  test("sparseCosinePairs is non-empty at the driver's gate scale") {
+    // r5 verdict: the registered query returned 0 rows at sf0.01, a vacuous
+    // oracle match. Registered defaults must yield rows at every test SF.
+    assert(Relevance.sparseCosinePairs(spark, sf0001).count() > 0)
   }
 
   test("sparseCosinePairs plan: no cartesian or nested-loop join") {
