@@ -497,10 +497,15 @@ object Dedup {
     // plain distinct() would shuffle, but it folds what would otherwise be
     // the entire first propagation round into the seed (dense clusters
     // converge one round earlier)
+    // lazy checkpoints throughout the loop: the labelSum probe right after
+    // each checkpoint materializes the blocks AND reads the scalar in the
+    // SAME job, halving the per-round fixed cost (job launch + 32-task
+    // scheduling) that dominates when the dup graph is small
     var (labels, labelBlocks) = checkpointTracked(
       edges.groupBy("src")
         .agg(least(min(col("dst")), col("src")).as("lbl"))
-        .select(col("src").as("id"), col("lbl")))
+        .select(col("src").as("id"), col("lbl")),
+      eager = false)
     // convergence probe: labels only ever DECREASE, so the label sum is a
     // strictly-decreasing potential until fixpoint — comparing one scalar
     // aggregate per round replaces a keyed join against the previous round
@@ -516,7 +521,8 @@ object Dedup {
       val (next, nextBlocks) = checkpointTracked(
         labels.join(nbrMin, labels("id") === nbrMin("nid"), "left_outer")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")),
+        eager = false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -548,14 +554,17 @@ object Dedup {
     * callers can release superseded rounds (the checkpointed RDD is not
     * owned by the SQL cache manager — clearCache never frees it).
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+  private def checkpointTracked(df: DataFrame, eager: Boolean = true)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     // Pull the checkpointed RDD straight out of the returned plan (a
     // localCheckpoint'd Dataset is a LogicalRDD leaf over the persisted
     // blocks) rather than diffing sc.getPersistentRDDs around the call —
     // the set-diff would also capture RDDs a CONCURRENT job persisted in
     // that window, and unpersisting a stranger's lineage-truncated
-    // checkpoint kills that job.
-    val cp = df.localCheckpoint()
+    // checkpoint kills that job. `eager = false` lets an iterative caller
+    // fold block materialization into its convergence probe — one Spark job
+    // per round instead of checkpoint-job + probe-job.
+    val cp = df.localCheckpoint(eager)
     val owned = cp.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
@@ -585,6 +594,7 @@ object Dedup {
         .where(col("src") =!= col("dst")).distinct())
     var converged = false
     var round = 0
+    var eCount = e.count()
     while (!converged && round < maxRounds) {
       // large-star: for each u, attach every strictly-larger neighbor v to
       // m = min(Γ(u) ∪ {u}); edges stay (big, small) because v > u ≥ m
@@ -603,9 +613,14 @@ object Dedup {
         smallN.join(sMins, Seq("src"))
           .select(col("dst").as("src"), col("m").as("dst"))
           .unionByName(sMins.select(col("src"), col("m").as("dst")))
-          .where(col("src") =!= col("dst")).distinct())
-      converged = next.exceptAll(e).limit(1).count() == 0 &&
-        e.exceptAll(next).limit(1).count() == 0
+          .where(col("src") =!= col("dst")).distinct(),
+        eager = false)
+      // set equality with ONE difference job: both sides are distinct(), so
+      // next ⊆ e together with |next| = |e| implies next = e. The count
+      // also materializes the lazy checkpoint blocks for this round.
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).limit(1).count() == 0
+      eCount = nextCount
       eBlocks.foreach(_.unpersist(blocking = false))
       e = next
       eBlocks = nextBlocks

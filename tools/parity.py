@@ -4,8 +4,15 @@ given SF dir, then replay oracle_sql.json in DuckDB over the same parquet
 tables and compare values column-by-column (columns sorted by name).
 
 Usage: python3 tools/parity.py [sfdir] [outdir] [--skip-verify] [names...]
+
+Every run also times each DuckDB oracle query and writes the per-query
+seconds to <outdir>/oracle_bench.json — the single-node baseline the Spark
+bench is judged against. `--oracle-only` skips Verify AND the comparison:
+it just replays oracle_sql.json (from a previous run's outdir) over the
+given sfdir and writes the timings, so the oracle can be timed at sf0.1
+without re-running the Spark side there.
 """
-import sys, os, json, glob, subprocess
+import sys, os, json, glob, subprocess, time
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -18,7 +25,7 @@ def main():
     sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
-    if "--skip-verify" not in sys.argv:
+    if "--skip-verify" not in sys.argv and "--oracle-only" not in sys.argv:
         r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
                            capture_output=True, text=True)
         errs = [l for l in r.stdout.splitlines() if "[verify]" in l or "[error]" in l]
@@ -31,23 +38,34 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+    oracle_secs = {}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
+        try:
+            t0 = time.monotonic()
+            ddf = con.execute(sql).fetchdf()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_bad += 1; continue
+        if "--oracle-only" in sys.argv:
+            print(f"time {name} {oracle_secs[name]} s ({len(ddf)} rows)"); n_ok += 1
+            continue
         spark_path = f"{outdir}/{name}"
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         sdf = pq.read_table(spark_path).to_pandas()
-        try:
-            ddf = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}"); n_bad += 1; continue
         ok, msg = compare(sdf, ddf)
         if ok:
             print(f"ok   {name} ({len(sdf)} rows)"); n_ok += 1
         else:
             print(f"FAIL {name}: {msg}"); n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} fail")
+    bench_path = f"{outdir}/oracle_bench.json"
+    with open(bench_path, "w") as f:
+        json.dump({"engine": "duckdb", "sf": sfdir,
+                   "total_sec": round(sum(oracle_secs.values()), 3),
+                   "queries": oracle_secs}, f, indent=1, sort_keys=True)
+    print(f"\n{n_ok} ok, {n_bad} fail; oracle timings -> {bench_path}")
     sys.exit(1 if n_bad else 0)
 
 def compare(sdf, ddf):
