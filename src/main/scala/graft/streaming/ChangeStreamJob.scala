@@ -66,6 +66,58 @@ final case class SocketEventSource(host: String, port: Int) extends EventSource 
       .where(col("event_id").isNotNull)
 }
 
+/** Production source binding: a Kafka topic fed by a CDC tool (the broker
+  * deployment of the reference's `collection.watch()` stream,
+  * mrcon/src/mongo/connector.rs:142). `load` only wires
+  * `readStream.format("kafka")` — a replayable source, so the checkpointed
+  * exactly-once contract of the seam holds — and hands the wire rows to
+  * [[KafkaEventSource.decode]], a PURE static-frame mapping from Kafka's
+  * fixed wire schema (key/value binary, topic, partition, offset, timestamp)
+  * to [[ChangeStreamJob.eventSchema]]. The split exists so the mapping is
+  * contract-testable without a broker: `decode` runs identically on a static
+  * DataFrame with Kafka's columns (KafkaSourceSpec), while `load` itself
+  * needs the spark-sql-kafka package on the cluster classpath (not shipped
+  * in this sandbox — `failFast` gives a clear error instead of Spark's
+  * "Failed to find data source" deep in query start).
+  */
+final case class KafkaEventSource(bootstrapServers: String, topic: String,
+                                  startingOffsets: String = "earliest",
+                                  maxOffsetsPerTrigger: Option[Long] = None) extends EventSource {
+  override def load(spark: SparkSession): DataFrame = {
+    KafkaEventSource.failFast(spark)
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    KafkaEventSource.decode(
+      maxOffsetsPerTrigger.fold(reader)(n =>
+        reader.option("maxOffsetsPerTrigger", n.toString)).load())
+  }
+}
+
+object KafkaEventSource {
+
+  /** Kafka's wire envelope → the event schema: the record value is the event
+    * JSON (what a Debezium-style CDC tool or the queue publisher writes);
+    * rows whose value fails to parse to an event_id are dropped rather than
+    * poisoning the stream (same malformed-row policy as SocketEventSource).
+    * Pure column mapping — no streaming dependency — so it is testable on
+    * static frames and reusable for a BATCH backfill read of the same topic.
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), ChangeStreamJob.eventSchema).as("e"))
+      .select(col("e.*"))
+      .where(col("event_id").isNotNull)
+
+  private[streaming] def failFast(spark: SparkSession): Unit =
+    require(
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider",
+        false, Thread.currentThread.getContextClassLoader); true }
+      catch { case _: ClassNotFoundException => false },
+      "KafkaEventSource needs the spark-sql-kafka-0-10 package on the classpath " +
+        "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>)")
+}
+
 /** Where change-event payloads go. Called once per epoch from foreachBatch;
   * implementations MUST be idempotent per epochId — after a crash between
   * sink commit and checkpoint commit the epoch is replayed, and replay must
