@@ -140,6 +140,41 @@ final case class ParquetQueuePublisher(queueDir: String) extends QueuePublisher 
       .partitionBy("epoch").parquet(queueDir)
 }
 
+/** Production sink binding: publish each change event to a Kafka topic (the
+  * broker deployment of the reference's AMQP publisher,
+  * mrcon/src/rabbitmq/amqp.rs:95-110). `publish` only wires the batch
+  * `write.format("kafka")`; the record shaping lives in
+  * [[KafkaQueuePublisher.encode]], a pure mapping from the change-event
+  * envelope to Kafka (key, value) — key = documentKey so a partitioner
+  * preserves per-document order and log compaction keeps the latest image,
+  * value = the envelope as JSON (the payload consumers already parse,
+  * A5c). Pure and static-testable, same split as [[KafkaEventSource]].
+  *
+  * Delivery: at-least-once — a crash between broker ack and checkpoint
+  * commit replays the epoch and re-publishes it (exactly the reference's
+  * publisher-confirm redelivery window). Consumers dedupe by event_id;
+  * the engine's consumer-side ops do (publish_dedup / A5c).
+  */
+final case class KafkaQueuePublisher(bootstrapServers: String, topic: String)
+    extends QueuePublisher {
+  override def publish(batch: DataFrame, epochId: Long): Unit = {
+    KafkaEventSource.failFast(batch.sparkSession)
+    KafkaQueuePublisher.encode(batch)
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+  }
+}
+
+object KafkaQueuePublisher {
+  /** Change-event envelope → Kafka record columns. Pure, batch-testable. */
+  def encode(batch: DataFrame): DataFrame =
+    batch.select(
+      col("document_key").cast("string").as("key"),
+      to_json(struct(batch.columns.map(col): _*)).as("value"))
+}
+
 /** Toy in-driver publisher proving the QueuePublisher seam in tests. */
 final class InMemoryQueuePublisher extends QueuePublisher {
   import scala.jdk.CollectionConverters._

@@ -56,4 +56,30 @@ class KafkaSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spark-sql-kafka"))
   }
+
+  test("sink encode: key = document key, value round-trips the envelope") {
+    import graft.streaming.KafkaQueuePublisher
+    // ids 3 and 12: document_key = user_id = id % 7 → keys "3" and "5"
+    val events = KafkaEventSource.decode(wire(Seq(eventJson(3), eventJson(12))))
+    val envelope = ChangeStreamJob.toChangeEvents(events, "appdb", "events")
+    val rec = KafkaQueuePublisher.encode(envelope)
+    assert(rec.columns.toSeq === Seq("key", "value"))
+    val rows = rec.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("3", "5"))
+    // the value is the envelope as JSON — a consumer reparses it losslessly
+    val parsed = rec.select(from_json(col("value"), envelope.schema).as("e")).select("e.*")
+    assert(parsed.orderBy("event_id").collect().map(_.getAs[Long]("event_id")).toSeq ===
+      Seq(3L, 12L))
+    assert(parsed.where(col("operation_type").isNull).count() === 0)
+  }
+
+  test("kafka publisher fails fast without the kafka package") {
+    import graft.streaming.KafkaQueuePublisher
+    val events = KafkaEventSource.decode(wire(Seq(eventJson(1))))
+    val envelope = ChangeStreamJob.toChangeEvents(events, "appdb", "events")
+    val e = intercept[IllegalArgumentException] {
+      KafkaQueuePublisher("broker:9092", "events").publish(envelope, 0L)
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
 }
