@@ -1061,10 +1061,15 @@ object SparkEntry {
         |SELECT doc_id, lang, source, norm_hash, CAST(n_variants AS BIGINT) AS n_variants
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // token = 60-bit md5 shingle hash, identical to ShingleHashes(hv):
+    // first 15 hex chars of md5(shingle) as a BIGINT. Docs shorter than the
+    // shingle width contribute their whole text as one shingle
+    // (greatest(len-2, 1) mirrors max(n-k+1, 1); the t[i:i+2] slice clamps).
     "sparse_sim_pairs" ->
       """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |tok AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS token
-        |        FROM arr, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |tok AS (SELECT DISTINCT doc_id,
+        |               ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS token
+        |        FROM arr, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
         |rare AS (SELECT token FROM tok GROUP BY token HAVING count(*) BETWEEN 2 AND 10),
         |kept AS (SELECT t.doc_id, t.token FROM tok t JOIN rare USING (token)),
         |sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),

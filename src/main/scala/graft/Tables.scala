@@ -21,21 +21,49 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Redistribute an under-parallel fact scan across the session's cores.
+    *
+    * Parquet splits at ROW-GROUP granularity: a table written as one file
+    * with one row group (the driver's testdata layout) scans as ONE task no
+    * matter what `maxPartitionBytes` says, so every per-row expression
+    * downstream — shingling explodes, regex normalization, JSON parsing —
+    * runs on 1 of the session's cores until the first shuffle. Hashing on
+    * the table's unique key spreads that work: deterministic (unlike
+    * round-robin, which also pays a defensive full-row sort for retry
+    * safety), evenly distributed, and pennies to shuffle since it happens
+    * BEFORE the wide text columns fan out into shingles/tokens.
+    *
+    * Gated on the scan's actual partition count, so it is a no-op exactly
+    * when it should be: a real lake's many files/row-groups already scan
+    * wider than `defaultParallelism`, and Catalyst still pushes filters and
+    * prunes columns through the RepartitionByExpression node (asserted by
+    * PlanGuardSpec's pushdown checks). Dimension tables stay un-spread —
+    * they ride broadcast joins where an exchange would only add cost.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def orders(spark: SparkSession, dir: String): DataFrame   =
+    spread(table(spark, dir, "orders"), "o_orderkey")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spread(table(spark, dir, "lineitem"), "l_orderkey")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(table(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(table(spark, dir, "embeddings"), "vec_id")
 
   /** Events with `ts` normalized to a microsecond TimestampType column.
     * DuckDB equivalent of the conversion: `CAST(ts AS TIMESTAMP)` (both
     * truncate nanos toward negative infinity for the epochs in our data).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    spread(table(spark, dir, "events"), "event_id")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 }

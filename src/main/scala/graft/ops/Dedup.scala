@@ -120,12 +120,6 @@ object Dedup {
 
   // ------------------------------------------------------- shared LSH core
 
-  /** Token k-shingles of the text (distinct, as the MinHash set elements). */
-  private def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(split(text, " ")) - lit(k - 1), lit(1))),
-      i => concat_ws(" ", slice(split(text, " "), i, lit(k)))))
-
   /** Engine-portable universal hash family: each shingle is hashed ONCE to a
     * 24-bit base value, then the i-th hash is the linear congruence
     * (a_i * base + b_i) mod P — classic universal hashing, so the MinHash

@@ -18,6 +18,12 @@ object Embeddings {
     * over `round` because engines disagree on half-even vs half-away ties;
     * this exact formula is replayed by the DuckDB oracle. Zero vectors
     * quantize to zeros (scale 0).
+    *
+    * Equivalence witness for the codegen'd QuantizeVector (FunctionsSpec
+    * pins expr ≡ this formulation). NOT for hot paths: `maxabs` sits inside
+    * the quantize lambda, and interpreted HOF lambdas get no common-
+    * subexpression elimination, so it re-reduces the vector once PER
+    * ELEMENT — O(n²). [[quantize]] hoists it into a projected column.
     */
   def quantizeCols(v: Column): (Column, Column) = {
     val maxabs = array_max(transform(v, x => abs(x)))
@@ -29,12 +35,21 @@ object Embeddings {
 
   /** Library form: embeddings with an int8 (tinyint) payload + scale, the
     * columns a production write would persist. Dequantization is
-    * `q * scale`.
+    * `q * scale`. The max-abs reduce is projected BEFORE the quantize
+    * lambda references it, so it runs once per vector, not once per
+    * element (see [[quantizeCols]]).
     */
   def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val (scale, q) = quantizeCols(asDouble(col(vecCol)))
-    df.withColumn("scale", scale)
-      .withColumn("q", transform(q, x => x.cast("byte")))
+    val vd = "__graft_vd"
+    val ma = "__graft_maxabs"
+    df.withColumn(vd, asDouble(col(vecCol)))
+      .withColumn(ma, array_max(transform(col(vd), x => abs(x))))
+      .withColumn("scale", col(ma) / lit(127.0))
+      .withColumn("q", transform(col(vd), x =>
+        when(col(ma) === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col(ma) + lit(0.5)).cast("long"))
+          .cast("byte")))
+      .drop(vd, ma)
   }
 
   /** B18 (registered, oracle-portable) — quantization summary per vector:

@@ -28,9 +28,17 @@ object Relevance {
     *     shared tokens per pair;
     *  4. two keyed joins attach the per-doc vector sizes.
     *
-    * The filtered index is persisted: it feeds the size table and both
-    * sides of the self-join, so the tokenize+df work runs once (the bench
-    * harness drops the blocks between queries — each run stays cold).
+    * The (doc, token) index is persisted: it feeds the df count AND (via
+    * the rare-token join) the size table and both sides of the self-join,
+    * so the shingling — the widest computation in the query — runs exactly
+    * once (the bench harness drops the blocks between queries — each run
+    * stays cold). df is computed by groupBy, NOT a count-over-window: the
+    * groupBy partial-aggregates map-side, so a stopword token present in
+    * millions of docs shuffles as one row per mapper, where a window would
+    * haul every occurrence of the hot token to a single reducer before the
+    * cap could drop it. The surviving vocabulary is bounded (each token ≤
+    * maxDf docs), so AQE broadcasts the rare side and `kept` never
+    * re-shuffles the index.
     *
     * The score is engine-exact: integers into one IEEE sqrt and one divide
     * (both correctly rounded on Spark and DuckDB), unlike a float tf-idf
@@ -42,27 +50,33 @@ object Relevance {
     * word shingles recover a long-tailed df distribution from word ORDER —
     * the same reason MinHash shingles rather than bags words. `shingleN = 1`
     * gives the classic unigram index.
+    *
+    * The indexed token is the 60-bit md5-based shingle hash from the
+    * codegen-friendly [[graft.functions.VectorExpressions.shingleHashes]]
+    * pass (also the MinHash base hasher): one tight loop per row replaces
+    * an interpreted shingle lambda, the expression dedups shingles per doc
+    * so NO distinct shuffle is needed (explode of a distinct array is
+    * distinct (doc, token) by construction), and the index shuffles 8-byte
+    * longs instead of shingle strings. DuckDB replays the identical hash —
+    * ('0x' || substr(md5(shingle), 1, 15))::BIGINT — so even a hash
+    * collision (≈0 at 2^60) collides identically in both engines. A doc
+    * shorter than `shingleN` words contributes its whole text as its one
+    * shingle (ShingleHashes semantics, replayed by the oracle).
     */
   def sparseCosinePairs(spark: SparkSession, dir: String,
                         maxDf: Int = 10, minShared: Int = 3,
                         shingleN: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    // Guard sequence() against size < shingleN: Spark auto-steps NEGATIVE
-    // when start > stop, which would fabricate shingles on short docs.
-    val unit =
-      if (shingleN == 1) explode(words)
-      else explode(when(size(words) >= shingleN,
-        transform(sequence(lit(0), size(words) - shingleN),
-          i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))))
-        .otherwise(array()))
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), unit.as("token"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .shingleHashes(col("text"), shingleN, md5Based = true)
+          .getField("hv")).as("token"))
+      .persist()
     val rare = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
       .select("token")
     val kept = tok.join(rare, Seq("token"))
-      .select(col("token"), col("doc_id")).persist()
+      .select(col("token"), col("doc_id"))
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("token"), col("doc_id").as("doc_a"))
       .join(kept.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
