@@ -28,7 +28,10 @@ object Bench {
     // query doesn't absorb session warmup cost.
     try SparkEntry.queries("q6_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 samples: this host shows occasional external multi-second stalls
+    // (measured: an untouched query jumping 0.2 s → 3.2 s between full
+    // bench runs) long enough to poison BOTH samples of a 2-sample min.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Each sample is a cold, self-contained run: queries that persist
       // intermediates (LSH paths) must not hand a warm cache to a later

@@ -477,16 +477,86 @@ object Dedup {
     * checkpoints are unpersisted as soon as the next round materializes,
     * so long runs hold exactly one label table in the block manager
     * (lingering blocks were VERDICT r3's bench-pollution finding).
+    *
+    * Small-graph short circuit: when the (already LSH-thinned, bucket-
+    * capped) edge list holds at most `localEdgeCap` edges — known from the
+    * count that materializes the persisted edge list anyway — components
+    * resolve by union-find on the driver: one collect bounded at
+    * localEdgeCap × 16 bytes (1 MiB at the default), no iterative jobs at
+    * all. Each distributed round costs a join + groupBy + scalar action;
+    * on a graph this small that fixed cost dwarfs the work, and real LSH
+    * dup graphs ARE small relative to their corpus (pairs survive banding
+    * + bucket caps). Corpora whose dup graph outgrows the cap take the
+    * distributed loop unchanged; `localEdgeCap = 0` forces it (the specs
+    * covering the distributed rounds do).
     */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                  maxIter: Int = 50): DataFrame = {
+                  maxIter: Int = 50, localEdgeCap: Int = 1 << 16): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val signed = signatures(docs, md5Based = true, numHashes = 32, shingleK = 3)
+    // ONE persisted copy of the undirected pair list. Symmetrizing with
+    // unionByName(pairs, flip(pairs)) would plan the whole LSH subtree
+    // twice (only the persisted signatures are shared); the distributed
+    // loop instead doubles rows with a single explode over the cache, and
+    // union-find needs no symmetry at all.
     val pairs = pairsFrom(signed, numHashes = 32, bands = 16, threshold,
-      maxBucket = 256, portable = true).select("id_a", "id_b")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      maxBucket = 256, portable = true).select("id_a", "id_b").persist()
+    val nPairs = pairs.count() // materializes the persisted pair list
+    val resolved =
+      if (nPairs <= localEdgeCap)
+        localUnionFind(spark, pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      else {
+        val edges = pairs.select(explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select("e.src", "e.dst")
+          .persist()
+        val labeled = propagateLabels(edges, maxIter)
+        edges.unpersist(blocking = false)
+        labeled
+      }
+    pairs.unpersist()
+    resolved
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-side connected components for a bounded edge list: classic
+    * union-find with path compression, rooting every component at its MIN
+    * id (the same label the distributed paths converge to). The collect is
+    * size-gated by the caller — this is the small side of the hybrid, not
+    * a distributed operator.
+    */
+  private def localUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n } // compress
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb // min id wins
+      }
+    }
+    val labels = parent.keysIterator.map(n => (n, find(n))).toSeq
+    import spark.implicits._
+    labels.toDF("id", "lbl")
+  }
+
+  /** Distributed min-label propagation with star-contraction escalation —
+    * the scale path of [[dupClusters]]; `edges` must be persisted and
+    * symmetric (both directions present).
+    */
+  private def propagateLabels(edges: DataFrame, maxIter: Int): DataFrame = {
     // seeded init: lbl = min(id, min neighbor) — the same aggregation a
     // plain distinct() would shuffle, but it folds what would otherwise be
     // the entire first propagation round into the seed (dense clusters
@@ -525,23 +595,16 @@ object Dedup {
       labelBlocks = nextBlocks
       iter += 1
     }
-    val resolved =
-      if (converged) labels
-      else {
-        // Diameter exceeded the propagation budget: chain-shaped graph.
-        // Star contraction converges in O(log² n) rounds regardless of
-        // diameter; the propagation rounds already run only shrank labels
-        // toward the component min, so restarting from the raw edges is
-        // correct (the edge list was never mutated).
-        labelBlocks.foreach(_.unpersist(blocking = false))
-        starContraction(edges)._1
-      }
-    edges.unpersist()
-    resolved
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .orderBy("doc_id")
+    if (converged) labels
+    else {
+      // Diameter exceeded the propagation budget: chain-shaped graph.
+      // Star contraction converges in O(log² n) rounds regardless of
+      // diameter; the propagation rounds already run only shrank labels
+      // toward the component min, so restarting from the raw edges is
+      // correct (the edge list was never mutated).
+      labelBlocks.foreach(_.unpersist(blocking = false))
+      starContraction(edges)._1
+    }
   }
 
   /** localCheckpoint + the persistent-RDD blocks it created, so iterative

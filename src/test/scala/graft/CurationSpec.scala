@@ -168,12 +168,18 @@ class CurationSpec extends SparkSpec {
       .map { case (w, i) => if (i < n) s"swap$i" else w }.mkString(" ")
     val dir = docsDir(Seq(
       10L -> base.mkString(" "), 11L -> mutate(1), 12L -> mutate(2)))
-    val viaPropagation = Dedup.dupClusters(spark, dir).collect()
+    // localEdgeCap = 0 forces the distributed loop (the default would take
+    // the driver-side union-find on a graph this small)
+    val viaPropagation = Dedup.dupClusters(spark, dir, localEdgeCap = 0).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
     // maxIter = 0 forces the escalation immediately; the answer must not change
-    val viaStars = Dedup.dupClusters(spark, dir, maxIter = 0).collect()
+    val viaStars = Dedup.dupClusters(spark, dir, maxIter = 0, localEdgeCap = 0).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
+    // the default small-graph path must agree with both distributed paths
+    val viaLocal = Dedup.dupClusters(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
     assert(viaStars === viaPropagation)
+    assert(viaLocal === viaPropagation)
     assert(viaStars.map(_._2) === Set(10L))
   }
 
@@ -186,7 +192,8 @@ class CurationSpec extends SparkSpec {
       11L -> mutate(1),
       12L -> mutate(2),
       50L -> Seq.fill(25)("unrelated different words entirely").mkString(" ")))
-    val cl = Dedup.dupClusters(spark, dir).collect()
+    // distributed loop kept under test (default would short-circuit locally)
+    val cl = Dedup.dupClusters(spark, dir, localEdgeCap = 0).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(Set(10L, 11L, 12L).subsetOf(cl.keySet), "all three near-dups must be clustered")
     val ids = Set(10L, 11L, 12L).map(id => cl(id).getAs[Long]("cluster_id"))

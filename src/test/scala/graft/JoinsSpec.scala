@@ -32,7 +32,10 @@ class JoinsSpec extends SparkSpec {
     val df = Joins.clickPurchaseAsof(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // REPARTITION_BY_NUM exchanges are the read layer spreading a
+    // single-row-group scan (Tables.spread), not operator cost.
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
     assert(exchanges <= 2, // purchase-dedup groupBy + the asof key partition
       s"as-of should cost at most two hash exchanges, found $exchanges:\n$plan")
   }

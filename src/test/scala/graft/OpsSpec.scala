@@ -79,7 +79,10 @@ class OpsSpec extends SparkSpec {
 
   test("doc_chunks shuffles only for the verification ORDER BY") {
     val plan = graft.ops.Corpus.chunk(spark, sf0001).queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // REPARTITION_BY_NUM is the read layer spreading a single-row-group
+    // scan (Tables.spread), not a cost the chunking operator added.
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM"))
     assert(exchanges <= 1, s"chunking itself must not shuffle:\n$plan")
   }
 
