@@ -20,7 +20,6 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val scalarBroadcastOk = Set(
     "doc_top_terms",      // broadcast n_docs scalar
-    "ngram_jaccard",      // broadcast median-length scalar
     "stratified_sample",  // broadcast min-class-size scalar
     "temperature_sample", // broadcast min-class-size scalar
     "contamination",      // broadcast eval-sample row count
