@@ -267,20 +267,39 @@ object Curation {
     * samplers (B16/B25), this is the "30% code / 70% text, 1B tokens"
     * budgeting step.
     *
-    * Scale shape: one running-sum window per language class with an
-    * explicit ROWS frame. The hash sort decorrelates admission from ingest
-    * order; the window shuffle carries (id, lang, ntok, u) — no text.
+    * Scale shape: a global running sum per language would haul the whole
+    * class through ONE window partition — the biggest language IS most of
+    * a 100 TB corpus, so that window is a skew bomb. Instead the running
+    * sum is two-level, exploiting that the admission order (u, doc_id) is
+    * identical to (shard, u, doc_id) when `shard` is the TOP bits of u:
+    * per-(lang, shard) token totals partial-aggregate map-side into a
+    * langs×shards table whose shard-order prefix sum is a window over
+    * that TINY table; the base offset joins back (broadcast — the shard
+    * table is KBs) and each doc adds a within-(lang, shard) ROWS-framed
+    * running sum. Same admission set as the single-window form for every
+    * `shardBits`; no partition ever holds more than ~1/2^shardBits of a
+    * class. The shuffles carry (id, lang, ntok, u) — no text.
     */
   def tokenBudgetMix(spark: SparkSession, dir: String,
-                     perLangTokens: Long = 2000): DataFrame = {
+                     perLangTokens: Long = 2000, shardBits: Int = 6): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
       .cast("long")
-    val w = Window.partitionBy("lang").orderBy("u", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("lang"), col("source"),
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"), u.as("u"))
-      .withColumn("tok_before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("shard", shiftright(col("u"), 24 - shardBits))
+    // tokens in every (lang, shard) BEFORE this shard: tiny table, windowed
+    val byShardW = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardBase = base.groupBy("lang", "shard")
+      .agg(sum(col("ntok")).as("shard_toks"))
+      .withColumn("shard_before", coalesce(sum(col("shard_toks")).over(byShardW), lit(0L)))
+      .select("lang", "shard", "shard_before")
+    val inShardW = Window.partitionBy("lang", "shard").orderBy("u", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(shardBase), Seq("lang", "shard"))
+      .withColumn("tok_before",
+        col("shard_before") + coalesce(sum(col("ntok")).over(inShardW), lit(0L)))
       .where(col("tok_before") < perLangTokens)
       .select("doc_id", "lang", "source", "ntok", "tok_before")
       .orderBy("doc_id")
