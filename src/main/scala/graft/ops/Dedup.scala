@@ -33,41 +33,45 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** B1 — exact dedup: keep the first doc_id per identical text. Grouping on
-    * md5(text) (not the raw text) keeps shuffle rows narrow; the surviving
-    * rows come back via a ranked window over the hash — equivalent to
-    * groupBy+min+semijoin but one shuffle instead of two.
+    * md5(text) (not the raw text) keeps shuffle rows narrow; the survivor is
+    * min(struct(doc_id, payload)) per hash — an aggregate that PARTIAL-
+    * combines map-side, so a viral duplicate repeated across millions of
+    * docs arrives at its reducer pre-collapsed to one row per mapper, where
+    * a ranked window over the hash would sort the whole hot key in one
+    * partition (same hot-key reasoning as [[passageDedup]]). min over the
+    * struct compares doc_id first (unique → deterministic, payload never
+    * compared).
     */
-  def exact(spark: SparkSession, dir: String): DataFrame = {
-    val byHash = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+  def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("text_hash", md5(col("text")))
-      .withColumn("rn", row_number().over(byHash))
-      .where(col("rn") === 1)
-      .select("doc_id", "lang", "source", "n_chars", "text_hash")
+      .select(md5(col("text")).as("text_hash"),
+        struct(col("doc_id"), col("lang"), col("source"), col("n_chars")).as("s"))
+      .groupBy("text_hash").agg(min(col("s")).as("s"))
+      .select(col("s.doc_id"), col("s.lang"), col("s.source"), col("s.n_chars"),
+        col("text_hash"))
       .orderBy("doc_id")
-  }
 
   /** B1c — normalization-aware exact dedup: identical after lowercasing,
     * stripping non-alphanumerics, and collapsing whitespace — the standard
     * "exact" pass real pipelines run (C4, RefinedWeb), which catches
-    * case/punctuation variants plain byte-equality misses. Same one-shuffle
-    * ranked-window shape as [[exact]], grouped on md5(normalized); the
-    * normalizer is three codegen'd string ops whose regex classes
-    * (`[^a-z0-9 ]`, ` +`) behave identically under Java regex and RE2, so
-    * the DuckDB oracle replays it verbatim. Reports each survivor's variant
-    * count — `n_variants > 1` rows are the near-misses byte-exact dedup
-    * would have kept twice.
+    * case/punctuation variants plain byte-equality misses. Same hot-key-
+    * proof min-struct groupBy as [[exact]], grouped on md5(normalized),
+    * plus the per-hash variant count (`n_variants > 1` rows are the
+    * near-misses byte-exact dedup would have kept twice). The normalizer
+    * is three codegen'd string ops whose regex classes (`[^a-z0-9 ]`,
+    * ` +`) behave identically under Java regex and RE2, so the DuckDB
+    * oracle replays it verbatim.
     */
   def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    val byHash = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
-      .withColumn("norm_hash", md5(norm))
-      .withColumn("rn", row_number().over(byHash))
-      .withColumn("n_variants", count(lit(1)).over(Window.partitionBy(col("norm_hash"))))
-      .where(col("rn") === 1)
-      .select("doc_id", "lang", "source", "norm_hash", "n_variants")
+      .select(md5(norm).as("norm_hash"),
+        struct(col("doc_id"), col("lang"), col("source")).as("s"))
+      .groupBy("norm_hash")
+      .agg(min(col("s")).as("s"), count(lit(1)).as("n_variants"))
+      .select(col("s.doc_id"), col("s.lang"), col("s.source"),
+        col("norm_hash"), col("n_variants"))
       .orderBy("doc_id")
   }
 
