@@ -229,12 +229,14 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     // Bucket-width guard via Dedup.guardedPairs: a degenerate key (e.g. the
     // all-zero vector's bucket) degrades to a linear star instead of an
-    // all-pairs blowup; normal buckets behave exactly as before. Persisted:
-    // guardedPairs fans the keyed table out to several consumers, and the
-    // hyperplane projection must run once, not once per branch.
+    // all-pairs blowup; normal buckets behave exactly as before. NOT
+    // persisted: every consumer reads through the window's bucket-key
+    // exchange, and those identical exchange subtrees dedup to one
+    // ReusedExchange — a persist here only added a materialization
+    // barrier (the hyperplane projection itself is one cheap narrow pass,
+    // unlike the shingling the minhash paths persist).
     val keyed = emb.select(col("vec_id").as("id"),
       posexplode(tableKeys(col("embedding"), tables, planesPerTable, dim)).as(Seq("tbl", "tkey")))
-      .persist()
     val candidates = Dedup.guardedPairs(keyed, Seq("tbl", "tkey"), cap = 256).distinct()
     val va = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val vb = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
