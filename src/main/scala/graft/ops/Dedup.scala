@@ -566,7 +566,7 @@ object Dedup {
     * size-gated by the caller — this is the small side of the hybrid, not
     * a distributed operator.
     */
-  private def localUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private[graft] def localUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -221,6 +221,29 @@ class CurationSpec extends SparkSpec {
     assert(viaStars.map(_._2) === Set(10L))
   }
 
+  test("union-find and star contraction agree on randomized graphs (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 12) {
+      // random sparse graphs across the interesting regimes: forests,
+      // chains with shortcuts, dense-ish blobs, isolated pairs
+      val n = 2 + rng.nextInt(60)
+      val m = 1 + rng.nextInt(2 * n)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val viaStars = graft.ops.Dedup.starContraction(df)._1.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaLocal = graft.ops.Dedup.localUnionFind(s, df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaLocal === viaStars,
+          s"trial $trial (n=$n, m=${edges.size}): label maps diverge")
+      }
+    }
+  }
+
   test("dup clusters are transitive: a~b and b~c land in one cluster") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex
