@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamJoin
+
+import java.nio.file.{Files, Paths}
+
+/** Watermarked stream-stream interval join (D15): bounded-state CDC
+  * enrichment — clicks joined to the same user's purchase within the wait
+  * window, across micro-batches, with late data past the watermark dropped.
+  */
+class StreamJoinSpec extends SparkSpec {
+
+  private val t0 = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
+  private def line(id: Long, user: Long, tsUs: Long, typ: String, v: Double) =
+    s"""{"event_id":$id,"ts_us":$tsUs,"user_id":$user,"event_type":"$typ","value":$v,"props":"{}"}"""
+
+  test("clicks join the purchase inside the wait window; outside-window and cross-user don't") {
+    val (src, out, ckpt) = (tempDir("sj_src"), tempDir("sj_out") + "/j", tempDir("sj_ckpt"))
+    val min = 60L * 1000000L
+    Files.write(Paths.get(src, "a.json"), Seq(
+      line(1, 1, t0, "click", 1.0),
+      line(2, 1, t0 + 5 * min, "purchase", 10.0),  // within 10 min of click 1 → joins
+      line(3, 2, t0, "click", 2.0),
+      line(4, 2, t0 + 30 * min, "purchase", 20.0), // 30 min later → outside window
+      line(5, 3, t0 + 2 * min, "purchase", 30.0),  // user 3 never clicked
+      line(6, 4, t0 + 8 * min, "click", 4.0),
+      line(7, 9, t0 + 9 * min, "purchase", 40.0)   // different user than click 6
+    ).mkString("\n").getBytes)
+
+    val q = StreamJoin.start(spark, src, out, ckpt)
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 1, s"exactly one (click, purchase) pair must match, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("click_id") === 1L)
+    assert(r.getAs[Long]("purchase_id") === 2L)
+    assert(r.getAs[Double]("click_value") === 1.0)
+    assert(r.getAs[Double]("purchase_value") === 10.0)
+  }
+
+  test("a purchase arriving in a later micro-batch still joins buffered clicks") {
+    val (src, out, ckpt) = (tempDir("sj2_src"), tempDir("sj2_out") + "/j", tempDir("sj2_ckpt"))
+    val min = 60L * 1000000L
+    // batch 1: only the click — nothing can match yet
+    Files.write(Paths.get(src, "a.json"),
+      line(1, 7, t0, "click", 1.0).getBytes)
+    val q1 = StreamJoin.start(spark, src, out, ckpt)
+    q1.awaitTermination(120000)
+    assert(!Files.exists(Paths.get(out)) ||
+      spark.read.parquet(out).count() === 0, "no pair can exist before the purchase arrives")
+    // batch 2 (restart from checkpoint): the matching purchase — the click
+    // must still be buffered in the join state
+    Files.write(Paths.get(src, "b.json"),
+      line(2, 7, t0 + 3 * min, "purchase", 50.0).getBytes)
+    val q2 = StreamJoin.start(spark, src, out, ckpt)
+    q2.awaitTermination(120000)
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 1, "the cross-batch pair must be emitted exactly once")
+    assert(rows.head.getAs[Long]("click_id") === 1L)
+    assert(rows.head.getAs[Long]("purchase_id") === 2L)
+  }
+}
