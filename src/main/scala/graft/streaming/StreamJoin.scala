@@ -27,6 +27,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * The join itself is a keyed equi-join on user_id plus the range
   * predicate: shuffles hash on the user key exactly like the batch as-of
   * join, no broadcast, no nested loop.
+  *
+  * Operational note (it WILL bite a feed-splitting deployment like
+  * [[start]]): when both sides filter one physical feed, each side's
+  * watermark advances only with events of ITS OWN type, and the global
+  * watermark is the MIN across watermark nodes — a feed that goes quiet on
+  * one event type freezes eviction for BOTH sides (outer-join nulls stop
+  * emitting, state stops shrinking). That is correct-by-design (the engine
+  * cannot prove the quiet side won't produce a matching event) — feeds
+  * that can go one-sided for long stretches should carry heartbeat events
+  * or set `spark.sql.streaming.multipleWatermarkPolicy=max` and accept the
+  * late-data trade. The outer-join spec demonstrates both the stall and
+  * the advance.
   */
 object StreamJoin {
 
@@ -56,17 +68,50 @@ object StreamJoin {
         col("purchase_value"))
   }
 
+  /** Left-outer variant — streaming abandonment detection: every click,
+    * with its purchase if one arrived inside the wait window, or nulls if
+    * none ever will. The null row is emitted exactly when the purchase-side
+    * watermark passes `click_time + maxWait` — the engine PROVES no future
+    * purchase can match before declaring the click abandoned, which is the
+    * semantics batch funnels approximate with end-of-day reprocessing.
+    * Same bounded-state mechanics as the inner join.
+    */
+  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                         maxWait: String = "10 minutes",
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", timestamp_micros(col("ts_us")))
+      .withWatermark("click_time", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("click_time"), col("value").as("click_value"))
+    val p = purchases
+      .withColumn("purchase_time", timestamp_micros(col("ts_us")))
+      .withWatermark("purchase_time", watermarkDelay)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("purchase_time"), col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $maxWait"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_time"),
+        col("click_value"), col("purchase_id"), col("purchase_time"),
+        col("purchase_value"))
+  }
+
   /** Run the enrichment over a json event-feed dir (both event types arrive
     * on the one feed, as they do from the change stream), appending matched
     * pairs to `outDir`.
     */
   def start(spark: SparkSession, sourceDir: String, outDir: String,
             checkpointDir: String, maxWait: String = "10 minutes",
-            watermarkDelay: String = "10 minutes"): StreamingQuery = {
+            watermarkDelay: String = "10 minutes",
+            outer: Boolean = false): StreamingQuery = {
     val feed = spark.readStream
       .schema(ChangeStreamJob.eventSchema)
       .json(sourceDir)
-    val joined = clickPurchase(
+    val join = if (outer) clickPurchaseOuter _ else clickPurchase _
+    val joined = join(
       feed.where(col("event_type") === "click"),
       feed.where(col("event_type") === "purchase"),
       maxWait, watermarkDelay)

@@ -38,6 +38,52 @@ class StreamJoinSpec extends SparkSpec {
     assert(r.getAs[Double]("purchase_value") === 10.0)
   }
 
+  test("outer join declares a click abandoned only after the watermark proves no purchase can come") {
+    val (src, out, ckpt) = (tempDir("sjo_src"), tempDir("sjo_out") + "/j", tempDir("sjo_ckpt"))
+    val min = 60L * 1000000L
+    // click with a purchase (joins) + click without one (abandoned)
+    Files.write(Paths.get(src, "a.json"), Seq(
+      line(1, 1, t0, "click", 1.0),
+      line(2, 1, t0 + 2 * min, "purchase", 10.0),
+      line(3, 2, t0 + 1 * min, "click", 2.0)
+    ).mkString("\n").getBytes)
+    val q1 = StreamJoin.start(spark, src, out, ckpt, outer = true)
+    q1.awaitTermination(120000)
+    // click 3's window [t0+1min, t0+11min] is not past the watermark yet —
+    // it must NOT be emitted as abandoned prematurely
+    val afterB1 = try spark.read.parquet(out).collect() catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    assert(!afterB1.exists(r => r.getAs[Long]("click_id") == 3L && r.isNullAt(r.fieldIndex("purchase_id"))),
+      "unmatched click must stay buffered while a purchase could still arrive")
+    // advance the watermark far past click 3's horizon. The GLOBAL
+    // watermark is the MIN across both sides' watermark nodes (default
+    // multipleWatermarkPolicy) and each side only sees its own event type,
+    // so BOTH a late click and a late purchase are needed (events at
+    // t0+60min: watermark = 50min > click 3's 11min horizon); restart
+    // from checkpoint
+    Files.write(Paths.get(src, "b.json"), Seq(
+      line(8, 98, t0 + 60 * min, "click", 0.0),
+      line(9, 99, t0 + 60 * min, "purchase", 0.0)
+    ).mkString("\n").getBytes)
+    val q2 = StreamJoin.start(spark, src, out, ckpt, outer = true)
+    q2.awaitTermination(120000)
+    // outer-join nulls are evicted one micro-batch AFTER the watermark
+    // advances (state cleanup runs against the new watermark on the next
+    // batch) — feed one more pair so that batch exists
+    Files.write(Paths.get(src, "c.json"), Seq(
+      line(10, 98, t0 + 61 * min, "click", 0.0),
+      line(11, 99, t0 + 61 * min, "purchase", 0.0)
+    ).mkString("\n").getBytes)
+    val q3 = StreamJoin.start(spark, src, out, ckpt, outer = true)
+    q3.awaitTermination(120000)
+    val rows = spark.read.parquet(out).collect()
+    val matched = rows.filter(r => r.getAs[Long]("click_id") == 1L)
+    val abandoned = rows.filter(r => r.getAs[Long]("click_id") == 3L)
+    assert(matched.length === 1 && matched.head.getAs[Long]("purchase_id") === 2L)
+    assert(abandoned.length === 1, "the unconverted click must surface exactly once")
+    assert(abandoned.head.isNullAt(abandoned.head.fieldIndex("purchase_id")),
+      "abandoned click carries null purchase columns")
+  }
+
   test("a purchase arriving in a later micro-batch still joins buffered clicks") {
     val (src, out, ckpt) = (tempDir("sj2_src"), tempDir("sj2_out") + "/j", tempDir("sj2_ckpt"))
     val min = 60L * 1000000L
