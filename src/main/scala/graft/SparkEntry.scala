@@ -48,6 +48,15 @@ object SparkEntry {
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // Index lifecycle: build + persist the IVF index (to a tmpdir keyed by
+    // the sf dir), then answer from the persisted index — same result as
+    // the inline build, different (production) cost shape.
+    "ann_ivf_persisted"    -> ((s, d) => {
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      Similarity.buildIvfIndex(s, d, idx)
+      Similarity.ivfProbePersisted(s, d, idx)
+    }),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
@@ -66,6 +75,8 @@ object SparkEntry {
     "stratified_sample"    -> ((s, d) => graft.ops.Curation.stratifiedSample(s, d)),
     "temperature_sample"   -> ((s, d) => graft.ops.Curation.temperatureSample(s, d)),
     "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
+    "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
+    "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -525,6 +536,11 @@ object SparkEntry {
 
     "ann_ivf_topk" -> ivfOracleSql(),
 
+    // The persisted-index probe answers bit-identically to the inline IVF
+    // build (the index IS the deterministic build, written down), so the
+    // oracle is the same replayed pipeline.
+    "ann_ivf_persisted" -> ivfOracleSql(),
+
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
@@ -817,6 +833,39 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, lang, source, ntok, CAST(tok_before AS BIGINT) AS tok_before
         |FROM w WHERE tok_before < 2000 ORDER BY doc_id""".stripMargin,
+
+    // per-source cap in the same 24-bit content-free hash order; the Spark
+    // side computes the rank two-level (shard base + in-shard row_number) —
+    // identical to this single window because shard = top bits of u
+    "source_cap_sample" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |             ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, source,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS BIGINT)
+        |          AS rank_in_source
+        |      FROM d)
+        |SELECT doc_id, lang, source, rank_in_source FROM r
+        |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
+
+    // occurrence-weighted fraction of a doc's bigrams whose corpus count
+    // reaches the threshold; zero-bigram docs keep a row with null coverage
+    "bigram_coverage" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        |       FROM arr, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |pd AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        |cm AS (SELECT bigram FROM pd GROUP BY bigram HAVING sum(cnt) >= 5),
+        |a AS (SELECT pd.doc_id, CAST(sum(pd.cnt) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(CASE WHEN cm.bigram IS NULL THEN 0 ELSE pd.cnt END) AS BIGINT)
+        |          AS n_common
+        |      FROM pd LEFT JOIN cm USING (bigram) GROUP BY pd.doc_id)
+        |SELECT d.doc_id, d.lang,
+        |       coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |       coalesce(a.n_common, CAST(0 AS BIGINT)) AS n_common,
+        |       CASE WHEN a.n_bigrams IS NULL THEN NULL
+        |            ELSE round(a.n_common / CAST(a.n_bigrams AS DOUBLE), 6) END AS coverage
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

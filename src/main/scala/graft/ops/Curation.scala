@@ -305,6 +305,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B32 — per-source document caps (the C4/RefinedWeb "domain cap" step):
+    * keep at most `cap` documents from each source, chosen in content-free
+    * deterministic 24-bit-md5 hash order — a crawl where one domain is half
+    * the corpus must not become half the training set, and the selection
+    * must be reproducible across engines and reruns (no RNG, no float
+    * boundary; ties in the hash break on doc_id).
+    *
+    * Scale shape: a single `row_number` window per source partitions the
+    * corpus by source — and the hot domain that NEEDS capping is exactly
+    * the partition that explodes. Same two-level fix as [[tokenBudgetMix]]:
+    * `shard` = top bits of u makes (shard, u, doc_id) order ≡ (u, doc_id)
+    * order, so per-(source, shard) counts partial-aggregate into a tiny
+    * table whose shard-order prefix sum broadcasts back as each shard's
+    * base rank, and the in-shard `row_number` window never holds more than
+    * ~1/2^shardBits of any source. Selection is identical for every
+    * `shardBits` (spec-pinned). The shuffles carry (id, source, u) — no
+    * text.
+    */
+  def sourceCapSample(spark: SparkSession, dir: String,
+                      cap: Long = 10, shardBits: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val u = conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), u.as("u"))
+      .withColumn("shard", shiftright(col("u"), 24 - shardBits))
+    // docs in every (source, shard) BEFORE this shard: tiny table, windowed
+    val byShardW = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardBase = base.groupBy("source", "shard")
+      .agg(count(lit(1)).as("shard_docs"))
+      .withColumn("docs_before", coalesce(sum(col("shard_docs")).over(byShardW), lit(0L)))
+      .select("source", "shard", "docs_before")
+    val inShardW = Window.partitionBy("source", "shard").orderBy("u", "doc_id")
+    base.join(broadcast(shardBase), Seq("source", "shard"))
+      .withColumn("rank_in_source",
+        (col("docs_before") + row_number().over(inShardW)).cast("long"))
+      .where(col("rank_in_source") <= cap)
+      .select("doc_id", "lang", "source", "rank_in_source")
+      .orderBy("doc_id")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

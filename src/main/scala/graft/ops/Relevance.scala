@@ -105,6 +105,52 @@ object Relevance {
     * sort. All counting is occurrence-based (a pair repeated in one doc
     * counts each time), the standard collocation statistic.
     */
+  /** B33 — bigram-coverage quality score: per document, the fraction of its
+    * bigram OCCURRENCES whose corpus-wide count reaches `minCount`. A
+    * well-formed document is built almost entirely of word transitions the
+    * corpus has seen before; machine-generated gibberish, OCR damage, and
+    * wrong-language fragments are exactly the docs whose transitions are
+    * corpus-rare. This is the integer-exact stand-in for an n-gram
+    * LM-perplexity filter: log-probabilities differ in the last ulp across
+    * math libraries, while a count threshold plus one final rounded divide
+    * is engine-exact and ranks the same tails.
+    *
+    * Scale shape: bigrams explode per row (zero shuffle), per-(doc, bigram)
+    * counts partial-aggregate map-side BEFORE the corpus-count shuffle, the
+    * common-set attach is a keyed equi-join on the bigram (hot bigrams cost
+    * one row per doc that contains them, never a blowup), and the per-doc
+    * re-aggregation partial-aggregates again. Nothing is ever all-pairs;
+    * text never shuffles (bigram strings do, once, pre-aggregated).
+    * Zero-bigram docs (≤ 1 token) surface with n_bigrams = 0 and a null
+    * coverage rather than silently vanishing.
+    */
+  def bigramCoverage(spark: SparkSession, dir: String,
+                     minCount: Long = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> concat_ws(' ', x, tok[i + 1]))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+    val common = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("tot"))
+      .where(col("tot") >= minCount)
+      .select(col("bigram"), lit(1L).as("is_common"))
+    val scored = perDoc.join(common, Seq("bigram"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("is_common").isNotNull, col("cnt")).otherwise(0L)).as("n_common"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n_common").cast("double") / col("n_bigrams").cast("double"), 6))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
   def collocations(spark: SparkSession, dir: String,
                    minCount: Int = 5, k: Int = 50): DataFrame = {
     val toks = Tables.documents(spark, dir)

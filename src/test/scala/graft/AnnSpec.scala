@@ -63,6 +63,20 @@ class AnnSpec extends SparkSpec {
     assert(ivf.length === 4 * 10)
   }
 
+  test("persisted IVF index probe answers identically to the inline build") {
+    val idx = tempDir("ivfidx")
+    Similarity.buildIvfIndex(spark, sf0001, idx)
+    val inline = Similarity.ivfTopK(spark, sf0001).collect().map(_.toSeq).toSeq
+    val probed = Similarity.ivfProbePersisted(spark, sf0001, idx).collect().map(_.toSeq).toSeq
+    assert(probed === inline)
+    // the index stores no second copy of the corpus: assignments are
+    // (vec_id, cell) only; centroids are the KB-sized C x dim matrix
+    val asg = spark.read.parquet(s"$idx/assignments")
+    assert(asg.columns.sorted.toSeq === Seq("cell", "vec_id"))
+    val ctr = spark.read.parquet(s"$idx/centroids")
+    assert(ctr.count() === 16)
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)

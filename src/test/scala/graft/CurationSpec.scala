@@ -141,6 +141,34 @@ class CurationSpec extends SparkSpec {
     assert(k1.subsetOf(k30))
   }
 
+  test("sourceCapSample keeps the cap lowest-hash docs per source, shard-count invariant") {
+    // docsDir assigns source = src{id % 3}: 30 docs -> 3 sources x 10 docs
+    val dir = docsDir((1L to 30L).map(i => i -> varied))
+    val kept = Curation.sourceCapSample(spark, dir, cap = 4).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size === 3)
+    assert(bySrc.values.forall(_.length === 4), "every source capped at exactly 4")
+    bySrc.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank_in_source")).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        "two-level ranks are dense 1..cap within each source")
+    }
+    // independently recompute the expected winners: 4 lowest (u, doc_id)
+    // per source under the same content-free hash
+    val hashes = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long").as("u"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("u"), r.getAs[Long]("doc_id")))
+    val expect = hashes.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(t => (t._2, t._3)).take(4).map(_._3)
+    }.toSet
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === expect)
+    // the sharded rank is the single-window rank for ANY shard count
+    val k2 = Curation.sourceCapSample(spark, dir, cap = 4, shardBits = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap
+    assert(k2 === kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap)
+  }
+
   test("clusterKeepBest keeps each cluster's highest-quality member") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex

@@ -72,6 +72,49 @@ class RelevanceSpec extends SparkSpec {
       s"inverted index must meet docs only on shared tokens:\n$plan")
   }
 
+  test("bigramCoverage: common transitions score 1, gibberish 0, zero-bigram docs keep a null row") {
+    val dir = tempDir("bgcov")
+    val sentence = "the cat sat on the mat"
+    writeDocs(dir, Seq(
+      (1L, sentence), (2L, sentence), (3L, sentence), (4L, sentence), (5L, sentence),
+      (6L, "zxq wvu tsr qpo nml"), // every bigram unique in the corpus
+      (7L, "solo")                 // one token -> zero bigrams
+    ))
+    // each sentence bigram occurs exactly 5 times (docs 1-5) = minCount
+    val m = Relevance.bigramCoverage(spark, dir, minCount = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.size === 7, "every doc keeps a row, including the zero-bigram one")
+    (1L to 5L).foreach { id =>
+      assert(m(id).getAs[Double]("coverage") === 1.0)
+      assert(m(id).getAs[Long]("n_bigrams") === 5L)
+    }
+    assert(m(6L).getAs[Double]("coverage") === 0.0)
+    assert(m(6L).getAs[Long]("n_common") === 0L)
+    assert(m(7L).getAs[Long]("n_bigrams") === 0L)
+    assert(m(7L).isNullAt(m(7L).fieldIndex("coverage")))
+  }
+
+  test("bigramCoverage counts occurrences, not distinct bigrams") {
+    val dir = tempDir("bgcov2")
+    // "a b" occurs 3x in doc 1 and 2x in doc 2 (corpus count 5 >= 5);
+    // doc 1's "b z" bridges (2x, rare). Doc 1: 6 bigram occurrences
+    // (a b, b z, z a, a b, b z, z a -> wait, recount below) — assert from
+    // first principles instead: n_common/n_bigrams computed by hand.
+    writeDocs(dir, Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> "a b"x3, "b a"x2
+      (2L, "a b a b")        // bigrams: ab ba ab       -> "a b"x2, "b a"x1
+    ))
+    // corpus counts: "a b" = 5 (common at minCount=5), "b a" = 3 (rare)
+    val m = Relevance.bigramCoverage(spark, dir, minCount = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_bigrams") === 5L)
+    assert(m(1L).getAs[Long]("n_common") === 3L)
+    assert(m(1L).getAs[Double]("coverage") === 0.6)
+    assert(m(2L).getAs[Long]("n_bigrams") === 3L)
+    assert(m(2L).getAs[Long]("n_common") === 2L)
+    assert(m(2L).getAs[Double]("coverage") === math.rint(2.0 / 3.0 * 1e6) / 1e6)
+  }
+
   test("collocations: adjacent-pair lift, one-token docs contribute nothing") {
     val dir = tempDir("colloc")
     // "new york" always adjacent (5×); "a b" appear but never adjacent
