@@ -225,7 +225,10 @@ object Similarity {
     *  - `assignments` (vec_id, cell) — one narrow row per corpus vector,
     *    the only corpus-sized artifact, written WITHOUT the vector payload
     *    (probes re-attach vectors from the embeddings table by key, so the
-    *    index adds ~12 bytes/vector, not another copy of the corpus).
+    *    index adds ~12 bytes/vector, not another copy of the corpus) and
+    *    PARTITIONED BY cell, so a probe's `cell IN (...)` filter prunes
+    *    whole directories at plan time — the probe scans the nprobe/C
+    *    fraction of the index it needs and nothing else.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     cells: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
@@ -237,14 +240,17 @@ object Similarity {
       .toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     emb.select(col("vec_id"), nearestCell(col("embedding"), centroids).as("cell"))
-      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
   }
 
   /** Probe a persisted IVF index: identical result to [[ivfTopK]] with the
     * same parameters (spec-pinned), but the corpus-side cell assignment is
-    * READ (a narrow keyed join) instead of recomputed — the probe's cost is
-    * the nprobe/C fraction of the corpus it touches plus one index scan.
-    * Only the KB-sized centroid table is collected to the driver.
+    * READ instead of recomputed, and only the PROBED cells are read at all:
+    * the probe list's cell ids (≤ nQueries·nprobe ints, driver-bounded like
+    * the centroid matrix) become an `IN` literal that partition-prunes the
+    * cell-partitioned assignments scan at plan time. The vector re-attach
+    * join then shuffles only that nprobe/C fraction of the corpus — at
+    * 100 TB the probe never touches the other cells' files.
     */
   def ivfProbePersisted(spark: SparkSession, dir: String, indexDir: String,
                         nQueries: Int = 5, k: Int = 5, nprobe: Int = 4,
@@ -253,11 +259,16 @@ object Similarity {
     val centroids: Array[Array[Double]] = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    val corpus = spark.read.parquet(s"$indexDir/assignments")
-      .join(emb, Seq("vec_id"))
     val probes = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
         explode(probeCells(col("embedding"), centroids, nprobe)).as("cell"))
+    // KB-bounded collect (≤ nQueries·nprobe ints): materializing the probed
+    // cell set as literals is what lets the scan prune whole cell=N
+    // directories instead of filtering after reading the full index.
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexDir/assignments")
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .join(emb, Seq("vec_id"))
     val scored = corpus.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))

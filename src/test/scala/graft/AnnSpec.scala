@@ -67,7 +67,8 @@ class AnnSpec extends SparkSpec {
     val idx = tempDir("ivfidx")
     Similarity.buildIvfIndex(spark, sf0001, idx)
     val inline = Similarity.ivfTopK(spark, sf0001).collect().map(_.toSeq).toSeq
-    val probed = Similarity.ivfProbePersisted(spark, sf0001, idx).collect().map(_.toSeq).toSeq
+    val probedDf = Similarity.ivfProbePersisted(spark, sf0001, idx)
+    val probed = probedDf.collect().map(_.toSeq).toSeq
     assert(probed === inline)
     // the index stores no second copy of the corpus: assignments are
     // (vec_id, cell) only; centroids are the KB-sized C x dim matrix
@@ -75,6 +76,14 @@ class AnnSpec extends SparkSpec {
     assert(asg.columns.sorted.toSeq === Seq("cell", "vec_id"))
     val ctr = spark.read.parquet(s"$idx/centroids")
     assert(ctr.count() === 16)
+    // the probe PRUNES: assignments are laid out one directory per cell and
+    // the probed-cell IN literal reaches the scan as a partition filter, so
+    // unprobed cells' files are never read
+    assert(new java.io.File(s"$idx/assignments").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    val plan = probedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected a partition filter on cell in:\n$plan")
   }
 
   test("brute-force top-k is deterministic and self-consistent") {
