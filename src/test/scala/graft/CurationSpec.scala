@@ -169,6 +169,54 @@ class CurationSpec extends SparkSpec {
     assert(k2 === kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap)
   }
 
+  test("two-level rank operators agree with the single-window reference on skewed random data") {
+    // 400 docs, 90% in one hot source/lang — the skew shape the two-level
+    // machinery exists for. Deterministic seed; reference = the naive
+    // single-window formulation over the SAME hash.
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val hot = rng.nextInt(10) != 0
+      val src = if (hot) "hot" else s"cold${rng.nextInt(5)}"
+      val ntok = 1 + rng.nextInt(9)
+      (i, Seq.fill(ntok)("w").mkString(" "), if (hot) "en" else "fr", src)
+    }
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("twolevel")
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // sourceCapSample vs single row_number window per source
+    val capU = conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("u", "doc_id")
+    val capRef = docs.select(col("doc_id"), col("source"), capU.as("u"))
+      .withColumn("r", row_number().over(capW).cast("long"))
+      .where(col("r") <= 7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    val capGot = Curation.sourceCapSample(spark, dir, cap = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap
+    assert(capGot === capRef)
+
+    // tokenBudgetMix vs single running-sum window per lang
+    val mixU = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val mixW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("u", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mixRef = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ntok"), mixU.as("u"))
+      .withColumn("before", coalesce(sum(col("ntok")).over(mixW), lit(0L)))
+      .where(col("before") < 300L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("before")).toMap
+    val mixGot = Curation.tokenBudgetMix(spark, dir, perLangTokens = 300L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_before")).toMap
+    assert(mixGot === mixRef)
+  }
+
   test("clusterKeepBest keeps each cluster's highest-quality member") {
     val base = varied.split(" ")
     def mutate(n: Int) = base.zipWithIndex
