@@ -239,7 +239,13 @@ object Similarity {
       .map { case (ctr, cell) => (cell, ctr.toSeq) }.toSeq
       .toDF("cell", "ctr")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // Repartition on cell before the partitioned write: without it every
+    // one of the N writer tasks emits a file into every cell=K directory
+    // (N×C small files); with it each cell's rows land in one task → one
+    // file per directory, the layout a 100 TB index wants (at that scale
+    // raise the partition count to a multiple of C for bounded file sizes).
     emb.select(col("vec_id"), nearestCell(col("embedding"), centroids).as("cell"))
+      .repartition(cells, col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
   }
 
