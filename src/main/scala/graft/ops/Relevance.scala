@@ -127,12 +127,16 @@ object Relevance {
   def bigramCoverage(spark: SparkSession, dir: String,
                      minCount: Long = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Persisted: feeds BOTH the corpus-count aggregate and the scoring join
+    // (different aggregates — no exchange reuse), so the explode + widest
+    // shuffle run once, exactly like sparseCosinePairs' index.
     val perDoc = docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), explode(expr(
         "transform(slice(tok, 1, size(tok) - 1), (x, i) -> concat_ws(' ', x, tok[i + 1]))"))
         .as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .persist()
     val common = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("tot"))
       .where(col("tot") >= minCount)
       .select(col("bigram"), lit(1L).as("is_common"))
