@@ -48,12 +48,14 @@ object SparkEntry {
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
-    // Index lifecycle: build + persist the IVF index (to a tmpdir keyed by
-    // the sf dir), then answer from the persisted index — same result as
-    // the inline build, different (production) cost shape.
+    // Index lifecycle: build + persist the IVF index, then answer from the
+    // persisted index — same result as the inline build, different
+    // (production) cost shape. A FRESH temp dir per invocation: a shared
+    // path keyed on the sf dir would let two JVMs (verify + tests) race
+    // build-overwrite against probe-read.
     "ann_ivf_persisted"    -> ((s, d) => {
-      val idx = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_index_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index_").toAbsolutePath.toString
       Similarity.buildIvfIndex(s, d, idx)
       Similarity.ivfProbePersisted(s, d, idx)
     }),

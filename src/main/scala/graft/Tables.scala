@@ -40,9 +40,18 @@ object Tables {
     * PlanGuardSpec's pushdown checks). Dimension tables stay un-spread —
     * they ride broadcast joins where an exchange would only add cost.
     */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  // Whether a given table path needs spreading is stable for a session (the
+  // file layout doesn't change under us), but discovering it costs a full
+  // physical-plan → RDD conversion — memoized so query builders that load
+  // the same table repeatedly (clusterKeepBest loads documents three times)
+  // plan the throwaway scan once per (path, parallelism), not per load.
+  private val spreadCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def spread(df: DataFrame, key: String, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+    val need = spreadCache.computeIfAbsent(s"$cacheKey#$target",
+      _ => df.rdd.getNumPartitions < target)
+    if (need) df.repartition(target, col(key)) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
@@ -51,19 +60,19 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   =
-    spread(table(spark, dir, "orders"), "o_orderkey")
+    spread(table(spark, dir, "orders"), "o_orderkey", s"$dir/orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "lineitem"), "l_orderkey")
+    spread(table(spark, dir, "lineitem"), "l_orderkey", s"$dir/lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "documents"), "doc_id")
+    spread(table(spark, dir, "documents"), "doc_id", s"$dir/documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "embeddings"), "vec_id")
+    spread(table(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings")
 
   /** Events with `ts` normalized to a microsecond TimestampType column.
     * DuckDB equivalent of the conversion: `CAST(ts AS TIMESTAMP)` (both
     * truncate nanos toward negative infinity for the epochs in our data).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "events"), "event_id")
+    spread(table(spark, dir, "events"), "event_id", s"$dir/events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 }

@@ -23,8 +23,7 @@ object Corpus {
     */
   def trainSplit(spark: SparkSession, dir: String,
                  trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
-    val u = conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
+    val u = DocHash.hash24("split:")
     val trainCut = (trainFrac * (1 << 24)).toLong
     val valCut = ((trainFrac + valFrac) * (1 << 24)).toLong
     Tables.documents(spark, dir)
@@ -143,8 +142,7 @@ object Corpus {
     */
   def docPacking(spark: SparkSession, dir: String,
                  budget: Long = 2048, shards: Int = 8): DataFrame = {
-    val shard = conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long") % shards
+    val shard = DocHash.hash24("pack:") % shards
     // ROWS frame: doc_id is unique, so ROWS ≡ RANGE but streams instead of
     // paying the default RANGE frame's peer-group scan per row.
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

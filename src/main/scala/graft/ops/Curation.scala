@@ -143,8 +143,7 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
     val target = counts.agg(min("lang_n").as("target_n"))
-    val u = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
+    val u = DocHash.hash24("sample:")
     docs.join(broadcast(counts), Seq("lang"))
       .crossJoin(broadcast(target))
       .where(u * col("lang_n") < col("target_n") * lit(1L << 24))
@@ -247,8 +246,7 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
     val minN = counts.agg(min("lang_n").as("min_n"))
-    val u = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
+    val u = DocHash.hash24("temp:")
     docs.join(broadcast(counts), Seq("lang"))
       .crossJoin(broadcast(minN))
       .where(u.cast("double") <
@@ -283,8 +281,7 @@ object Curation {
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      perLangTokens: Long = 2000, shardBits: Int = 6): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
+    val u = DocHash.hash24("mix:")
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"), u.as("u"))
       .withColumn("shard", shiftright(col("u"), 24 - shardBits))
@@ -326,8 +323,7 @@ object Curation {
   def sourceCapSample(spark: SparkSession, dir: String,
                       cap: Long = 10, shardBits: Int = 6): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val u = conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
+    val u = DocHash.hash24("cap:")
     val base = docs.select(col("doc_id"), col("lang"), col("source"), u.as("u"))
       .withColumn("shard", shiftright(col("u"), 24 - shardBits))
     // docs in every (source, shard) BEFORE this shard: tiny table, windowed

@@ -399,15 +399,20 @@ object Dedup {
     // bucket-width guard is an a-side prefilter: blocks wider than
     // `maxBlock` keep only their min-id row on the left, so a degenerate
     // block fans out to a linear star (rep × members), never n² — the same
-    // pair set guardedPairs produces. min(struct(id, sh)) never compares
-    // the arrays: ids are unique, and struct ordering short-circuits on
-    // the first field.
-    val w = Window.partitionBy("source", "len_bucket")
-    val stats = Tables.documents(spark, dir)
+    // pair set guardedPairs produces. Block stats come from a groupBy, NOT
+    // a window over the block: the aggregate partial-combines map-side and
+    // never buffers the block's array-carrying rows in one task (a window
+    // would haul the hot block — the exact case the guard exists for —
+    // through a single spillable buffer before the prefilter applies);
+    // rep_id = min(id) is the same representative min(struct(id, sh))
+    // picked, since ids are unique. The (source, len_bucket) exchange the
+    // stats join introduces is the same partitioning the self-join needs.
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), col("source"), expr("n_chars div 100").as("len_bucket"),
         VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true).getField("hv").as("sh"))
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("rep_id", min(struct(col("id"), col("sh"))).over(w).getField("id"))
+    val blockStats = base.groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("bucket_n"), min(col("id")).as("rep_id"))
+    val stats = base.join(blockStats, Seq("source", "len_bucket"))
     val a = stats.where(col("bucket_n") <= maxBlock || col("id") === col("rep_id"))
       .select(col("source"), col("len_bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = stats.select(col("source"), col("len_bucket"), col("id").as("id_b"), col("sh").as("sh_b"))

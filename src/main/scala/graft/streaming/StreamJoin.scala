@@ -42,43 +42,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object StreamJoin {
 
-  /** clicks ⋈ purchases for the same user with
-    * `click_time ≤ purchase_time ≤ click_time + maxWait`; event times from
-    * the shared envelope's microsecond epoch.
-    */
-  def clickPurchase(clicks: DataFrame, purchases: DataFrame,
-                    maxWait: String = "10 minutes",
-                    watermarkDelay: String = "10 minutes"): DataFrame = {
-    val c = clicks
-      .withColumn("click_time", timestamp_micros(col("ts_us")))
-      .withWatermark("click_time", watermarkDelay)
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("click_time"), col("value").as("click_value"))
-    val p = purchases
-      .withColumn("purchase_time", timestamp_micros(col("ts_us")))
-      .withWatermark("purchase_time", watermarkDelay)
-      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
-        col("purchase_time"), col("value").as("purchase_value"))
-    c.join(p,
-        col("user_id") === col("purchase_user") &&
-          col("purchase_time") >= col("click_time") &&
-          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $maxWait"))
-      .select(col("click_id"), col("user_id"), col("click_time"),
-        col("click_value"), col("purchase_id"), col("purchase_time"),
-        col("purchase_value"))
-  }
-
-  /** Left-outer variant — streaming abandonment detection: every click,
-    * with its purchase if one arrived inside the wait window, or nulls if
-    * none ever will. The null row is emitted exactly when the purchase-side
-    * watermark passes `click_time + maxWait` — the engine PROVES no future
-    * purchase can match before declaring the click abandoned, which is the
-    * semantics batch funnels approximate with end-of-day reprocessing.
-    * Same bounded-state mechanics as the inner join.
-    */
-  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
-                         maxWait: String = "10 minutes",
-                         watermarkDelay: String = "10 minutes"): DataFrame = {
+  private def joined(clicks: DataFrame, purchases: DataFrame, maxWait: String,
+                     watermarkDelay: String, joinType: String): DataFrame = {
     val c = clicks
       .withColumn("click_time", timestamp_micros(col("ts_us")))
       .withWatermark("click_time", watermarkDelay)
@@ -93,11 +58,33 @@ object StreamJoin {
         col("user_id") === col("purchase_user") &&
           col("purchase_time") >= col("click_time") &&
           col("purchase_time") <= col("click_time") + expr(s"INTERVAL $maxWait"),
-        "left_outer")
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_time"),
         col("click_value"), col("purchase_id"), col("purchase_time"),
         col("purchase_value"))
   }
+
+  /** clicks ⋈ purchases for the same user with
+    * `click_time ≤ purchase_time ≤ click_time + maxWait`; event times from
+    * the shared envelope's microsecond epoch.
+    */
+  def clickPurchase(clicks: DataFrame, purchases: DataFrame,
+                    maxWait: String = "10 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    joined(clicks, purchases, maxWait, watermarkDelay, "inner")
+
+  /** Left-outer variant — streaming abandonment detection: every click,
+    * with its purchase if one arrived inside the wait window, or nulls if
+    * none ever will. The null row is emitted exactly when the purchase-side
+    * watermark passes `click_time + maxWait` — the engine PROVES no future
+    * purchase can match before declaring the click abandoned, which is the
+    * semantics batch funnels approximate with end-of-day reprocessing.
+    * Same bounded-state mechanics as the inner join.
+    */
+  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                         maxWait: String = "10 minutes",
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    joined(clicks, purchases, maxWait, watermarkDelay, "left_outer")
 
   /** Run the enrichment over a json event-feed dir (both event types arrive
     * on the one feed, as they do from the change stream), appending matched
@@ -110,17 +97,27 @@ object StreamJoin {
     val feed = spark.readStream
       .schema(ChangeStreamJob.eventSchema)
       .json(sourceDir)
-    val join = if (outer) clickPurchaseOuter _ else clickPurchase _
-    val joined = join(
+    val out = joined(
       feed.where(col("event_type") === "click"),
       feed.where(col("event_type") === "purchase"),
-      maxWait, watermarkDelay)
-    joined.writeStream
+      maxWait, watermarkDelay, if (outer) "left_outer" else "inner")
+    out.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // One parquet partition per epoch, OVERWRITTEN on replay — the same
+      // QueuePublisher idempotence contract as ChangeStreamJob: a crash
+      // between sink commit and checkpoint commit replays the epoch, and a
+      // plain append would duplicate its joined rows.
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // Empty epochs write nothing (a partitioned write of zero rows
+        // would still create a schema-less directory); replaying an empty
+        // epoch is trivially idempotent.
+        if (!batch.isEmpty)
+          batch.withColumn("epoch", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(outDir)
         ()
       }
       .start()

@@ -40,22 +40,22 @@ def main():
 
     # --reps=N: time each oracle query N times and record the MIN — the same
     # stall-discarding policy graft.Bench applies to the Spark side, so the
-    # committed anchor doesn't inherit one pass's host noise. Reps 2+ are
-    # timing-only (the first pass's frame is the one compared).
+    # committed anchor doesn't inherit one pass's host noise. Every timed
+    # pass uses fetchall(); the comparison frame's fetchdf() is NOT timed
+    # (pandas conversion is not query cost and would make reps=1 and
+    # reps=N numbers incomparable).
     reps = next((int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--reps=")), 1)
     oracle_secs = {}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
         try:
-            t0 = time.monotonic()
-            ddf = con.execute(sql).fetchdf()
-            oracle_secs[name] = round(time.monotonic() - t0, 3)
-            for _ in range(reps - 1):
+            for _ in range(reps):
                 t0 = time.monotonic()
                 con.execute(sql).fetchall()
-                oracle_secs[name] = min(oracle_secs[name],
-                                        round(time.monotonic() - t0, 3))
+                secs = round(time.monotonic() - t0, 3)
+                oracle_secs[name] = min(oracle_secs.get(name, float("inf")), secs)
+            ddf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_bad += 1; continue
         if "--oracle-only" in sys.argv:
@@ -70,7 +70,10 @@ def main():
             print(f"ok   {name} ({len(sdf)} rows)"); n_ok += 1
         else:
             print(f"FAIL {name}: {msg}"); n_bad += 1
-    bench_path = f"{outdir}/oracle_bench.json"
+    # A names-filtered or partially-failing run must not clobber a complete
+    # anchor file with a partial one whose total_sec looks authoritative.
+    partial = bool(only) or n_bad > 0
+    bench_path = f"{outdir}/oracle_bench{'.partial' if partial else ''}.json"
     with open(bench_path, "w") as f:
         json.dump({"engine": "duckdb", "sf": sfdir, "reps": reps, "policy": "min",
                    "total_sec": round(sum(oracle_secs.values()), 3),
