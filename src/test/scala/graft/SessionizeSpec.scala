@@ -94,6 +94,60 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drain mode agrees with batch sessionization on a randomized feed") {
+    // The batch windows and the stateful stream are INDEPENDENT
+    // implementations of the same gap semantics — a seeded random feed with
+    // mid-session micro-batch boundaries must produce identical sessions.
+    val (src, out, ckpt) = (tempDir("agree_src"), tempDir("agree_out") + "/s", tempDir("agree_ckpt"))
+    val pq = tempDir("agree_pq")
+    val rng = new scala.util.Random(11)
+    val t0 = 1704067200L // whole seconds: gap math identical in s and us
+    val gapS = Sessionize.GapSeconds
+    // per-user event times: mostly small deltas, occasional > gap splits
+    val raw = (1L to 25L).flatMap { user =>
+      var t = t0 + rng.nextInt(600)
+      (0 until (3 + rng.nextInt(12))).map { _ =>
+        t += (if (rng.nextInt(5) == 0) gapS + 60 + rng.nextInt(3600) else 1 + rng.nextInt(120))
+        (user, t, rng.nextInt(100) * 0.25) // dyadic values: double sum exact
+      }
+    }
+    // ids in global time order so event_id order == time order per user
+    val events = raw.sortBy { case (u, t, _) => (t, u) }.zipWithIndex
+      .map { case ((u, t, v), i) => (i + 1L, u, t, v) }
+    def line(e: (Long, Long, Long, Double)) =
+      s"""{"event_id":${e._1},"ts_us":${e._3 * 1000000L},"user_id":${e._2},"event_type":"click","value":${e._4},"props":"{}"}"""
+    val (half1, half2) = events.splitAt(events.length / 2)
+    val tFar = events.map(_._3).max + 10 * gapS
+    val flush = events.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (u, i) => (1000000L + i, u, tFar, 0.0) }
+    // three drained runs: mid-session boundaries + a flush that closes all
+    Files.write(Paths.get(src, "a.json"), half1.map(line).mkString("\n").getBytes)
+    Sessionize.start(spark, src, out, ckpt).awaitTermination(120000)
+    Files.write(Paths.get(src, "b.json"), half2.map(line).mkString("\n").getBytes)
+    Sessionize.start(spark, src, out, ckpt).awaitTermination(120000)
+    Files.write(Paths.get(src, "c.json"), flush.map(line).mkString("\n").getBytes)
+    Sessionize.start(spark, src, out, ckpt).awaitTermination(120000)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event"),
+        r.getAs[Long]("last_event"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+
+    // batch reference over the same (non-flush) events, via the parquet
+    // reader's ns-timestamp path
+    val s = spark
+    import s.implicits._
+    events.map { case (id, u, t, v) => (id, t * 1000000000L, u, "click", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$pq/events.parquet")
+    val batch = Sessionize.sessions(spark, pq).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event"),
+        r.getAs[Long]("last_event"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    assert(batch.size > 25, "the random feed must actually split sessions")
+  }
+
   test("batch sessionization matches a hand-computed session split") {
     val out = Sessionize.sessions(spark, sf0001)
     // sessions partition the events: total n_events == total events
