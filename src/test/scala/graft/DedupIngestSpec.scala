@@ -48,6 +48,31 @@ class DedupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() === 3)
   }
 
+  test("randomized cross-batch feed keeps exactly the first occurrence of every text") {
+    val src = tempDir("ingest-rnd-src")
+    val out = tempDir("ingest-rnd-out")
+    val idx = tempDir("ingest-rnd-idx") + "/index"
+    val cp = tempDir("ingest-rnd-cp")
+    // 60 docs drawing from 25 distinct texts (heavy dup rate), ids assigned
+    // in arrival order and split across 3 drained runs — the kept set must
+    // be exactly min(doc_id) per distinct text, however the dups straddle
+    // micro-batch and restart boundaries.
+    val rng = new scala.util.Random(13)
+    val pool = (0 until 25).map(i => s"text $i ${"pad " * (i % 4)}".trim)
+    val docs = (1L to 60L).map(id => id -> pool(rng.nextInt(pool.size)))
+    val expected = docs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    docs.grouped(20).zipWithIndex.foreach { case (batch, i) =>
+      writeBatch(src, s"rb$i", batch)
+      val q = DedupIngest.start(spark, src, out, idx, cp, trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expected,
+      s"extra: ${kept -- expected}; missing: ${expected -- kept}")
+    assert(spark.read.parquet(idx).select("text_hash").distinct().count() ===
+      docs.map(_._2).distinct.size.toLong)
+  }
+
   test("dedupBatch against an explicit index is a pure keyed anti-join") {
     val s = spark
     import s.implicits._
