@@ -367,13 +367,16 @@ object SparkEntry {
         |FROM old FULL OUTER JOIN new ON old.stream_name = new.stream_name
         |ORDER BY stream_name""".stripMargin,
 
+    // LEFT join + null pass-through: a stream with no persisted token
+    // replays from the beginning (the connector's full-replay fallback)
     "resume_after" ->
       """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
         |cp AS (SELECT event_type AS stream_name, max(event_id) AS checkpoint_offset
         |       FROM events, m WHERE event_id <= mid GROUP BY event_type)
-        |SELECT e.event_id, cp.stream_name, cp.checkpoint_offset, e.user_id, e.value
-        |FROM events e JOIN cp ON e.event_type = cp.stream_name
-        |  AND e.event_id > cp.checkpoint_offset
+        |SELECT e.event_id, coalesce(cp.stream_name, e.event_type) AS stream_name,
+        |       cp.checkpoint_offset, e.user_id, e.value
+        |FROM events e LEFT JOIN cp ON e.event_type = cp.stream_name
+        |WHERE cp.checkpoint_offset IS NULL OR e.event_id > cp.checkpoint_offset
         |ORDER BY e.event_id""".stripMargin,
 
     "resume_tokens_clean" ->

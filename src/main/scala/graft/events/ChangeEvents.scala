@@ -27,17 +27,25 @@ object ChangeEvents {
 
   /** JSON document for the row, built with deterministic decimal formatting
     * so the DuckDB oracle reproduces it byte-for-byte (doubles are cast to
-    * decimal(18,2) before stringification on both sides).
+    * decimal(18,2) before stringification on both sides). Nullable fields
+    * render as JSON null — a bare `concat` would null the WHOLE document
+    * when one field is missing (the json feed's schema allows null
+    * props/value), and a null payload is what a queue consumer can least
+    * parse. Resolved against the attached plan (unqualified columns), like
+    * any reusable Column.
     */
-  def fullDocumentJson(df: DataFrame): Column =
+  def fullDocumentJson: Column = {
+    def jsonNull(c: Column) = coalesce(c, lit("null"))
     concat(
-      lit("{\"event_id\":"), col("event_id").cast("string"),
-      lit(",\"user_id\":"), col("user_id").cast("string"),
-      lit(",\"event_type\":\""), col("event_type"),
-      lit("\",\"value\":"), col("value").cast("decimal(18,2)").cast("string"),
-      lit(",\"props\":"), col("props"),
+      lit("{\"event_id\":"), jsonNull(col("event_id").cast("string")),
+      lit(",\"user_id\":"), jsonNull(col("user_id").cast("string")),
+      lit(",\"event_type\":"),
+      jsonNull(concat(lit("\""), col("event_type"), lit("\""))),
+      lit(",\"value\":"), jsonNull(col("value").cast("decimal(18,2)").cast("string")),
+      lit(",\"props\":"), jsonNull(col("props")),
       lit("}")
     )
+  }
 
   /** A1 — normalize the event feed to the change-event envelope
     * (connector.rs:145-153 ChangeStreamEvent fields). Narrow, shuffle-free;
@@ -51,7 +59,7 @@ object ChangeEvents {
       lit(db).as("ns_db"),
       lit(coll).as("ns_coll"),
       col("user_id").as("document_key"),
-      fullDocumentJson(ev).as("full_document"),
+      fullDocumentJson.as("full_document"),
       col("ts").as("cluster_time"),
       col("event_id")
     ).orderBy("event_id")
@@ -71,7 +79,7 @@ object ChangeEvents {
         concat(
           lit("{\"operationType\":\""), operationType(col("event_type")),
           lit("\",\"documentKey\":"), col("user_id").cast("string"),
-          lit(",\"fullDocument\":"), fullDocumentJson(ev),
+          lit(",\"fullDocument\":"), fullDocumentJson,
           lit("}")
         ))
       .withColumn("delivery_tag", row_number().over(byQueue).cast("long"))
@@ -109,7 +117,7 @@ object ChangeEvents {
   def prePostImages(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    ev.withColumn("full_document", fullDocumentJson(ev))
+    ev.withColumn("full_document", fullDocumentJson)
       .withColumn("full_document_before_change", lag(col("full_document"), 1).over(byUser))
       .select("event_id", "user_id", "full_document", "full_document_before_change")
       .orderBy("event_id")
@@ -122,7 +130,7 @@ object ChangeEvents {
     */
   def propsExtract(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val doc = fullDocumentJson(ev)
+    val doc = fullDocumentJson
     // json_tuple parses the payload ONCE for both doc fields (get_json_object
     // re-parses per field); scalar extraction semantics are identical
     ev.select(
@@ -148,7 +156,7 @@ object ChangeEvents {
         col("user_id").as("document_key"),
         col("event_id"),
         operationType(col("event_type")).as("operation_type"),
-        fullDocumentJson(ev).as("full_document"))
+        fullDocumentJson.as("full_document"))
       .withColumn("rn", row_number().over(byKeyDesc))
       .where(col("rn") === 1 && col("operation_type") =!= "delete")
       .select(col("document_key"), col("event_id").as("last_event_id"), col("full_document"))

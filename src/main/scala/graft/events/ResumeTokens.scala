@@ -25,6 +25,16 @@ object ResumeTokens {
 
   private def tokenOf(c: org.apache.spark.sql.Column) = format_string("%016x", c)
 
+  /** Midpoint of the feed (scalar aggregate fetch — one 8-byte value to the
+    * driver, like a scalar subquery; rows never leave the executors). An
+    * EMPTY events table yields a null max — treated as 0, so the operators
+    * return empty results instead of NPE-ing on `getLong`.
+    */
+  private def midOffset(ev: DataFrame): Long = {
+    val row = ev.agg(expr("max(event_id) div 2")).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   /** A3 — last persisted token per stream (`get_last_resume_token`). */
   def lastTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -42,9 +52,7 @@ object ResumeTokens {
     */
   def upsertTokens(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    // scalar aggregate fetch (one 8-byte value to the driver, like a scalar
-    // subquery) — not a row collect; rows never leave the executors
-    val mid = ev.agg(expr("max(event_id) div 2")).first().getLong(0)
+    val mid = midOffset(ev)
     def lastPer(df: DataFrame) =
       df.groupBy(col("event_type").as("stream_name")).agg(max(col("event_id")).as("offset"))
     val existing = lastPer(ev.where(col("event_id") <= mid))
@@ -63,23 +71,30 @@ object ResumeTokens {
   /** A2 — resume_after: replay only events strictly after each stream's
     * checkpointed token (connector.rs:135-142). The checkpoint is the last
     * token seen in the first half of the feed; output is what a restarted
-    * connector would process. Broadcast the tiny token table so the fact
-    * scan is a single pass with the filter applied post-join — at 100 TB the
-    * token table is KB-sized, so broadcast is the only sane plan.
+    * connector would process. A stream with NO persisted token replays from
+    * the beginning — the reference's resume_after falls back to a full
+    * replay when get_last_resume_token finds nothing, so a left join with a
+    * null-checkpoint pass-through, not an inner join that would silently
+    * drop every event of a stream born after the checkpoint. Broadcast the
+    * tiny token table so the fact scan is a single pass with the filter
+    * applied post-join — at 100 TB the token table is KB-sized, so
+    * broadcast is the only sane plan.
     */
   def resumeAfter(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    // scalar aggregate fetch — see upsertTokens
-    val mid = ev.agg(expr("max(event_id) div 2")).first().getLong(0)
+    val mid = midOffset(ev)
     val checkpoints = ev.where(col("event_id") <= mid)
       .groupBy(col("event_type").as("stream_name"))
       .agg(max(col("event_id")).as("checkpoint_offset"))
     ev.join(
         broadcast(checkpoints),
-        ev("event_type") === checkpoints("stream_name") &&
-          ev("event_id") > checkpoints("checkpoint_offset"))
+        ev("event_type") === checkpoints("stream_name"), "left_outer")
+      .where(checkpoints("checkpoint_offset").isNull ||
+        ev("event_id") > checkpoints("checkpoint_offset"))
       .select(
-        col("event_id"), col("stream_name"), col("checkpoint_offset"),
+        col("event_id"),
+        coalesce(col("stream_name"), col("event_type")).as("stream_name"),
+        col("checkpoint_offset"),
         col("user_id"), col("value"))
       .orderBy("event_id")
   }

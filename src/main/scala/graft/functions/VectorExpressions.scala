@@ -103,8 +103,15 @@ object VectorExpressions {
   * greatest(struct(cos, idx)) / array_sort formulations.
   */
 private[functions] object CentroidKernel {
+  /** Cosine of `v` against every centroid, or NULL when the vector's
+    * dimension differs from the (uniform) centroid dimension — the same
+    * null-on-mismatch contract as CosineSim, never a silently-truncated
+    * score (a truncated cosine is wrong-but-plausible and would route the
+    * row to a confidently wrong cell).
+    */
   def cosines(v: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Array[Double] = {
     val n = v.numElements()
+    if (centroids.length > 0 && centroids(0).length != n) return null
     val x = new Array[Double](n)
     var i = 0
     var na = 0.0
@@ -118,11 +125,10 @@ private[functions] object CentroidKernel {
     var c = 0
     while (c < centroids.length) {
       val ctr = centroids(c)
-      val m = math.min(n, ctr.length)
       var dot = 0.0
       var nb = 0.0
       var j = 0
-      while (j < m) { dot += x(j) * ctr(j); nb += ctr(j) * ctr(j); j += 1 }
+      while (j < n) { dot += x(j) * ctr(j); nb += ctr(j) * ctr(j); j += 1 }
       out(c) = dot / (sna * math.sqrt(nb))
       c += 1
     }
@@ -150,7 +156,9 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  // nullable even over a non-null child: dimension mismatch yields null
+  // (CosineSim's contract), never a silently wrong cell
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     CentroidKernel.checkVec(child)
 
@@ -163,6 +171,7 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
       CentroidKernel.elemIsFloat(child), matrix)
+    if (cos == null) return null // dimension mismatch: null, never a wrong cell
     var best = 0
     var i = 1
     while (i < cos.length) {
@@ -183,7 +192,8 @@ case class ProbeCellIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // nullable even over a non-null child: dimension mismatch yields null
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     CentroidKernel.checkVec(child)
 
@@ -193,6 +203,7 @@ case class ProbeCellIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
   override def nullSafeEval(input: Any): Any = {
     val cos = CentroidKernel.cosines(input.asInstanceOf[ArrayData],
       CentroidKernel.elemIsFloat(child), matrix)
+    if (cos == null) return null // dimension mismatch: null, never wrong cells
     val idx = Array.range(0, cos.length)
     val ordered = idx.sortWith { (a, b) =>
       val c = java.lang.Double.compare(cos(a), cos(b))
@@ -388,6 +399,11 @@ case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  // Same input gate as every other vector expression here: without it an
+  // array<int>/array<long> column passes analysis and getDouble reinterprets
+  // raw bytes — silently wrong bucket keys instead of an analysis error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernel.checkVec(child)
 
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

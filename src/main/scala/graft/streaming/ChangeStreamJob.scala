@@ -228,7 +228,7 @@ object ChangeStreamJob {
       graft.events.ChangeEvents.operationType(col("event_type")).as("operation_type"),
       lit(db).as("ns_db"), lit(coll).as("ns_coll"),
       col("user_id").as("document_key"),
-      graft.events.ChangeEvents.fullDocumentJson(events).as("full_document"),
+      graft.events.ChangeEvents.fullDocumentJson.as("full_document"),
       timestamp_micros(col("ts_us")).as("cluster_time")
     )
 

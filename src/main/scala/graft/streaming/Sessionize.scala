@@ -130,8 +130,19 @@ object Sessionize {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // One parquet partition per epoch, OVERWRITTEN on replay — the
+      // QueuePublisher idempotence contract: a crash between sink commit
+      // and checkpoint commit replays the epoch, and a plain append would
+      // emit its closed sessions twice. The batch is persisted so the
+      // emptiness probe and the write run the plan once.
+      .foreachBatch { (batch: Dataset[SessionOut], epochId: Long) =>
+        batch.persist()
+        if (batch.head(1).nonEmpty)
+          batch.withColumn("epoch", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(outDir)
+        batch.unpersist()
         ()
       }
       .start()

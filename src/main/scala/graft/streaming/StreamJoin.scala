@@ -112,12 +112,15 @@ object StreamJoin {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // Empty epochs write nothing (a partitioned write of zero rows
         // would still create a schema-less directory); replaying an empty
-        // epoch is trivially idempotent.
-        if (!batch.isEmpty)
+        // epoch is trivially idempotent. The batch is persisted so the
+        // emptiness probe and the write run the join once, not twice.
+        batch.persist()
+        if (batch.head(1).nonEmpty)
           batch.withColumn("epoch", lit(epochId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch").parquet(outDir)
+        batch.unpersist()
         ()
       }
       .start()

@@ -29,6 +29,11 @@ final class Supervisor(spark: SparkSession, settings: Settings,
 
   private val running = new ConcurrentHashMap[String, StreamingQuery]()
   private val restarts = new ConcurrentHashMap[String, Integer]()
+  // Streams whose restart ATTEMPT itself threw (e.g. checkpoint dir briefly
+  // unreachable): retried on the next pass while restart budget remains.
+  // Kept out of `running` so the dead query's gauges/failure are not
+  // re-counted every pass.
+  private val pendingRestart = ConcurrentHashMap.newKeySet[String]()
 
   private def keyOf(c: CollectionConfig) = s"${c.watched.dbName}.${c.watched.collName}"
 
@@ -73,6 +78,27 @@ final class Supervisor(spark: SparkSession, settings: Settings,
     var restarted = 0
     settings.collections.foreach { c =>
       val k = keyOf(c)
+      // Retry a stream whose previous restart attempt threw — each attempt
+      // consumes restart budget; past the budget the stream is abandoned
+      // like any other over-budget failure.
+      if (pendingRestart.contains(k) && !running.containsKey(k)) {
+        val n = restarts.merge(k, 1, (a, b) => a + b)
+        if (n <= maxRestarts) {
+          metrics.recordTaskRestart(c.watched.collName, c.watched.dbName, "restart_retry")
+          try {
+            val nq = startQuery(spark, c)
+            running.put(k, nq)
+            pendingRestart.remove(k)
+            if (lifecycleMetrics) {
+              metrics.incrementCollectionServer(c.watched.collName, c.watched.dbName)
+              metrics.recordTaskStart()
+            }
+            restarted += 1
+          } catch { case NonFatal(e2) =>
+            metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, classify(e2)._1)
+          }
+        } else pendingRestart.remove(k)
+      }
       Option(running.get(k)).foreach { q =>
         if (!q.isActive) {
           if (lifecycleMetrics) metrics.decrementCollectionServer(c.watched.collName, c.watched.dbName)
@@ -94,8 +120,12 @@ final class Supervisor(spark: SparkSession, settings: Settings,
                 } catch { case NonFatal(e2) =>
                   metrics.recordTaskFailure(c.watched.collName, c.watched.dbName, classify(e2)._1)
                   // drop the dead query so the next pass doesn't re-count
-                  // this failure / re-decrement gauges
+                  // this failure / re-decrement gauges — but queue the key
+                  // for retry: budget remains, and abandoning the stream on
+                  // one transient start failure would silently stop the
+                  // collection while /health stays green
                   running.remove(k)
+                  pendingRestart.add(k)
                 }
               } else running.remove(k)
             case None =>

@@ -44,8 +44,18 @@ object WindowedCounts {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      // One parquet partition per epoch, OVERWRITTEN on replay — the
+      // QueuePublisher idempotence contract: a crash between sink commit
+      // and checkpoint commit replays the epoch, and a plain append would
+      // double-count the finalized windows.
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        if (batch.head(1).nonEmpty)
+          batch.withColumn("epoch", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(outDir)
+        batch.unpersist()
         ()
       }
       .start()

@@ -62,6 +62,33 @@ class SupervisorSpec extends SparkSpec {
     sup.stopAll()
   }
 
+  test("a restart attempt that throws is retried next pass while budget remains") {
+    val base = tempDir("sup-retry")
+    val metrics = new MetricsRegistry
+    val sinkFails = new AtomicInteger(0)
+    val starts = new AtomicInteger(0)
+    // start 1: normal (its sink fails the first batch, killing the query);
+    // start 2 (the restart): startQuery itself THROWS, e.g. checkpoint dir
+    // briefly unreachable; start 3 (the retry): works.
+    def starter(spark: SparkSession, c: CollectionConfig): StreamingQuery = {
+      if (starts.incrementAndGet() == 2)
+        throw new RuntimeException("path does not exist: transient source outage")
+      flakyQuery(sinkFails, failTimes = 1, base)(spark, c)
+    }
+    val sup = new Supervisor(spark, settingsOf(coll("c9")), metrics, starter)
+    sup.startAll()          // query 1 starts, sink fails its first batch
+    sup.awaitAll(60000)
+    val r1 = sup.superviseOnce() // restart attempt -> starter THROWS
+    assert(r1 === 0, "the throwing restart must not count as a restart")
+    val r2 = sup.superviseOnce() // retried: budget remains -> starts cleanly
+    assert(r2 === 1, "the stream must be retried on the next pass, not abandoned")
+    sup.awaitAll(60000)
+    sup.superviseOnce()
+    assert(spark.read.parquet(s"$base/queue_c9").count() === 1,
+      "the retried stream processed the feed")
+    sup.stopAll()
+  }
+
   test("clean termination (collection drop) is not restarted") {
     val base = tempDir("sup")
     val metrics = new MetricsRegistry
