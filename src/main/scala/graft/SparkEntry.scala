@@ -1154,8 +1154,8 @@ object SparkEntry {
     // (Spark's is always global) — every replace below passes 'g'.
     "dedup_normalized" ->
       """WITH n AS (SELECT doc_id, lang, source,
-        |                  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |                  md5(trim(regexp_replace(lower(text),
+        |                      '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
         |           FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn,
         |             count(*) OVER (PARTITION BY norm_hash) AS n_variants FROM n)

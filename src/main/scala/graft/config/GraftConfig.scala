@@ -90,16 +90,31 @@ object Settings {
     val out = items.zipWithIndex.map { case (m, i) =>
       def req(k: String): Either[String, String] =
         m.get(k).toRight(s"collections[$i]: missing required key '$k'")
+      // Malformed VALUES report Left with file context like every other
+      // malformation — a bare .toBoolean/.toLong would crash out of the
+      // Either contract with a context-free NumberFormatException.
+      def optBool(k: String): Either[String, Option[Boolean]] =
+        m.get(k).map(_.trim) match {
+          case None => Right(None)
+          case Some(v) => v.toBooleanOption
+            .toRight(s"collections[$i]: '$k' must be true/false, got '$v'").map(Some(_))
+        }
+      def optLong(k: String): Either[String, Option[Long]] =
+        m.get(k).map(_.trim) match {
+          case None => Right(None)
+          case Some(v) => v.toLongOption
+            .toRight(s"collections[$i]: '$k' must be an integer, got '$v'").map(Some(_))
+        }
       for {
         db <- req("db_name"); coll <- req("coll_name")
         tdb <- req("tokens_db_name"); tcoll <- req("tokens_coll_name")
         queue <- req("stream_name")
+        images <- optBool("change_stream_pre_and_post_images")
+        capped <- optBool("tokens_coll_capped")
+        capBytes <- optLong("tokens_coll_size_in_bytes")
       } yield CollectionConfig(
-        WatchedDb(db, coll,
-          m.get("change_stream_pre_and_post_images").exists(_.toBoolean)),
-        ResumeTokensDb(tdb, tcoll,
-          m.get("tokens_coll_capped").map(_.toBoolean),
-          m.get("tokens_coll_size_in_bytes").map(_.toLong)),
+        WatchedDb(db, coll, images.getOrElse(false)),
+        ResumeTokensDb(tdb, tcoll, capped, capBytes),
         QueueSink(queue))
     }
     out.collectFirst { case Left(e) => e } match {

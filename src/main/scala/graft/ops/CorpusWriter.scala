@@ -41,8 +41,12 @@ object CorpusWriter {
   def write(df: DataFrame, outDir: String, partitionCol: String = "lang",
             maxRecordsPerFile: Long = 1000000L): String = {
     val spark = df.sparkSession
-    // stats BEFORE the write (one partial-aggregated pass); the same frame
-    // then feeds the writer, so manifest and data agree by construction
+    // The frame feeds TWO actions — the stats collect and the parquet
+    // write. Persisted so the upstream plan (possibly the whole fused
+    // curation pipeline) runs once, and so both actions see the SAME rows:
+    // without it a nondeterministic or source-mutated plan could commit a
+    // manifest whose totals disagree with the data it describes.
+    df.persist()
     val statCols = df.columns.filter(_ != partitionCol)
     val charsCol =
       if (df.columns.contains("n_chars")) sum(col("n_chars")).as("n_chars")
@@ -56,6 +60,7 @@ object CorpusWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(outDir)
+    df.unpersist()
     val parts = stats.map { r =>
       val key = Option(r.get(0)).map(v => jsonStr(v.toString)).getOrElse("\"null\"")
       val chars = Option(r.get(2)).map(_.toString).getOrElse("null")

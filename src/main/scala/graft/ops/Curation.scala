@@ -120,8 +120,11 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("h"), lit(1).as("is_boiler"))
+    // Plain join: the common-shingle table is corpus-scale on heavily
+    // templated data (its bound is |shingles|/minDocs) — let AQE decide
+    // between broadcast and hash join from the measured size.
     hashed
-      .join(broadcast(boiler), Seq("h"), "left_outer")
+      .join(boiler, Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum("is_boiler"), lit(0L)).as("n_boiler"))
@@ -206,7 +209,11 @@ object Curation {
     val boiler = hashed.groupBy("h").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("h"), lit(1).as("is_boiler"))
-    val bkeep = hashed.join(broadcast(boiler), Seq("h"), "left_outer")
+    // Plain join, NOT a forced broadcast: the common-shingle table grows
+    // with the corpus on exactly the heavily-templated data this filter
+    // targets (bounded only by |shingles|/minDocs); AQE broadcasts it when
+    // it measures small and hash-joins otherwise.
+    val bkeep = hashed.join(boiler, Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), coalesce(sum("is_boiler"), lit(0L)).as("n_boiler"))
       .where(round(col("n_boiler").cast("double") / col("n_sh").cast("double"), 6)

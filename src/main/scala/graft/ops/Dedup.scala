@@ -58,13 +58,15 @@ object Dedup {
     * proof min-struct groupBy as [[exact]], grouped on md5(normalized),
     * plus the per-hash variant count (`n_variants > 1` rows are the
     * near-misses byte-exact dedup would have kept twice). The normalizer
-    * is three codegen'd string ops whose regex classes (`[^a-z0-9 ]`,
-    * ` +`) behave identically under Java regex and RE2, so the DuckDB
-    * oracle replays it verbatim.
+    * maps every RUN of non-alphanumerics to one space (so newlines/tabs
+    * and punctuation act as separators — deleting them instead would weld
+    * "hello\nworld" into "helloworld" and MISS the whitespace variants
+    * this pass exists to catch), then trims; two codegen'd string ops
+    * whose regex class (`[^a-z0-9]+`) behaves identically under Java
+    * regex and RE2, so the DuckDB oracle replays it verbatim.
     */
   def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     Tables.documents(spark, dir)
       .select(md5(norm).as("norm_hash"),
         struct(col("doc_id"), col("lang"), col("source")).as("s"))
@@ -337,29 +339,26 @@ object Dedup {
     * DuckDB. Registered as `dedup_simhash_pairs`.
     */
   def simhashPairsPortable(spark: SparkSession, dir: String, maxHamming: Int = 8,
-                           maxBucket: Int = 256): DataFrame = {
-    val sh = simhashPortable0(spark, dir).persist()
-    val keyed = sh.select(col("doc_id").as("id"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
-      .select(col("id"), col("c.chunk_id"), col("c.chunk_val"))
-    val cands = guardedPairs(keyed, Seq("chunk_id", "chunk_val"), maxBucket).distinct()
-    val fa = sh.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"))
-    val fb = sh.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"))
-    cands.join(fa, Seq("id_a")).join(fb, Seq("id_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+                           maxBucket: Int = 256): DataFrame =
+    simhashPairsOf(simhashPortable0(spark, dir).persist(), maxHamming, maxBucket)
+      .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
-  }
 
   /** B3b — SimHash candidate pairs: equal 16-bit chunk ⇒ candidate (catches
     * all pairs within Hamming distance 3 by pigeonhole); verify by exact
     * Hamming distance on the full fingerprint. Scalar-only candidate dedup;
     * fingerprints re-attach by key; buckets bounded by guardedPairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
     // one token-hash + bit-vote pass; fingerprints are 5 longs/doc
-    val sh = simhash(docs).persist()
+    simhashPairsOf(simhash(docs).persist(), maxHamming, maxBucket)
+
+  /** Shared chunk-banding + exact-Hamming verify body for BOTH fingerprint
+    * families (a banding/guard change applies to each exactly once):
+    * explode the four chunks as band keys, bound buckets via guardedPairs,
+    * re-attach fingerprints by id, verify by full-width Hamming.
+    */
+  private def simhashPairsOf(sh: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val keyed = sh.select(col("doc_id").as("id"),
         explode(array((0 until 4).map(i => struct(lit(i).as("chunk_id"), col(s"chunk$i").as("chunk_val"))): _*)).as("c"))
       .select(col("id"), col("c.chunk_id"), col("c.chunk_val"))

@@ -33,6 +33,13 @@ object Joins {
     * "latest"; dedupe upstream with max_by (see [[clickPurchaseAsof]]).
     * Probe rows with no earlier build row keep null carries (left join
     * semantics).
+    *
+    * The carry is ONE struct, not per-column last() calls: independent
+    * last(ignoreNulls) per column would tear rows — a legitimately-null
+    * value in the latest build row falls back to an OLDER row's value for
+    * that column only, pairing fields from build rows that never coexisted.
+    * The struct is never null for a build row, so last(ignoreNulls) picks
+    * the latest build ROW atomically and null fields stay null.
     */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String, time: String,
                carry: Seq[String]): DataFrame = {
@@ -41,14 +48,17 @@ object Joins {
       s"carried build columns ${carry.mkString(",")} must not collide with probe columns")
     val tagged = probe.withColumn("__side", lit(1))
       .unionByName(
-        build.select((Seq(key, time) ++ carry).map(col): _*).withColumn("__side", lit(0)),
+        build.select(col(key), col(time), struct(carry.map(col): _*).as("__carry"))
+          .withColumn("__side", lit(0)),
         allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(tagged)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.where(col("__side") === 1).drop("__side")
+    tagged
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(probe.columns.map(col) ++
+        carry.map(c => col(s"__carry.$c").as(c)): _*)
   }
 
   /** C11 — interval (range) join: probe rows (key, t) against intervals
@@ -68,10 +78,21 @@ object Joins {
     * candidates survive the residual filter.
     */
   def rangeJoin(probe: DataFrame, intervals: DataFrame, key: String, t: String,
-                start: String, end: String, bucketSecs: Long): DataFrame = {
+                start: String, end: String, bucketSecs: Long,
+                maxBuckets: Int = 4096): DataFrame = {
     require(bucketSecs > 0, "bucketSecs must be positive")
-    val ivb = intervals.withColumn("__bucket",
-      explode(expr(s"sequence($start div ${bucketSecs}L, $end div ${bucketSecs}L)")))
+    // Width guard, like every other candidate generator here (guardedPairs,
+    // maxBlock, maxDf): one corrupt or open-ended interval — a far-future
+    // sentinel end, or end < start — would make sequence() materialize
+    // millions of bucket rows (or overflow outright). Fail loudly instead
+    // of silently exploding; legitimate wide intervals mean bucketSecs is
+    // mis-sized for the data, which is a modeling bug worth surfacing.
+    val b = s"${bucketSecs}L"
+    val ivb = intervals.withColumn("__bucket", explode(expr(
+      s"""CASE WHEN $end >= $start AND ($end div $b - $start div $b) <= $maxBuckets
+         |THEN sequence($start div $b, $end div $b)
+         |ELSE raise_error('rangeJoin: interval spans more than $maxBuckets buckets or end < start; fix the interval table or raise bucketSecs')
+         |END""".stripMargin)))
     val pb = probe.withColumn("__bucket", expr(s"$t div ${bucketSecs}L"))
     pb.join(ivb, Seq(key, "__bucket"))
       .where(col(t).between(col(start), col(end)))

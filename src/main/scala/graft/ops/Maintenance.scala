@@ -23,8 +23,14 @@ object Maintenance {
     * subtree debris of in-flight or failed writes).
     */
   def fileCensus(spark: SparkSession, dir: String): (Long, Long) = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new org.apache.hadoop.fs.Path(dir)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Qualify BEFORE deriving the strip base: a relative `dir` would strip
+    // nothing from the absolute listing paths, and ancestor directories
+    // (a CI workspace's /_work, anything under a .cache) would then be
+    // scanned for hidden-prefix segments — marking every file hidden and
+    // silently compacting any dataset to one file.
+    val path = fs.makeQualified(raw)
     val base = path.toUri.getPath
     val it = fs.listFiles(path, true)
     var bytes = 0L
@@ -83,7 +89,11 @@ object Maintenance {
   /** Stores whose "directories" are key prefixes: rename is copy+delete,
     * non-atomic, so the swap protocol cannot run there.
     */
-  private val RenameUnsafeSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+  // wasb/wasbs (flat-namespace Azure Blob) renames are client-side
+  // copy+delete — non-atomic like the S3 family. abfs/abfss with a
+  // hierarchical namespace (ADLS Gen2) renames atomically and stays allowed.
+  private val RenameUnsafeSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
 
   /** Sibling staging paths for an in-place compaction of `dir`. The '_'
     * prefix keeps Spark/Hadoop readers from ever listing them as data.

@@ -36,8 +36,14 @@ object Skew {
     * decides between plain shuffle, AQE, and salting.
     */
   def keySkew(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(key.as("key")).agg(count(lit(1)).as("rows"))
+    // ONE scan of the raw input: the per-key counts persist and the
+    // denominator is a scalar aggregate over that (much smaller) keyed
+    // table — df.count() was a second full pass of the fact table just for
+    // the total. Eager scalar fetch is fine in a diagnostic tool.
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("rows")).persist()
+    val totalRow = counts.agg(sum(col("rows"))).first()
+    val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getLong(0).toDouble
+    counts
       .withColumn("share", round(col("rows") / total, 4))
       .orderBy(col("rows").desc)
       .limit(topN)

@@ -72,4 +72,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(res.isLeft)
     assert(res.left.exists(_.contains("collections[0]")))
   }
+
+  test("malformed boolean/long values are Lefts with context, not exceptions") {
+    def base(extra: String) =
+      s"""collections:
+         |  - db_name: test
+         |    coll_name: c
+         |    tokens_db_name: test
+         |    tokens_coll_name: t
+         |    stream_name: s
+         |    $extra
+         |""".stripMargin
+    val badBool = Settings.parseCollections(base("tokens_coll_capped: yes"))
+    assert(badBool.isLeft, "yaml-ish 'yes' is not a Scala boolean — must be a Left")
+    assert(badBool.left.exists(e => e.contains("tokens_coll_capped") && e.contains("yes")))
+    val badLong = Settings.parseCollections(base("tokens_coll_size_in_bytes: 10MB"))
+    assert(badLong.isLeft)
+    assert(badLong.left.exists(e => e.contains("tokens_coll_size_in_bytes") && e.contains("10MB")))
+  }
 }

@@ -28,6 +28,22 @@ class JoinsSpec extends SparkSpec {
     ))
   }
 
+  test("asofJoin carry is atomic: a null field in the latest build row stays null") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq((1L, 3L, "p")).toDF("k", "t", "ptag")
+    // latest build row (t=2) legitimately carries a null v — per-column
+    // last(ignoreNulls) would tear it, pairing t=2's id with t=1's v
+    val build = Seq(
+      (1L, 1L, Some(10L), Some(5.0)),
+      (1L, 2L, Some(11L), None)
+    ).toDF("k", "t", "bid", "v")
+    val row = Joins.asofJoin(probe, build, "k", "t", Seq("bid", "v")).collect().head
+    assert(row.getAs[Long]("bid") === 11L)
+    assert(row.isNullAt(row.fieldIndex("v")),
+      "the carried row is the LATEST build row verbatim — its null field must stay null")
+  }
+
   test("asofJoin plan contains NO join node — one exchange, window carry-forward") {
     val df = Joins.clickPurchaseAsof(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

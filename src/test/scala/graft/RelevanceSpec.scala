@@ -139,13 +139,14 @@ class RelevanceSpec extends SparkSpec {
       (1L, "Hello, World!"),
       (2L, "hello   world"),
       (3L, "HELLO WORLD."),
-      (4L, "goodbye world")
+      (4L, "goodbye world"),
+      (5L, "hello\nworld") // newline variant: separators normalize, not delete
     ))
     val exact = Dedup.exact(spark, dir).count()
     val norm = Dedup.dedupNormalized(spark, dir).collect()
-    assert(exact === 4, "byte-exact sees 4 distinct docs")
+    assert(exact === 5, "byte-exact sees 5 distinct docs")
     assert(norm.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 4L))
-    assert(norm.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("n_variants") === 3L)
+    assert(norm.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("n_variants") === 4L)
   }
 
   test("funnelCounts: stages count only in-order progressions") {
