@@ -15,26 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Static conf. The generated-class cache defaults to 100 entries;
-      // 70+ queries x several codegen stages each evict everything between
-      // a query's interleaved samples, so every sample would pay Janino
-      // compilation again — a long-lived cluster job amortizes codegen, so
-      // letting later samples reuse compiled classes is the representative
-      // measurement (the min still does full scan/shuffle work cold).
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup outside the timed loop, so the alphabetically-first
-    // query doesn't absorb session warmup cost.
-    try SparkEntry.queries("q6_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Session conf, warmup, and per-sample cache drops live in BenchHarness,
+    // shared with tools.QueryBench so single-query timings stay comparable.
+    val spark = BenchHarness.session(cpus)
+    BenchHarness.warmup(spark, sfDir)
     // 3 samples: this host shows occasional external multi-second stalls
     // (measured: an untouched query jumping 0.2 s → 3.2 s between full
     // bench runs) long enough to poison BOTH samples of a 2-sample min.
@@ -61,8 +45,7 @@ object Bench {
     // sample, so each one does the full scan + shuffle work; the min only
     // removes noise that is not the query's own cost.
     for (_ <- 1 to reps; (name, fn) <- names) {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      BenchHarness.dropCaches(spark)
       val t0 = System.nanoTime()
       // A FAILED sample must not enter the min — a query that dies 0.3 s in
       // would otherwise report 0.3 s as its time and corrupt the anchor.
@@ -79,8 +62,13 @@ object Bench {
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The total sums SUCCESSFUL queries only — folding the -1 sentinels in
+    // would make a failed (likely expensive) query SHRINK the total, reading
+    // as a round-over-round speedup; failures are listed explicitly instead.
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedField = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
     spark.stop()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE bench-session + cold-sample recipe, shared by [[Bench]] (the
+  * driver's full-suite run) and [[graft.tools.QueryBench]] (single-query
+  * iteration). Previously each hand-copied the builder/warmup/cache-drop
+  * blocks with only a "match Bench" comment keeping them aligned — any
+  * tuning that missed one copy silently made single-query timings
+  * non-comparable to BENCH_r{N}.json, the tool's entire purpose.
+  */
+object BenchHarness {
+
+  /** local[cpus] session with the bench conf: AQE on,
+    * shuffle.partitions=cpus, UTC, ns-as-long parquet reads, and a codegen
+    * cache big enough that interleaved samples of 70+ queries don't evict
+    * and re-Janino-compile each other (a long-lived cluster job amortizes
+    * codegen, so letting later samples reuse compiled classes is the
+    * representative measurement; the min still does full scan/shuffle work
+    * cold).
+    */
+  def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** JIT/codegen warmup outside any timed loop, so the first timed query
+    * doesn't absorb session warmup cost.
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit =
+    try SparkEntry.queries("q6_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+  /** Drop every cache a previous sample could hand to this one: the SQL
+    * cache manager's blocks AND bare persistent RDDs (localCheckpoint
+    * blocks are not owned by the cache manager — clearCache alone left them
+    * inflating later queries 4-9x under block-manager pressure).
+    */
+  def dropCaches(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+}

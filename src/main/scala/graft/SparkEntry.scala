@@ -50,14 +50,13 @@ object SparkEntry {
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     // Index lifecycle: build + persist the IVF index, then answer from the
     // persisted index — same result as the inline build, different
-    // (production) cost shape. A FRESH temp dir per invocation: a shared
-    // path keyed on the sf dir would let two JVMs (verify + tests) race
-    // build-overwrite against probe-read.
+    // (production) cost shape. ONE private temp dir per JVM (no cross-JVM
+    // race; within a JVM invocations run sequentially and the build
+    // overwrites), deleted by shutdown hook so repeated bench/verify runs
+    // don't accumulate orphaned index dumps in the system temp dir.
     "ann_ivf_persisted"    -> ((s, d) => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index_").toAbsolutePath.toString
-      Similarity.buildIvfIndex(s, d, idx)
-      Similarity.ivfProbePersisted(s, d, idx)
+      Similarity.buildIvfIndex(s, d, ivfIndexDir)
+      Similarity.ivfProbePersisted(s, d, ivfIndexDir)
     }),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -115,15 +114,35 @@ object SparkEntry {
     "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d))
   )
 
+  /** Per-JVM scratch dir for the ann_ivf_persisted index, removed on exit. */
+  private lazy val ivfIndexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toAbsolutePath.toString
+  }
+
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
   private val evCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
   /** Shared SQL fragment: the change-event full_document JSON. */
+  // Each field coalesces to the literal 'null' — mirroring
+  // ChangeEvents.fullDocumentJson's per-field JSON-null rendering. Plain ||
+  // would null the WHOLE document when one field is null, silently
+  // diverging from the Spark side the first time a nullable value/props
+  // appears in the data.
   private val fullDoc =
-    """'{"event_id":' || event_id || ',"user_id":' || user_id ||
-      | ',"event_type":"' || event_type || '","value":' ||
-      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || ',"props":' || props || '}'"""
+    """'{"event_id":' || coalesce(CAST(event_id AS VARCHAR), 'null') ||
+      | ',"user_id":' || coalesce(CAST(user_id AS VARCHAR), 'null') ||
+      | ',"event_type":' || coalesce('"' || event_type || '"', 'null') ||
+      | ',"value":' || coalesce(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 'null') ||
+      | ',"props":' || coalesce(props, 'null') || '}'"""
       .stripMargin.replaceAll("\\n\\s*", "")
 
   private val opType =
