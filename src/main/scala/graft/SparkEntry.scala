@@ -83,6 +83,7 @@ object SparkEntry {
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
     "cluster_keep_best"    -> ((s, d) => Dedup.clusterKeepBest(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
+    "dup_span_trim"        -> ((s, d) => Dedup.dupSpanTrim(s, d)),
     "sparse_sim_pairs"     -> ((s, d) => graft.ops.Relevance.sparseCosinePairs(s, d)),
     "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -1168,6 +1169,29 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positional 5-gram hashes (same 60-bit md5 form as sparse_sim's
+    // tokens, slice clamps for docs shorter than k); a token is removed
+    // iff any corpus-duplicated gram starts within the trailing k-window
+    "dup_span_trim" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g(i)),
+        |dup AS (SELECT h FROM st GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT st.doc_id, st.pos, CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS d
+        |       FROM st LEFT JOIN dup USING (h)),
+        |tk AS (SELECT doc_id, i AS pos, t[i] AS token
+        |       FROM arr, unnest(generate_series(1, len(t))) AS g(i)),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.token, coalesce(ds.d, 0) AS d
+        |       FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id AND tk.pos = ds.pos),
+        |mk AS (SELECT *, max(d) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered FROM fl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(covered) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' ' ORDER BY pos), '')
+        |         AS trimmed_text
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's is always global) — every replace below passes 'g'.

@@ -53,6 +53,12 @@ object VectorExpressions {
   def shingleHashes(text: Column, k: Int, md5Based: Boolean): Column =
     sqlshim.column(ShingleHashes(sqlshim.expression(text), k, md5Based))
 
+  /** Position-aligned (non-deduped) per-start shingle hv hashes.
+    * See PositionalShingleHashes.
+    */
+  def positionalShingleHashes(text: Column, k: Int, md5Based: Boolean): Column =
+    sqlshim.column(PositionalShingleHashes(sqlshim.expression(text), k, md5Based))
+
   /** Int8 max-abs quantization summary in one pass: struct(maxabs, ss,
     * q_csv). See QuantizeVector.
     */
@@ -804,5 +810,65 @@ case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** POSITIONAL sibling of [[ShingleHashes]] for span-level operators:
+  * element i of the result is the 60-bit hv hash of the k-token shingle
+  * STARTING at token i (0-based), duplicates preserved and positions
+  * aligned — ShingleHashes dedups per doc, which is right for set
+  * similarity but destroys the position→shingle mapping span trimming
+  * needs. A doc shorter than k contributes its whole text as the one
+  * element (same clamp as ShingleHashes; DuckDB mirrors it with an
+  * inclusive slice that clamps). Identical digest math: first 15 hex
+  * chars of md5 as a 60-bit long (md5Based) or full xxhash64 seed 42.
+  */
+case class PositionalShingleHashes(child: Expression, k: Int, md5Based: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"positional_shingle_hashes expects string, got $t")
+    }
+
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = toks.length
+    val m = math.max(n - k + 1, 1)
+    val hv = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hv(i) =
+        if (md5Based) {
+          val digest = md5Local.get()
+          digest.reset()
+          val d = digest.digest(bytes)
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          (v << 4) | ((d(7) & 0xffL) >>> 4)
+        } else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      i += 1
+    }
+    new GenericArrayData(hv)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
     copy(child = newChild)
 }

@@ -113,6 +113,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B34 — duplicate-SPAN trimming (the Lee et al. "Deduplicating Training
+    * Data" granularity, between B26's passage keep-one and B1's doc drop):
+    * remove every token covered by a k-gram whose occurrence count reaches
+    * `minDup` corpus-wide — the boilerplate/repeated-span filter that
+    * catches templated fragments embedded mid-document, which passage
+    * boundaries straddle and doc-level dedup never sees. All occurrences
+    * go (the curation-filter semantics: a span the corpus repeats is noise
+    * wherever it appears); keep-one-occurrence at span granularity has no
+    * deterministic cross-engine order and is B26's job at passage
+    * granularity.
+    *
+    * Shapes: positional (non-deduped) shingle hashes come from one
+    * codegen'd pass per row ([[graft.functions.VectorExpressions
+    * .positionalShingleHashes]] — position-aligned, unlike the deduping
+    * ShingleHashes); the duplicated-gram set is a map-side-combined
+    * groupBy (a boilerplate gram repeated across millions of docs arrives
+    * pre-collapsed); coverage is one per-doc window over dense token
+    * positions (`max(dup-start flag) over [pos-k+1, pos]` — bounded by
+    * document length, never corpus-wide); reassembly is a per-doc
+    * collect_list bounded by the doc's own token count. DuckDB replays
+    * hash, coverage window, and ordered string_agg identically.
+    */
+  def dupSpanTrim(spark: SparkSession, dir: String,
+                  k: Int = 5, minDup: Long = 2): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"),
+        VectorExpressions.positionalShingleHashes(col("text"), k, md5Based = true).as("ph"))
+    // (doc, 1-based start position, gram hash); feeds the dup count AND the
+    // flag join, so the shingling pass runs once
+    val starts = base
+      .select(col("doc_id"), posexplode(col("ph")).as(Seq("s0", "h")))
+      .select(col("doc_id"), (col("s0") + 1).as("pos"), col("h"))
+      .persist()
+    val dup = starts.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minDup)
+      .select(col("h"), lit(1).as("is_dup"))
+    val dupStarts = starts.join(dup, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("pos"), coalesce(col("is_dup"), lit(0)).as("d"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("tok")).as(Seq("p0", "token")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+    // token at pos is covered iff ANY duplicated gram starts in
+    // [pos-k+1, pos]; positions are dense 1..n per doc, so a ROWS frame is
+    // exact — and a doc shorter than k (single whole-text gram at pos 1)
+    // falls out naturally: the frame from any pos ≤ n < k reaches back to 1
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    tokens.join(dupStarts, Seq("doc_id", "pos"), "left_outer")
+      .withColumn("d", coalesce(col("d"), lit(0)))
+      .withColumn("covered", max(col("d")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("covered") === 0,
+            struct(col("pos"), col("token"))))),
+          x => x.getField("token"))).as("trimmed_text"))
+      .orderBy("doc_id")
+  }
+
   /** B1b — dedup group stats: copies per distinct content. */
   def exactStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -101,4 +101,31 @@ class DedupSpec extends SparkSpec {
     // agree (LSH recall can differ at the margin; planted dups are j≈1)
     assert(portable === fast, s"portable=$portable fast=$fast")
   }
+
+  test("dupSpanTrim removes every occurrence of a corpus-repeated 5-gram span, keeps unique text") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("spantrim")
+    val span = "one two three four five" // the shared duplicated 5-gram
+    Seq(
+      (1L, s"alpha beta $span gamma delta epsilon zeta"),
+      (2L, s"red green blue $span yellow purple orange"),
+      (3L, "totally unique words nobody else repeats anywhere here today"),
+      (4L, "loop loop loop loop loop loop loop loop loop loop") // self-repeated
+    ).map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Dedup.dupSpanTrim(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the shared span's 5 tokens vanish from BOTH docs; surroundings survive
+    assert(m(1L).getAs[String]("trimmed_text") === "alpha beta gamma delta epsilon zeta")
+    assert(m(2L).getAs[String]("trimmed_text") === "red green blue yellow purple orange")
+    assert(m(1L).getAs[Long]("n_removed") === 5L)
+    // unique text untouched
+    assert(m(3L).getAs[Long]("n_removed") === 0L)
+    assert(m(3L).getAs[String]("trimmed_text").startsWith("totally unique"))
+    // a SELF-repeated gram is corpus-duplicated too: every token covered
+    assert(m(4L).getAs[String]("trimmed_text") === "")
+    assert(m(4L).getAs[Long]("n_removed") === 10L)
+  }
 }
