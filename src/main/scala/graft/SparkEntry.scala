@@ -50,13 +50,15 @@ object SparkEntry {
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     // Index lifecycle: build + persist the IVF index, then answer from the
     // persisted index — same result as the inline build, different
-    // (production) cost shape. ONE private temp dir per JVM (no cross-JVM
-    // race; within a JVM invocations run sequentially and the build
+    // (production) cost shape. One private temp dir per DATA dir (two
+    // datasets probed from the same JVM — parallel suites sharing the
+    // session — can no longer interleave into each other's index; same-dir
+    // build+probe invocations still run sequentially and the build
     // overwrites), deleted by shutdown hook so repeated bench/verify runs
     // don't accumulate orphaned index dumps in the system temp dir.
     "ann_ivf_persisted"    -> ((s, d) => {
-      Similarity.buildIvfIndex(s, d, ivfIndexDir)
-      Similarity.ivfProbePersisted(s, d, ivfIndexDir)
+      Similarity.buildIvfIndex(s, d, ivfIndexDir(d))
+      Similarity.ivfProbePersisted(s, d, ivfIndexDir(d))
     }),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -115,18 +117,42 @@ object SparkEntry {
     "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d))
   )
 
-  /** Per-JVM scratch dir for the ann_ivf_persisted index, removed on exit. */
-  private lazy val ivfIndexDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
-    dir.toAbsolutePath.toString
-  }
+  /** Bench-only timing entries — NOT oracle queries (Verify never runs
+    * them; no `oracleSql` rows). The registered `ann_ivf_persisted` query
+    * must time build+write+probe as one DataFrame for the oracle, which
+    * made its bench seconds a lifecycle cost incomparable to the inline
+    * `ann_ivf_topk` (VERDICT r6). These split the lifecycle: `ann_ivf_build`
+    * is the k-means + partitioned index write alone (the returned centroid
+    * frame is KBs — the timed cost is the eager build), `ann_ivf_probe`
+    * answers from the already-written index. The probe entry relies on
+    * per-pass name ordering in [[Bench]]: "ann_ivf_build" sorts before
+    * "ann_ivf_probe", so every pass probes the index its own build wrote.
+    */
+  val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_build" -> ((s, d) => {
+      Similarity.buildIvfIndex(s, d, ivfIndexDir(d))
+      s.read.parquet(s"${ivfIndexDir(d)}/centroids")
+    }),
+    "ann_ivf_probe" -> ((s, d) => Similarity.ivfProbePersisted(s, d, ivfIndexDir(d)))
+  )
+
+  /** Scratch dir for the ann_ivf_persisted index, one per data dir (keyed
+    * so concurrent users of two datasets in one JVM can't cross-probe),
+    * removed on exit.
+    */
+  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(dataDir: String): String =
+    ivfIndexDirs.computeIfAbsent(dataDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      dir.toAbsolutePath.toString
+    })
 
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
   private val evCte =

@@ -18,10 +18,16 @@ object QueryBench {
     val explain = args.length > 3 && args(3) == "explain"
     val spark = BenchHarness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     BenchHarness.warmup(spark, sfDir)
+    // The probe-only entry answers from an index a prior build wrote; in
+    // graft.Bench that's the same pass's ann_ivf_build (name order). A
+    // fresh QueryBench JVM has no index yet — build one, untimed.
+    if (name == "ann_ivf_probe")
+      SparkEntry.benchExtras("ann_ivf_build")(spark, sfDir).count()
     for (i <- 1 to reps) {
       BenchHarness.dropCaches(spark)
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries.getOrElse(name,
+        SparkEntry.benchExtras(name))(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       println(f"[qbench] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       if (explain && i == reps) println(df.queryExecution.executedPlan.toString)
