@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -118,6 +118,98 @@ object KafkaEventSource {
         "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>)")
 }
 
+/** Native MongoDB change-stream binding — the source the reference actually
+  * ships (mrcon/src/mongo/connector.rs:127-142 `collection.watch()
+  * .resume_after(token)`). `load` wires `readStream.format("mongodb")` (the
+  * public MongoDB Spark connector) against the watched db/collection with
+  * `publish.full.document.only=false`, so rows arrive as raw change-stream
+  * documents; the Spark checkpoint then persists the connector's stream
+  * offsets — the resume token — giving `resume_after` restart semantics
+  * (connector.rs:135-142) through the same checkpoint contract every other
+  * source here uses, no hand-rolled token store. The wire-schema mappings
+  * are PURE static-frame functions (MongoSourceSpec drives them without a
+  * mongod): [[MongoEventSource.decode]] for the event feed,
+  * [[MongoEventSource.decodeEnvelope]] for the 1:1 change-event envelope.
+  * The connector jar is not in this sandbox — `failFast` names the missing
+  * package instead of Spark's "Failed to find data source" at query start.
+  */
+final case class MongoEventSource(connectionUri: String, database: String,
+                                  collection: String) extends EventSource {
+  override def load(spark: SparkSession): DataFrame = {
+    MongoEventSource.failFast(spark)
+    MongoEventSource.decode(
+      spark.readStream.format("mongodb")
+        .option("spark.mongodb.connection.uri", connectionUri)
+        .option("spark.mongodb.database", database)
+        .option("spark.mongodb.collection", collection)
+        .option("spark.mongodb.change.stream.publish.full.document.only", "false")
+        .schema(MongoEventSource.wireSchema)
+        .load())
+  }
+}
+
+object MongoEventSource {
+
+  /** The change-stream document shape the connector delivers when
+    * `publish.full.document.only=false` and this schema is supplied:
+    * `_id._data` is the resume token (connector.rs:155-160 persists exactly
+    * this), `documentKey`/`fullDocument` arrive as extended-JSON strings,
+    * `clusterTime` as an extended-JSON BSON timestamp.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("_id", StructType(Seq(StructField("_data", StringType)))),
+    StructField("operationType", StringType),
+    StructField("clusterTime", StringType),
+    StructField("ns", StructType(Seq(
+      StructField("db", StringType), StructField("coll", StringType)))),
+    StructField("documentKey", StringType),
+    StructField("fullDocument", StringType)
+  ))
+
+  /** Wire rows → the event feed ([[ChangeStreamJob.eventSchema]]): the
+    * watched collection's documents ARE the events, so `fullDocument`
+    * parses directly. Deletes and malformed documents carry no parseable
+    * event and are dropped — same policy as [[KafkaEventSource.decode]];
+    * feeds that must see deletes use [[decodeEnvelope]]. Pure column
+    * mapping, static-testable, reusable for batch backfill reads.
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("fullDocument"), ChangeStreamJob.eventSchema).as("e"))
+      .select(col("e.*"))
+      .where(col("event_id").isNotNull)
+
+  /** Wire rows → the engine's change-event envelope, 1:1 — the projection
+    * the reference serializes to the queue (connector.rs:145-153): the
+    * NATIVE operationType (deletes included, unlike the event-feed path
+    * where toChangeEvents re-derives it), the native resume token, ns, and
+    * cluster time. Produces exactly [[ChangeStreamJob.toChangeEvents]]'s
+    * schema, so every downstream consumer (publishers, cdc_apply,
+    * before-images) is source-agnostic.
+    */
+  def decodeEnvelope(raw: DataFrame): DataFrame = {
+    // BSON timestamp extended JSON: {"$timestamp": {"t": seconds, "i": ord}}
+    val ts = from_json(col("clusterTime"), StructType(Seq(
+      StructField("$timestamp", StructType(Seq(
+        StructField("t", LongType), StructField("i", LongType)))))))
+    raw.select(
+      get_json_object(col("fullDocument"), "$.event_id").cast("long").as("event_id"),
+      col("_id._data").as("resume_token"),
+      col("operationType").as("operation_type"),
+      col("ns.db").as("ns_db"), col("ns.coll").as("ns_coll"),
+      get_json_object(col("documentKey"), "$._id").cast("long").as("document_key"),
+      col("fullDocument").as("full_document"),
+      timestamp_seconds(ts.getField("$timestamp").getField("t")).as("cluster_time"))
+  }
+
+  private[streaming] def failFast(spark: SparkSession): Unit =
+    require(
+      try { Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider",
+        false, Thread.currentThread.getContextClassLoader); true }
+      catch { case _: ClassNotFoundException => false },
+      "MongoEventSource needs the mongo-spark-connector package on the classpath " +
+        "(--packages org.mongodb.spark:mongo-spark-connector_2.13:<version>)")
+}
+
 /** Where change-event payloads go. Called once per epoch from foreachBatch;
   * implementations MUST be idempotent per epochId — after a crash between
   * sink commit and checkpoint commit the epoch is replayed, and replay must
@@ -173,6 +265,116 @@ object KafkaQueuePublisher {
     batch.select(
       col("document_key").cast("string").as("key"),
       to_json(struct(batch.columns.map(col): _*)).as("value"))
+}
+
+/** AMQP (RabbitMQ) sink binding — the transport the reference actually
+  * ships (mrcon/src/rabbitmq/amqp.rs:95-110): each change event publishes
+  * to the DEFAULT exchange with routing key = the configured stream name
+  * (amqp.rs:100-102, the queue `new` declared at amqp.rs:40-46), payload =
+  * the serde_json serialization of the driver's `ChangeStreamEvent`
+  * (amqp.rs:96). [[AmqpQueuePublisher.encode]] is the pure payload/queue
+  * shaping, byte-pinned by AmqpPublisherSpec; `publish` delivers a batch
+  * per epoch over the java AMQP client with publisher confirms
+  * (`confirmSelect` + `waitForConfirms`, the lapin `Confirmation` await) —
+  * at-least-once into the same epoch-replay contract as every publisher
+  * here; the reference's consumers dedupe by event key (A5b) exactly as
+  * ours do. The client jar is not in this sandbox, so the transport is
+  * reached via reflection behind a failFast naming the missing package.
+  */
+final case class AmqpQueuePublisher(amqpUri: String, streamName: String)
+    extends QueuePublisher {
+  override def publish(batch: DataFrame, epochId: Long): Unit = {
+    AmqpQueuePublisher.failFast()
+    val uri = amqpUri
+    val queue = streamName
+    AmqpQueuePublisher.encode(batch, queue).select("payload")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        AmqpQueuePublisher.deliver(uri, queue, rows.map(_.getString(0)))
+      }
+  }
+}
+
+object AmqpQueuePublisher {
+
+  /** Change-event envelope → (queue, payload): the queue is the stream name
+    * (one queue per watched collection, config.rs RabbitMq.stream_name) and
+    * the payload is byte-for-byte the reference's `serde_json::to_vec
+    * (ChangeStreamEvent)` (amqp.rs:96) for the fields the envelope carries:
+    * fields in the driver struct's declaration order (mongodb 3.2.3
+    * src/change_stream/event.rs — `_id`, `operationType`, `ns`,
+    * `clusterTime`, `documentKey`, `fullDocument`), camelCase names,
+    * `None` optionals OMITTED (serde `skip_serializing_if`) rather than
+    * null — a deleted document's event simply has no `fullDocument` key.
+    * The resume token document is `{"_data": token}`, the cluster time a
+    * BSON timestamp `{"$timestamp":{"t":seconds,"i":1}}` (the ordinal is
+    * not representable in the envelope's µs timestamp; 1 matches the wire
+    * fixture MongoEventSource decodes). Pure, batch-testable.
+    */
+  def encode(batch: DataFrame, streamName: String): DataFrame = {
+    def field(name: String, value: Column, guard: Column): Column =
+      when(guard.isNotNull, concat(lit("\"" + name + "\":"), value))
+    batch.select(
+      lit(streamName).as("queue"),
+      concat_ws(",",
+        concat(lit("{\"_id\":{\"_data\":\""), col("resume_token"), lit("\"}")),
+        field("operationType",
+          concat(lit("\""), col("operation_type"), lit("\"")), col("operation_type")),
+        field("ns",
+          concat(lit("{\"db\":\""), col("ns_db"), lit("\",\"coll\":\""),
+            col("ns_coll"), lit("\"}")), col("ns_db")),
+        field("clusterTime",
+          concat(lit("{\"$timestamp\":{\"t\":"),
+            unix_timestamp(col("cluster_time")).cast("string"), lit(",\"i\":1}}")),
+          col("cluster_time")),
+        field("documentKey",
+          concat(lit("{\"_id\":"), col("document_key").cast("string"), lit("}")),
+          col("document_key")),
+        field("fullDocument", col("full_document"), col("full_document"))
+      ).as("payload"))
+      .withColumn("payload", concat(col("payload"), lit("}")))
+  }
+
+  /** One channel per partition-task, confirms on: declare the queue
+    * (idempotent, amqp.rs:40-46), `confirmSelect`, publish every payload to
+    * the default exchange under the queue's routing key, then block on
+    * `waitForConfirms` before the task succeeds — a failed confirm fails
+    * the task, Spark retries the partition, and the epoch contract absorbs
+    * the redelivery. Reflective because the sandbox has no AMQP client jar;
+    * on a cluster this resolves against com.rabbitmq:amqp-client.
+    */
+  private[streaming] def deliver(uri: String, queue: String,
+                                 payloads: Iterator[String]): Unit = {
+    val cfClass = Class.forName("com.rabbitmq.client.ConnectionFactory")
+    val cf = cfClass.getDeclaredConstructor().newInstance()
+    cfClass.getMethod("setUri", classOf[String]).invoke(cf, uri)
+    val conn = cfClass.getMethod("newConnection").invoke(cf)
+    try {
+      val ch = conn.getClass.getMethod("createChannel").invoke(conn)
+      val chClass = Class.forName("com.rabbitmq.client.Channel")
+      chClass.getMethod("queueDeclare", classOf[String], classOf[Boolean],
+        classOf[Boolean], classOf[Boolean], classOf[java.util.Map[String, AnyRef]])
+        .invoke(ch, queue, java.lang.Boolean.FALSE, java.lang.Boolean.FALSE,
+          java.lang.Boolean.FALSE, null)
+      chClass.getMethod("confirmSelect").invoke(ch)
+      val propsClass = Class.forName("com.rabbitmq.client.AMQP$BasicProperties")
+      val basicPublish = chClass.getMethod("basicPublish", classOf[String],
+        classOf[String], propsClass, classOf[Array[Byte]])
+      payloads.foreach { p =>
+        basicPublish.invoke(ch, "", queue, null, p.getBytes("UTF-8"))
+      }
+      chClass.getMethod("waitForConfirmsOrDie").invoke(ch)
+    } finally {
+      conn.getClass.getMethod("close").invoke(conn); ()
+    }
+  }
+
+  private[streaming] def failFast(): Unit =
+    require(
+      try { Class.forName("com.rabbitmq.client.ConnectionFactory",
+        false, Thread.currentThread.getContextClassLoader); true }
+      catch { case _: ClassNotFoundException => false },
+      "AmqpQueuePublisher needs the RabbitMQ java client on the classpath " +
+        "(--packages com.rabbitmq:amqp-client:<version>)")
 }
 
 /** Toy in-driver publisher proving the QueuePublisher seam in tests. */

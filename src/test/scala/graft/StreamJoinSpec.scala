@@ -84,6 +84,62 @@ class StreamJoinSpec extends SparkSpec {
       "abandoned click carries null purchase columns")
   }
 
+  test("soak: join state stays bounded at the watermark horizon over 50k+ rate-source events") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // The property D15 exists for: run the join against a genuinely
+    // unbounded source long enough that unbounded state would be obvious —
+    // ≥ 50k events across many micro-batches — and assert the state store
+    // holds only the watermark+wait horizon, not the history. Event time
+    // advances 1 s per event (5000 s of event time per wall second at this
+    // rate), so the 10 s watermark + 30 s wait horizon covers only a few
+    // dozen events at any moment; everything older is provably
+    // unmatchable and must be evicted. Without eviction, numRowsTotal
+    // tracks total input (≥ 50k); with it, it tracks the horizon plus at
+    // most the watermark's one-batch update lag.
+    val ckpt = tempDir("sjsoak_ckpt")
+    val feed = spark.readStream.format("rate").option("rowsPerSecond", 5000).load()
+      .select(
+        col("value").as("event_id"),
+        (lit(t0) + col("value") * lit(1000000L)).as("ts_us"),
+        pmod(col("value"), lit(500L)).as("user_id"),
+        when(col("value") % 2 === 0, "click").otherwise("purchase").as("event_type"),
+        (col("value") % 100).cast("double").as("value"),
+        lit("{}").as("props"))
+    val out = StreamJoin.clickPurchase(
+      feed.where(col("event_type") === "click"),
+      feed.where(col("event_type") === "purchase"),
+      maxWait = "30 seconds", watermarkDelay = "10 seconds")
+    val q = out.writeStream
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("noop")
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 150000
+      def progresses = q.recentProgress.filter(_.numInputRows > 0)
+      while (progresses.map(_.numInputRows).sum < 50000 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      val ps = progresses
+      val totalIn = ps.map(_.numInputRows).sum
+      assert(totalIn >= 50000, s"soak must process >= 50k events, saw $totalIn")
+      assert(ps.length >= 5, s"soak must span many micro-batches, saw ${ps.length}")
+      val states = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val maxState = states.max
+      val maxBatch = ps.map(_.numInputRows).max
+      // Horizon (40 s event time = 40 rows) + both sides' rows the watermark
+      // has not yet aged out: the watermark is recomputed BETWEEN batches,
+      // so up to ~2 batches of rows are momentarily un-evictable. 3x the
+      // largest batch bounds that lag with slack; unbounded growth would
+      // blow straight past it (state would be ~totalIn >= 50000).
+      val bound = math.max(3 * maxBatch, 5000L)
+      assert(maxState <= bound,
+        s"state must stay at the horizon (<= $bound rows given max batch $maxBatch), peaked at $maxState over $totalIn events")
+      assert(states.last <= bound, s"state must not trend up: last=${states.last}")
+    } finally q.stop()
+  }
+
   test("a purchase arriving in a later micro-batch still joins buffered clicks") {
     val (src, out, ckpt) = (tempDir("sj2_src"), tempDir("sj2_out") + "/j", tempDir("sj2_ckpt"))
     val min = 60L * 1000000L
