@@ -51,6 +51,13 @@ object Bench {
     // removes noise that is not the query's own cost.
     for (_ <- 1 to reps; (name, fn) <- names) {
       BenchHarness.dropCaches(spark)
+      // Collect the PREVIOUS query's garbage outside the next query's timed
+      // window: r6 showed trivial unchanged projections inflating ~2.5x
+      // alongside real wins — consistent with later queries paying earlier
+      // queries' heap pressure (plus this host's documented stalls, which
+      // the interleaved min already discards). ~50 ms per sample, and a
+      // long-lived cluster job amortizes GC the same way.
+      System.gc()
       val t0 = System.nanoTime()
       // A FAILED sample must not enter the min — a query that dies 0.3 s in
       // would otherwise report 0.3 s as its time and corrupt the anchor.

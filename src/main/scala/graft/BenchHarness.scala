@@ -43,10 +43,8 @@ object BenchHarness {
   /** Drop every cache a previous sample could hand to this one: the SQL
     * cache manager's blocks AND bare persistent RDDs (localCheckpoint
     * blocks are not owned by the cache manager — clearCache alone left them
-    * inflating later queries 4-9x under block-manager pressure).
+    * inflating later queries 4-9x under block-manager pressure). The same
+    * hygiene is exposed to library callers as [[graft.Caches.clear]].
     */
-  def dropCaches(spark: SparkSession): Unit = {
-    spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-  }
+  def dropCaches(spark: SparkSession): Unit = Caches.clear(spark)
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library-level cache hygiene. Several operators persist an intermediate
+  * that feeds multiple consumers of the ONE returned plan (the sparse-
+  * similarity index, bigramCoverage's per-doc counts, dupSpanTrim's shingle
+  * starts, the minhash shingle frames): the cache fills during the caller's
+  * action and stays resident afterwards, because a function returning a
+  * lazy DataFrame has no post-action hook to unpersist from. That is the
+  * right trade for a job that runs a pipeline and exits — and a leak for a
+  * long-lived session running many pipelines. Such sessions call [[clear]]
+  * between pipelines; the bench harness does exactly this between samples
+  * (BenchHarness.dropCaches delegates here).
+  */
+object Caches {
+
+  /** Drop every cached block in the session: the SQL cache manager's
+    * relations AND bare persistent RDDs (localCheckpoint blocks from the
+    * iterative connected-components path are not owned by the cache
+    * manager, so `spark.catalog.clearCache` alone would leave them
+    * resident).
+    */
+  def clear(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+}

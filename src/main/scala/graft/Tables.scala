@@ -47,8 +47,26 @@ object Tables {
   // plan the throwaway scan once per (path, parallelism), not per load.
   private val spreadCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Forget memoized spread decisions for paths under `pathPrefix`. The
+    * memo assumes a table's file layout is stable for the session; the
+    * in-repo writers that CAN rewrite a readable path (Maintenance
+    * compaction/clustered layout, CorpusWriter) call this after committing
+    * so a re-read re-plans against the new layout instead of riding a
+    * stale partition-count decision. Test temp-dir reuse gets the same
+    * treatment for free by going through those writers.
+    */
+  def invalidateSpread(pathPrefix: String): Unit = {
+    val it = spreadCache.keySet.iterator
+    while (it.hasNext) if (it.next.startsWith(pathPrefix)) it.remove()
+  }
+
   private def spread(df: DataFrame, key: String, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // Growth bound: one entry per (path, parallelism) actually read — a
+    // session cycling through unboundedly many table paths resets the memo
+    // rather than growing it (re-planning a throwaway scan is cheap; an
+    // unbounded driver map is not).
+    if (spreadCache.size > 1024) spreadCache.clear()
     val need = spreadCache.computeIfAbsent(s"$cacheKey#$target",
       _ => df.rdd.getNumPartitions < target)
     if (need) df.repartition(target, col(key)) else df

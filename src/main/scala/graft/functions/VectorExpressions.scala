@@ -115,6 +115,20 @@ private[functions] object CentroidKernel {
     * score (a truncated cosine is wrong-but-plausible and would route the
     * row to a confidently wrong cell).
     */
+  /** Construction-time guard for the centroid matrix: every row must share
+    * one dimension. [[cosines]] checks only centroids(0) against the input
+    * vector (one comparison on the hot path); with a MIXED-length matrix —
+    * reachable when ivfCentroids' `dim` parameter disagrees with the actual
+    * embedding width, leaving seed-length and dim-length rows mixed — the
+    * unclamped inner loop would throw ArrayIndexOutOfBoundsException mid-
+    * query. Failing at expression construction names the real mistake
+    * instead.
+    */
+  def requireUniform(centroids: Seq[Seq[Double]]): Unit =
+    require(centroids.isEmpty || centroids.forall(_.length == centroids.head.length),
+      s"centroid matrix rows must share one dimension, got lengths " +
+        centroids.map(_.length).distinct.sorted.mkString("{", ",", "}"))
+
   def cosines(v: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Array[Double] = {
     val n = v.numElements()
     if (centroids.length > 0 && centroids(0).length != n) return null
@@ -161,6 +175,8 @@ private[functions] object CentroidKernel {
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
+  CentroidKernel.requireUniform(centroids)
+
   override def dataType: DataType = IntegerType
   // nullable even over a non-null child: dimension mismatch yields null
   // (CosineSim's contract), never a silently wrong cell
@@ -196,6 +212,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   */
 case class ProbeCellIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
     extends UnaryExpression with CodegenFallback {
+
+  CentroidKernel.requireUniform(centroids)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   // nullable even over a non-null child: dimension mismatch yields null

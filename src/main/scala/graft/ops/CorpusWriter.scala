@@ -60,6 +60,7 @@ object CorpusWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(outDir)
+    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
     df.unpersist()
     val parts = stats.map { r =>
       val key = Option(r.get(0)).map(v => jsonStr(v.toString)).getOrElse("\"null\"")

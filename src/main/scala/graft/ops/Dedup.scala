@@ -141,7 +141,9 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("tok"),
         VectorExpressions.positionalShingleHashes(col("text"), k, md5Based = true).as("ph"))
     // (doc, 1-based start position, gram hash); feeds the dup count AND the
-    // flag join, so the shingling pass runs once
+    // flag join, so the shingling pass runs once. Lazily persisted — fills
+    // during the caller's action, released by graft.Caches.clear (the
+    // cache-hygiene contract for long-lived sessions; see Caches)
     val starts = base
       .select(col("doc_id"), posexplode(col("ph")).as(Seq("s0", "h")))
       .select(col("doc_id"), (col("s0") + 1).as("pos"), col("h"))

@@ -53,6 +53,7 @@ object Maintenance {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)
     df.repartition(nOut).write.mode("overwrite").parquet(outDir)
+    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
     val rows = spark.read.parquet(outDir).count()
     val (_, after) = fileCensus(spark, outDir)
     (rows, before, after)
@@ -81,6 +82,7 @@ object Maintenance {
     df.repartitionByRange(math.max(1, nFiles), keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").parquet(outDir)
+    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
   }
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
@@ -156,6 +158,7 @@ object Maintenance {
       throw new java.io.IOException(s"could not swap $tmp into $dir — original restored")
     }
     fs.delete(old, true)
+    graft.Tables.invalidateSpread(dir) // layout changed under any memoized reader
     val (_, after) = fileCensus(spark, dir)
     (rows, before, after)
   }

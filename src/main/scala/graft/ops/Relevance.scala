@@ -95,6 +95,8 @@ object Relevance {
     // 260k index rows the data is pennies; the waves are the cost. At
     // 100 TB the same plan is the one you'd want: single shingle pass,
     // df-capped keys, broadcast rare set, partial-aggregated pair counts.
+    // Both persists fill during the caller's action and are released by
+    // graft.Caches.clear (see Caches for the long-lived-session contract).
     val kept = tok.join(rare, Seq("token"))
       .select(col("token"), col("doc_id"))
       .persist()
@@ -150,7 +152,8 @@ object Relevance {
     val docs = Tables.documents(spark, dir)
     // Persisted: feeds BOTH the corpus-count aggregate and the scoring join
     // (different aggregates — no exchange reuse), so the explode + widest
-    // shuffle run once, exactly like sparseCosinePairs' index.
+    // shuffle run once, exactly like sparseCosinePairs' index. Lazily
+    // persisted — released by graft.Caches.clear (see Caches).
     val perDoc = docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), explode(expr(

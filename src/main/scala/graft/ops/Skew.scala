@@ -39,13 +39,22 @@ object Skew {
     // ONE scan of the raw input: the per-key counts persist and the
     // denominator is a scalar aggregate over that (much smaller) keyed
     // table — df.count() was a second full pass of the fact table just for
-    // the total. Eager scalar fetch is fine in a diagnostic tool.
+    // the total. Eager scalar fetch is fine in a diagnostic tool, and the
+    // whole result is materialized eagerly too (bounded: topN rows) so the
+    // persisted counts can be RELEASED here instead of squatting in the
+    // block manager until someone clears caches — this is a diagnostic
+    // run occasionally inside long-lived sessions, the exact caller that
+    // least expects a cache residue.
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("rows")).persist()
-    val totalRow = counts.agg(sum(col("rows"))).first()
-    val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getLong(0).toDouble
-    counts
-      .withColumn("share", round(col("rows") / total, 4))
-      .orderBy(col("rows").desc)
-      .limit(topN)
+    try {
+      val totalRow = counts.agg(sum(col("rows"))).first()
+      val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getLong(0).toDouble
+      val out = counts
+        .withColumn("share", round(col("rows") / total, 4))
+        .orderBy(col("rows").desc)
+        .limit(topN)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      df.sparkSession.createDataFrame(rows, out.schema)
+    } finally { counts.unpersist(); () }
   }
 }
