@@ -77,20 +77,23 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  // The memo key is the REAL on-disk path (".../<name>.parquet"), so
+  // invalidateSpread(writtenPath) prefix-matches it — a key that drops the
+  // suffix ("$dir/orders") would silently never match the path writers pass.
   def orders(spark: SparkSession, dir: String): DataFrame   =
-    spread(table(spark, dir, "orders"), "o_orderkey", s"$dir/orders")
+    spread(table(spark, dir, "orders"), "o_orderkey", s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "lineitem"), "l_orderkey", s"$dir/lineitem")
+    spread(table(spark, dir, "lineitem"), "l_orderkey", s"$dir/lineitem.parquet")
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "documents"), "doc_id", s"$dir/documents")
+    spread(table(spark, dir, "documents"), "doc_id", s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings")
+    spread(table(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings.parquet")
 
   /** Events with `ts` normalized to a microsecond TimestampType column.
     * DuckDB equivalent of the conversion: `CAST(ts AS TIMESTAMP)` (both
     * truncate nanos toward negative infinity for the epochs in our data).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "events"), "event_id", s"$dir/events")
+    spread(table(spark, dir, "events"), "event_id", s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 }

@@ -109,12 +109,6 @@ object VectorExpressions {
   * greatest(struct(cos, idx)) / array_sort formulations.
   */
 private[functions] object CentroidKernel {
-  /** Cosine of `v` against every centroid, or NULL when the vector's
-    * dimension differs from the (uniform) centroid dimension — the same
-    * null-on-mismatch contract as CosineSim, never a silently-truncated
-    * score (a truncated cosine is wrong-but-plausible and would route the
-    * row to a confidently wrong cell).
-    */
   /** Construction-time guard for the centroid matrix: every row must share
     * one dimension. [[cosines]] checks only centroids(0) against the input
     * vector (one comparison on the hot path); with a MIXED-length matrix —
@@ -129,6 +123,12 @@ private[functions] object CentroidKernel {
       s"centroid matrix rows must share one dimension, got lengths " +
         centroids.map(_.length).distinct.sorted.mkString("{", ",", "}"))
 
+  /** Cosine of `v` against every centroid, or NULL when the vector's
+    * dimension differs from the (uniform) centroid dimension — the same
+    * null-on-mismatch contract as CosineSim, never a silently-truncated
+    * score (a truncated cosine is wrong-but-plausible and would route the
+    * row to a confidently wrong cell).
+    */
   def cosines(v: ArrayData, isFloat: Boolean, centroids: Array[Array[Double]]): Array[Double] = {
     val n = v.numElements()
     if (centroids.length > 0 && centroids(0).length != n) return null

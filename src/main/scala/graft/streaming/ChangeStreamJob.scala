@@ -289,7 +289,10 @@ final case class AmqpQueuePublisher(amqpUri: String, streamName: String)
     val queue = streamName
     AmqpQueuePublisher.encode(batch, queue).select("payload")
       .foreachPartition { (rows: Iterator[Row]) =>
-        AmqpQueuePublisher.deliver(uri, queue, rows.map(_.getString(0)))
+        // Empty partitions (most of them, on a small epoch fanned over many
+        // shuffle partitions) must not pay a broker connection handshake.
+        if (rows.hasNext)
+          AmqpQueuePublisher.deliver(uri, queue, rows.map(_.getString(0)))
       }
   }
 }
@@ -313,25 +316,34 @@ object AmqpQueuePublisher {
   def encode(batch: DataFrame, streamName: String): DataFrame = {
     def field(name: String, value: Column, guard: Column): Column =
       when(guard.isNotNull, concat(lit("\"" + name + "\":"), value))
+    // The braces live OUTSIDE the null-skipping concat_ws: every field —
+    // including _id — is individually guarded, so a malformed wire row
+    // with a null resume token drops the _id field (like serde would skip
+    // a None) instead of nulling its concat and losing the opening brace,
+    // which would publish non-JSON the consumer can't parse.
     batch.select(
       lit(streamName).as("queue"),
-      concat_ws(",",
-        concat(lit("{\"_id\":{\"_data\":\""), col("resume_token"), lit("\"}")),
-        field("operationType",
-          concat(lit("\""), col("operation_type"), lit("\"")), col("operation_type")),
-        field("ns",
-          concat(lit("{\"db\":\""), col("ns_db"), lit("\",\"coll\":\""),
-            col("ns_coll"), lit("\"}")), col("ns_db")),
-        field("clusterTime",
-          concat(lit("{\"$timestamp\":{\"t\":"),
-            unix_timestamp(col("cluster_time")).cast("string"), lit(",\"i\":1}}")),
-          col("cluster_time")),
-        field("documentKey",
-          concat(lit("{\"_id\":"), col("document_key").cast("string"), lit("}")),
-          col("document_key")),
-        field("fullDocument", col("full_document"), col("full_document"))
+      concat(
+        lit("{"),
+        concat_ws(",",
+          field("_id",
+            concat(lit("{\"_data\":\""), col("resume_token"), lit("\"}")),
+            col("resume_token")),
+          field("operationType",
+            concat(lit("\""), col("operation_type"), lit("\"")), col("operation_type")),
+          field("ns",
+            concat(lit("{\"db\":\""), col("ns_db"), lit("\",\"coll\":\""),
+              col("ns_coll"), lit("\"}")), col("ns_db")),
+          field("clusterTime",
+            concat(lit("{\"$timestamp\":{\"t\":"),
+              unix_timestamp(col("cluster_time")).cast("string"), lit(",\"i\":1}}")),
+            col("cluster_time")),
+          field("documentKey",
+            concat(lit("{\"_id\":"), col("document_key").cast("string"), lit("}")),
+            col("document_key")),
+          field("fullDocument", col("full_document"), col("full_document"))),
+        lit("}")
       ).as("payload"))
-      .withColumn("payload", concat(col("payload"), lit("}")))
   }
 
   /** One channel per partition-task, confirms on: declare the queue
@@ -344,19 +356,25 @@ object AmqpQueuePublisher {
     */
   private[streaming] def deliver(uri: String, queue: String,
                                  payloads: Iterator[String]): Unit = {
-    val cfClass = Class.forName("com.rabbitmq.client.ConnectionFactory")
+    // Same classloader failFast checks: --packages jars can be visible only
+    // through the thread context loader (REPL/notebook child loaders), and
+    // a bare Class.forName would use graft's DEFINING loader — passing the
+    // guard and then dying with ClassNotFoundException inside the task.
+    def cls(name: String) =
+      Class.forName(name, true, Thread.currentThread.getContextClassLoader)
+    val cfClass = cls("com.rabbitmq.client.ConnectionFactory")
     val cf = cfClass.getDeclaredConstructor().newInstance()
     cfClass.getMethod("setUri", classOf[String]).invoke(cf, uri)
     val conn = cfClass.getMethod("newConnection").invoke(cf)
     try {
       val ch = conn.getClass.getMethod("createChannel").invoke(conn)
-      val chClass = Class.forName("com.rabbitmq.client.Channel")
+      val chClass = cls("com.rabbitmq.client.Channel")
       chClass.getMethod("queueDeclare", classOf[String], classOf[Boolean],
         classOf[Boolean], classOf[Boolean], classOf[java.util.Map[String, AnyRef]])
         .invoke(ch, queue, java.lang.Boolean.FALSE, java.lang.Boolean.FALSE,
           java.lang.Boolean.FALSE, null)
       chClass.getMethod("confirmSelect").invoke(ch)
-      val propsClass = Class.forName("com.rabbitmq.client.AMQP$BasicProperties")
+      val propsClass = cls("com.rabbitmq.client.AMQP$BasicProperties")
       val basicPublish = chClass.getMethod("basicPublish", classOf[String],
         classOf[String], propsClass, classOf[Array[Byte]])
       payloads.foreach { p =>

@@ -51,6 +51,21 @@ class AmqpPublisherSpec extends SparkSpec {
         """"documentKey":{"_id":3}}""")
   }
 
+  test("a null resume token drops the _id field but never the opening brace") {
+    // A malformed wire row can reach the publisher with resume_token null
+    // (MongoEventSource.wireSchema permits it); the payload must stay
+    // valid JSON with _id omitted like any absent optional — not lose its
+    // leading '{' to a nulled concat inside concat_ws.
+    val env = envelope(5L, null, "insert", 5L, insertDoc, 1704067205L)
+    val payload = AmqpQueuePublisher.encode(env, "q").collect().head.getAs[String]("payload")
+    assert(payload ===
+      """{"operationType":"insert",""" +
+        """"ns":{"db":"appdb","coll":"events"},""" +
+        """"clusterTime":{"$timestamp":{"t":1704067205,"i":1}},""" +
+        """"documentKey":{"_id":5},""" +
+        s""""fullDocument":$insertDoc}""")
+  }
+
   test("payloads parse back as the JSON the reference e2e consumer reads") {
     // mrcond/tests/e2e.rs:404-411 parses each delivered message and reads
     // fullDocument — the payload must be valid JSON with that exact key.

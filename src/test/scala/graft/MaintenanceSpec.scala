@@ -56,6 +56,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").distinct().count() === 100)
   }
 
+  test("in-place compaction invalidates the memoized spread decision for the path") {
+    // Regression: the spread memo keys on the REAL path (".../documents
+    // .parquet"); an earlier draft keyed without the suffix, so the
+    // writers' invalidateSpread(path) prefix-match silently never hit and
+    // a compacted-to-one-file table kept scanning as one task. Observable
+    // contract: read wide (spread memoizes "no repartition needed"),
+    // compact to 1 file, re-read — the reader must RE-plan and spread.
+    val dir = tempDir("compact-spread")
+    val table = s"$dir/documents.parquet"
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.range(0, 1000).selectExpr("id AS doc_id", "'en' AS lang",
+        "'s' AS source", "repeat('w ', 50) AS text")
+      .repartition(parallelism * 2)
+      .write.parquet(table)
+    assert(graft.Tables.documents(spark, dir).rdd.getNumPartitions >= parallelism,
+      "precondition: the wide layout must scan at full parallelism unspread")
+    Maintenance.compactInPlace(spark, table, targetBytes = Long.MaxValue)
+    assert(spark.read.parquet(table).rdd.getNumPartitions < parallelism,
+      "precondition: compaction must actually narrow the scan")
+    assert(graft.Tables.documents(spark, dir).rdd.getNumPartitions === parallelism,
+      "stale spread memo: the reader kept the pre-compaction decision and " +
+        "scans the single-file table on one task")
+  }
+
   test("interrupted swap recovers to exactly the old or the new listing") {
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

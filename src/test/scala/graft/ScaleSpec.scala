@@ -103,12 +103,25 @@ class ScaleSpec extends SparkSpec {
     // task and blind the measurement; at 100 TB the same partitions sit far
     // above the advisory size and never coalesce, so disabling it here is
     // what makes the toy measurement representative of the at-scale layout.
+    val prevCoalesce = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       graft.ops.Curation.sourceCapSample(spark, dir, cap = 1000, shardBits = 8).count()
       graft.ops.Curation.tokenBudgetMix(spark, dir, perLangTokens = Long.MaxValue,
         shardBits = 8).count()
-      Thread.sleep(2000) // listener events post asynchronously
+      // The listener bus posts asynchronously; a fixed sleep can under-read
+      // on a stalled host (documented multi-second stalls) and silently
+      // drop the one hot task the assertion exists to catch. Drain
+      // deterministically instead: poll until the event count is stable
+      // across consecutive checks.
+      var stable = 0
+      var last = -1
+      val drainDeadline = System.currentTimeMillis() + 30000
+      while (stable < 4 && System.currentTimeMillis() < drainDeadline) {
+        Thread.sleep(250)
+        val n = taskReads.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
       val byStage = taskReads.toArray(Array.empty[(Int, Long)]).groupBy(_._1)
         .map { case (stage, rs) => (stage, rs.map(_._2)) }
       // The stages that matter: the window shuffles carrying the full
@@ -123,7 +136,10 @@ class ScaleSpec extends SparkSpec {
             s"a task is holding a skewed class (single-level would hold ~${n * 9 / 10})")
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prevCoalesce match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      }
       spark.sparkContext.removeSparkListener(listener)
     }
   }
