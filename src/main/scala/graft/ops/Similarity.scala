@@ -140,6 +140,15 @@ object Similarity {
     * clustered (probe cost ~ nprobe/C of the data), LSH when it is not.
     */
   def ivfCentroids(emb: DataFrame, c: Int = 16, iters: Int = 2, dim: Int = 64): Array[Array[Double]] = {
+    // k-means drives 1 + iters EAGER jobs over the corpus (seed fetch, then
+    // one avg-aggregate per iteration) — persist so the scan+spread runs
+    // once and the iterations read the cache. Unlike the lazy operator
+    // persists, this pair is self-contained: every consumer is a collect
+    // inside this function, so the block is released before returning
+    // (callers' probe/assignment scans re-read the source, which they
+    // would do identically without this persist).
+    emb.persist()
+    try {
     // deterministic seeds: the C lowest vec_ids
     var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(c)
       .select("embedding").collect()
@@ -165,6 +174,7 @@ object Similarity {
       centroids = next
     }
     centroids
+    } finally { emb.unpersist(); () }
   }
 
   /** Index of the max-cosine centroid. The centroid matrix rides as an
