@@ -140,29 +140,34 @@ object Dedup {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tok"),
         VectorExpressions.positionalShingleHashes(col("text"), k, md5Based = true).as("ph"))
-    // (doc, 1-based start position, gram hash); feeds the dup count AND the
-    // flag join, so the shingling pass runs once. Lazily persisted — fills
-    // during the caller's action, released by graft.Caches.clear (the
-    // cache-hygiene contract for long-lived sessions; see Caches)
-    val starts = base
-      .select(col("doc_id"), posexplode(col("ph")).as(Seq("s0", "h")))
-      .select(col("doc_id"), (col("s0") + 1).as("pos"), col("h"))
+    // ONE explode carries both the token and the gram hash STARTING at its
+    // position: arrays_zip pads the (shorter) hash array with nulls, so
+    // tail positions — where no k-gram starts — surface with h = null and
+    // still count as tokens. The r6 shape exploded tokens and hashes
+    // SEPARATELY and re-joined them on (doc_id, pos): a second parquet
+    // scan + text split AND a corpus-token-sized equi-join shuffle on both
+    // sides, all replaced here by reading the zipped row. Lazily persisted
+    // — feeds the dup count and the flag join, so the shingling pass runs
+    // once; released by graft.Caches.clear (see Caches).
+    val exploded = base
+      .select(col("doc_id"), posexplode(arrays_zip(col("tok"), col("ph"))).as(Seq("p0", "z")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        col("z.tok").as("token"), col("z.ph").as("h"))
       .persist()
-    val dup = starts.groupBy("h").agg(count(lit(1)).as("c"))
+    val dup = exploded.where(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("c"))
       .where(col("c") >= minDup)
       .select(col("h"), lit(1).as("is_dup"))
-    val dupStarts = starts.join(dup, Seq("h"), "left_outer")
-      .select(col("doc_id"), col("pos"), coalesce(col("is_dup"), lit(0)).as("d"))
-    val tokens = base
-      .select(col("doc_id"), posexplode(col("tok")).as(Seq("p0", "token")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("token"))
+    // null h joins nothing → d = 0, exactly the tail-position semantics
+    val flagged = exploded.join(dup, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(col("is_dup"), lit(0)).as("d"))
     // token at pos is covered iff ANY duplicated gram starts in
     // [pos-k+1, pos]; positions are dense 1..n per doc, so a ROWS frame is
     // exact — and a doc shorter than k (single whole-text gram at pos 1)
     // falls out naturally: the frame from any pos ≤ n < k reaches back to 1
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(k - 1), 0)
-    tokens.join(dupStarts, Seq("doc_id", "pos"), "left_outer")
-      .withColumn("d", coalesce(col("d"), lit(0)))
+    flagged
       .withColumn("covered", max(col("d")).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
