@@ -142,12 +142,13 @@ object Similarity {
   def ivfCentroids(emb: DataFrame, c: Int = 16, iters: Int = 2, dim: Int = 64): Array[Array[Double]] = {
     // k-means drives 1 + iters EAGER jobs over the corpus (seed fetch, then
     // one avg-aggregate per iteration) — persist so the scan+spread runs
-    // once and the iterations read the cache. Unlike the lazy operator
-    // persists, this pair is self-contained: every consumer is a collect
-    // inside this function, so the block is released before returning
-    // (callers' probe/assignment scans re-read the source, which they
-    // would do identically without this persist).
-    emb.persist()
+    // once and the iterations read the cache. OWNERSHIP-GUARDED: a frame
+    // the caller already cached (buildIvfIndex/ivfTopKOf do, so their own
+    // follow-up corpus scans reuse the same blocks) must not be evicted by
+    // this function's cleanup — unpersisting a caller's cache would
+    // silently force every later use back to a full recompute.
+    val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (own) emb.persist()
     try {
     // deterministic seeds: the C lowest vec_ids
     var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(c)
@@ -174,7 +175,7 @@ object Similarity {
       centroids = next
     }
     centroids
-    } finally { emb.unpersist(); () }
+    } finally { if (own) { emb.unpersist(); () } }
   }
 
   /** Index of the max-cosine centroid. The centroid matrix rides as an
@@ -205,6 +206,13 @@ object Similarity {
 
   def ivfTopKOf(emb: DataFrame, nQueries: Int, k: Int, cells: Int, nprobe: Int,
                 dim: Int): DataFrame = {
+    // One cache serves the whole query: the k-means' eager jobs fill it,
+    // then the returned plan's corpus-bucketing and probe scans read it at
+    // action time instead of re-scanning parquet through the spread
+    // shuffle. Lazy-persist contract (released by graft.Caches.clear, see
+    // Caches) because the plan outlives this function; ivfCentroids sees
+    // the frame already cached and leaves ownership here.
+    if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
     val centroids = ivfCentroids(emb, cells, iters = 2, dim = dim)
     val corpus = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), centroids).as("cell"))
@@ -243,6 +251,12 @@ object Similarity {
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     cells: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
     val emb = Tables.embeddings(spark, dir)
+    // Fully eager function (both writes happen inside), so the persist that
+    // feeds the k-means ALSO serves the assignment scan below and is
+    // cleanly released before returning — no Caches.clear residue.
+    val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (own) emb.persist()
+    try {
     val centroids = ivfCentroids(emb, cells, iters, dim)
     import spark.implicits._
     centroids.zipWithIndex
@@ -257,6 +271,7 @@ object Similarity {
     emb.select(col("vec_id"), nearestCell(col("embedding"), centroids).as("cell"))
       .repartition(cells, col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
+    } finally { if (own) { emb.unpersist(); () } }
   }
 
   /** Probe a persisted IVF index: identical result to [[ivfTopK]] with the
