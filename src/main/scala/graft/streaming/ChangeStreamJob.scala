@@ -287,10 +287,15 @@ final case class AmqpQueuePublisher(amqpUri: String, streamName: String)
     AmqpQueuePublisher.failFast()
     val uri = amqpUri
     val queue = streamName
+    // Coalesce before publishing: an epoch fanned over 32 shuffle
+    // partitions would open 32 broker channels per trigger; a handful of
+    // fatter publisher tasks is kinder to the broker and loses no
+    // parallelism that matters (publish is network-bound, not CPU-bound).
     AmqpQueuePublisher.encode(batch, queue).select("payload")
+      .coalesce(AmqpQueuePublisher.MaxPublishTasks)
       .foreachPartition { (rows: Iterator[Row]) =>
-        // Empty partitions (most of them, on a small epoch fanned over many
-        // shuffle partitions) must not pay a broker connection handshake.
+        // Empty partitions (a sub-MaxPublishTasks epoch) still must not
+        // touch the connection cache.
         if (rows.hasNext)
           AmqpQueuePublisher.deliver(uri, queue, rows.map(_.getString(0)))
       }
@@ -316,6 +321,13 @@ object AmqpQueuePublisher {
   def encode(batch: DataFrame, streamName: String): DataFrame = {
     def field(name: String, value: Column, guard: Column): Column =
       when(guard.isNotNull, concat(lit("\"" + name + "\":"), value))
+    // serde_json escapes backslash and double-quote inside strings; the
+    // spliced-between-quotes fields must do the same or a db/coll name (or
+    // token) containing either publishes invalid JSON. Backslash first so
+    // the escapes themselves aren't re-escaped. (full_document is already a
+    // JSON value, not a bare string — it is spliced verbatim.)
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     // The braces live OUTSIDE the null-skipping concat_ws: every field —
     // including _id — is individually guarded, so a malformed wire row
     // with a null resume token drops the _id field (like serde would skip
@@ -327,13 +339,13 @@ object AmqpQueuePublisher {
         lit("{"),
         concat_ws(",",
           field("_id",
-            concat(lit("{\"_data\":\""), col("resume_token"), lit("\"}")),
+            concat(lit("{\"_data\":\""), esc(col("resume_token")), lit("\"}")),
             col("resume_token")),
           field("operationType",
-            concat(lit("\""), col("operation_type"), lit("\"")), col("operation_type")),
+            concat(lit("\""), esc(col("operation_type")), lit("\"")), col("operation_type")),
           field("ns",
-            concat(lit("{\"db\":\""), col("ns_db"), lit("\",\"coll\":\""),
-              col("ns_coll"), lit("\"}")), col("ns_db")),
+            concat(lit("{\"db\":\""), esc(col("ns_db")), lit("\",\"coll\":\""),
+              esc(col("ns_coll")), lit("\"}")), col("ns_db")),
           field("clusterTime",
             concat(lit("{\"$timestamp\":{\"t\":"),
               unix_timestamp(col("cluster_time")).cast("string"), lit(",\"i\":1}}")),
@@ -346,27 +358,76 @@ object AmqpQueuePublisher {
       ).as("payload"))
   }
 
-  /** One channel per partition-task, confirms on: declare the queue
-    * (idempotent, amqp.rs:40-46), `confirmSelect`, publish every payload to
-    * the default exchange under the queue's routing key, then block on
-    * `waitForConfirms` before the task succeeds — a failed confirm fails
-    * the task, Spark retries the partition, and the epoch contract absorbs
-    * the redelivery. Reflective because the sandbox has no AMQP client jar;
-    * on a cluster this resolves against com.rabbitmq:amqp-client.
-    */
-  private[streaming] def deliver(uri: String, queue: String,
-                                 payloads: Iterator[String]): Unit = {
-    // Same classloader failFast checks: --packages jars can be visible only
-    // through the thread context loader (REPL/notebook child loaders), and
-    // a bare Class.forName would use graft's DEFINING loader — passing the
-    // guard and then dying with ClassNotFoundException inside the task.
-    def cls(name: String) =
-      Class.forName(name, true, Thread.currentThread.getContextClassLoader)
-    val cfClass = cls("com.rabbitmq.client.ConnectionFactory")
-    val cf = cfClass.getDeclaredConstructor().newInstance()
-    cfClass.getMethod("setUri", classOf[String]).invoke(cf, uri)
-    val conn = cfClass.getMethod("newConnection").invoke(cf)
-    try {
+  /** Publisher tasks per epoch — bounds channels opened per trigger. */
+  private[streaming] val MaxPublishTasks = 8
+
+  // --- per-executor-JVM broker cache (ADVICE r7) ---------------------------
+  // The reference daemon dials the broker ONCE at startup and holds the
+  // connection/channel for its lifetime (amqp.rs:30-46); opening a fresh
+  // connection per partition per epoch is a handshake storm at a 1 s
+  // trigger. One long-lived connection per broker uri, one channel per
+  // (uri, queue) with the queue declared and confirms enabled, both
+  // revalidated with isOpen and rebuilt on demand (waitForConfirmsOrDie
+  // closes a nacked channel — the retried task gets a fresh one). A JVM
+  // shutdown hook closes the connections so executor decommission doesn't
+  // leak broker sockets.
+  private val connections = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val channels =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+  @volatile private var hookInstalled = false
+
+  // Classloader note (mirrors failFast): --packages jars can be visible
+  // only through the thread context loader (REPL/notebook child loaders); a
+  // bare Class.forName would use graft's DEFINING loader — passing the
+  // guard and then dying with ClassNotFoundException inside the task.
+  private def cls(name: String) =
+    Class.forName(name, true, Thread.currentThread.getContextClassLoader)
+
+  private def isOpen(o: AnyRef): Boolean =
+    o.getClass.getMethod("isOpen").invoke(o).asInstanceOf[Boolean]
+
+  private def closeQuietly(o: AnyRef): Unit =
+    try { o.getClass.getMethod("close").invoke(o); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Close every cached channel/connection (shutdown hook + tests). */
+  private[streaming] def closeAll(): Unit = synchronized {
+    channels.clear()
+    connections.values.forEach(closeQuietly(_))
+    connections.clear()
+  }
+
+  private def connection(uri: String): AnyRef = {
+    val cur = connections.get(uri)
+    if (cur != null && isOpen(cur)) cur
+    else synchronized {
+      val again = connections.get(uri)
+      if (again != null && isOpen(again)) again
+      else {
+        if (again != null) closeQuietly(again)
+        val cfClass = cls("com.rabbitmq.client.ConnectionFactory")
+        val cf = cfClass.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+        cfClass.getMethod("setUri", classOf[String]).invoke(cf, uri)
+        val conn = cfClass.getMethod("newConnection").invoke(cf)
+        connections.put(uri, conn)
+        if (!hookInstalled) {
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => closeAll(), "amqp-publisher-close"))
+          hookInstalled = true
+        }
+        conn
+      }
+    }
+  }
+
+  /** Cached channel with the queue declared (idempotent, amqp.rs:40-46)
+    * and `confirmSelect` already issued. */
+  private def channel(uri: String, queue: String): AnyRef = synchronized {
+    val key = (uri, queue)
+    val cur = channels.get(key)
+    if (cur != null && isOpen(cur)) cur
+    else {
+      val conn = connection(uri)
       val ch = conn.getClass.getMethod("createChannel").invoke(conn)
       val chClass = cls("com.rabbitmq.client.Channel")
       chClass.getMethod("queueDeclare", classOf[String], classOf[Boolean],
@@ -374,15 +435,35 @@ object AmqpQueuePublisher {
         .invoke(ch, queue, java.lang.Boolean.FALSE, java.lang.Boolean.FALSE,
           java.lang.Boolean.FALSE, null)
       chClass.getMethod("confirmSelect").invoke(ch)
-      val propsClass = cls("com.rabbitmq.client.AMQP$BasicProperties")
-      val basicPublish = chClass.getMethod("basicPublish", classOf[String],
-        classOf[String], propsClass, classOf[Array[Byte]])
+      channels.put(key, ch)
+      ch
+    }
+  }
+
+  /** Publish a partition's payloads on the cached channel, confirms on:
+    * every payload goes to the default exchange under the queue's routing
+    * key, then the task blocks on `waitForConfirms` before it may succeed —
+    * a failed confirm fails the task, Spark retries the partition, and the
+    * epoch contract absorbs the redelivery. Reflective because the sandbox
+    * has no AMQP client jar; on a cluster this resolves against
+    * com.rabbitmq:amqp-client.
+    */
+  private[streaming] def deliver(uri: String, queue: String,
+                                 payloads: Iterator[String]): Unit = {
+    val ch = channel(uri, queue)
+    val chClass = cls("com.rabbitmq.client.Channel")
+    val propsClass = cls("com.rabbitmq.client.AMQP$BasicProperties")
+    val basicPublish = chClass.getMethod("basicPublish", classOf[String],
+      classOf[String], propsClass, classOf[Array[Byte]])
+    // RabbitMQ channels are not safe for concurrent publishers: parallel
+    // partition tasks sharing this executor serialize on the channel
+    // monitor (publish is network-bound; the broker is the bottleneck
+    // either way).
+    ch.synchronized {
       payloads.foreach { p =>
         basicPublish.invoke(ch, "", queue, null, p.getBytes("UTF-8"))
       }
       chClass.getMethod("waitForConfirmsOrDie").invoke(ch)
-    } finally {
-      conn.getClass.getMethod("close").invoke(conn); ()
     }
   }
 

@@ -93,6 +93,30 @@ class AmqpPublisherSpec extends SparkSpec {
     assert(!payload.contains("null"))
   }
 
+  test("quotes and backslashes in string fields are escaped like serde_json") {
+    // serde_json escapes " and \ inside strings; a collection named
+    // `we"ird\coll` must publish VALID JSON that parses back to the same
+    // name, not break the framing at the first embedded quote.
+    val s = spark
+    import s.implicits._
+    val env = Seq((5L, """tok"en\x""", "insert", """app"db""", """we"ird\coll""", 5L,
+        insertDoc, 1704067205L))
+      .toDF("event_id", "resume_token", "operation_type", "ns_db", "ns_coll",
+        "document_key", "full_document", "sec")
+      .withColumn("cluster_time", timestamp_seconds(col("sec"))).drop("sec")
+    val parsed = AmqpQueuePublisher.encode(env, "q")
+      .select(
+        get_json_object(col("payload"), "$._id._data").as("token"),
+        get_json_object(col("payload"), "$.ns.db").as("db"),
+        get_json_object(col("payload"), "$.ns.coll").as("coll"),
+        get_json_object(col("payload"), "$.fullDocument.event_id").as("fid"))
+      .collect().head
+    assert(parsed.getAs[String]("token") === """tok"en\x""")
+    assert(parsed.getAs[String]("db") === """app"db""")
+    assert(parsed.getAs[String]("coll") === """we"ird\coll""")
+    assert(parsed.getAs[String]("fid") === "5", "framing after the escaped ns must survive")
+  }
+
   test("publish fails fast without the AMQP client (sandbox has none)") {
     val env = envelope(5L, "8200000000000005", "insert", 5L, insertDoc, 1704067205L)
     val e = intercept[IllegalArgumentException] {

@@ -40,8 +40,9 @@ class DaemonSpec extends SparkSpec {
 
       val supervisor = new Supervisor(spark, settings, metrics,
         GraftDaemon.startQuery(settings.connections), lifecycleMetrics = false)
-      val port = 3311
-      val http = GraftDaemon.serveHttp(port, metrics, supervisor)
+      // bind port 0 so a concurrent JVM on the host can't collide
+      val http = GraftDaemon.serveHttp(0, metrics, supervisor)
+      val port = http.getAddress.getPort
       try {
         supervisor.startAll()
         val (hc, hb) = get(s"http://localhost:$port/health")
@@ -83,8 +84,8 @@ class DaemonSpec extends SparkSpec {
     // the daemon's own continuous trigger: the stream stays live until stopped
     val supervisor = new Supervisor(spark, settings, metrics,
       GraftDaemon.startQuery(settings.connections), lifecycleMetrics = false)
-    val port = 3312
-    val http = GraftDaemon.serveHttp(port, metrics, supervisor)
+    val http = GraftDaemon.serveHttp(0, metrics, supervisor)
+    val port = http.getAddress.getPort
     supervisor.startAll()
     assert(supervisor.healthy(), "stream should be live before shutdown")
 

@@ -74,7 +74,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("two-level rank ops keep per-task input near the mean on a 90%-one-source corpus") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
     // The design claim behind tokenBudgetMix/sourceCapSample (VERDICT r6
     // asked for it as a MEASURED number): on an adversarially skewed corpus
     // the shard decomposition means no window task ever holds a whole
@@ -92,10 +92,23 @@ class ScaleSpec extends SparkSpec {
         lit("alpha beta gamma delta").as("text"))
       .write.parquet(s"$dir/documents.parquet")
     val taskReads = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    // The listener is session-global and sbt runs suites in parallel, so a
+    // concurrent suite's corpus-sized shuffle could land in taskReads and
+    // flake the 2x-mean assert. Scope the capture to THIS test's jobs: tag
+    // them with a job group, map group -> stage ids at job start, and only
+    // record tasks from those stages.
+    val jobGroup = "scale-skew-measure"
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            jobGroup == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageInfos.foreach(si => ownStages.add(si.stageId))
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) taskReads.add((e.stageId, m.shuffleReadMetrics.recordsRead))
+        if (m != null && ownStages.contains(e.stageId))
+          taskReads.add((e.stageId, m.shuffleReadMetrics.recordsRead))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -106,9 +119,12 @@ class ScaleSpec extends SparkSpec {
     val prevCoalesce = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
-      graft.ops.Curation.sourceCapSample(spark, dir, cap = 1000, shardBits = 8).count()
-      graft.ops.Curation.tokenBudgetMix(spark, dir, perLangTokens = Long.MaxValue,
-        shardBits = 8).count()
+      spark.sparkContext.setJobGroup(jobGroup, "skew measurement actions")
+      try {
+        graft.ops.Curation.sourceCapSample(spark, dir, cap = 1000, shardBits = 8).count()
+        graft.ops.Curation.tokenBudgetMix(spark, dir, perLangTokens = Long.MaxValue,
+          shardBits = 8).count()
+      } finally spark.sparkContext.clearJobGroup()
       // The listener bus posts asynchronously; a fixed sleep can under-read
       // on a stalled host (documented multi-second stalls) and silently
       // drop the one hot task the assertion exists to catch. Drain

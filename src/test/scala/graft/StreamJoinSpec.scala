@@ -119,7 +119,10 @@ class StreamJoinSpec extends SparkSpec {
     try {
       val deadline = System.currentTimeMillis() + 150000
       def progresses = q.recentProgress.filter(_.numInputRows > 0)
-      while (progresses.map(_.numInputRows).sum < 50000 &&
+      // drive until BOTH the volume and the batch-count targets are met:
+      // under host stalls the rate source can deliver 50k rows in a handful
+      // of big batches, so waiting on volume alone made the >=5 assert racy
+      while ((progresses.map(_.numInputRows).sum < 50000 || progresses.length < 5) &&
         System.currentTimeMillis() < deadline) Thread.sleep(500)
       val ps = progresses
       val totalIn = ps.map(_.numInputRows).sum
