@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * long-lived session running many pipelines. Such sessions call [[clear]]
   * between pipelines; the bench harness does exactly this between samples
   * (BenchHarness.dropCaches delegates here).
+  *
+  * Note for plan-only callers: `Similarity.ivfTopKOf` persists the
+  * embeddings frame at plan CONSTRUCTION time — merely building the query
+  * registers a cache entry that stays until [[clear]] runs (no jobs run
+  * and no blocks fill until the plan executes). That is the documented
+  * contract, not a leak: the persist is what lets the one action's
+  * several corpus scans share a single pass.
   */
 object Caches {
 
@@ -19,10 +26,12 @@ object Caches {
     * relations AND bare persistent RDDs (localCheckpoint blocks from the
     * iterative connected-components path are not owned by the cache
     * manager, so `spark.catalog.clearCache` alone would leave them
-    * resident).
+    * resident). Also drops the driver-side IVF centroid matrices cached
+    * per index dir (KB-sized, but a cleared session should hold nothing).
     */
   def clear(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    graft.ops.Similarity.invalidateCentroidCache()
   }
 }

@@ -223,8 +223,13 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // No dedup needed before the rank: every corpus vector lives in EXACTLY
+    // one cell and a query's probed cells are distinct by construction, so
+    // a (query, vector) pair can match at most once — the distinct that
+    // used to sit here shuffled the whole candidate set for nothing (at
+    // 100 TB that was a corpus-scale exchange).
     scored
-      .select("query_id", "vec_id", "cos").distinct()
+      .select("query_id", "vec_id", "cos")
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -248,6 +253,18 @@ object Similarity {
     *    whole directories at plan time — the probe scans the nprobe/C
     *    fraction of the index it needs and nothing else.
     */
+  /** Centroid matrix per indexDir: probing is the high-QPS half of the
+    * lifecycle and the matrix is immutable-per-build KBs — re-collecting it
+    * from parquet on every probe call was a driver round-trip per query
+    * batch (VERDICT r7 nit #4). buildIvfIndex writes through the cache; a
+    * fresh JVM's first probe faults it in from the parquet once. Released
+    * by [[graft.Caches.clear]] like the block-manager caches.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private[graft] def invalidateCentroidCache(): Unit = centroidCache.clear()
+
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     cells: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
     val emb = Tables.embeddings(spark, dir)
@@ -271,6 +288,8 @@ object Similarity {
     emb.select(col("vec_id"), nearestCell(col("embedding"), centroids).as("cell"))
       .repartition(cells, col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
+    // write-through: probes against this indexDir skip the parquet fetch
+    centroidCache.put(indexDir, centroids)
     } finally { if (own) { emb.unpersist(); () } }
   }
 
@@ -287,9 +306,10 @@ object Similarity {
                         nQueries: Int = 5, k: Int = 5, nprobe: Int = 4,
                         dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids: Array[Array[Double]] = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids: Array[Array[Double]] =
+      centroidCache.computeIfAbsent(indexDir, d =>
+        spark.read.parquet(s"$d/centroids").orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray))
     val probes = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
         explode(probeCells(col("embedding"), centroids, nprobe)).as("cell"))
@@ -304,8 +324,13 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // No dedup needed before the rank: every corpus vector lives in EXACTLY
+    // one cell and a query's probed cells are distinct by construction, so
+    // a (query, vector) pair can match at most once — the distinct that
+    // used to sit here shuffled the whole candidate set for nothing (at
+    // 100 TB that was a corpus-scale exchange).
     scored
-      .select("query_id", "vec_id", "cos").distinct()
+      .select("query_id", "vec_id", "cos")
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
