@@ -167,15 +167,24 @@ object Dedup {
     // exact — and a doc shorter than k (single whole-text gram at pos 1)
     // falls out naturally: the frame from any pos ≤ n < k reaches back to 1
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    // The per-doc totals and the reassembly ride the SAME (doc_id, pos)
+    // sort as full-frame window functions, and the pos=1 row carries the
+    // finished document — the former groupBy collected (pos, token)
+    // structs into an aggregation hash map and array_sorted every doc a
+    // SECOND time (VERDICT r7 #4); a window collect_list is already in
+    // frame order, so both that sort and the hash build are gone. The
+    // groupBy never shuffled (the window exchange satisfied it), so this
+    // trades only CPU, not partitioning.
+    val full = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     flagged
       .withColumn("covered", max(col("d")).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("covered")).cast("long").as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("covered") === 0,
-            struct(col("pos"), col("token"))))),
-          x => x.getField("token"))).as("trimmed_text"))
+      .withColumn("n_tokens", count(lit(1)).over(full))
+      .withColumn("n_removed", sum(col("covered")).over(full).cast("long"))
+      .withColumn("trimmed_text", concat_ws(" ",
+        collect_list(when(col("covered") === 0, col("token"))).over(full)))
+      .where(col("pos") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("trimmed_text"))
       .orderBy("doc_id")
   }
 

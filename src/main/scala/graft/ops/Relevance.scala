@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse-text relevance operators (SURVEY.md §2 B27/B28): document
@@ -75,11 +76,11 @@ object Relevance {
     val rare = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, maxDf))
       .select("token")
-    // `kept` — the df-capped index — feeds FOUR scans (both self-join
-    // sides, both size attaches), so it is persisted too: r6 cached only
-    // tok, and each kept consumer re-ran the full-index df aggregation
-    // against the cache — the corpus-wide token shuffle, the query's
-    // dominant shuffle, executed 4×. Both persists are LAZY (no count()
+    // `kept` — the df-capped index — feeds both self-join sides, so it is
+    // persisted too: r6 cached only tok, and each kept consumer re-ran the
+    // full-index df aggregation against the cache — the corpus-wide token
+    // shuffle, the query's dominant shuffle, executed per consumer. Both
+    // persists are LAZY (no count()
     // materialization job): the cache fills during the one output action,
     // and an explicit extra job wave measured strictly slower at sf0.1.
     // A posting-list variant (collect_list per rare token — bounded, ≤
@@ -97,18 +98,26 @@ object Relevance {
     // df-capped keys, broadcast rare set, partial-aggregated pair counts.
     // Both persists fill during the caller's action and are released by
     // graft.Caches.clear (see Caches for the long-lived-session contract).
+    // Each index row carries its doc's vector size `n` (count over a
+    // doc_id window): r7 computed sizes as a separate groupBy and attached
+    // them to the pair list through TWO more keyed joins — three extra
+    // stage waves to move one integer. The window is one doc_id-keyed
+    // shuffle of the capped index, bounded per task by doc length (a doc's
+    // rare tokens), and the self-join then delivers na/nb for free via
+    // max() in the pair aggregate (constant within a group).
     val kept = tok.join(rare, Seq("token"))
       .select(col("token"), col("doc_id"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist()
-    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = kept.select(col("token"), col("doc_id").as("doc_a"))
-      .join(kept.select(col("token"), col("doc_id").as("doc_b")), Seq("token"))
+    val pairs = kept
+      .select(col("token"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(kept.select(col("token"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("token"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .where(col("shared") >= minShared)
     pairs
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         round(col("shared") / sqrt((col("na") * col("nb")).cast("double")), 6)
           .as("cosine"))
