@@ -73,6 +73,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(res.left.exists(_.contains("collections[0]")))
   }
 
+  test("the shipped conf/config.sample.yaml parses to the documented shape") {
+    // the README's bring-up recipe starts from this file — it must stay
+    // parseable and exercise both the optional-flag and minimal forms
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("conf/config.sample.yaml")), "UTF-8")
+    val parsed = Settings.parseCollections(yaml)
+    assert(parsed.isRight, s"sample config failed to parse: $parsed")
+    val cs = parsed.toOption.get
+    assert(cs.map(_.queue.streamName) === Vector("testqueue", "orderqueue"))
+    assert(cs(0).watched.preAndPostImages === false)
+    assert(cs(0).resumeTokens.capped === Some(true))
+    assert(cs(0).resumeTokens.sizeInBytes === Some(1048576L))
+    assert(cs(1).watched.preAndPostImages === true)
+  }
+
   test("malformed boolean/long values are Lefts with context, not exceptions") {
     def base(extra: String) =
       s"""collections:
