@@ -40,29 +40,33 @@ object Bench {
     // same noise-discard policy as the Spark side. This is the bench's
     // measuring stick, not an engine dependency: if python3/duckdb is
     // absent the bench degrades to Spark numbers only.
-    def jsonStr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val sqlPath = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
-    java.nio.file.Files.writeString(sqlPath,
-      SparkEntry.oracleSql.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
-        .mkString("{", ",", "}"))
     val duckBest = scala.collection.mutable.Map.empty[String, Double]
     var anchorOn = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "1") == "1"
+    // oracle-SQL handoff file: only written when the anchor runs; cleaned up
+    // on exit so repeated benches don't litter /tmp
+    lazy val sqlPath = {
+      val p = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(p, Jsons.obj(SparkEntry.oracleSql))
+      p
+    }
     def anchorPass(): Unit = if (anchorOn) {
       try {
+        // stderr goes to OUR stderr (no second pipe to drain — a child
+        // blocked on a full stderr pipe while we block on stdout EOF would
+        // deadlock the bench); stdout is the one JSON line. A bounded
+        // waitFor so a hung child disables the anchor instead of wedging
+        // the whole bench run.
         val p = new ProcessBuilder("python3", "tools/bench_anchor.py",
-          sfDir, sqlPath.toString).start()
+          sfDir, sqlPath.toString)
+          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
-        if (p.waitFor() != 0) {
-          System.err.println(s"[bench] anchor pass failed, disabling: $err")
+        if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          System.err.println("[bench] anchor pass timed out, disabling")
+          anchorOn = false
+        } else if (p.exitValue() != 0) {
+          System.err.println(s"[bench] anchor pass failed (rc=${p.exitValue()}), disabling")
           anchorOn = false
         } else {
           val entry = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
@@ -143,10 +147,16 @@ object Bench {
       val ratios = qresults.collect {
         case (k, v) if v > 0 && duckBest.get(k).exists(_ > 0) => k -> v / duckBest(k)
       }
+      // the aggregate ratio is over queries with BOTH sides measured: a
+      // Spark-failed query must drop out of the denominator too, or the
+      // ratio reads as a phantom speedup (same reasoning as "total" above)
+      val sharedKeys = qresults.collect {
+        case (k, v) if v >= 0 && duckBest.contains(k) => k
+      }.toSet
       val sharedSpark = qresults.collect {
-        case (k, v) if v >= 0 && duckBest.contains(k) => v
+        case (k, v) if sharedKeys(k) => v
       }.sum
-      val duckTotal = dd.map(_._2).sum
+      val duckTotal = dd.collect { case (k, v) if sharedKeys(k) => v }.sum
       val agg = if (duckTotal > 0) sharedSpark / duckTotal else -1.0
       s""","duckdb":${jsonMap(dd)},"spark_over_duckdb":${jsonMap(ratios)}""" +
         s""","duckdb_total":${fmt(duckTotal)},"ratio_vs_duckdb":${fmt(agg)}""" +

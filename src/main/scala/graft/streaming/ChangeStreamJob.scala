@@ -321,13 +321,21 @@ object AmqpQueuePublisher {
   def encode(batch: DataFrame, streamName: String): DataFrame = {
     def field(name: String, value: Column, guard: Column): Column =
       when(guard.isNotNull, concat(lit("\"" + name + "\":"), value))
-    // serde_json escapes backslash and double-quote inside strings; the
-    // spliced-between-quotes fields must do the same or a db/coll name (or
-    // token) containing either publishes invalid JSON. Backslash first so
-    // the escapes themselves aren't re-escaped. (full_document is already a
-    // JSON value, not a bare string — it is spliced verbatim.)
-    def esc(c: Column): Column =
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    // serde_json escapes backslash, double-quote, AND all control chars
+    // inside strings; the spliced-between-quotes fields must do the same or
+    // a db/coll name (or token) containing one publishes invalid JSON.
+    // Delegating to to_json gives Jackson's RFC 8259 escaper (the same
+    // two-char \n-style escapes + \u00XX serde_json emits) instead of a
+    // hand-rolled regexp chain with a control-char gap: serialize the one
+    // string as a single-field object and strip the fixed {"v":" ... "}
+    // framing. Null-guarded so an absent value still nulls the enclosing
+    // concat (field omission) rather than splicing an empty string.
+    // (full_document is already a JSON value, not a bare string — it is
+    // spliced verbatim.)
+    def esc(c: Column): Column = {
+      val j = to_json(struct(c.as("v")))
+      when(c.isNotNull, j.substr(lit(7), length(j) - 8))
+    }
     // The braces live OUTSIDE the null-skipping concat_ws: every field —
     // including _id — is individually guarded, so a malformed wire row
     // with a null resume token drops the _id field (like serde would skip
@@ -421,22 +429,31 @@ object AmqpQueuePublisher {
   }
 
   /** Cached channel with the queue declared (idempotent, amqp.rs:40-46)
-    * and `confirmSelect` already issued. */
-  private def channel(uri: String, queue: String): AnyRef = synchronized {
+    * and `confirmSelect` already issued. Unsynchronized fast path like
+    * connection(): the monitor is held only to (re)build, never for a
+    * healthy lookup — a broker dialing out to one uri (newConnection can
+    * block for a TCP timeout) must not stall tasks publishing to other,
+    * healthy queues whose channel is already cached.
+    */
+  private def channel(uri: String, queue: String): AnyRef = {
     val key = (uri, queue)
     val cur = channels.get(key)
     if (cur != null && isOpen(cur)) cur
-    else {
-      val conn = connection(uri)
-      val ch = conn.getClass.getMethod("createChannel").invoke(conn)
-      val chClass = cls("com.rabbitmq.client.Channel")
-      chClass.getMethod("queueDeclare", classOf[String], classOf[Boolean],
-        classOf[Boolean], classOf[Boolean], classOf[java.util.Map[String, AnyRef]])
-        .invoke(ch, queue, java.lang.Boolean.FALSE, java.lang.Boolean.FALSE,
-          java.lang.Boolean.FALSE, null)
-      chClass.getMethod("confirmSelect").invoke(ch)
-      channels.put(key, ch)
-      ch
+    else synchronized {
+      val again = channels.get(key)
+      if (again != null && isOpen(again)) again
+      else {
+        val conn = connection(uri)
+        val ch = conn.getClass.getMethod("createChannel").invoke(conn)
+        val chClass = cls("com.rabbitmq.client.Channel")
+        chClass.getMethod("queueDeclare", classOf[String], classOf[Boolean],
+          classOf[Boolean], classOf[Boolean], classOf[java.util.Map[String, AnyRef]])
+          .invoke(ch, queue, java.lang.Boolean.FALSE, java.lang.Boolean.FALSE,
+            java.lang.Boolean.FALSE, null)
+        chClass.getMethod("confirmSelect").invoke(ch)
+        channels.put(key, ch)
+        ch
+      }
     }
   }
 

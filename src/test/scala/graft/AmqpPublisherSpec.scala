@@ -117,6 +117,29 @@ class AmqpPublisherSpec extends SparkSpec {
     assert(parsed.getAs[String]("fid") === "5", "framing after the escaped ns must survive")
   }
 
+  test("control characters in string fields escape to RFC 8259 JSON like serde_json") {
+    // serde_json emits \n / \t two-char escapes and \u00XX for other
+    // control chars; a raw newline inside a JSON string literal is invalid
+    // and a strict consumer (serde_json, Jackson) would reject the event.
+    val s = spark
+    import s.implicits._
+    val env = Seq((5L, "tok", "insert", "db\nwith\tctl", "coll\u0001x", 5L,
+        insertDoc, 1704067205L))
+      .toDF("event_id", "resume_token", "operation_type", "ns_db", "ns_coll",
+        "document_key", "full_document", "sec")
+      .withColumn("cluster_time", timestamp_seconds(col("sec"))).drop("sec")
+    val payload = AmqpQueuePublisher.encode(env, "q").collect().head.getAs[String]("payload")
+    assert(!payload.exists(_ < ' '), s"no raw control char may reach the wire: $payload")
+    assert(payload.contains("""db\nwith\tctl"""))
+    assert(payload.contains("coll\\" + "u0001x"))
+    val parsed = AmqpQueuePublisher.encode(env, "q")
+      .select(get_json_object(col("payload"), "$.ns.db").as("db"),
+        get_json_object(col("payload"), "$.ns.coll").as("coll"))
+      .collect().head
+    assert(parsed.getAs[String]("db") === "db\nwith\tctl")
+    assert(parsed.getAs[String]("coll") === "coll\u0001x")
+  }
+
   test("publish fails fast without the AMQP client (sandbox has none)") {
     val env = envelope(5L, "8200000000000005", "insert", 5L, insertDoc, 1704067205L)
     val e = intercept[IllegalArgumentException] {
