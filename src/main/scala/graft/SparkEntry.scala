@@ -1084,7 +1084,7 @@ object SparkEntry {
     "events_cube" ->
       s"""WITH $evCte,
          |e AS (SELECT event_type,
-         |             (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+         |             (((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) + 7) % 7 AS dow,
          |             value FROM ev)
          |SELECT coalesce(event_type, '<all>') AS event_type,
          |       coalesce(dow, -1) AS dow,

@@ -52,10 +52,14 @@ object Analytics {
       .limit(10)
   }
 
-  /** C3 — local supplier volume (TPC-H Q5 shape): the region→nation→supplier
-    * dimension chain is tiny at every scale (region=5, nation=25 rows even at
-    * 100 TB), so it is broadcast explicitly; lineitem⋈orders⋈customer carry
-    * the shuffles on their natural keys.
+  /** C3 — local supplier volume (TPC-H Q5 shape): region (5 rows) and
+    * nation (25) are tiny at EVERY scale and broadcast explicitly; supplier
+    * is NOT — it grows with SF (10k×SF rows, ~1e9 at the 100 TB target), so
+    * the supplier⋈dims chain keeps its keyed join and AQE decides its side
+    * placement from runtime stats (at bench SF it broadcasts itself; at
+    * scale it shuffles like the other fact-ish tables). Forcing
+    * broadcast() around the supplier chain was a scale bomb this file's
+    * own q3Join comment warns against.
     */
   def q5Join(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
@@ -67,10 +71,10 @@ object Analytics {
              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
 
-    val dims = broadcast(
+    val dims =
       supp.join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
 
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(dims, li("l_suppkey") === dims("s_suppkey"))
@@ -162,7 +166,11 @@ object Analytics {
     */
   def eventsCube(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("dow", expr("(cast(ts as long) div 86400 + 4) % 7"))
+      // pmod keeps dow in 0..6 even for pre-1970 timestamps (plain % would
+      // emit -6..0 there and a real dow=-1 would collide with the cube's
+      // subtotal sentinel below); identical to % for all non-negative
+      // epochs, so the oracle hash is unchanged on real data
+      .withColumn("dow", expr("pmod(cast(ts as long) div 86400 + 4, 7)"))
       .cube(col("event_type"), col("dow"))
       .agg((grouping(col("event_type")) * 2 + grouping(col("dow"))).cast("long").as("gid"),
         count(lit(1)).as("n_events"),
@@ -319,13 +327,20 @@ object Analytics {
     * swaps in `percentile_approx` (mergeable sketches, one pass, no sort) —
     * same shape, bounded error, and the swap is a one-line change.
     */
-  def tokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def tokenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    percentilesByLang(spark, dir, ps => s"percentile(ntok, array(${ps.mkString(", ")}))")
+
+  /** Shared scaffold for the exact and sketch percentile variants: only the
+    * aggregate expression differs, so only it varies — the quantile list,
+    * projection, and rounding can't drift between the two.
+    */
+  private def percentilesByLang(spark: SparkSession, dir: String,
+                                agg: Seq[Double] => String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.9, 0.99)
     Tables.documents(spark, dir)
       .withColumn("ntok", size(split(col("text"), " ")).cast("double"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        expr(s"percentile(ntok, array(${ps.mkString(", ")}))").as("pct"))
+      .agg(count(lit(1)).as("n_docs"), expr(agg(ps)).as("pct"))
       .select(col("lang") +: col("n_docs") +:
         ps.zipWithIndex.map { case (p, i) =>
           round(element_at(col("pct"), i + 1), 6).as(s"p${(p * 100).toInt}")
@@ -343,17 +358,7 @@ object Analytics {
     * exact percentile's rank.
     */
   def tokenPercentilesApprox(spark: SparkSession, dir: String,
-                             accuracy: Int = 10000): DataFrame = {
-    val ps = Seq(0.25, 0.5, 0.9, 0.99)
-    Tables.documents(spark, dir)
-      .withColumn("ntok", size(split(col("text"), " ")).cast("double"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        expr(s"percentile_approx(ntok, array(${ps.mkString(", ")}), $accuracy)").as("pct"))
-      .select(col("lang") +: col("n_docs") +:
-        ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("pct"), i + 1), 6).as(s"p${(p * 100).toInt}")
-        }: _*)
-      .orderBy("lang")
-  }
+                             accuracy: Int = 10000): DataFrame =
+    percentilesByLang(spark, dir,
+      ps => s"percentile_approx(ntok, array(${ps.mkString(", ")}), $accuracy)")
 }

@@ -162,19 +162,28 @@ object Corpus {
     * standard n-gram-overlap decontamination test). The eval set here is a
     * deterministic sample (doc_id % 50 == 0) standing in for a benchmark
     * table; the join is keyed on the shingle hash, so only docs that
-    * actually share an 8-gram ever meet. At 100 TB the eval side is tiny
-    * (benchmarks are KBs) and broadcasts.
+    * actually share an 8-gram ever meet. The eval side is NOT hinted
+    * broadcast: here it is a fixed FRACTION of the corpus (doc_id % 50),
+    * which scales with the data — AQE broadcasts it while it is small and
+    * falls back to a keyed shuffle when it is not. (A real benchmark table
+    * — KBs, fixed size — could safely take the hint; this stand-in can't.)
+    *
+    * `hashed` — the full-corpus shingle explode, the dominant cost — is
+    * persisted lazily: it feeds BOTH join sides, and unpersisted each side
+    * re-ran the scan + ShingleHashes pass (same lesson as
+    * Curation.boilerplateFraction). Released by graft.Caches.clear.
     */
   def contamination(spark: SparkSession, dir: String, shingleK: Int = 8,
                     minOverlap: Int = 3): DataFrame = {
     val hashed = Tables.documents(spark, dir).select(col("doc_id"),
       explode(VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true)
         .getField("hv")).as("h"))
+      .persist()
     val eval_ = hashed.where(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val corpus = hashed.where(col("doc_id") % 50 =!= 0)
       .select(col("doc_id").as("corpus_id"), col("h"))
-    corpus.join(broadcast(eval_), Seq("h"))
+    corpus.join(eval_, Seq("h"))
       .groupBy("eval_id", "corpus_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minOverlap)

@@ -27,6 +27,17 @@ object Curation {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** (doc_id, top_cnt): max single-token occurrence count per doc — ONE
+    * implementation shared by repetitionMetrics and curatedCorpus, so the
+    * fused pipeline stays bit-identical to the standalone stage by
+    * construction. (doc_id, token) counts partial-aggregate map-side
+    * before the shuffle.
+    */
+  private def topTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+
   /** B14 — Gopher-style repetition metrics: the fraction of mass held by the
     * most frequent token, and the duplicate fraction among 2-grams and
     * 3-grams. Heavily repetitive machine-generated text scores high on all
@@ -56,10 +67,7 @@ object Curation {
         .cast("double")
       round(lit(1.0) - distinctGrams / total, 6)
     }
-    val top = docs
-      .select(col("doc_id"), explode(tok).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+    val top = topTokenCounts(docs)
     docs
       .select(col("doc_id"), size(tok).cast("long").as("n_tokens"),
         dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
@@ -199,11 +207,8 @@ object Curation {
     val dup3 = round(lit(1.0) - size(col("hs.hv")).cast("double") /
       greatest(col("n_tok") - 2L, lit(1L)).cast("double"), 6)
     // top-token mass: the one signal that needs token rows — explode from a
-    // second text scan (tokens never sit in the persisted base), partial
-    // aggregation combines (doc_id, token) counts map-side
-    val top = docs.select(col("doc_id"), explode(tok).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+    // second text scan (tokens never sit in the persisted base)
+    val top = topTokenCounts(docs)
     // boilerplate: distinct-shingle hashes from the SAME hv used by dup3
     val hashed = base.select(col("doc_id"), explode(col("hs.hv")).as("h"))
     val boiler = hashed.groupBy("h").agg(count(lit(1)).as("n_docs"))
@@ -285,6 +290,36 @@ object Curation {
     * `shardBits`; no partition ever holds more than ~1/2^shardBits of a
     * class. The shuffles carry (id, lang, ntok, u) — no text.
     */
+  /** Two-level EXCLUSIVE prefix aggregate of `weight` over the
+    * deterministic (u, doc_id) hash order within `key` — the shared
+    * scaffold of [[tokenBudgetMix]] (weight = token count) and
+    * [[sourceCapSample]] (weight = 1, so prefix + 1 is the rank). `shard`
+    * = top bits of u makes (shard, u, doc_id) order ≡ (u, doc_id) order,
+    * so per-(key, shard) totals partial-aggregate into a tiny table whose
+    * shard-order prefix sum broadcasts back as each shard's base, and the
+    * in-shard window never holds more than ~1/2^shardBits of any key —
+    * the hot class that NEEDS capping is exactly the partition that would
+    * explode a single-level window (measured: ScaleSpec holds per-task
+    * input ≤2× mean on a 90%-one-class corpus). Adds a `before` column;
+    * the shuffles carry ids and hashes, never text.
+    */
+  private def shardedPrefix(base: DataFrame, key: String, weight: Column,
+                            shardBits: Int): DataFrame = {
+    require(shardBits >= 1 && shardBits <= 24,
+      s"shardBits must be in [1, 24] (u is a 24-bit hash), got $shardBits")
+    val byShardW = Window.partitionBy(key).orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShardW = Window.partitionBy(key, "shard").orderBy("u", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardBase = base.groupBy(key, "shard")
+      .agg(sum(weight).as("shard_w"))
+      .withColumn("shard_before", coalesce(sum(col("shard_w")).over(byShardW), lit(0L)))
+      .select(col(key), col("shard"), col("shard_before"))
+    base.join(broadcast(shardBase), Seq(key, "shard"))
+      .withColumn("before",
+        col("shard_before") + coalesce(sum(weight).over(inShardW), lit(0L)))
+  }
+
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      perLangTokens: Long = 2000, shardBits: Int = 6): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -292,18 +327,8 @@ object Curation {
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"), u.as("u"))
       .withColumn("shard", shiftright(col("u"), 24 - shardBits))
-    // tokens in every (lang, shard) BEFORE this shard: tiny table, windowed
-    val byShardW = Window.partitionBy("lang").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shardBase = base.groupBy("lang", "shard")
-      .agg(sum(col("ntok")).as("shard_toks"))
-      .withColumn("shard_before", coalesce(sum(col("shard_toks")).over(byShardW), lit(0L)))
-      .select("lang", "shard", "shard_before")
-    val inShardW = Window.partitionBy("lang", "shard").orderBy("u", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(shardBase), Seq("lang", "shard"))
-      .withColumn("tok_before",
-        col("shard_before") + coalesce(sum(col("ntok")).over(inShardW), lit(0L)))
+    shardedPrefix(base, "lang", col("ntok"), shardBits)
+      .withColumn("tok_before", col("before"))
       .where(col("tok_before") < perLangTokens)
       .select("doc_id", "lang", "source", "ntok", "tok_before")
       .orderBy("doc_id")
@@ -318,14 +343,9 @@ object Curation {
     *
     * Scale shape: a single `row_number` window per source partitions the
     * corpus by source — and the hot domain that NEEDS capping is exactly
-    * the partition that explodes. Same two-level fix as [[tokenBudgetMix]]:
-    * `shard` = top bits of u makes (shard, u, doc_id) order ≡ (u, doc_id)
-    * order, so per-(source, shard) counts partial-aggregate into a tiny
-    * table whose shard-order prefix sum broadcasts back as each shard's
-    * base rank, and the in-shard `row_number` window never holds more than
-    * ~1/2^shardBits of any source. Selection is identical for every
-    * `shardBits` (spec-pinned). The shuffles carry (id, source, u) — no
-    * text.
+    * the partition that explodes. [[shardedPrefix]] is the two-level fix
+    * (weight 1: the exclusive doc-count prefix + 1 IS the hash-order
+    * rank). Selection is identical for every `shardBits` (spec-pinned).
     */
   def sourceCapSample(spark: SparkSession, dir: String,
                       cap: Long = 10, shardBits: Int = 6): DataFrame = {
@@ -333,17 +353,8 @@ object Curation {
     val u = DocHash.hash24("cap:")
     val base = docs.select(col("doc_id"), col("lang"), col("source"), u.as("u"))
       .withColumn("shard", shiftright(col("u"), 24 - shardBits))
-    // docs in every (source, shard) BEFORE this shard: tiny table, windowed
-    val byShardW = Window.partitionBy("source").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shardBase = base.groupBy("source", "shard")
-      .agg(count(lit(1)).as("shard_docs"))
-      .withColumn("docs_before", coalesce(sum(col("shard_docs")).over(byShardW), lit(0L)))
-      .select("source", "shard", "docs_before")
-    val inShardW = Window.partitionBy("source", "shard").orderBy("u", "doc_id")
-    base.join(broadcast(shardBase), Seq("source", "shard"))
-      .withColumn("rank_in_source",
-        (col("docs_before") + row_number().over(inShardW)).cast("long"))
+    shardedPrefix(base, "source", lit(1L), shardBits)
+      .withColumn("rank_in_source", (col("before") + 1L).cast("long"))
       .where(col("rank_in_source") <= cap)
       .select("doc_id", "lang", "source", "rank_in_source")
       .orderBy("doc_id")

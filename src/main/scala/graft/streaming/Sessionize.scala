@@ -67,16 +67,30 @@ object Sessionize {
 
   /** Per-user state machine: extend the open session while events arrive
     * within the gap; emit the closed session when a gap or timeout ends it.
+    *
+    * Two contracts shared with the batch/oracle path (sessions() above):
+    *  - the gap is measured in TRUNCATED WHOLE SECONDS (`ts` cast long
+    *    there, `ts_us` div 1e6 here) — with microseconds on one side, a
+    *    boundary event within 1 s of the threshold split sessions
+    *    differently in the two paths;
+    *  - first/last_event are min/max event ids and the time horizon is
+    *    monotone: an out-of-order (late) event MERGES into the open
+    *    session without regressing lastTsUs/lastEvent — the old code set
+    *    lastTsUs to the late event's older timestamp, which made the next
+    *    on-time event read as a giant gap and spuriously close the
+    *    session.
     */
   def updateSession(gapUs: Long, idleTimeout: Option[String] = None)
                    (userId: Long, events: Iterator[Event],
                     state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val gapS = gapUs / 1000000L
     var out = List.empty[SessionOut]
     var cur = state.getOption
     events.toSeq.sortBy(_.event_id).foreach { e =>
       cur match {
-        case Some(s) if e.ts_us - s.lastTsUs <= gapUs =>
-          cur = Some(SessionState(s.firstEvent, e.event_id, e.ts_us,
+        case Some(s) if e.ts_us / 1000000L - s.lastTsUs / 1000000L <= gapS =>
+          cur = Some(SessionState(math.min(s.firstEvent, e.event_id),
+            math.max(s.lastEvent, e.event_id), math.max(s.lastTsUs, e.ts_us),
             s.nEvents + 1, s.sumValue + e.value))
         case Some(s) =>
           out ::= SessionOut(userId, s.firstEvent, s.lastEvent, s.nEvents, s.sumValue, "gap")

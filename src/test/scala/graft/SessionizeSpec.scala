@@ -148,6 +148,50 @@ class SessionizeSpec extends SparkSpec {
     assert(batch.size > 25, "the random feed must actually split sessions")
   }
 
+  test("late out-of-order events merge without regressing the session horizon") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val t0 = 1704067200000000L
+    val sec = 1000000L
+    val gapUs = Sessionize.GapSeconds * sec
+    def ev(id: Long, tsUs: Long) =
+      Sessionize.Event(id, tsUs, 7L, "click", 1.0, "{}")
+    val st = TestGroupState.create[Sessionize.SessionState](
+      org.apache.spark.api.java.Optional.empty[Sessionize.SessionState](), GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // batch 1: one on-time event at t0+5000s
+    assert(Sessionize.updateSession(gapUs)(7L,
+      Iterator(ev(5, t0 + 5000 * sec)), st).isEmpty)
+    // batch 2: a LATE event (older ts, newer id) — must merge, and must NOT
+    // pull the session horizon back to t0+100s (the old bug: the next
+    // on-time event then read as a 4900s gap and spuriously closed)
+    assert(Sessionize.updateSession(gapUs)(7L,
+      Iterator(ev(6, t0 + 100 * sec)), st).isEmpty)
+    assert(st.get.lastTsUs === t0 + 5000 * sec, "horizon must be monotone")
+    // batch 3: on-time event 100s after the true horizon — same session
+    assert(Sessionize.updateSession(gapUs)(7L,
+      Iterator(ev(7, t0 + 5100 * sec)), st).isEmpty,
+      "no spurious close after a late merge")
+    assert(st.get.nEvents === 3L)
+    assert(st.get.firstEvent === 5L && st.get.lastEvent === 7L)
+  }
+
+  test("gap boundary uses the batch path's whole-second truncation") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val t0 = 1704067200000000L
+    def ev(id: Long, tsUs: Long) = Sessionize.Event(id, tsUs, 9L, "click", 1.0, "{}")
+    val gapUs = Sessionize.GapSeconds * 1000000L
+    val st = TestGroupState.create[Sessionize.SessionState](
+      org.apache.spark.api.java.Optional.empty[Sessionize.SessionState](), GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // 10.4s -> 1810.9s: micro diff 1800.5s would split; the batch/oracle
+    // path truncates to 1810-10=1800 <= gap and keeps one session — the
+    // streaming path must agree on the same boundary event
+    assert(Sessionize.updateSession(gapUs)(9L,
+      Iterator(ev(1, t0 + 10400000L), ev(2, t0 + 1810900000L)), st).isEmpty,
+      "truncated-second gap semantics must match the batch path")
+    assert(st.get.nEvents === 2L)
+  }
+
   test("batch sessionization matches a hand-computed session split") {
     val out = Sessionize.sessions(spark, sf0001)
     // sessions partition the events: total n_events == total events
