@@ -22,18 +22,9 @@ object CorpusWriter {
 
   /** RFC 8259 string escape — partition values and column names are user
     * data and may hold quotes/backslashes/control chars; raw interpolation
-    * would emit invalid JSON.
+    * would emit invalid JSON. One shared implementation (graft.Jsons).
     */
-  private def jsonStr(s: String): String = {
-    val b = new StringBuilder(s.length + 2).append('"')
-    s.foreach {
-      case '"' => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.append('"').toString
-  }
+  private def jsonStr(s: String): String = graft.Jsons.quote(s)
 
   /** Write `df` under `outDir` partitioned by `partitionCol`; returns the
     * manifest JSON string that was committed.
@@ -46,24 +37,32 @@ object CorpusWriter {
     // curation pipeline) runs once, and so both actions see the SAME rows:
     // without it a nondeterministic or source-mutated plan could commit a
     // manifest whose totals disagree with the data it describes.
+    // try/finally: a failed collect or write must not leave the (possibly
+    // multi-GB) cache pinned for the session lifetime.
     df.persist()
+    val stats = try {
+      val charsCol =
+        if (df.columns.contains("n_chars")) sum(col("n_chars")).as("n_chars")
+        else lit(null).cast("long").as("n_chars")
+      val collected = df.groupBy(partitionCol)
+        .agg(count(lit(1)).as("n_rows"), charsCol)
+        .orderBy(partitionCol)
+        .collect()
+      df.repartition(col(partitionCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCol)
+        .parquet(outDir)
+      graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
+      collected
+    } finally df.unpersist()
     val statCols = df.columns.filter(_ != partitionCol)
-    val charsCol =
-      if (df.columns.contains("n_chars")) sum(col("n_chars")).as("n_chars")
-      else lit(null).cast("long").as("n_chars")
-    val stats = df.groupBy(partitionCol)
-      .agg(count(lit(1)).as("n_rows"), charsCol)
-      .orderBy(partitionCol)
-      .collect()
-    df.repartition(col(partitionCol))
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partitionCol)
-      .parquet(outDir)
-    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
-    df.unpersist()
     val parts = stats.map { r =>
-      val key = Option(r.get(0)).map(v => jsonStr(v.toString)).getOrElse("\"null\"")
+      // a NULL partition value keys as Spark's on-disk directory name for
+      // it — distinct from a partition whose literal string value is
+      // "null", which would otherwise collide into one ambiguous JSON key
+      val key = Option(r.get(0)).map(v => jsonStr(v.toString))
+        .getOrElse(jsonStr("__HIVE_DEFAULT_PARTITION__"))
       val chars = Option(r.get(2)).map(_.toString).getOrElse("null")
       s"""    $key: {"n_rows": ${r.getLong(1)}, "n_chars": $chars}"""
     }.mkString(",\n")

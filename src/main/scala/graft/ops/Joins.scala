@@ -40,6 +40,12 @@ object Joins {
     * that column only, pairing fields from build rows that never coexisted.
     * The struct is never null for a build row, so last(ignoreNulls) picks
     * the latest build ROW atomically and null fields stay null.
+    *
+    * NULL keys never match (SQL equality semantics, like the `ON k = k`
+    * join this replaces): Window.partitionBy groups all NULL keys into one
+    * partition, so without the guard a NULL-key probe row would silently
+    * receive a NULL-key build row's carry — the final projection nulls the
+    * carry for NULL-key probes instead.
     */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String, time: String,
                carry: Seq[String]): DataFrame = {
@@ -58,7 +64,7 @@ object Joins {
       .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(probe.columns.map(col) ++
-        carry.map(c => col(s"__carry.$c").as(c)): _*)
+        carry.map(c => when(col(key).isNotNull, col(s"__carry.$c")).as(c)): _*)
   }
 
   /** C11 — interval (range) join: probe rows (key, t) against intervals
@@ -87,9 +93,15 @@ object Joins {
     // millions of bucket rows (or overflow outright). Fail loudly instead
     // of silently exploding; legitimate wide intervals mean bucketSecs is
     // mis-sized for the data, which is a modeling bug worth surfacing.
+    // A NULL start or end is BETWEEN semantics' "matches nothing": explode
+    // of a NULL array drops the interval row, exactly like the theta-join
+    // this replaces (NULL BETWEEN never matches) — without the explicit
+    // branch the NULL comparison fell through to the ELSE and raise_error
+    // killed the whole job for one open-ended interval.
     val b = s"${bucketSecs}L"
     val ivb = intervals.withColumn("__bucket", explode(expr(
-      s"""CASE WHEN $end >= $start AND ($end div $b - $start div $b) <= $maxBuckets
+      s"""CASE WHEN $start IS NULL OR $end IS NULL THEN CAST(NULL AS ARRAY<BIGINT>)
+         |WHEN $end >= $start AND ($end div $b - $start div $b) <= $maxBuckets
          |THEN sequence($start div $b, $end div $b)
          |ELSE raise_error('rangeJoin: interval spans more than $maxBuckets buckets or end < start; fix the interval table or raise bucketSecs')
          |END""".stripMargin)))

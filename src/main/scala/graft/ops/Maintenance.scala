@@ -44,13 +44,21 @@ object Maintenance {
     (bytes, files)
   }
 
+  /** Output file count for `bytes` of input at `targetBytes` per file —
+    * ONE sizing rule for every compaction entry point.
+    */
+  private def filesFor(bytes: Long, targetBytes: Long): Int =
+    math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+
   /** Compact the parquet data under `inDir` into `outDir` with files sized
-    * near `targetBytes`. Returns (rows, filesBefore, filesAfter).
+    * near `targetBytes`. Returns (rows, filesBefore, filesAfter). The
+    * returned row count is read back from the compacted OUTPUT — one scan
+    * of the (few, large) result files that doubles as a read-back check.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
     val (bytes, before) = fileCensus(spark, inDir)
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val nOut = filesFor(bytes, targetBytes)
     val df = spark.read.parquet(inDir)
     df.repartition(nOut).write.mode("overwrite").parquet(outDir)
     graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
@@ -63,7 +71,7 @@ object Maintenance {
   def compacted(spark: SparkSession, inDir: String,
                 targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val (bytes, _) = fileCensus(spark, inDir)
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val nOut = filesFor(bytes, targetBytes)
     spark.read.parquet(inDir).repartition(nOut)
   }
 
@@ -142,7 +150,7 @@ object Maintenance {
     require(!fs.exists(old),
       s"$old exists — an interrupted compaction needs recoverCompaction($dir) first")
     val (bytes, before) = fileCensus(spark, dir)
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val nOut = filesFor(bytes, targetBytes)
     val inRows = spark.read.parquet(dir).count()
     spark.read.parquet(dir).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
@@ -154,8 +162,15 @@ object Maintenance {
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"could not stage $dir aside to $old")
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll the original back in
-      throw new java.io.IOException(s"could not swap $tmp into $dir — original restored")
+      // The error must state the TRUE directory state: a failed rollback
+      // (racing writer recreated dir, transient FS fault) previously still
+      // reported "original restored" while dir was gone, sending the
+      // operator away from the recoverCompaction they actually need.
+      if (fs.rename(old, path))
+        throw new java.io.IOException(s"could not swap $tmp into $dir — original restored")
+      throw new java.io.IOException(
+        s"could not swap $tmp into $dir AND rolling back $old failed — " +
+          s"$dir is missing; run recoverCompaction($dir)")
     }
     fs.delete(old, true)
     graft.Tables.invalidateSpread(dir) // layout changed under any memoized reader

@@ -22,20 +22,26 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
                            width: Int, height: Int, mean_luma: Double)
 
+  /** The contract [[mediaTable]] actually produces (n_bytes is a long —
+    * media blobs exceed 2 GiB).
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),
     StructField("payload", BinaryType),
-    StructField("n_bytes", IntegerType)
+    StructField("n_bytes", LongType)
   ))
 
   /** Build the media table: documents' text bytes stand in for media blobs;
-    * kind cycles image/audio/video by doc_id.
+    * kind cycles image/audio/video by doc_id (pmod: a negative doc_id must
+    * still land in 1..3 — plain % would hit element_at index 0, a runtime
+    * error).
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes")
     )

@@ -78,6 +78,36 @@ class JoinsSpec extends SparkSpec {
     assert(df.count() > 0, "sf0.001 must produce at least one attributed view")
   }
 
+  test("asofJoin: NULL keys never match (SQL equality), carries stay null") {
+    val s = spark
+    import s.implicits._
+    // a NULL-key build row must NOT be carried onto a NULL-key probe row —
+    // the ON k = k join this operator replaces never matches NULL = NULL
+    val probe = Seq((java.lang.Long.valueOf(1L), 10L), (null.asInstanceOf[java.lang.Long], 10L))
+      .toDF("k", "t")
+    val build = Seq((java.lang.Long.valueOf(1L), 5L, "a"), (null.asInstanceOf[java.lang.Long], 5L, "b"))
+      .toDF("k", "t", "v")
+    val got = Joins.asofJoin(probe, build, "k", "t", Seq("v")).collect()
+    val keyed = got.find(r => !r.isNullAt(0)).get
+    assert(keyed.getAs[String]("v") === "a", "non-null key still matches")
+    val nullKey = got.find(_.isNullAt(0)).get
+    assert(nullKey.isNullAt(nullKey.fieldIndex("v")),
+      "NULL-key probe must not receive a NULL-key build row's carry")
+  }
+
+  test("rangeJoin: a NULL-bounded interval matches nothing instead of killing the job") {
+    val s = spark
+    import s.implicits._
+    val probe = Seq((1L, 50L), (2L, 50L)).toDF("k", "t")
+    val intervals = Seq(
+      (1L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),   // matches
+      (2L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(100L)) // open start: BETWEEN semantics -> no match
+    ).toDF("k", "start_s", "end_s")
+    val got = Joins.rangeJoin(probe, intervals, "k", "t", "start_s", "end_s", 60L)
+      .select("k").as[Long].collect().toSeq
+    assert(got === Seq(1L), s"only the bounded interval may match, got $got")
+  }
+
   test("passage dedup keeps first occurrence corpus-wide and reassembles in order") {
     val s = spark
     import s.implicits._

@@ -11,6 +11,9 @@ class OpsSpec extends SparkSpec {
 
   test("multimodal decode: batched stub produces typed features for every row") {
     val media = Multimodal.mediaTable(spark, sf0001)
+    // mediaSchema documents the table's contract — keep them from drifting
+    assert(media.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
     val out = Multimodal.decodeFeatures(media)
     assert(out.columns.toSeq === Seq("doc_id", "kind", "n_bytes", "width", "height", "mean_luma"))
     val n = media.count()
