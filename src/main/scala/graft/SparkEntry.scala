@@ -1222,12 +1222,12 @@ object SparkEntry {
     // DuckDB regexp_replace is first-match-only without the 'g' flag
     // (Spark's is always global) — every replace below passes 'g'.
     "dedup_normalized" ->
-      """WITH n AS (SELECT doc_id, lang, source,
+      """WITH n AS (SELECT doc_id, lang, source, md5(text) AS text_hash,
         |                  md5(trim(regexp_replace(lower(text),
         |                      '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
         |           FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn,
-        |             count(*) OVER (PARTITION BY norm_hash) AS n_variants FROM n)
+        |             count(DISTINCT text_hash) OVER (PARTITION BY norm_hash) AS n_variants FROM n)
         |SELECT doc_id, lang, source, norm_hash, CAST(n_variants AS BIGINT) AS n_variants
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 

@@ -295,6 +295,32 @@ case class ArrayAgreeCount(left: Expression, right: Expression) extends BinaryEx
   * DuckDB); false → xxhash64 seed 42 (Spark's builtin). Replaces the
   * interpreted per-token transform lambda in the SimHash paths.
   */
+/** The parity-critical md5-prefix bit layout, in ONE place: hash60 = the
+  * first 15 hex chars of md5 as a long (7 bytes, then the high nibble of
+  * byte 7) — DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT — and hash24 =
+  * the first 6 hex chars (3 bytes). TokenHashes, ShingleHashes, and
+  * PositionalShingleHashes all fold through here, so the layout the DuckDB
+  * oracle replays cannot drift between hash families. One MessageDigest
+  * per thread (MD5 instances are not thread-safe).
+  */
+private[functions] object Md5Prefix {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get(); d.reset(); d.digest(bytes)
+  }
+  def hash60(d: Array[Byte]): Long = {
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+  def hash24(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+}
+
 case class TokenHashes(child: Expression, md5Based: Boolean)
     extends UnaryExpression with CodegenFallback {
 
@@ -308,29 +334,15 @@ case class TokenHashes(child: Expression, md5Based: Boolean)
         s"token_hashes expects string, got $t")
     }
 
-  @transient private lazy val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
       val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (md5Based) {
-        val digest = md5Local.get()
-        digest.reset()
-        val d = digest.digest(bytes)
-        var v = 0L
-        var b = 0
-        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-        out(i) = (v << 4) | ((d(7) & 0xffL) >>> 4)
-      } else {
-        out(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-      }
+      out(i) =
+        if (md5Based) Md5Prefix.hash60(Md5Prefix.digest(bytes))
+        else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
       i += 1
     }
     new GenericArrayData(out)
@@ -416,13 +428,24 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
                               tables: Int, k: Int) extends UnaryExpression {
 
+  // A mis-sized matrix must fail at BUILD time, not AIOOBE mid-query
+  // (same contract as CentroidKernel.requireUniform for centroids).
+  require(planes.length == tables * k,
+    s"hyperplane matrix has ${planes.length} rows, expected tables*k = ${tables * k}")
+
   // Seq constants give structural equals/hashCode (Array fields compare by
   // reference, defeating plan canonicalization / subexpression elimination);
   // the hot loops run over this one-time Array view.
   @transient private lazy val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+  @transient private lazy val planeDim: Int =
+    if (planesArr.isEmpty) 0 else planesArr(0).length
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // nullable even for a non-null child: a vector whose width differs from
+  // the plane dimension returns NULL — the same mismatch-is-an-error-signal
+  // contract as CosineSim, where the old min(dim, row.length) truncation
+  // assigned confidently WRONG bucket keys to narrow vectors.
+  override def nullable: Boolean = true
   // Same input gate as every other vector expression here: without it an
   // array<int>/array<long> column passes analysis and getDouble reinterprets
   // raw bytes — silently wrong bucket keys instead of an analysis error.
@@ -437,6 +460,7 @@ case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val dim = vec.numElements()
+    if (dim != planeDim) return null // width mismatch → error signal, never a truncated key
     val isF = elemIsFloat
     val keys = new Array[Long](tables)
     var t = 0
@@ -446,9 +470,8 @@ case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
       while (j < k) {
         val row = planesArr(t * k + j)
         var proj = 0.0
-        val n = math.min(dim, row.length)
         var i = 0
-        while (i < n) {
+        while (i < dim) {
           val v = if (isF) vec.getFloat(i).toDouble else vec.getDouble(i)
           proj += v * row(i)
           i += 1
@@ -470,22 +493,25 @@ case class HyperplaneSignKeys(child: Expression, planes: Seq[Seq[Double]],
       val bits = ctx.freshName("bits"); val proj = ctx.freshName("proj")
       val row = ctx.freshName("row"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
       s"""
-        long[] $keys = new long[$tables];
         int ${n}dim = $vec.numElements();
-        for (int $t = 0; $t < $tables; $t++) {
-          long $bits = 0L;
-          for (int $j = 0; $j < $k; $j++) {
-            double[] $row = $planesRef[$t * $k + $j];
-            double $proj = 0.0;
-            int $n = java.lang.Math.min(${n}dim, $row.length);
-            for (int $i = 0; $i < $n; $i++) {
-              $proj += ((double) $vec.$get($i)) * $row[$i];
+        if (${n}dim != $planeDim) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $keys = new long[$tables];
+          for (int $t = 0; $t < $tables; $t++) {
+            long $bits = 0L;
+            for (int $j = 0; $j < $k; $j++) {
+              double[] $row = $planesRef[$t * $k + $j];
+              double $proj = 0.0;
+              for (int $i = 0; $i < ${n}dim; $i++) {
+                $proj += ((double) $vec.$get($i)) * $row[$i];
+              }
+              if ($proj > 0) $bits |= (1L << $j);
             }
-            if ($proj > 0) $bits |= (1L << $j);
+            $keys[$t] = $bits;
           }
-          $keys[$t] = $bits;
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
         }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
       """
     })
   }
@@ -629,25 +655,6 @@ case class BitVoteFingerprint(child: Expression, nbits: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
-/** Distinct token k-shingles of a text, hashed, in ONE pass per row:
-  * tokenize on single spaces (split(text, ' ') semantics, trailing empties
-  * kept), emit max(n-k+1, 1) shingles joined by ' ', de-duplicate
-  * (first-occurrence order, matching array_distinct / list_distinct), and
-  * hash each shingle once:
-  *
-  *  - md5Based = true  (oracle-portable): h24 = first 6 hex chars of
-  *    md5(shingle) as a number — DuckDB's ('0x'||substr(md5(x),1,6))::BIGINT;
-  *    hv = first 15 hex chars (60 bits) the same way;
-  *  - md5Based = false (production): h24 = xxhash64(shingle, seed 42) &
-  *    0xFFFFFF (the seed Spark's builtin xxhash64 uses); hv = the full hash.
-  *
-  * The composed builtin formulation (transform over a generated sequence of
-  * concat_ws slices, then a second transform applying the hash) evaluates
-  * interpreted lambdas per shingle per pass; this runs the identical string
-  * math in a tight JVM loop per ROW. CodegenFallback: one interpreted call
-  * per row is noise next to ~10² digests computed inside it, and the
-  * surrounding projection stays whole-stage-codegen'd.
-  */
 /** Int8 max-abs quantization of a numeric vector in ONE pass per row:
   * struct(maxabs: max |x_i|; ss: Σ x_i² as a sequential left-fold; q_csv:
   * the quantized vector floor(x·127/maxabs + 0.5) serialized as csv — the
@@ -767,6 +774,25 @@ case class StopwordHits(child: Expression, stopwords: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Distinct token k-shingles of a text, hashed, in ONE pass per row:
+  * tokenize on single spaces (split(text, ' ') semantics, trailing empties
+  * kept), emit max(n-k+1, 1) shingles joined by ' ', de-duplicate
+  * (first-occurrence order, matching array_distinct / list_distinct), and
+  * hash each shingle once:
+  *
+  *  - md5Based = true  (oracle-portable): h24 = first 6 hex chars of
+  *    md5(shingle) as a number — DuckDB's ('0x'||substr(md5(x),1,6))::BIGINT;
+  *    hv = first 15 hex chars (60 bits) the same way;
+  *  - md5Based = false (production): h24 = xxhash64(shingle, seed 42) &
+  *    0xFFFFFF (the seed Spark's builtin xxhash64 uses); hv = the full hash.
+  *
+  * The composed builtin formulation (transform over a generated sequence of
+  * concat_ws slices, then a second transform applying the hash) evaluates
+  * interpreted lambdas per shingle per pass; this runs the identical string
+  * math in a tight JVM loop per ROW. CodegenFallback: one interpreted call
+  * per row is noise next to ~10² digests computed inside it, and the
+  * surrounding projection stays whole-stage-codegen'd.
+  */
 case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
     extends UnaryExpression with CodegenFallback {
 
@@ -780,12 +806,6 @@ case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
       case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"shingle_hashes expects string, got $t")
-    }
-
-  @transient private lazy val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
     }
 
   override def nullSafeEval(input: Any): Any = {
@@ -809,14 +829,9 @@ case class ShingleHashes(child: Expression, k: Int, md5Based: Boolean)
     while (it.hasNext) {
       val bytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (md5Based) {
-        val digest = md5Local.get()
-        digest.reset()
-        val d = digest.digest(bytes)
-        h24(idx) = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
-        var v = 0L
-        var b = 0
-        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-        hv(idx) = (v << 4) | ((d(7) & 0xffL) >>> 4)
+        val d = Md5Prefix.digest(bytes)
+        h24(idx) = Md5Prefix.hash24(d)
+        hv(idx) = Md5Prefix.hash60(d)
       } else {
         val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
         h24(idx) = h & 0xFFFFFFL
@@ -854,12 +869,6 @@ case class PositionalShingleHashes(child: Expression, k: Int, md5Based: Boolean)
         s"positional_shingle_hashes expects string, got $t")
     }
 
-  @transient private lazy val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val n = toks.length
@@ -873,15 +882,8 @@ case class PositionalShingleHashes(child: Expression, k: Int, md5Based: Boolean)
       while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
       val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       hv(i) =
-        if (md5Based) {
-          val digest = md5Local.get()
-          digest.reset()
-          val d = digest.digest(bytes)
-          var v = 0L
-          var b = 0
-          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-          (v << 4) | ((d(7) & 0xffL) >>> 4)
-        } else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        if (md5Based) Md5Prefix.hash60(Md5Prefix.digest(bytes))
+        else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
       i += 1
     }
     new GenericArrayData(hv)

@@ -56,8 +56,10 @@ object Dedup {
     * "exact" pass real pipelines run (C4, RefinedWeb), which catches
     * case/punctuation variants plain byte-equality misses. Same hot-key-
     * proof min-struct groupBy as [[exact]], grouped on md5(normalized),
-    * plus the per-hash variant count (`n_variants > 1` rows are the
-    * near-misses byte-exact dedup would have kept twice). The normalizer
+    * plus `n_variants` = the number of DISTINCT byte-level texts in the
+    * group (`n_variants > 1` rows are exactly the near-misses byte-exact
+    * dedup would have kept twice — a group of byte-identical copies
+    * reports 1, it held nothing exact dedup misses). The normalizer
     * maps every RUN of non-alphanumerics to one space (so newlines/tabs
     * and punctuation act as separators — deleting them instead would weld
     * "hello\nworld" into "helloworld" and MISS the whitespace variants
@@ -68,10 +70,10 @@ object Dedup {
   def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     Tables.documents(spark, dir)
-      .select(md5(norm).as("norm_hash"),
+      .select(md5(norm).as("norm_hash"), md5(col("text")).as("text_hash"),
         struct(col("doc_id"), col("lang"), col("source")).as("s"))
       .groupBy("norm_hash")
-      .agg(min(col("s")).as("s"), count(lit(1)).as("n_variants"))
+      .agg(min(col("s")).as("s"), countDistinct(col("text_hash")).as("n_variants"))
       .select(col("s.doc_id"), col("s.lang"), col("s.source"),
         col("norm_hash"), col("n_variants"))
       .orderBy("doc_id")
@@ -277,10 +279,23 @@ object Dedup {
   /** Banded candidate ids (scalar-only: the distinct shuffles bare id pairs,
     * never signature payloads — those re-attach by key afterwards).
     */
+  /** bands must tile the signature exactly: integer division would
+    * silently EXCLUDE the trailing numHashes % bands components from every
+    * band — computed and paid for, never influencing a key — and the
+    * effective (bands, r) collision curve would differ from what the
+    * caller tuned. Surfaced loudly instead.
+    */
+  private def requireBandsTile(numHashes: Int, bands: Int): Unit =
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
+        s"${if (bands > 0) s"${numHashes % bands} trailing signature components would never reach a band key" else "zero bands is meaningless"}")
+
   private def minhashCandidates(signed: DataFrame, numHashes: Int, bands: Int,
-                                maxBucket: Int, portable: Boolean): DataFrame =
+                                maxBucket: Int, portable: Boolean): DataFrame = {
+    requireBandsTile(numHashes, bands)
     guardedPairs(explodedBands(signed, bands, numHashes / bands, portable),
       Seq("band", "band_key"), maxBucket).distinct()
+  }
 
   // -------------------------------------------------------------- minhash
 
@@ -292,6 +307,7 @@ object Dedup {
     */
   def minhashSignature(spark: SparkSession, dir: String,
                        numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    requireBandsTile(numHashes, bands)
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", slice(col("sig"), lit(b * r + 1), lit(r)))).as(s"band_$b")

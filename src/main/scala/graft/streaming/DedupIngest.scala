@@ -36,17 +36,28 @@ object DedupIngest {
     StructField("source", StringType)
   ))
 
+  private val indexSchema = StructType(Seq(
+    StructField("text_hash", StringType), StructField("batch_id", LongType)))
+
   /** The hash index accumulated so far, excluding `excludeEpoch`'s partition
     * (empty DataFrame when the index does not exist yet).
+    *
+    * The read carries an EXPLICIT schema: a crash mid-write of the very
+    * first epoch can leave indexDir holding only a `_temporary` subtree —
+    * the directory exists but schema inference finds no footers and every
+    * replay would die with AnalysisException, permanently wedging the
+    * stream. With the schema supplied, a footerless directory reads as
+    * empty and the documented replay contract holds.
     */
   def readIndex(spark: SparkSession, indexDir: String, excludeEpoch: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("text_hash", StringType), StructField("batch_id", LongType))))
+        indexSchema)
     } else {
-      spark.read.option("basePath", indexDir).parquet(indexDir)
+      spark.read.schema(indexSchema)
+        .option("basePath", indexDir).parquet(indexDir)
         .where(col("batch_id") =!= excludeEpoch)
     }
   }
@@ -54,15 +65,23 @@ object DedupIngest {
   /** One epoch of incremental dedup: in-batch keep-first by content hash,
     * then anti-join against the historical index. Returns the surviving
     * docs (with their hash).
+    *
+    * Null text (a record missing the field, or a corrupt line parsed
+    * permissively) has NO content to be a duplicate of: md5(null) is null,
+    * and the window would have grouped every null-text doc into one
+    * "duplicate class" and silently dropped all but one DISTINCT document.
+    * Null-text rows pass through undeduped instead (and, with a null hash,
+    * never enter the anti-join or match the index).
     */
   def dedupBatch(batch: DataFrame, index: DataFrame): DataFrame = {
     val byHash = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
-    batch
-      .withColumn("text_hash", md5(col("text")))
+    val hashed = batch.withColumn("text_hash", md5(col("text")))
+    val deduped = hashed.where(col("text_hash").isNotNull)
       .withColumn("rn", row_number().over(byHash))
       .where(col("rn") === 1)
       .drop("rn")
       .join(index.select("text_hash"), Seq("text_hash"), "left_anti")
+    deduped.unionByName(hashed.where(col("text_hash").isNull))
   }
 
   /** Start the ingest stream: JSON docs from `sourceDir` → deduped parquet
@@ -90,6 +109,7 @@ object DedupIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outDir)
         fresh.select("text_hash", "batch_id")
+          .where(col("text_hash").isNotNull) // null-text rows carry no content to index
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
