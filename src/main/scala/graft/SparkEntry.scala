@@ -347,7 +347,7 @@ object SparkEntry {
       s"""WITH $evCte
          |SELECT event_id, 'stream_' || event_type AS queue,
          |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS delivery_tag,
-         |       '{"operationType":"' || $opType || '","documentKey":' || user_id ||
+         |       '{"operationType":"' || $opType || '","documentKey":' || coalesce(CAST(user_id AS VARCHAR), 'null') ||
          |       ',"fullDocument":' || $fullDoc || '}' AS payload
          |FROM ev ORDER BY event_id""".stripMargin,
 

@@ -78,7 +78,11 @@ object ChangeEvents {
       .withColumn("payload",
         concat(
           lit("{\"operationType\":\""), operationType(col("event_type")),
-          lit("\",\"documentKey\":"), col("user_id").cast("string"),
+          // documentKey gets the same null-as-JSON-null guard as every
+          // fullDocumentJson field: a bare splice would null the ENTIRE
+          // payload for one null user_id — the exact failure mode the
+          // fullDocumentJson doc warns about
+          lit("\",\"documentKey\":"), coalesce(col("user_id").cast("string"), lit("null")),
           lit(",\"fullDocument\":"), fullDocumentJson,
           lit("}")
         ))

@@ -19,14 +19,19 @@ object Skew {
     * over `saltBuckets` tasks. Semantics are exactly `big JOIN small USING
     * (key)` for inner joins.
     *
-    * The salt is derived from a stable row fingerprint (xxhash64 over the
-    * big side's columns), not rand(), so the operator stays deterministic
-    * and retry-safe (a recomputed task re-derives identical salts).
+    * The salt is seeded rand(), NOT a content fingerprint: a fingerprint
+    * sends byte-identical rows to ONE bucket, and a hot key with a
+    * constant payload (the classic null-bucket/enum case — exactly what
+    * salting exists for) would not spread at all. rand(seed) draws a
+    * per-partition deterministic sequence, so every row gets an
+    * independent bucket regardless of content, and the join result is
+    * salt-agnostic (any assignment is correct — the small side carries
+    * every salt).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int = 16): DataFrame = {
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets)).cast("int"))
+      floor(rand(42) * saltBuckets).cast("int"))
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")

@@ -65,9 +65,13 @@ object GraftDaemon {
     val hook = new Thread(() => shutdown(http, supervisor), "graft-shutdown")
     Runtime.getRuntime.addShutdownHook(hook)
     try {
-      while (supervisor.healthy()) {
+      // Supervise BEFORE the liveness check: a query that failed during the
+      // sleep must get its in-budget restart before healthy() can declare
+      // the daemon dead — the old order exited on the first transient
+      // failure of a single-collection deployment without ever using the
+      // restart budget.
+      while ({ supervisor.superviseOnce(); supervisor.healthy() }) {
         Thread.sleep(2000)
-        supervisor.superviseOnce()
       }
     } finally {
       try Runtime.getRuntime.removeShutdownHook(hook)

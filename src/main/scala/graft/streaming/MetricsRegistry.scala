@@ -18,29 +18,34 @@ import scala.jdk.CollectionConverters._
   * the right scale design — executor work never touches this.
   */
 final class MetricsRegistry {
-  private val gauges = new ConcurrentHashMap[String, LongAdder]()
+  // Gauges are AtomicLong, not LongAdder: setGauge must be one atomic
+  // store — a reset()-then-add() pair let a concurrent /metrics scrape
+  // observe a transient 0 (false no-servers alert) or interleaved setters
+  // leave old+new summed. Counters only ever increment, where LongAdder's
+  // striping is the right choice.
+  private val gauges = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val counters = new ConcurrentHashMap[String, LongAdder]()
 
   private def key(name: String, labels: Seq[(String, String)]): String =
     if (labels.isEmpty) name
     else name + labels.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
 
-  private def adder(m: ConcurrentHashMap[String, LongAdder], k: String): LongAdder =
-    m.computeIfAbsent(k, _ => new LongAdder)
+  private def gauge(k: String): java.util.concurrent.atomic.AtomicLong =
+    gauges.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong)
 
-  def setGauge(name: String, value: Long, labels: (String, String)*): Unit = {
-    val a = adder(gauges, key(name, labels)); a.reset(); a.add(value)
-  }
+  def setGauge(name: String, value: Long, labels: (String, String)*): Unit =
+    gauge(key(name, labels)).set(value)
   def incGauge(name: String, labels: (String, String)*): Unit =
-    adder(gauges, key(name, labels)).increment()
+    gauge(key(name, labels)).incrementAndGet()
   def decGauge(name: String, labels: (String, String)*): Unit =
-    adder(gauges, key(name, labels)).decrement()
+    gauge(key(name, labels)).decrementAndGet()
   def inc(name: String, labels: (String, String)*): Unit =
-    adder(counters, key(name, labels)).increment()
+    counters.computeIfAbsent(key(name, labels), _ => new LongAdder).increment()
 
   def value(name: String, labels: (String, String)*): Long = {
     val k = key(name, labels)
-    Option(gauges.get(k)).orElse(Option(counters.get(k))).map(_.sum()).getOrElse(0L)
+    Option(gauges.get(k)).map(_.get())
+      .orElse(Option(counters.get(k)).map(_.sum())).getOrElse(0L)
   }
 
   // Typed helpers mirroring metrics.rs update methods.
@@ -62,13 +67,15 @@ final class MetricsRegistry {
     * sample of that metric.
     */
   def export(): String = {
-    def block(m: ConcurrentHashMap[String, LongAdder], kind: String) =
-      m.asScala.toSeq.sortBy(_._1).groupBy(_._1.takeWhile(_ != '{')).toSeq.sortBy(_._1)
+    def block(entries: Seq[(String, Long)], kind: String) =
+      entries.sortBy(_._1).groupBy(_._1.takeWhile(_ != '{')).toSeq.sortBy(_._1)
         .map { case (bare, series) =>
-          (s"# TYPE $bare $kind" +: series.sortBy(_._1).map { case (k, v) => s"$k ${v.sum()}" })
+          (s"# TYPE $bare $kind" +: series.sortBy(_._1).map { case (k, v) => s"$k $v" })
             .mkString("\n")
         }
-    (block(gauges, "gauge") ++ block(counters, "counter")).mkString("", "\n", "\n")
+    (block(gauges.asScala.toSeq.map { case (k, v) => k -> v.get() }, "gauge") ++
+      block(counters.asScala.toSeq.map { case (k, v) => k -> v.sum() }, "counter"))
+      .mkString("", "\n", "\n")
   }
 }
 

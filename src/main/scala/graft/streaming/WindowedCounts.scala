@@ -50,12 +50,15 @@ object WindowedCounts {
       // double-count the finalized windows.
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
-        if (batch.head(1).nonEmpty)
-          batch.withColumn("epoch", lit(epochId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch").parquet(outDir)
-        batch.unpersist()
+        // try/finally: a failed epoch write must not leak the cached batch
+        // into the block manager of the (supervisor-restarted) session
+        try {
+          if (batch.head(1).nonEmpty)
+            batch.withColumn("epoch", lit(epochId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("epoch").parquet(outDir)
+        } finally batch.unpersist()
         ()
       }
       .start()
