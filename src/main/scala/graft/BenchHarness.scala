@@ -34,11 +34,16 @@ object BenchHarness {
   }
 
   /** JIT/codegen warmup outside any timed loop, so the first timed query
-    * doesn't absorb session warmup cost.
+    * doesn't absorb session warmup cost. NonFatal only (an OOM must abort
+    * the run, not leave a wounded JVM to produce garbage timings), and the
+    * suppressed failure is printed — a silent skip makes pass-1 timings
+    * quietly absorb the warmup the harness claims to have paid.
     */
   def warmup(spark: SparkSession, sfDir: String): Unit =
     try SparkEntry.queries("q6_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
 
   /** Drop every cache a previous sample could hand to this one: the SQL
     * cache manager's blocks AND bare persistent RDDs (localCheckpoint

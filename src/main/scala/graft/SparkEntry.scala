@@ -126,23 +126,31 @@ object SparkEntry {
     * frame is KBs — the timed cost is the eager build), `ann_ivf_probe`
     * answers from the already-written index. The probe entry relies on
     * per-pass name ordering in [[Bench]]: "ann_ivf_build" sorts before
-    * "ann_ivf_probe", so every pass probes the index its own build wrote.
+    * "ann_ivf_probe", so every pass probes the index its own build wrote —
+    * in a dir the extras OWN ("extras" tag), because "ann_ivf_persisted"
+    * sorts between the two and rebuilds its own index mid-pass.
     */
   val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_build" -> ((s, d) => {
-      Similarity.buildIvfIndex(s, d, ivfIndexDir(d))
-      s.read.parquet(s"${ivfIndexDir(d)}/centroids")
+      Similarity.buildIvfIndex(s, d, ivfIndexDir(d, "extras"))
+      s.read.parquet(s"${ivfIndexDir(d, "extras")}/centroids")
     }),
-    "ann_ivf_probe" -> ((s, d) => Similarity.ivfProbePersisted(s, d, ivfIndexDir(d)))
+    "ann_ivf_probe" -> ((s, d) =>
+      Similarity.ivfProbePersisted(s, d, ivfIndexDir(d, "extras")))
   )
 
-  /** Scratch dir for the ann_ivf_persisted index, one per data dir (keyed
-    * so concurrent users of two datasets in one JVM can't cross-probe),
-    * removed on exit.
+  /** Scratch dir for a persisted IVF index, one per (tag, data dir) —
+    * keyed by data dir so concurrent users of two datasets in one JVM
+    * can't cross-probe, and by tag so the benchExtras lifecycle split owns
+    * an index SEPARATE from ann_ivf_persisted's (which sorts BETWEEN
+    * ann_ivf_build and ann_ivf_probe in Bench's per-pass name order and
+    * would otherwise rebuild the shared dir under the probe — a mid-sample
+    * failure of ITS build would hand the probe a half-rewritten index).
+    * Removed on exit.
     */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexDir(dataDir: String): String =
-    ivfIndexDirs.computeIfAbsent(dataDir, _ => {
+  private def ivfIndexDir(dataDir: String, tag: String = "persisted"): String =
+    ivfIndexDirs.computeIfAbsent(s"$tag:$dataDir", _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {

@@ -67,8 +67,19 @@ object Tables {
     // rather than growing it (re-planning a throwaway scan is cheap; an
     // unbounded driver map is not).
     if (spreadCache.size > 1024) spreadCache.clear()
-    val need = spreadCache.computeIfAbsent(s"$cacheKey#$target",
-      _ => df.rdd.getNumPartitions < target)
+    // get-then-putIfAbsent, NOT computeIfAbsent: the probe runs full
+    // Catalyst planning + file listing (df.rdd.getNumPartitions — seconds
+    // against an object store), and computeIfAbsent would hold the map's
+    // bin lock for that whole time, blocking concurrent first-loads of
+    // unrelated tables that hash to the same bin. A racing duplicate probe
+    // is a throwaway plan — cheaper than serialized planning.
+    val k = s"$cacheKey#$target"
+    val need = spreadCache.get(k) match {
+      case null =>
+        val computed = java.lang.Boolean.valueOf(df.rdd.getNumPartitions < target)
+        Option(spreadCache.putIfAbsent(k, computed)).getOrElse(computed)
+      case cached => cached
+    }
     if (need) df.repartition(target, col(key)) else df
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{CollectionConfig, Connections}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Library-level facade mirroring the reference's `Connector` API
   * (mrcon/src/mongo/connector.rs) so a user of the reference maps 1:1:
@@ -28,24 +28,43 @@ final class Connector(spark: SparkSession, connections: Connections,
 
   /** Watch the configured collection, publish change events to its queue,
     * resuming after the last persisted position (connector.rs:127-173).
+    *
+    * `streamName` keys the CHECKPOINT and defaults to the configured
+    * queue's stream name — passing a different name on a later run would
+    * silently open a fresh checkpoint and replay the whole source into the
+    * existing queue, so the default removes the footgun (override only to
+    * run several independent watches of one collection).
+    *
+    * `trigger` defaults to a drain (AvailableNow: process what exists,
+    * then terminate — the batch-incremental shape tests and one-shot jobs
+    * want). The reference's `connect(...).await` is a CONTINUOUS watch:
+    * pass `Trigger.ProcessingTime(...)` (and a `beforeImageTtlMs` to bound
+    * the before-image state store) for that mode — GraftDaemon.startQuery
+    * runs exactly this facade in continuous mode.
     */
-  def connect(streamName: String): StreamingQuery =
+  def connect(streamName: String = settings.queue.streamName,
+              trigger: Trigger = Trigger.AvailableNow(),
+              beforeImageTtlMs: Option[Long] = None): StreamingQuery =
     connectWith(
       JsonDirSource(s"${connections.sourceUri}/${settings.watched.collName}"),
       ParquetQueuePublisher(s"${connections.sinkUri}/${settings.queue.streamName}"),
-      streamName)
+      streamName, trigger, beforeImageTtlMs)
 
   /** The `with_clients` analog at the binding level (connector.rs:74-90:
     * bring your own clients): run this collection's pipeline over
     * caller-supplied source/publisher bindings.
     */
   def connectWith(source: EventSource, publisher: QueuePublisher,
-                  streamName: String): StreamingQuery =
+                  streamName: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  beforeImageTtlMs: Option[Long] = None): StreamingQuery =
     ChangeStreamJob.startStream(spark, source, publisher,
       checkpointDir = resumeTokensLocation(streamName),
       db = settings.watched.dbName, coll = settings.watched.collName,
       queryName = s"${settings.watched.dbName}.${settings.watched.collName}",
-      preAndPostImages = settings.watched.preAndPostImages)
+      trigger = trigger,
+      preAndPostImages = settings.watched.preAndPostImages,
+      beforeImageTtlMs = beforeImageTtlMs)
 }
 
 object Connector {

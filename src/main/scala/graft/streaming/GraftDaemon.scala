@@ -89,24 +89,18 @@ object GraftDaemon {
     supervisor.stopAll()
   }
 
-  /** One connector stream per collection: json feed subdir → queue subdir.
-    * Continuous micro-batch trigger — the daemon watches forever like the
-    * reference (connector.rs's `while let Some(change)` loop); tests use the
-    * draining AvailableNow variant directly via ChangeStreamJob. The
-    * collection's pre/post-images flag (config.rs:7) turns on the stateful
-    * before-image stage.
+  /** One connector stream per collection: the library facade in continuous
+    * mode — the daemon watches forever like the reference (connector.rs's
+    * `while let Some(change)` loop); tests use the facade's default
+    * AvailableNow drain. The collection's pre/post-images flag (config.rs:7)
+    * turns on the stateful before-image stage; the continuous trigger
+    * supports the before-image state TTL, bounding the state store for
+    * unbounded key spaces (30 days, refreshed per key). Routing the daemon
+    * through Connector keeps ONE copy of the source/queue/checkpoint wiring.
     */
   def startQuery(conn: Connections)(spark: SparkSession, c: CollectionConfig) =
-    ChangeStreamJob.start(spark,
-      sourceDir = s"${conn.sourceUri}/${c.watched.collName}",
-      queueDir = s"${conn.sinkUri}/${c.queue.streamName}",
-      checkpointDir = s"${conn.sinkUri}/_checkpoints/${c.queue.streamName}",
-      db = c.watched.dbName, coll = c.watched.collName,
-      queryName = s"${c.watched.dbName}.${c.watched.collName}",
+    Connector.fromCollection(spark, conn, c).connect(
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"),
-      preAndPostImages = c.watched.preAndPostImages,
-      // continuous trigger → the before-image state TTL is supported; bound
-      // the state store for unbounded key spaces (30 days, refreshed per key)
       beforeImageTtlMs = Some(30L * 24 * 3600 * 1000))
 
   /** /health + /metrics on the JDK http server (main.rs:53-73). */

@@ -21,10 +21,12 @@ final class GraftQueryListener(metrics: MetricsRegistry) extends StreamingQueryL
 
   private val names = new ConcurrentHashMap[java.util.UUID, String]()
 
-  private def split(name: String): (String, String) = name.split("\\.", 2) match {
-    case Array(db, coll) => (coll, db)
-    case _ => (if (name == null || name.isEmpty) "unknown" else name, "unknown")
-  }
+  private def split(name: String): (String, String) =
+    if (name == null || name.isEmpty) ("unknown", "unknown") // guard BEFORE split — a null would NPE on it
+    else name.split("\\.", 2) match {
+      case Array(db, coll) => (coll, db)
+      case _ => (name, "unknown")
+    }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = {
     val name = Option(event.name).getOrElse("unknown")
@@ -42,10 +44,16 @@ final class GraftQueryListener(metrics: MetricsRegistry) extends StreamingQueryL
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
-    val name = Option(names.remove(event.id)).getOrElse("unknown")
-    val (coll, db) = split(name)
-    metrics.decrementServers()
-    metrics.decrementCollectionServer(coll, db)
+    // Only decrement for queries whose START this listener counted: a
+    // termination with no names entry (listener attached after the query
+    // started, or the async bus dropped the started event under overflow)
+    // would otherwise drive the gauges negative — a false "no servers"
+    // alert and a phantom (unknown, unknown) series at -1.
+    Option(names.remove(event.id)).foreach { name =>
+      val (coll, db) = split(name)
+      metrics.decrementServers()
+      metrics.decrementCollectionServer(coll, db)
+    }
     // failures/restarts are recorded by the Supervisor, which can classify
     // the exception properly — the listener only tracks lifecycle gauges.
   }
