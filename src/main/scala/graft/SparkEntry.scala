@@ -1268,8 +1268,8 @@ object SparkEntry {
         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM u),
         |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
         |SELECT pc.w1, pc.w2, CAST(pc.pair_cnt AS BIGINT) AS pair_cnt,
-        |       round(CAST(pc.pair_cnt * n.n_tokens AS DOUBLE) /
-        |             CAST(u1.cnt * u2.cnt AS DOUBLE), 6) AS lift
+        |       round((CAST(pc.pair_cnt AS DOUBLE) * CAST(n.n_tokens AS DOUBLE)) /
+        |             (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)), 6) AS lift
         |FROM pc JOIN u u1 ON u1.w = pc.w1 JOIN u u2 ON u2.w = pc.w2 CROSS JOIN n
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
 

@@ -207,9 +207,13 @@ object Relevance {
       .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
       .crossJoin(broadcast(n))
+      // cast BEFORE multiplying: stopword unigram counts reach ~1e12 at the
+      // 100 TB target, so c1*c2 as longs wraps past Long.MaxValue into
+      // garbage lift values (double*double is exact for counts < 2^53 and
+      // merely loses ulps beyond — a rounding error, not a sign flip)
       .select(col("w1"), col("w2"), col("pair_cnt"),
-        round((col("pair_cnt") * col("n_tokens")).cast("double") /
-          (col("c1") * col("c2")).cast("double"), 6).as("lift"))
+        round((col("pair_cnt").cast("double") * col("n_tokens").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }

@@ -26,6 +26,11 @@ final case class JsonDirSource(sourceDir: String, maxFilesPerTrigger: Int = 4) e
       .schema(ChangeStreamJob.eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(sourceDir)
+      // same malformed-row policy as every other source binding: a feed row
+      // with no event_id (missing field, corrupt line parsed permissively)
+      // is dropped rather than poisoning the stream — the before-image
+      // stage's envelope decode would otherwise die on the null
+      .where(col("event_id").isNotNull)
 }
 
 /** Continuously-streaming sandbox source: Spark's built-in rate source
@@ -59,11 +64,12 @@ final case class RateEventSource(rowsPerSecond: Int = 200) extends EventSource {
   */
 final case class SocketEventSource(host: String, port: Int) extends EventSource {
   override def load(spark: SparkSession): DataFrame =
-    spark.readStream.format("socket")
-      .option("host", host).option("port", port).load()
-      .select(from_json(col("value"), ChangeStreamJob.eventSchema).as("e"))
-      .select(col("e.*"))
-      .where(col("event_id").isNotNull)
+    // one copy of the value-JSON decode + malformed-row policy — the Kafka
+    // binding's decode is the same wire shape (a string value holding the
+    // event JSON), so a policy change can't drift between transports
+    KafkaEventSource.decode(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
 }
 
 /** Production source binding: a Kafka topic fed by a CDC tool (the broker
@@ -551,10 +557,14 @@ object ChangeStreamJob {
     )
 
   /** Typed envelope rows for the stateful pre/post-image stage. */
-  case class ChangeEnvelope(event_id: Long, resume_token: String, operation_type: String,
+  // event_id is Option: a DELETE envelope has no fullDocument to extract an
+  // id from (decodeEnvelope yields null there) — a non-nullable Long made
+  // the first delete kill the stream with "Null value appeared in
+  // non-nullable field" before the state machine even ran.
+  case class ChangeEnvelope(event_id: Option[Long], resume_token: String, operation_type: String,
                             ns_db: String, ns_coll: String, document_key: Long,
                             full_document: String, cluster_time: java.sql.Timestamp)
-  case class ChangeEnvelopePrePost(event_id: Long, resume_token: String, operation_type: String,
+  case class ChangeEnvelopePrePost(event_id: Option[Long], resume_token: String, operation_type: String,
                                    ns_db: String, ns_coll: String, document_key: Long,
                                    full_document: String,
                                    full_document_before_change: Option[String],
@@ -594,15 +604,27 @@ object ChangeStreamJob {
             state.remove()
             Iterator.empty
           } else {
-            val ordered = events.toSeq.sortBy(_.event_id)
+            // id-less events (deletes) order AFTER the id'd ones, stably —
+            // the feed's total order is event_id where one exists
+            val ordered = events.toSeq
+              .sortBy(e => (e.event_id.isEmpty, e.event_id.getOrElse(0L)))
             var last = state.getOption
             val out = ordered.map { e =>
               val r = ChangeEnvelopePrePost(e.event_id, e.resume_token, e.operation_type,
                 e.ns_db, e.ns_coll, e.document_key, e.full_document, last, e.cluster_time)
-              last = Some(e.full_document)
+              // a DELETE has no post-image (null full_document): the doc no
+              // longer exists, so the NEXT event for this key sees a null
+              // before-image — Option() folds that to None here
+              last = Option(e.full_document)
               r
             }
-            last.foreach(state.update)
+            last match {
+              case Some(doc) => state.update(doc)
+              // final event was a delete: drop the state entry entirely
+              // (state.update(null) throws; keeping the stale image would
+              // resurrect a deleted doc as a before-image)
+              case None => if (state.exists) state.remove()
+            }
             stateTtlMs.foreach(ttl => if (state.exists) state.setTimeoutDuration(ttl))
             out.iterator
           }
@@ -630,6 +652,13 @@ object ChangeStreamJob {
       "dedupe and preAndPostImages cannot be combined in one stream: " +
         "Structured Streaming forbids chaining dropDuplicatesWithinWatermark " +
         "into flatMapGroupsWithState; run them as two chained streams")
+    // Enforce withBeforeImages' documented trigger constraint instead of
+    // hanging: ProcessingTimeTimeout under an AvailableNow drain wedges the
+    // MultiBatchExecutor, so a TTL needs a continuous trigger.
+    require(beforeImageTtlMs.isEmpty || trigger != Trigger.AvailableNow(),
+      "beforeImageTtlMs requires a continuous trigger (e.g. ProcessingTime): " +
+        "ProcessingTimeTimeout under an AvailableNow drain hangs the " +
+        "MultiBatchExecutor — drop the TTL for draining runs")
     val events = source.load(spark)
     // Optional source-side exactly-once: an at-least-once feed (redeliveries
     // under the same event_id) is deduped in-stream with watermark-bounded

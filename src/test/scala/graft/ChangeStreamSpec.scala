@@ -99,6 +99,49 @@ class ChangeStreamSpec extends SparkSpec {
     assert(!spark.read.parquet(queue2).columns.contains("full_document_before_change"))
   }
 
+  test("before-images: a DELETE clears the key's image instead of killing the stream") {
+    // A delete envelope carries no fullDocument (so no extractable
+    // event_id either): the state machine must emit the delete WITH its
+    // before-image, then drop the key's state — the next insert sees a
+    // null before-image, not the resurrected pre-delete doc. The old code
+    // crashed on state.update(null) at the first delete ending a batch.
+    val s = spark
+    import s.implicits._
+    def env(id: java.lang.Long, op: String, key: Long, doc: String) =
+      (id, f"tok$key%02d${Option(id).map(_.toLong).getOrElse(99L)}%02d", op, "db", "c",
+        key, doc, new java.sql.Timestamp(1704067200000L))
+    val batch = Seq(
+      env(1L, "insert", 7L, """{"v":1}"""),
+      env(null, "delete", 7L, null),
+      env(3L, "insert", 7L, """{"v":3}""")
+    ).toDF("event_id", "resume_token", "operation_type", "ns_db", "ns_coll",
+      "document_key", "full_document", "cluster_time")
+    val out = ChangeStreamJob.withBeforeImages(batch).collect()
+      .sortBy(r => Option(r.getAs[java.lang.Long]("event_id")).map(_.toLong).getOrElse(2L))
+    assert(out.length === 3)
+    // insert 1: first event, no before-image
+    assert(out(0).getAs[String]("full_document_before_change") == null)
+    // id-less events process AFTER the id'd ones within a batch, so the
+    // delete sees insert 3's doc as its before-image and clears the state
+    val delete = out.find(r => r.isNullAt(r.fieldIndex("event_id"))).get
+    assert(delete.getAs[String]("full_document_before_change") === """{"v":3}""")
+    assert(delete.getAs[String]("full_document") == null)
+  }
+
+  test("before-images resume as null after a batch ending in a delete") {
+    val s = spark
+    import s.implicits._
+    def frame(rows: Seq[(java.lang.Long, String, String, String, String, Long, String, java.sql.Timestamp)]) =
+      rows.toDF("event_id", "resume_token", "operation_type", "ns_db", "ns_coll",
+        "document_key", "full_document", "cluster_time")
+    val ts = new java.sql.Timestamp(1704067200000L)
+    // batch 1 ends with the delete — the old code threw on state.update(null)
+    val b1 = frame(Seq(
+      (5L: java.lang.Long, "t1", "insert", "db", "c", 9L, """{"v":5}""", ts),
+      (null.asInstanceOf[java.lang.Long], "t2", "delete", "db", "c", 9L, null, ts)))
+    assert(ChangeStreamJob.withBeforeImages(b1).collect().length === 2)
+  }
+
   test("dedupe + preAndPostImages is refused up front (unsupported stateful chain)") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     writeEvents(src, "only.json", 0 until 3)
