@@ -52,15 +52,18 @@ object Bench {
     }
     def anchorPass(): Unit = if (anchorOn) {
       try {
-        // stderr goes to OUR stderr (no second pipe to drain — a child
-        // blocked on a full stderr pipe while we block on stdout EOF would
-        // deadlock the bench); stdout is the one JSON line. A bounded
-        // waitFor so a hung child disables the anchor instead of wedging
-        // the whole bench run.
+        // stderr goes to OUR stderr and stdout to a temp FILE — no pipe at
+        // all, so there is nothing for either side to block on: the bounded
+        // waitFor below is always reachable and a hung child merely
+        // disables the anchor instead of wedging the bench (ADVICE r8: a
+        // readAllBytes on the stdout pipe BEFORE waitFor blocked until EOF,
+        // making the timeout path dead code).
+        val outPath = java.nio.file.Files.createTempFile("graft_anchor_out", ".json")
+        outPath.toFile.deleteOnExit()
         val p = new ProcessBuilder("python3", "tools/bench_anchor.py",
           sfDir, sqlPath.toString)
-          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          .redirectError(ProcessBuilder.Redirect.INHERIT)
+          .redirectOutput(outPath.toFile).start()
         if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
           p.destroyForcibly()
           System.err.println("[bench] anchor pass timed out, disabling")
@@ -69,6 +72,7 @@ object Bench {
           System.err.println(s"[bench] anchor pass failed (rc=${p.exitValue()}), disabling")
           anchorOn = false
         } else {
+          val out = java.nio.file.Files.readString(outPath)
           val entry = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
           entry.findAllMatchIn(out).foreach { m =>
             duckBest(m.group(1)) =
@@ -163,6 +167,27 @@ object Bench {
         s""","anchor":"same-session interleaved duckdb, min of $reps""""
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(qresults)},"extras":${jsonMap(xresults)}$anchorFields,"sf":"$sfDir"$failedField}""")
+    // The driver's artifact keeps only the last ~2 KB of stdout; round 8's
+    // full line outgrew that and the per-query Spark seconds were truncated
+    // away (VERDICT r8 "What's wrong" #1). Emit a second, compact,
+    // self-contained summary line LAST — 2-decimal per-query seconds, then
+    // the total and the anchor ratios at the very END of the line, so even
+    // a mid-line clip loses only the boilerplate prefix, never the numbers
+    // a round-over-round comparison needs. Measured at 79 keys this line is
+    // ~1.97 KB, inside the tail window.
+    def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val compactQ = qresults.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val compactAnchor = if (duckBest.isEmpty) "" else {
+      val sharedKeys = qresults.collect {
+        case (k, v) if v >= 0 && duckBest.contains(k) => k
+      }.toSet
+      val sharedSpark = qresults.collect { case (k, v) if sharedKeys(k) => v }.sum
+      val duckTotal = duckBest.collect { case (k, v) if sharedKeys(k) => v }.sum
+      val agg = if (duckTotal > 0) sharedSpark / duckTotal else -1.0
+      s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(agg)}"""
+    }
+    println(s"""{"metric":"summary","unit":"sec","queries":$compactQ,"value":${fmt2(total)}$compactAnchor$failedField}""")
     spark.stop()
   }
 }

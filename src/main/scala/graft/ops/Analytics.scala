@@ -17,6 +17,17 @@ object Analytics {
 
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
 
+  /** Integer-exact FLOOR division of an epoch-seconds expression, matching
+    * DuckDB's `//` for negative epochs too — Spark's `div` truncates toward
+    * zero, so `-1 div 86400` is 0 where the oracle floors to -1 (ADVICE r8:
+    * pmod alone fixed the modulo's sign, not the division). Subtracting the
+    * non-negative pmod remainder first makes the dividend an exact multiple,
+    * where truncation and floor agree for either sign. Pure long math — no
+    * double rounding at any epoch magnitude.
+    */
+  private def epochFloorDiv(divisor: Long): String =
+    s"((cast(ts as long) - pmod(cast(ts as long), $divisor)) div $divisor)"
+
   /** C1 — pricing summary (TPC-H Q1 shape): scan-heavy single aggregation.
     * Partial aggregation happens map-side; the shuffle carries only
     * (flag,status) groups — 6 rows regardless of input size.
@@ -170,7 +181,7 @@ object Analytics {
       // emit -6..0 there and a real dow=-1 would collide with the cube's
       // subtotal sentinel below); identical to % for all non-negative
       // epochs, so the oracle hash is unchanged on real data
-      .withColumn("dow", expr("pmod(cast(ts as long) div 86400 + 4, 7)"))
+      .withColumn("dow", expr(s"pmod(${epochFloorDiv(86400)} + 4, 7)"))
       .cube(col("event_type"), col("dow"))
       .agg((grouping(col("event_type")) * 2 + grouping(col("dow"))).cast("long").as("gid"),
         count(lit(1)).as("n_events"),
@@ -194,7 +205,7 @@ object Analytics {
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("user_id"), expr("cast(ts as long) div 604800").as("week"))
+      .select(col("user_id"), expr(epochFloorDiv(604800)).as("week"))
       .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
       .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
@@ -242,7 +253,7 @@ object Analytics {
     val trailing7 = Window.orderBy(col("day")).rangeBetween(-6, 0)
     Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
-      .groupBy(expr("cast(ts as long) div 86400").as("day"))
+      .groupBy(expr(epochFloorDiv(86400)).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("rev"), count(lit(1)).as("n"))
       .select(col("day"), col("rev").cast("double").as("revenue"), col("n").as("n_purchases"),
         round(sum(col("rev")).over(trailing7).cast("double") /
@@ -262,7 +273,7 @@ object Analytics {
     */
   def rollingActiveUsers(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
     val grid = Tables.events(spark, dir)
-      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .select(col("user_id"), expr(epochFloorDiv(86400)).as("day"))
       .distinct()
     val days = grid.select("day").distinct()
     grid

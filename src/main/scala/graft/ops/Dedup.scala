@@ -603,6 +603,24 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   maxIter: Int = 50, localEdgeCap: Int = 1 << 16): DataFrame = {
+    // Construction is LAZY (VERDICT r8 #3): the gate count + iterative
+    // rounds below run at the caller's first action, not while the caller
+    // is still composing a plan over this result.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("cluster_id", LongType, nullable = true),
+      StructField("cluster_size", LongType, nullable = true)))
+    graft.plans.DeferredFrame(spark, schema)(() =>
+      eagerDupClusters(spark, dir, threshold, maxIter, localEdgeCap))
+  }
+
+  /** The driver-iterative body of [[dupClusters]] — runs jobs (gate count,
+    * propagation rounds) as it executes, which is why it sits behind a
+    * [[graft.plans.DeferredFrame]] thunk rather than in the public API.
+    */
+  private def eagerDupClusters(spark: SparkSession, dir: String, threshold: Double,
+                               maxIter: Int, localEdgeCap: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val signed = signatures(docs, md5Based = true, numHashes = 32, shingleK = 3)
     // ONE persisted copy of the undirected pair list. Symmetrizing with
@@ -643,7 +661,22 @@ object Dedup {
     * score, so both engines compute it bit-identically.
     */
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(spark, dir)
+    // Deferred like dupClusters — and the thunk composes on the EAGER body,
+    // not the deferred leaf: the local-path cluster table is a LocalRelation
+    // the optimizer can see is tiny and broadcast, where a join against the
+    // opaque deferred leaf would be forced to shuffle the quality side.
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("cluster_id", LongType, nullable = true),
+      StructField("cluster_size", LongType, nullable = true),
+      StructField("keep_id", LongType, nullable = true),
+      StructField("quality_score", DoubleType, nullable = true)))
+    graft.plans.DeferredFrame(spark, schema)(() => eagerClusterKeepBest(spark, dir))
+  }
+
+  private def eagerClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = eagerDupClusters(spark, dir, threshold = 0.5,
+      maxIter = 50, localEdgeCap = 1 << 16)
     val q = TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score"))
     val byCluster = Window.partitionBy("cluster_id")
       .orderBy(col("quality_score").desc, col("doc_id"))

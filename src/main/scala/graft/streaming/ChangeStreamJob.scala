@@ -575,7 +575,8 @@ object ChangeStreamJob {
     * then replaces it. State lives in the checkpoint, so the before-image
     * survives micro-batch boundaries AND restarts — the semantics a
     * reference user gets from `change_stream_pre_and_post_images = true`.
-    * Within a batch, events apply in event_id order (the feed's total order).
+    * Within a batch, events apply in resume-token order — the feed's total
+    * order, defined on every envelope including id-less deletes.
     *
     * State bounding: `stateTtl` (refreshed on every event for the key)
     * evicts images of keys that have gone silent, so unbounded key spaces
@@ -604,10 +605,17 @@ object ChangeStreamJob {
             state.remove()
             Iterator.empty
           } else {
-            // id-less events (deletes) order AFTER the id'd ones, stably —
-            // the feed's total order is event_id where one exists
+            // The feed's total order is the resume token (mrcond's change
+            // stream orders by `_id._data`, present on EVERY envelope —
+            // deletes included). Sorting id'd events first and deletes last
+            // (the pre-r9 code) reordered the real feed: a delete followed
+            // by a same-key reinsert in one batch processed the delete LAST,
+            // reporting the reinserted doc as its before-image and wrongly
+            // clearing the key's state (ADVICE r8). Null-less hex tokens
+            // (%016x) compare in event order; a null token (corrupt
+            // envelope) sorts first rather than throwing.
             val ordered = events.toSeq
-              .sortBy(e => (e.event_id.isEmpty, e.event_id.getOrElse(0L)))
+              .sortBy(e => Option(e.resume_token).getOrElse(""))
             var last = state.getOption
             val out = ordered.map { e =>
               val r = ChangeEnvelopePrePost(e.event_id, e.resume_token, e.operation_type,

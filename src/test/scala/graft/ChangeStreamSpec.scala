@@ -107,25 +107,33 @@ class ChangeStreamSpec extends SparkSpec {
     // crashed on state.update(null) at the first delete ending a batch.
     val s = spark
     import s.implicits._
-    def env(id: java.lang.Long, op: String, key: Long, doc: String) =
-      (id, f"tok$key%02d${Option(id).map(_.toLong).getOrElse(99L)}%02d", op, "db", "c",
-        key, doc, new java.sql.Timestamp(1704067200000L))
+    // resume tokens carry the feed's total order (deletes included): the
+    // delete sits BETWEEN the two inserts, and the state machine must
+    // process it there — not shuffled to the end of the batch (ADVICE r8:
+    // sorting id'd events first made a delete+same-key-reinsert batch
+    // report the reinserted doc as the delete's before-image)
+    def env(tok: String, id: java.lang.Long, op: String, key: Long, doc: String) =
+      (id, tok, op, "db", "c", key, doc, new java.sql.Timestamp(1704067200000L))
     val batch = Seq(
-      env(1L, "insert", 7L, """{"v":1}"""),
-      env(null, "delete", 7L, null),
-      env(3L, "insert", 7L, """{"v":3}""")
+      env("tok01", 1L, "insert", 7L, """{"v":1}"""),
+      env("tok02", null, "delete", 7L, null),
+      env("tok03", 3L, "insert", 7L, """{"v":3}""")
     ).toDF("event_id", "resume_token", "operation_type", "ns_db", "ns_coll",
       "document_key", "full_document", "cluster_time")
     val out = ChangeStreamJob.withBeforeImages(batch).collect()
-      .sortBy(r => Option(r.getAs[java.lang.Long]("event_id")).map(_.toLong).getOrElse(2L))
+      .sortBy(_.getAs[String]("resume_token"))
     assert(out.length === 3)
     // insert 1: first event, no before-image
     assert(out(0).getAs[String]("full_document_before_change") == null)
-    // id-less events process AFTER the id'd ones within a batch, so the
-    // delete sees insert 3's doc as its before-image and clears the state
-    val delete = out.find(r => r.isNullAt(r.fieldIndex("event_id"))).get
-    assert(delete.getAs[String]("full_document_before_change") === """{"v":3}""")
+    // the delete processes in feed position: before-image is insert 1's doc
+    val delete = out(1)
+    assert(delete.isNullAt(delete.fieldIndex("event_id")))
+    assert(delete.getAs[String]("full_document_before_change") === """{"v":1}""")
     assert(delete.getAs[String]("full_document") == null)
+    // the reinsert AFTER the delete sees a null before-image — the delete
+    // cleared the key's state mid-batch, the doc it replaced is gone
+    assert(out(2).getAs[Long]("event_id") === 3L)
+    assert(out(2).getAs[String]("full_document_before_change") == null)
   }
 
   test("before-images resume as null after a batch ending in a delete") {

@@ -8,10 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * surface — cartesian products and non-scalar nested-loop joins.
   *
   * Planning only: `executedPlan` builds the physical plan without running
-  * jobs for lazy queries (a handful of iterative/stateful builders execute
-  * by construction — at sf0.001 that is cheap).
+  * jobs — since r9 EVERY registered query constructs lazily (the driver-
+  * iterative builders sit behind [[graft.plans.DeferredFrame]]); for those
+  * the guard forces the thunk explicitly and sweeps the INNER plan, so
+  * deferral cannot hide a scale-killer join from this check.
   */
 class PlanGuardSpec extends SparkSpec {
+
+  /** The physical plan to audit: for a deferred frame, the inner plan the
+    * thunk actually executes (running its driver-side rounds — cheap at
+    * sf0.001); otherwise the query's own executedPlan.
+    */
+  private def auditPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.logical match {
+      case graft.plans.DeferredRelation(_, thunk) =>
+        thunk().queryExecution.executedPlan.toString
+      case _ => df.queryExecution.executedPlan.toString
+    }
 
   /** Queries whose ONLY nested-loop join is a broadcast of a 1-row scalar
     * aggregate (count/median/total rows) — the pattern the verdict
@@ -35,7 +48,7 @@ class PlanGuardSpec extends SparkSpec {
   test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
-        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        try auditPlan(fn(spark, sf0001))
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       val cartesian = plan.contains("CartesianProduct")
       val nestedLoop = plan.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name)
@@ -44,6 +57,19 @@ class PlanGuardSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  test("driver-iterative builders construct lazily behind a deferred leaf") {
+    // VERDICT r8 #3: planning dup_clusters used to execute the LSH subtree.
+    // The structural guarantee: constructing these queries yields a
+    // DeferredRelation leaf — creation builds attributes and a thunk,
+    // nothing that can launch a job; the gate count and propagation rounds
+    // run at the first action (CurationSpec's collects cover execution).
+    for (name <- Seq("dup_clusters", "cluster_keep_best")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      assert(df.queryExecution.logical.isInstanceOf[graft.plans.DeferredRelation],
+        s"$name should construct as a deferred leaf")
+    }
   }
 
   test("filter-heavy scans push their predicates into parquet") {
