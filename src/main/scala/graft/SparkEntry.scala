@@ -133,7 +133,7 @@ object SparkEntry {
   val benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_build" -> ((s, d) => {
       Similarity.buildIvfIndex(s, d, ivfIndexDir(d, "extras"))
-      s.read.parquet(s"${ivfIndexDir(d, "extras")}/centroids")
+      Similarity.centroidsDF(s, ivfIndexDir(d, "extras"))
     }),
     "ann_ivf_probe" -> ((s, d) =>
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d, "extras")))

@@ -97,6 +97,23 @@ object VectorExpressions {
   def probeCellIds(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     sqlshim.column(ProbeCellIds(sqlshim.expression(vec),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+
+  /** Driver-side evaluation of [[ProbeCellIds]] for a handful of collected
+    * query vectors — evaluates the SAME expression instance the distributed
+    * plan would run (identical fold order, tie/NaN handling), so the cell
+    * choice is bit-identical while costing zero Spark jobs. KB-bounded by
+    * the caller (≤ nQueries vectors).
+    */
+  def probeCellsLocal(vec: Seq[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val expr = ProbeCellIds(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vec, ArrayType(FloatType, containsNull = false)),
+      centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe)
+    expr.eval(InternalRow.empty) match {
+      case null => Array.empty[Int] // dimension mismatch: no cells, same as the plan's null
+      case a: ArrayData => a.toIntArray()
+    }
+  }
 }
 
 /** Shared kernel for the IVF cell expressions: cosines of a vector against

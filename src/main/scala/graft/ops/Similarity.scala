@@ -31,6 +31,31 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Run `f` with AQE off, restoring the session's setting after. Scoped
+    * around the k-means mini-queries (seed fetch, per-iteration means):
+    * their shapes are fixed and their intermediates bounded (≤C rows), so
+    * AQE's materialize-and-replan adds one extra job + planning gap per
+    * exchange and can never improve the plan. The corpus-scale scans,
+    * writes, and probe joins keep the session's AQE — at 100 TB those are
+    * exactly where runtime re-planning earns its cost.
+    */
+  private def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** Final ORDER BY for a driver-bounded ANN result (≤ nQueries·k rows by
+    * construction — rank ≤ k per query, queries capped): merge to one
+    * partition (narrow) and sort it in place. Same global order as
+    * `orderBy`, without the range-partitioning exchange — a sampling pass
+    * plus a shuffle stage — that a general distributed sort pays. NOT for
+    * corpus-sized results (embeddingNearDup keeps its real orderBy).
+    */
+  private def boundedSort(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   /** Codegen'd one-pass cosine (graft.functions.CosineSim): same sequential
     * double fold as dot/norm above, bit-identical results.
     */
@@ -51,7 +76,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .transform(boundedSort(_, "query_id", "rank"))
   }
 
   /** Deterministic Gaussian hyperplanes (java.util.Random is LCG-spec'd, so
@@ -128,7 +153,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .transform(boundedSort(_, "query_id", "rank"))
   }
 
   /** B5b — mini-IVF (inverted-file) index: deterministic Lloyd's iterations
@@ -149,30 +174,58 @@ object Similarity {
     // silently force every later use back to a full recompute.
     val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (own) emb.persist()
-    try {
+    try withoutAqe(emb.sparkSession) {
     // deterministic seeds: the C lowest vec_ids
     var centroids: Array[Array[Double]] = emb.orderBy("vec_id").limit(c)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     for (_ <- 0 until iters) {
       val assigned = emb.withColumn("cell", nearestCell(col("embedding"), centroids))
-      // Means round to 6 decimals: Spark's distributed double sum and
-      // DuckDB's sequential one differ in the last ulp; rounding makes the
-      // centroid literals identical on both engines (and costs IVF nothing —
-      // centroids are arbitrary quantization anchors). One avg aggregate per
-      // component (map-side partials of C×dim doubles per partition) instead
-      // of posexploding every vector into dim shuffled rows — the shuffle
-      // carries cells, not the corpus.
-      val means = assigned
-        .groupBy("cell")
-        .agg(array((0 until dim).map(i =>
-          round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)): _*).as("ctr"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cell")) = r.getSeq[Double](1).toArray
+      // Per-iteration means as ONE single-stage job: per-partition (cell →
+      // component sums, counts) partials via mapPartitions — the classic
+      // map-side-combine k-means step (what MLlib's trainer does) — merged
+      // on the driver in partition order. The collect moves ≤ C×(dim+...)
+      // doubles per partition, never rows. vs the earlier groupBy+avg
+      // formulation this removes the partial→final exchange (a whole stage
+      // + its scheduling) from every iteration. Means round to 6 decimals:
+      // double summation order differs between engines (and between
+      // shuffle-merge orders), and rounding makes the centroid literals
+      // identical everywhere — here the partition-order merge is even
+      // deterministic, where shuffle-fetch order was not. Per-component
+      // counts mirror avg(element_at(...))'s skip-null semantics for
+      // short/null vectors.
+      val c0 = centroids
+      val partials = assigned.select(col("cell"), col("embedding"))
+        .rdd.mapPartitions { rows =>
+          val acc = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Array[Long])]
+          rows.foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1)) {
+              val cell = r.getInt(0)
+              val vec = r.getSeq[Float](1)
+              val (sums, counts) = acc.getOrElseUpdate(cell,
+                (new Array[Double](dim), new Array[Long](dim)))
+              val n = math.min(dim, vec.length)
+              var i = 0
+              while (i < n) { sums(i) += vec(i).toDouble; counts(i) += 1L; i += 1 }
+            }
+          }
+          acc.iterator.map { case (cell, (s, n)) => (cell, s, n) }
+        }.collect()
+      val totS = Array.fill(c0.length)(new Array[Double](dim))
+      val totN = Array.fill(c0.length)(new Array[Long](dim))
+      partials.foreach { case (cell, s, n) =>
+        var i = 0
+        while (i < dim) { totS(cell)(i) += s(i); totN(cell)(i) += n(i); i += 1 }
       }
-      centroids = next
+      centroids = c0.indices.map { cell =>
+        if (totN(cell).forall(_ == 0L)) c0(cell) // empty cell keeps its anchor
+        else Array.tabulate(dim)(i =>
+          if (totN(cell)(i) == 0L) c0(cell)(i)
+          // exactly Spark's round(double, 6): BigDecimal.valueOf (canonical
+          // decimal repr), HALF_UP — not the exact-binary BigDecimal(double)
+          else java.math.BigDecimal.valueOf(totS(cell)(i) / totN(cell)(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }.toArray
     }
     centroids
     } finally { if (own) { emb.unpersist(); () } }
@@ -233,7 +286,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .transform(boundedSort(_, "query_id", "rank"))
   }
 
   /** B5d — IVF index lifecycle: build the index ONCE and persist it, probe
@@ -242,9 +295,12 @@ object Similarity {
     * query that follows — rebuilding per query, as the inline [[ivfTopK]]
     * demonstration does, is not a production shape. Two parquet tables:
     *
-    *  - `centroids` (cell, ctr: array<double>) — C×dim, KB-sized at any
-    *    corpus scale; rounded to 6 decimals so re-reading them reproduces
-    *    the assignment bit-for-bit on any engine;
+    *  - `centroids.csv` — C×dim, KB-sized at any corpus scale, so it is
+    *    written (and read back) directly by the driver: one line per cell,
+    *    comma-separated shortest-repr doubles (rounded to 6 decimals at
+    *    build, so re-reading reproduces the assignment bit-for-bit on any
+    *    engine). A Spark write job for a KB sidecar was pure fixed
+    *    overhead — the index's only distributed artifact is:
     *  - `assignments` (vec_id, cell) — one narrow row per corpus vector,
     *    the only corpus-sized artifact, written WITHOUT the vector payload
     *    (probes re-attach vectors from the embeddings table by key, so the
@@ -265,6 +321,33 @@ object Similarity {
 
   private[graft] def invalidateCentroidCache(): Unit = centroidCache.clear()
 
+  /** Serialize/parse the KB-sized centroid sidecar. `Double.toString` emits
+    * the shortest representation that round-trips through `parseDouble`
+    * exactly, so the matrix survives the file unchanged bit-for-bit.
+    */
+  private def writeCentroids(indexDir: String, centroids: Array[Array[Double]]): Unit = {
+    val p = java.nio.file.Paths.get(indexDir, "centroids.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p,
+      centroids.map(_.map(java.lang.Double.toString).mkString(",")).mkString("", "\n", "\n"))
+  }
+
+  private def readCentroids(indexDir: String): Array[Array[Double]] = {
+    val p = java.nio.file.Paths.get(indexDir, "centroids.csv")
+    java.nio.file.Files.readString(p).split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Double.parseDouble))
+  }
+
+  /** The centroid table as a (cell, ctr) DataFrame — a LocalRelation over
+    * the sidecar, for callers that want to inspect the index relationally.
+    */
+  def centroidsDF(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    readCentroids(indexDir).zipWithIndex
+      .map { case (ctr, cell) => (cell, ctr.toSeq) }.toSeq
+      .toDF("cell", "ctr")
+  }
+
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     cells: Int = 16, iters: Int = 2, dim: Int = 64): Unit = {
     val emb = Tables.embeddings(spark, dir)
@@ -275,11 +358,8 @@ object Similarity {
     if (own) emb.persist()
     try {
     val centroids = ivfCentroids(emb, cells, iters, dim)
-    import spark.implicits._
-    centroids.zipWithIndex
-      .map { case (ctr, cell) => (cell, ctr.toSeq) }.toSeq
-      .toDF("cell", "ctr")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // KB sidecar, driver-written: a Spark job for it was fixed overhead
+    writeCentroids(indexDir, centroids)
     // Repartition on cell before the partitioned write: without it every
     // one of the N writer tasks emits a file into every cell=K directory
     // (N×C small files); with it each cell's rows land in one task → one
@@ -307,16 +387,27 @@ object Similarity {
                         dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids: Array[Array[Double]] =
-      centroidCache.computeIfAbsent(indexDir, d =>
-        spark.read.parquet(s"$d/centroids").orderBy("cell").collect()
-          .map(_.getSeq[Double](1).toArray))
-    val probes = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
-        explode(probeCells(col("embedding"), centroids, nprobe)).as("cell"))
-    // KB-bounded collect (≤ nQueries·nprobe ints): materializing the probed
-    // cell set as literals is what lets the scan prune whole cell=N
-    // directories instead of filtering after reading the full index.
-    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+      centroidCache.computeIfAbsent(indexDir, d => readCentroids(d))
+    // ONE pushed-filter scan collects the ≤nQueries query vectors; the cell
+    // fan-out is evaluated DRIVER-side on the same ProbeCellIds expression
+    // the distributed plan would run (bit-identical choice), so the probe
+    // side becomes a LocalRelation: no second corpus scan in the final
+    // plan, no separate probed-cell job, and the broadcast builds from
+    // local rows. The collect is KB-bounded by nQueries, like the matrix.
+    import spark.implicits._
+    val probeRows: Seq[(Long, Seq[Float], Int)] = emb
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .flatMap { r =>
+        val vec = r.getSeq[Float](1)
+        graft.functions.VectorExpressions.probeCellsLocal(vec, centroids, nprobe)
+          .map(c => (r.getLong(0), vec, c))
+      }
+    val probes = probeRows.toDF("query_id", "query_vec", "cell")
+    // the probed-cell IN literal (≤ nQueries·nprobe ints) is what lets the
+    // scan prune whole cell=N directories instead of filtering after
+    // reading the full index
+    val probedCells = probeRows.map(_._3).distinct.sorted
     val corpus = spark.read.parquet(s"$indexDir/assignments")
       .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .join(emb, Seq("vec_id"))
@@ -334,7 +425,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .transform(boundedSort(_, "query_id", "rank"))
   }
 
   /** B5c — embedding-cosine near-dup: corpus-wide near-duplicate pairs by

@@ -74,7 +74,7 @@ class AnnSpec extends SparkSpec {
     // (vec_id, cell) only; centroids are the KB-sized C x dim matrix
     val asg = spark.read.parquet(s"$idx/assignments")
     assert(asg.columns.sorted.toSeq === Seq("cell", "vec_id"))
-    val ctr = spark.read.parquet(s"$idx/centroids")
+    val ctr = Similarity.centroidsDF(spark, idx)
     assert(ctr.count() === 16)
     // the probe PRUNES: assignments are laid out one directory per cell and
     // the probed-cell IN literal reaches the scan as a partition filter, so
