@@ -8,7 +8,7 @@ SF_TEST ?= /root/testdata/sf0.01
 OUT     ?= /tmp/verify_out
 CONFIG  ?= conf/config.sample.yaml
 
-.PHONY: all build check test verify bench daemon smoke crossover e2e-broker help
+.PHONY: all build check test verify bench qbench daemon smoke crossover tripwire e2e-broker help
 
 all: build
 
@@ -48,6 +48,11 @@ smoke:
 ## Scale-crossover measurement for the fixed-overhead-floor queries
 crossover:
 	python3 tools/crossover.py
+
+## Perf-regression tripwire: full bench, then assert no query's
+## same-session ratio exceeds 3x its PERF_BASELINE.json record
+tripwire: bench
+	sbt -batch "testOnly graft.PerfRegressionSpec"
 
 ## Live-broker e2e (skips cleanly unless GRAFT_SOURCE_URI/GRAFT_SINK_URI set)
 e2e-broker:

@@ -166,7 +166,42 @@ object Bench {
         s""","duckdb_total":${fmt(duckTotal)},"ratio_vs_duckdb":${fmt(agg)}""" +
         s""","anchor":"same-session interleaved duckdb, min of $reps""""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(qresults)},"extras":${jsonMap(xresults)}$anchorFields,"sf":"$sfDir"$failedField}""")
+    // --- perf-regression tripwire (VERDICT r8 stretch #8) -----------------
+    // Compare this run's same-session ratios against the committed
+    // PERF_BASELINE.json (a recorded full-bench line). Ratio-vs-ratio is the
+    // only comparison that survives this host: absolute seconds drift with
+    // external load, but the interleaved anchor cancels the noise from both
+    // sides of the division. Tolerance 3x: generous enough that no measured
+    // host stall has ever produced it on an unchanged plan (worst observed
+    // same-query ratio drift round-over-round is ~1.6x), tight enough that
+    // a lost pushdown or a new shuffle — integer multiples — still trips.
+    val baselinePath = sys.env.getOrElse("GRAFT_PERF_BASELINE", "PERF_BASELINE.json")
+    val regressions: Seq[String] = if (duckBest.isEmpty) Nil else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
+      val base = node.path("spark_over_duckdb")
+      qresults.collect {
+        case (k, v) if v > 0 && duckBest.get(k).exists(_ > 0) &&
+          base.path(k).asDouble(0) > 0 &&
+          v / duckBest(k) > 3 * base.path(k).asDouble() => k
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no baseline ($baselinePath): ${e.getMessage}")
+      Nil
+    }
+    val regrField =
+      if (duckBest.isEmpty) ""
+      else s""","regressions":[${regressions.map("\"" + _ + "\"").mkString(",")}]"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(qresults)},"extras":${jsonMap(xresults)}$anchorFields$regrField,"sf":"$sfDir"$failedField}"""
+    println(fullLine)
+    // The stdout tail is lossy by design; persist the untruncated line where
+    // PerfRegressionSpec (and round-over-round tooling) can read it.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_latest.json")),
+      fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_latest.json: ${e.getMessage}")
+    }
     // The driver's artifact keeps only the last ~2 KB of stdout; round 8's
     // full line outgrew that and the per-query Spark seconds were truncated
     // away (VERDICT r8 "What's wrong" #1). Emit a second, compact,
@@ -175,7 +210,14 @@ object Bench {
     // a mid-line clip loses only the boilerplate prefix, never the numbers
     // a round-over-round comparison needs. Measured at 79 keys this line is
     // ~1.97 KB, inside the tail window.
-    def fmt2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // 2dp, then trailing zeros stripped ("0.80"→"0.8", "12.00"→"12"): the
+    // driver tail keeps the last ~2000 bytes of stdout, and sbt's "[info] "
+    // prefix plus its closing "[success] Total time" line eat ~80 of them —
+    // at 79 keys the line must stay ~1.9 KB or the map's FIRST entries clip.
+    def fmt2(v: Double) = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     val compactQ = qresults.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val compactAnchor = if (duckBest.isEmpty) "" else {
@@ -185,9 +227,10 @@ object Bench {
       val sharedSpark = qresults.collect { case (k, v) if sharedKeys(k) => v }.sum
       val duckTotal = duckBest.collect { case (k, v) if sharedKeys(k) => v }.sum
       val agg = if (duckTotal > 0) sharedSpark / duckTotal else -1.0
-      s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(agg)}"""
+      // regression count only — names live in the full line / bench_latest
+      s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(agg)},"regr":${regressions.size}"""
     }
-    println(s"""{"metric":"summary","unit":"sec","queries":$compactQ,"value":${fmt2(total)}$compactAnchor$failedField}""")
+    println(s"""{"metric":"summary","queries":$compactQ,"value":${fmt2(total)}$compactAnchor$failedField}""")
     spark.stop()
   }
 }
