@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   *
   * All operators read through here so scale-sensitive read settings live in
-  * one place. `events.parquet` carries nanosecond timestamps, which Spark's
-  * parquet reader rejects by default; sessions that read it must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` AT SESSION BUILD (every
-  * entry-point builder in this repo does — Verify/Bench/QueryBench/
-  * PlanAudit/GraftDaemon/the test session). It is deliberately NOT set here:
-  * flipping session conf inside a reader would silently change other readers
-  * on a shared session. The raw longs convert to microsecond timestamps with
-  * integer division (never via double — a 19-digit nano epoch loses
-  * precision in a double mantissa).
+  * one place. `events.parquet` has shipped its `ts` column under TWO
+  * physical encodings across driver generations — nanosecond INT64 and
+  * parquet TIMESTAMP(MICROS) — so [[events]] normalizes by the scanned
+  * type rather than assuming one. Nano files additionally need
+  * `spark.sql.legacy.parquet.nanosAsLong=true` AT SESSION BUILD or the
+  * scan itself rejects them (every entry-point builder in this repo sets
+  * it — Verify/Bench/QueryBench/PlanAudit/GraftDaemon/the test session).
+  * It is deliberately NOT set here: flipping session conf inside a reader
+  * would silently change other readers on a shared session.
   */
 object Tables {
 
@@ -100,11 +100,26 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spread(table(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings.parquet")
 
-  /** Events with `ts` normalized to a microsecond TimestampType column.
-    * DuckDB equivalent of the conversion: `CAST(ts AS TIMESTAMP)` (both
-    * truncate nanos toward negative infinity for the epochs in our data).
+  /** Events with `ts` normalized to a microsecond TimestampType column,
+    * whatever the file's physical encoding. The driver's testdata has
+    * shipped `ts` BOTH ways across rounds — nanosecond INT64 (reads as
+    * LongType under `nanosAsLong`; divide to micros as integers, never via
+    * double — a 19-digit nano epoch loses precision in a double mantissa)
+    * and, since round 9, parquet TIMESTAMP(MICROS, adjustedToUTC=false)
+    * (reads as TIMESTAMP_NTZ; reinterpret as an instant under the session
+    * zone, which every entry-point session pins to UTC) — so the reader
+    * dispatches on the scanned type instead of assuming one generation.
+    * DuckDB oracle equivalent either way: `CAST(ts AS TIMESTAMP)` (nanos
+    * truncate toward negative infinity; micros are already exact).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spread(table(spark, dir, "events"), "event_id", s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spread(table(spark, dir, "events"), "event_id", s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a zoned timestamp
+    }
+  }
 }

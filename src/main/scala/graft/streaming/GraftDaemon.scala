@@ -41,6 +41,7 @@ object GraftDaemon {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-daemon")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
