@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   *   - embeddings: unit-normalized 64-dim float vectors with 10 label
   *     clusters (vec = normalize(gaussian + 0.6·center[label])), matching
   *     the real table's unit norms and label 0..9.
+  *   - events: the sf0.1 table's measured shape — event_id strictly
+  *     time-ordered (ts = start + id·step + jitter < step, so order
+  *     statistics stay sorted like the real uniform draw), the same 30-day
+  *     window, users scaled proportionally (sf0.1: 100k events / 1500
+  *     users ≈ 67 per user — preserved, so per-user session-gap character
+  *     survives the scale-up), uniform 5-way event_type, value ~
+  *     Exponential(mean 50) (the real median 34.77 ≈ 50·ln 2 pins the
+  *     family), props = {"k": 0..99}. Written as parquet
+  *     TIMESTAMP(MICROS, adjustedToUTC=false) — the round-9 driver
+  *     layout, exercising the reader's NTZ branch.
   *
   * Deterministic: every row is a pure function of its id (per-row
   * java.util.Random seeded by a splitmix of the id), so exact-duplicate
@@ -26,7 +36,7 @@ import org.apache.spark.sql.functions._
   * distributed (mapPartitions over spark.range) — the tool itself would run
   * at any scale.
   *
-  *   runMain graft.tools.CrossoverGen <outDir> [nDocs] [nVecs]
+  *   runMain graft.tools.CrossoverGen <outDir> [nDocs] [nVecs] [nEvents]
   */
 object CrossoverGen {
 
@@ -63,9 +73,10 @@ object CrossoverGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse(sys.error("usage: CrossoverGen <outDir> [nDocs] [nVecs]"))
+    val outDir = args.headOption.getOrElse(sys.error("usage: CrossoverGen <outDir> [nDocs] [nVecs] [nEvents]"))
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
     val nVecs = if (args.length > 2) args(2).toLong else 100000L
+    val nEvents = if (args.length > 3) args(3).toLong else 2000000L
     val srcDir = "/root/testdata/sf0.1"
     val spark = graft.BenchHarness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -114,7 +125,28 @@ object CrossoverGen {
       }.toDF("vec_id", "embedding", "label")
     vecs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"vocab":${vocab.length}}""")
+    // events: 30-day window like sf0.1; step·jitter<step keeps event_id
+    // strictly time-ordered (the real table has zero inversions)
+    val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val spanUs = 30L * 86400L * 1000000L
+    val stepUs = spanUs / math.max(nEvents, 1L)
+    val nUsers = math.max(nEvents / 67L, 1L) // sf0.1: ~67 events/user
+    val eventTypes = Array("click", "error", "purchase", "signup", "view")
+    val events = spark.range(nEvents).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val r = mix(0xE7E47L ^ id)
+        val ts = startUs + id * stepUs + (r.nextDouble() * 0.9 * stepUs).toLong
+        val user = java.lang.Math.floorMod(r.nextLong(), nUsers)
+        val etype = eventTypes(r.nextInt(eventTypes.length))
+        // Exponential(mean 50), 2dp — the measured value family
+        val value = math.rint(-50.0 * math.log(1.0 - r.nextDouble()) * 100) / 100
+        (id, ts, user, etype, value, s"""{"k": ${r.nextInt(100)}}""")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+    events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"vocab":${vocab.length}}""")
     spark.stop()
   }
 }
