@@ -72,6 +72,21 @@ object CrossoverGen {
     }
   }
 
+  /** Event row for `id` — pure function like [[docText]], so generation is
+    * deterministic and the jitter bound (0.9·step < step) keeps ts strictly
+    * increasing in id, mirroring the real table's zero inversions.
+    */
+  def eventRow(id: Long, nUsers: Long, startUs: Long, stepUs: Long,
+               eventTypes: Array[String]): (Long, Long, Long, String, Double, String) = {
+    val r = mix(0xE7E47L ^ id)
+    val ts = startUs + id * stepUs + (r.nextDouble() * 0.9 * stepUs).toLong
+    val user = java.lang.Math.floorMod(r.nextLong(), nUsers)
+    val etype = eventTypes(r.nextInt(eventTypes.length))
+    // Exponential(mean 50), 2dp — the measured value family
+    val value = math.rint(-50.0 * math.log(1.0 - r.nextDouble()) * 100) / 100
+    (id, ts, user, etype, value, s"""{"k": ${r.nextInt(100)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(sys.error("usage: CrossoverGen <outDir> [nDocs] [nVecs] [nEvents]"))
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
@@ -133,15 +148,7 @@ object CrossoverGen {
     val nUsers = math.max(nEvents / 67L, 1L) // sf0.1: ~67 events/user
     val eventTypes = Array("click", "error", "purchase", "signup", "view")
     val events = spark.range(nEvents).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val r = mix(0xE7E47L ^ id)
-        val ts = startUs + id * stepUs + (r.nextDouble() * 0.9 * stepUs).toLong
-        val user = java.lang.Math.floorMod(r.nextLong(), nUsers)
-        val etype = eventTypes(r.nextInt(eventTypes.length))
-        // Exponential(mean 50), 2dp — the measured value family
-        val value = math.rint(-50.0 * math.log(1.0 - r.nextDouble()) * 100) / 100
-        (id, ts, user, etype, value, s"""{"k": ${r.nextInt(100)}}""")
-      }
+      ids.map(eventRow(_, nUsers, startUs, stepUs, eventTypes))
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
