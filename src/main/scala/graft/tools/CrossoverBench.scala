@@ -30,7 +30,10 @@ object CrossoverBench {
       val secs = (System.nanoTime() - t0) / 1e9
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), secs)
     }
-    val q = names.map(n => "\"" + n + "\":" + f"${best(n)}%.3f").mkString(",")
+    // Locale.ROOT like Bench.fmt: an f-interpolator uses the JVM default
+    // locale, and a comma-decimal host would emit invalid JSON here
+    val q = names.map(n => "\"" + n + "\":" +
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(best(n)))).mkString(",")
     println(s"""{"crossover_spark":{$q},"dir":"$dir","reps":$reps}""")
     spark.stop()
   }
