@@ -59,4 +59,4 @@ e2e-broker:
 	sbt -batch "testOnly graft.BrokerIntegrationSpec"
 
 help:
-	@grep -B1 -E '^[a-z-]+:' Makefile | grep -E '^##|^[a-z-]+:' | sed 's/^## //'
+	@grep -B1 -E '^[a-z0-9-]+:' Makefile | grep -E '^##|^[a-z0-9-]+:' | sed 's/^## //'

@@ -47,14 +47,20 @@ object Similarity {
   }
 
   /** Final ORDER BY for a driver-bounded ANN result (≤ nQueries·k rows by
-    * construction — rank ≤ k per query, queries capped): merge to one
-    * partition (narrow) and sort it in place. Same global order as
-    * `orderBy`, without the range-partitioning exchange — a sampling pass
-    * plus a shuffle stage — that a general distributed sort pays. NOT for
-    * corpus-sized results (embeddingNearDup keeps its real orderBy).
+    * construction — rank ≤ k per query, queries capped): shuffle the tiny
+    * filtered result to one partition and sort it in place. Same global
+    * order as `orderBy`, without the range-partitioning exchange — a
+    * sampling pass plus a shuffle stage — that a general distributed sort
+    * pays. `repartition(1)`, NOT `coalesce(1)`: coalesce is a narrow
+    * dependency, so it would fuse backwards past the filter and run the
+    * whole post-exchange stage — the per-candidate scoring sort + window
+    * over nQueries×corpus rows — as ONE task; the repartition's shuffle
+    * boundary keeps that stage at full parallelism and moves only the
+    * ≤ nQueries·k surviving rows. NOT for corpus-sized results
+    * (embeddingNearDup keeps its real orderBy).
     */
   private def boundedSort(df: DataFrame, cols: String*): DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
   /** Codegen'd one-pass cosine (graft.functions.CosineSim): same sequential
     * double fold as dot/norm above, bit-identical results.

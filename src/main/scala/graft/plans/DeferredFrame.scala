@@ -25,8 +25,13 @@ import org.apache.spark.sql.types.StructType
   *   - `computeStats` reports an unknown-huge size so the optimizer never
   *     plans a broadcast of a result it cannot see; once materialized the
   *     rows flow through the inner plan's own partitioning.
-  *   - the thunk is memoized (`lazy val`), so a plan referenced twice in
-  *     one query computes once.
+  *   - the thunk is memoized at WRAP time (a shared lazy holder baked into
+  *     the relation), not per physical-plan instance: every planning of
+  *     the relation — two references in one query, or count() then
+  *     collect() on the same frame — shares one evaluation of the
+  *     driver-iterative pipeline. A fresh call to the operator builder
+  *     constructs a fresh thunk, so benchmark samples that rebuild the
+  *     query still do full work.
   *   - the strategy self-registers on the session at construction
   *     (idempotent), so the node works on any SparkSession, with or
   *     without `spark.sql.extensions=graft.GraftExtensions`.
@@ -68,6 +73,11 @@ object DeferredFrame {
       spark.experimental.extraStrategies = cur :+ DeferredStrategy
     val attrs = schema.fields.toSeq.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
-    GraftSqlBridge.ofRows(spark, DeferredRelation(attrs, thunk))
+    // Memoize HERE, not in DeferredExec: each action (and each reference
+    // inside one query) plans a fresh DeferredExec instance, so a lazy val
+    // there re-ran the whole iterative pipeline per action. A lazy holder
+    // closed over by the relation's thunk is shared by every planning.
+    object memo { lazy val value: DataFrame = thunk() }
+    GraftSqlBridge.ofRows(spark, DeferredRelation(attrs, () => memo.value))
   }
 }

@@ -57,15 +57,19 @@ class PerfRegressionSpec extends AnyFunSuite {
       case (q, r) if base.getOrElse(q, 0.0) > 0 && r > tolerance * base(q) =>
         f"$q: ratio $r%.2f vs baseline ${base(q)}%.2f (${r / base(q)}%.1fx)"
     }
-    assert(regressed.isEmpty,
-      s"\n${regressed.size} queries regressed >${tolerance}x vs PERF_BASELINE.json:\n  " +
-        regressed.mkString("\n  ") +
-        "\n(a trip at 3x means a plan change — check .explain for a lost " +
-        "pushdown, a new exchange, or a broadcast turned sort-merge)")
     // Coverage sanity: the baseline must actually cover the current query
-    // set, or a renamed query silently drops out of the tripwire.
+    // set, or a renamed query silently drops out of the tripwire. Collected
+    // BEFORE asserting so a round that both regresses one query and renames
+    // another reports both problems, not just the first.
     val uncovered = cur.keySet -- base.keySet
-    assert(uncovered.isEmpty,
-      s"queries missing from PERF_BASELINE.json (re-record it): $uncovered")
+    val problems =
+      (if (regressed.isEmpty) Nil
+       else Seq(s"${regressed.size} queries regressed >${tolerance}x vs " +
+         s"PERF_BASELINE.json:\n  ${regressed.mkString("\n  ")}\n(a trip at " +
+         "3x means a plan change — check .explain for a lost pushdown, a " +
+         "new exchange, or a broadcast turned sort-merge)")) ++
+      (if (uncovered.isEmpty) Nil
+       else Seq(s"queries missing from PERF_BASELINE.json (re-record it): $uncovered"))
+    assert(problems.isEmpty, "\n" + problems.mkString("\n"))
   }
 }
