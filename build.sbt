@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout/stderr, not through sbt's
+// logger: the logger's "[info] " prefix wrapped Bench's one-line JSON
+// results, and the round driver's tail parser never matched a prefixed
+// line (BENCH_r01..r09 all show parsed:null). Bare lines parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

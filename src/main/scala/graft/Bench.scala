@@ -168,23 +168,22 @@ object Bench {
         s""","anchor":"same-session interleaved duckdb, min of $reps""""
     }
     // --- perf-regression tripwire (VERDICT r8 stretch #8) -----------------
-    // Compare this run's same-session ratios against the committed
-    // PERF_BASELINE.json (a recorded full-bench line). Ratio-vs-ratio is the
-    // only comparison that survives this host: absolute seconds drift with
-    // external load, but the interleaved anchor cancels the noise from both
-    // sides of the division. Tolerance 3x: generous enough that no measured
-    // host stall has ever produced it on an unchanged plan (worst observed
-    // same-query ratio drift round-over-round is ~1.6x), tight enough that
-    // a lost pushdown or a new shuffle — integer multiples — still trips.
+    // Compare this run against the committed PERF_BASELINE.json (a recorded
+    // full-bench line). The decision rule lives in graft.PerfGate — shared
+    // with PerfRegressionSpec so the `regressions` field here and the
+    // `sbt test` gate can never disagree: ratio-vs-ratio at 3x for queries
+    // with a real (≥50 ms) DuckDB anchor, wall-vs-wall 3x PLUS >0.3 s
+    // absolute growth for sub-floor anchors whose ratio is noise-dominated
+    // (the r9 false trip).
     val baselinePath = sys.env.getOrElse("GRAFT_PERF_BASELINE", "PERF_BASELINE.json")
     val regressions: Seq[String] = if (duckBest.isEmpty) Nil else try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
-      val base = node.path("spark_over_duckdb")
+      val baseRatio = node.path("spark_over_duckdb")
+      val baseWall = node.path("queries")
       qresults.collect {
-        case (k, v) if v > 0 && duckBest.get(k).exists(_ > 0) &&
-          base.path(k).asDouble(0) > 0 &&
-          v / duckBest(k) > 3 * base.path(k).asDouble() => k
+        case (k, v) if duckBest.contains(k) && PerfGate.regressed(
+          v, duckBest(k), baseWall.path(k).asDouble(0), baseRatio.path(k).asDouble(0)) => k
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] no baseline ($baselinePath): ${e.getMessage}")

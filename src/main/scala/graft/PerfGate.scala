@@ -1,0 +1,81 @@
+package graft
+
+/** The ONE perf-regression decision rule, shared by [[Bench]] (the
+  * `regressions` field every round driver run reports) and
+  * `PerfRegressionSpec` (the `sbt test` gate over the committed artifacts).
+  * Two call sites hand-copying the comparison is how the two reports
+  * silently diverge; both now ask this object.
+  *
+  * Rule (r9 verdict #1/#2 adjudication):
+  *
+  *   - Anchored queries (DuckDB anchor ≥ [[anchorFloorSec]]): ratio-vs-ratio
+  *     at [[ratioTolerance]]×. Absolute seconds drift with external host
+  *     load (identical code has totaled 46-83 s across rounds) while the
+  *     interleaved same-session anchor shares each Spark pass's stall
+  *     windows, so the ratio cancels noise from both sides of the division.
+  *
+  *   - Sub-floor anchors (< [[anchorFloorSec]]): the ratio's denominator is
+  *     single-digit milliseconds of DuckDB work, so a ±10 ms anchor wobble
+  *     — pure measurement noise — moves the ratio 2-4×. R9 proved it:
+  *     `resume_tokens_last` tripped at 3.1× ratio-vs-ratio on an UNCHANGED
+  *     trivial groupBy plan (wall 0.32→0.78 s against a 7-9 ms anchor).
+  *     These queries gate on the Spark wall instead: trip only when the
+  *     wall BOTH exceeds [[ratioTolerance]]× its baseline wall AND grew by
+  *     more than [[absFloorSec]] absolute — a compound that uniform host
+  *     drift (worst observed ~1.6× on an unchanged plan) cannot produce,
+  *     while a genuinely lost pushdown or new exchange on even a trivial
+  *     query (integer-multiple wall growth from a sub-second base) still
+  *     does.
+  */
+object PerfGate {
+
+  /** Trip threshold, ratio-vs-ratio or wall-vs-wall: above any observed
+    * noise drift (~1.6× worst), below a real plan defect's integer
+    * multiples.
+    */
+  val ratioTolerance = 3.0
+
+  /** Anchors below this are noise-dominated: DuckDB's own scheduling jitter
+    * is single-digit ms, so a <50 ms denominator cannot carry a 3× signal.
+    */
+  val anchorFloorSec = 0.05
+
+  /** Minimum ABSOLUTE Spark-wall growth for a sub-floor-anchor trip: a
+    * trivial query's wall is dominated by the fixed job floor (~0.2-0.5 s
+    * here), which wobbles by ±0.2 s with host load; 0.3 s of growth on top
+    * of a 3× multiple is outside that band.
+    */
+  val absFloorSec = 0.3
+
+  /** Should this query trip the wire?
+    *
+    * @param curSpark  this run's Spark wall (min-of-reps), seconds
+    * @param curDuck   this run's same-session DuckDB anchor, seconds
+    * @param baseSpark baseline Spark wall from PERF_BASELINE.json
+    * @param baseRatio baseline spark/duckdb ratio from PERF_BASELINE.json
+    *
+    * Non-positive inputs (failed sample, missing baseline entry) never
+    * trip: absence of evidence is the coverage check's job, not the gate's.
+    */
+  def regressed(curSpark: Double, curDuck: Double,
+                baseSpark: Double, baseRatio: Double): Boolean =
+    if (curSpark <= 0 || curDuck <= 0 || baseRatio <= 0) false
+    else if (curDuck >= anchorFloorSec)
+      curSpark / curDuck > ratioTolerance * baseRatio
+    else
+      baseSpark > 0 &&
+        curSpark > ratioTolerance * baseSpark &&
+        curSpark - baseSpark > absFloorSec
+
+  /** One-line explanation for a tripped query, matching the branch that
+    * fired — the message a red suite hands the person adjudicating.
+    */
+  def describe(name: String, curSpark: Double, curDuck: Double,
+               baseSpark: Double, baseRatio: Double): String =
+    if (curDuck >= anchorFloorSec)
+      f"$name: ratio ${curSpark / curDuck}%.2f vs baseline $baseRatio%.2f " +
+        f"(${curSpark / curDuck / baseRatio}%.1fx)"
+    else
+      f"$name: wall $curSpark%.3fs vs baseline $baseSpark%.3fs " +
+        f"(${curSpark / baseSpark}%.1fx, anchor ${curDuck * 1000}%.0fms < 50ms floor)"
+}

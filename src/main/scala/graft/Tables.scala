@@ -119,7 +119,16 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw // already a zoned timestamp
+      case _: org.apache.spark.sql.types.TimestampType => raw // already a zoned instant
+      case other =>
+        // Fail at the read, with the file and the type in hand — a silent
+        // pass-through deferred this to an obscure analysis error deep
+        // inside whichever query touched `ts` first (the failure mode
+        // TablesSpec pins).
+        throw new IllegalArgumentException(
+          s"$dir/events.parquet: unsupported physical type for ts: $other " +
+            "(expected INT64 nanos under nanosAsLong, TIMESTAMP_NTZ micros, " +
+            "or a zoned TIMESTAMP)")
     }
   }
 }

@@ -144,7 +144,11 @@ object CrossoverGen {
     // strictly time-ordered (the real table has zero inversions)
     val startUs = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
     val spanUs = 30L * 86400L * 1000000L
-    val stepUs = spanUs / math.max(nEvents, 1L)
+    // Clamp to ≥1 µs: the strict ts-increase invariant needs stepUs ≥ 1
+    // (at stepUs=0 every jitter truncates to 0 and ts collapses to startUs).
+    // Past ~2.6e12 events the 30-day window therefore widens to nEvents µs —
+    // still strictly ordered, just a longer synthetic span.
+    val stepUs = math.max(spanUs / math.max(nEvents, 1L), 1L)
     val nUsers = math.max(nEvents / 67L, 1L) // sf0.1: ~67 events/user
     val eventTypes = Array("click", "error", "purchase", "signup", "view")
     val events = spark.range(nEvents).as[Long].mapPartitions { ids =>

@@ -3,73 +3,124 @@ package graft
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Perf-regression tripwire (r8 verdict stretch #8): no registered query's
-  * same-session Spark/DuckDB ratio may exceed 3x its recorded baseline.
+/** Perf-regression tripwire (r8 verdict stretch #8): no registered query may
+  * regress past [[PerfGate]]'s thresholds against its PERF_BASELINE.json
+  * record.
   *
   * The measurement itself is `graft.Bench` (`make bench`), which writes its
   * untruncated result line to `bench_latest.json` alongside the committed
-  * baseline `PERF_BASELINE.json`; this spec compares the two artifacts. The
-  * comparison is ratio-vs-ratio, NOT seconds-vs-seconds, because absolute
-  * seconds on this host drift with external load (identical code has
-  * totaled 46-83 s across rounds) while the interleaved DuckDB anchor
-  * shares each Spark pass's stall windows, so the ratio cancels host noise
-  * from both sides of the division.
+  * baseline `PERF_BASELINE.json`; this spec compares the two artifacts with
+  * the SAME [[PerfGate]] rule Bench embeds in its `regressions` field, so
+  * the suite and the round driver's bench line can never disagree.
   *
-  * Tolerance 3x (documented per the verdict's ask): the worst observed
-  * same-query ratio drift on an UNCHANGED plan round-over-round is ~1.6x,
-  * while the failure modes this guards against — a lost pushdown, a new
-  * shuffle, a broadcast turned sort-merge — cost integer multiples. A
-  * trip therefore means a plan change, not a loud host.
+  * Why two gates (see PerfGate's scaladoc for the full argument): for
+  * queries with a real (≥50 ms) DuckDB anchor the comparison is
+  * ratio-vs-ratio — absolute seconds on this host drift with external load
+  * while the interleaved anchor cancels noise from both sides. For
+  * sub-50 ms anchors the ratio's denominator is measurement noise (r9's
+  * false trip: `resume_tokens_last` at 3.1× ratio on an unchanged trivial
+  * groupBy against a 7-9 ms anchor), so those gate on Spark wall instead:
+  * 3× the baseline wall AND >0.3 s absolute growth.
   *
   * The spec is deliberately NOT the measurement: re-running the full bench
   * inside `sbt test` would double the suite wall and put timing noise
   * inside the green bar the suite guarantees. Instead it gates on the
   * artifact: cancels (with the run recipe) when no local bench has run,
-  * fails loudly when one has and a ratio regressed. `make tripwire` chains
-  * bench + this spec as the one-command check; the round driver's own
-  * bench run also embeds the same comparison (Bench's `regressions` field),
-  * so every round is checked even if nobody runs the make target.
+  * fails loudly when one has and a query regressed. `make tripwire` chains
+  * bench + this spec as the one-command check.
   */
 class PerfRegressionSpec extends AnyFunSuite {
 
-  private val tolerance = 3.0
-
-  private def ratios(path: String) = {
+  private def maps(path: String) = {
     val node = new ObjectMapper().readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-    val m = node.path("spark_over_duckdb")
     import scala.jdk.CollectionConverters._
-    m.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+    def m(field: String) = node.path(field).fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    (m("spark_over_duckdb"), m("queries"), m("duckdb"))
   }
 
-  test("no registered query's same-session ratio exceeds 3x its recorded baseline") {
+  test("no registered query regressed past PerfGate vs its recorded baseline") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get("PERF_BASELINE.json")),
       "no PERF_BASELINE.json committed at the repo root")
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get("bench_latest.json")),
       "no local bench artifact — run `make bench` (graft.Bench writes " +
         "bench_latest.json), then re-run this spec; `make tripwire` does both")
-    val base = ratios("PERF_BASELINE.json")
-    val cur = ratios("bench_latest.json")
-    assume(cur.nonEmpty,
+    val (baseRatio, baseWall, _) = maps("PERF_BASELINE.json")
+    val (curRatio, curWall, curDuck) = maps("bench_latest.json")
+    assume(curRatio.nonEmpty,
       "bench_latest.json has no spark_over_duckdb map — the bench ran " +
         "without its DuckDB anchor (python3/duckdb unavailable?)")
-    val regressed = cur.toSeq.sortBy(_._1).collect {
-      case (q, r) if base.getOrElse(q, 0.0) > 0 && r > tolerance * base(q) =>
-        f"$q: ratio $r%.2f vs baseline ${base(q)}%.2f (${r / base(q)}%.1fx)"
+    val regressed = curRatio.keySet.toSeq.sorted.collect {
+      case q if PerfGate.regressed(
+        curWall.getOrElse(q, 0.0), curDuck.getOrElse(q, 0.0),
+        baseWall.getOrElse(q, 0.0), baseRatio.getOrElse(q, 0.0)) =>
+        PerfGate.describe(q, curWall(q), curDuck(q),
+          baseWall.getOrElse(q, 0.0), baseRatio.getOrElse(q, 0.0))
     }
     // Coverage sanity: the baseline must actually cover the current query
     // set, or a renamed query silently drops out of the tripwire. Collected
     // BEFORE asserting so a round that both regresses one query and renames
     // another reports both problems, not just the first.
-    val uncovered = cur.keySet -- base.keySet
+    val uncovered = curRatio.keySet -- baseRatio.keySet
     val problems =
       (if (regressed.isEmpty) Nil
-       else Seq(s"${regressed.size} queries regressed >${tolerance}x vs " +
-         s"PERF_BASELINE.json:\n  ${regressed.mkString("\n  ")}\n(a trip at " +
-         "3x means a plan change — check .explain for a lost pushdown, a " +
+       else Seq(s"${regressed.size} queries regressed past PerfGate vs " +
+         s"PERF_BASELINE.json:\n  ${regressed.mkString("\n  ")}\n(a trip " +
+         "means a plan change — check .explain for a lost pushdown, a " +
          "new exchange, or a broadcast turned sort-merge)")) ++
       (if (uncovered.isEmpty) Nil
        else Seq(s"queries missing from PERF_BASELINE.json (re-record it): $uncovered"))
     assert(problems.isEmpty, "\n" + problems.mkString("\n"))
+  }
+
+  // ---- the gate itself, pinned case by case ------------------------------
+
+  test("anchored queries (≥50ms) trip on ratio alone") {
+    // ratio 2.0 vs baseline 0.5 = 4x > 3x; anchor 1.0s is real work
+    assert(PerfGate.regressed(curSpark = 2.0, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+    // 2.9x ratio growth stays under the wire regardless of walls
+    assert(!PerfGate.regressed(curSpark = 1.45, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+  }
+
+  test("sub-floor anchors need BOTH 3x wall and 0.3s absolute growth") {
+    // the r9 false trip, verbatim: resume_tokens_last wall 0.319→0.781s
+    // against a 9ms anchor (ratio 35.4→111.6 = 3.1x) must NOT trip —
+    // 2.4x wall growth is inside host-drift territory
+    assert(!PerfGate.regressed(curSpark = 0.781, curDuck = 0.009,
+      baseSpark = 0.319, baseRatio = 35.447))
+    // a real defect on the same query: wall 0.319→1.5s (4.7x, +1.18s) trips
+    assert(PerfGate.regressed(curSpark = 1.5, curDuck = 0.009,
+      baseSpark = 0.319, baseRatio = 35.447))
+    // 3x-plus multiple but tiny absolute growth (0.05→0.2s) stays quiet:
+    // both legs of the compound are required
+    assert(!PerfGate.regressed(curSpark = 0.2, curDuck = 0.009,
+      baseSpark = 0.05, baseRatio = 5.0))
+    // big absolute growth but under 3x (0.9→1.9s) also stays quiet
+    assert(!PerfGate.regressed(curSpark = 1.9, curDuck = 0.009,
+      baseSpark = 0.9, baseRatio = 100.0))
+  }
+
+  test("the floor boundary routes to the ratio gate at exactly 50ms") {
+    // anchor exactly at the floor: ratio gate applies (4x trips)
+    assert(PerfGate.regressed(curSpark = 1.0, curDuck = 0.05,
+      baseSpark = 0.9, baseRatio = 5.0))
+    // just under the floor: wall gate applies (1.1x wall — no trip)
+    assert(!PerfGate.regressed(curSpark = 1.0, curDuck = 0.049,
+      baseSpark = 0.9, baseRatio = 5.0))
+  }
+
+  test("failed samples and missing baseline entries never trip") {
+    assert(!PerfGate.regressed(curSpark = -1.0, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+    assert(!PerfGate.regressed(curSpark = 2.0, curDuck = 0.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+    assert(!PerfGate.regressed(curSpark = 2.0, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.0))
+    // sub-floor anchor with no baseline wall recorded: no trip either
+    assert(!PerfGate.regressed(curSpark = 2.0, curDuck = 0.009,
+      baseSpark = 0.0, baseRatio = 5.0))
   }
 }
