@@ -41,6 +41,13 @@ qbench:
 daemon:
 	sbt -batch "runMain graft.streaming.GraftDaemon $(CONFIG)"
 
+## Package the library jar and print the sbt-free launch line
+## (tools/graft-daemon.sh assembles the classpath: jar + /opt/spark/jars +
+## optional GRAFT_EXTRA_JARS broker clients)
+daemon-assembly:
+	sbt -batch package
+	@echo "daemon bundle ready: tools/graft-daemon.sh $(CONFIG)  [GRAFT_EXTRA_JARS=<dir> for amqp/mongo clients]"
+
 ## Driver t1 analog: flagship query returns rows on the smallest SF
 smoke:
 	sbt -batch "runMain graft.tools.EntrySmoke"

@@ -66,15 +66,26 @@ class BrokerIntegrationSpec extends SparkSpec {
     case other => fail(s"unsupported GRAFT_SINK_URI scheme: $other")
   }
 
-  /** Seed `ids` as event rows into the live source via Spark's batch writer
-    * for that format — one JSON line per event for Kafka (the same envelope
-    * the wire decoder expects), document rows for Mongo.
+  /** Per-run id base: the source and sink live beyond one suite run, so a
+    * FIXED id range would re-match stale deliveries from an earlier run of
+    * the same suite (ids 0..199 re-seeded and re-delivered into the shared
+    * sink topic pass a fixed-range filter twice over). Seconds-resolution
+    * epoch spaced by 10k keeps each run's ranges disjoint from every prior
+    * run's; the three tests carve non-overlapping sub-ranges out of it.
     */
-  private def seed(uri: String, ids: Range): Unit = {
-    val rows = ids.map { i =>
-      (i.toLong, 1704067200000000L + i * 1000000L, (i % 7).toLong,
+  private val runBase: Long = (System.currentTimeMillis() / 1000L) * 10000L
+
+  /** Seed `n` event rows with ids `base until base+n` into the live source
+    * via Spark's batch writer for that format — one JSON line per event for
+    * Kafka (the same envelope the wire decoder expects), document rows for
+    * Mongo.
+    */
+  private def seed(uri: String, base: Long, n: Int): Unit = {
+    val rows = (0 until n).map { i =>
+      val id = base + i
+      (id, 1704067200000000L + i * 1000000L, (id % 7),
         Seq("signup", "click", "purchase", "view", "error")(i % 5),
-        i % 100 + 0.5, s"""{"k": $i}""")
+        i % 100 + 0.5, s"""{"k": $id}""")
     }
     val s = spark
     import s.implicits._
@@ -120,30 +131,32 @@ class BrokerIntegrationSpec extends SparkSpec {
   test("bulk: a seeded batch flows source -> change events -> sink exactly once",
        RequiresBroker) {
     val (src, snk) = requireBrokers()
-    seed(src, 0 until 200)
+    val base = runBase
+    seed(src, base, 200)
     val ckpt = tempDir("broker-ckpt")
     drain(parseSource(src), parseSink(snk), ckpt)
-    // filter to the seeded id range rather than slicing the sorted tail:
-    // the sink topic is shared across tests/re-runs, and a tail slice
-    // would pick up stale higher ids from earlier suite runs
-    val ids = sinkIds(snk).filter(_ < 200)
-    assert(ids.sorted === (0L until 200L),
+    // filter to THIS run's seeded id range: the sink topic is shared across
+    // tests and suite runs, and runBase keeps the range disjoint from every
+    // earlier run's deliveries (a fixed range would re-match stale rows)
+    val ids = sinkIds(snk).filter(i => i >= base && i < base + 200)
+    assert(ids.sorted === (base until base + 200),
       s"bulk delivery lost or duplicated events: got ${ids.size} in-range rows")
   }
 
   test("one-by-one: each seeded event arrives under the same checkpoint, no replay",
        RequiresBroker) {
     val (src, snk) = requireBrokers()
+    val base = runBase + 1000
     val ckpt = tempDir("broker-ckpt")
-    for (i <- 1000 until 1005) {
-      seed(src, i until i + 1)
+    for (i <- 0 until 5) {
+      seed(src, base + i, 1)
       drain(parseSource(src), parseSink(snk), ckpt)
     }
     // range filter, not a drop(count) slice: the Kafka batch read has no
     // ordering contract, so positional slicing against a prior count can
     // drop fresh rows and keep stale ones
-    val ids = sinkIds(snk).filter(i => i >= 1000 && i < 1005)
-    assert(ids.sorted === (1000L until 1005L),
+    val ids = sinkIds(snk).filter(i => i >= base && i < base + 5)
+    assert(ids.sorted === (base until base + 5),
       s"one-by-one delivery must append exactly the new events once, got $ids")
   }
 
@@ -151,7 +164,7 @@ class BrokerIntegrationSpec extends SparkSpec {
        RequiresBroker) {
     val (src, snk) = requireBrokers()
     val ckpt = tempDir("broker-ckpt")
-    seed(src, 2000 until 2050)
+    seed(src, runBase + 2000, 50)
     drain(parseSource(src), parseSink(snk), ckpt)
     val afterFirst = sinkIds(snk).size
     // nothing new seeded: the restarted stream must deliver nothing
