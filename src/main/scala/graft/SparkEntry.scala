@@ -61,7 +61,13 @@ object SparkEntry {
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d))
     }),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
+    "semantic_dedup"       -> ((s, d) => Similarity.semanticDedup(s, d)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    // D19 interchange seams: eager format dump + schema'd read-back; the
+    // oracle checks the content hashes against the ORIGINAL parquet, so a
+    // lossy format hop cannot pass.
+    "ingest_jsonl"         -> ((s, d) => graft.sources.TextSources.jsonlRoundtrip(s, d)),
+    "ingest_csv"           -> ((s, d) => graft.sources.TextSources.csvRoundtrip(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
@@ -80,6 +86,7 @@ object SparkEntry {
     "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
     "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
+    "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -228,11 +235,21 @@ object SparkEntry {
     * ivfCentroids); empty cells keep their previous centroid. Final corpus
     * assignment + top-`nprobe` probed cells per query + exact re-rank.
     */
-  private def ivfOracleSql(nQueries: Int = 5, k: Int = 5, cells: Int = 16,
-                           nprobe: Int = 4, iters: Int = 2, dim: Int = 64): String = {
-    def cosOf(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
-        s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))"
+  private def cosOf(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x))))"
+
+  /** DuckDB CTE chain replaying the deterministic mini-k-means corpus
+    * assignment (Similarity.ivfCentroids + nearestCell): seeds are the
+    * `cells` lowest vec_ids; each unrolled Lloyd's iteration assigns every
+    * vector to its max-cosine centroid (ties → higher cell, mirroring
+    * Spark's ordering) and recomputes per-component means rounded to 6
+    * decimals (the rounding both engines share); empty cells keep their
+    * previous centroid. Produces CTEs e … corpus(vec_id, v, cell) plus the
+    * final-centroid relation returned as `_2` — shared by the IVF oracle
+    * and the semantic-dedup oracle, which prune/probe the SAME clustering.
+    */
+  private def ivfCorpusCtes(cells: Int, iters: Int, dim: Int): (String, String) = {
     val iterCtes = (0 until iters).map { i =>
       val prev = if (i == 0) "c0" else s"c${i}f"
       s"""s$i AS (SELECT e.vec_id, c.cell, ${cosOf("e.v", "c.ctr")} AS cs
@@ -248,17 +265,25 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
     val fc = s"c${iters}f"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS ctr
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $cells)),
-       |$iterCtes,
-       |sf AS (SELECT e.vec_id, c.cell, ${cosOf("e.v", "c.ctr")} AS cs
-       |       FROM e CROSS JOIN $fc c),
-       |af AS (SELECT vec_id, cell FROM (
-       |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn
-       |         FROM sf) WHERE rn = 1),
-       |corpus AS (SELECT af.vec_id, e.v, af.cell FROM af JOIN e USING (vec_id)),
+    val ctes =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS ctr
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $cells)),
+         |$iterCtes,
+         |sf AS (SELECT e.vec_id, c.cell, ${cosOf("e.v", "c.ctr")} AS cs
+         |       FROM e CROSS JOIN $fc c),
+         |af AS (SELECT vec_id, cell FROM (
+         |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell DESC) AS rn
+         |         FROM sf) WHERE rn = 1),
+         |corpus AS (SELECT af.vec_id, e.v, af.cell FROM af JOIN e USING (vec_id))""".stripMargin
+    (ctes, fc)
+  }
+
+  private def ivfOracleSql(nQueries: Int = 5, k: Int = 5, cells: Int = 16,
+                           nprobe: Int = 4, iters: Int = 2, dim: Int = 64): String = {
+    val (corpusCtes, fc) = ivfCorpusCtes(cells, iters, dim)
+    s"""WITH $corpusCtes,
        |qp AS (SELECT q.query_id, q.qv, c.cell,
        |         row_number() OVER (PARTITION BY q.query_id
        |                            ORDER BY ${cosOf("q.qv", "c.ctr")} DESC, c.cell DESC) AS pr
@@ -638,6 +663,29 @@ object SparkEntry {
          |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
     },
 
+    // SemDeDup prune over the replayed k-means assignment: same corpus
+    // CTEs as the IVF oracles (prune and index share one clustering).
+    "semantic_dedup" -> {
+      val (corpusCtes, _) = ivfCorpusCtes(cells = 16, iters = 2, dim = 64)
+      s"""WITH $corpusCtes,
+         |rm AS (SELECT DISTINCT b.vec_id
+         |       FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE round(${cosOf("a.v", "b.v")}, 6) >= 0.45)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+         |       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM corpus c LEFT JOIN rm USING (vec_id) ORDER BY c.vec_id""".stripMargin
+    },
+
+    // Interchange fidelity: the Spark side hashes the text AFTER the
+    // JSONL/CSV round trip; the oracle hashes the parquet original — a
+    // match proves the format hop lossless.
+    "ingest_jsonl" ->
+      """SELECT doc_id, md5(text) AS text_hash, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_csv" ->
+      """SELECT doc_id, md5(text) AS text_hash, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
@@ -925,6 +973,28 @@ object SparkEntry {
         |       CASE WHEN a.n_bigrams IS NULL THEN NULL
         |            ELSE round(a.n_common / CAST(a.n_bigrams AS DOUBLE), 6) END AS coverage
         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Bigram-LM cross-entropy: the ln/exp arguments are exact in both
+    // engines (integer counts + 0.5 into correctly-rounded divides), so
+    // disagreement is bounded by the math libraries' 1-ulp + summation
+    // order (~1e-13 abs), invisible at round 6/4 — see Relevance.lmPerplexity.
+    "lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+        |      FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+        |pd AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab
+        |      FROM (SELECT unnest(tok) AS w FROM t)),
+        |lp AS (SELECT cb.w1, cb.w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp
+        |       FROM cb JOIN cu USING (w1) CROSS JOIN v),
+        |d AS (SELECT pd.doc_id, sum(pd.cnt) AS nb, sum(pd.cnt * lp.lp) AS s
+        |      FROM pd JOIN lp USING (w1, w2) GROUP BY 1)
+        |SELECT t.doc_id, t.lang, CAST(coalesce(d.nb, 0) AS BIGINT) AS n_bigrams,
+        |       round(-d.s / d.nb, 6) AS cross_entropy,
+        |       round(exp(-d.s / d.nb), 4) AS perplexity
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

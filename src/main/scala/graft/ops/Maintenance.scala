@@ -93,6 +93,62 @@ object Maintenance {
     graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
   }
 
+  /** D20 — Z-order (Morton) layout: interleave the bits of SEVERAL cluster
+    * keys so each output file covers a small hyper-rectangle of the joint
+    * key space, instead of a thin full-width slice of all-but-the-first key
+    * that a lexicographic sort produces. A reader filtering on ANY subset
+    * of the z-ordered columns then prunes most files from their parquet
+    * min/max footers — the multi-predicate data-skipping layout every
+    * lakehouse format's OPTIMIZE implements, for workloads that filter on
+    * (say) user AND time ranges independently.
+    *
+    * Mechanics, all codegen arithmetic on the write path:
+    *  1. one tiny aggregate pass collects each key's min/max (driver-side
+    *     scalars, literal'd into the plan);
+    *  2. each key scales uniformly to a `bits`-bit integer bucket;
+    *  3. buckets interleave bit-by-bit into one z-value (`bits × n` shift/
+    *     mask/or terms — whole-stage codegen swallows them);
+    *  4. `repartitionByRange` on the z-value (sampled, so files stay
+    *     size-balanced) + a within-partition sort tightens the per-file and
+    *     per-row-group min/max of EVERY interleaved column at once.
+    *
+    * Uniform scaling is deliberate: it keeps the bucket map pure codegen'd
+    * arithmetic with no per-row search. Heavily skewed keys concentrate
+    * z-values and degrade pruning (never correctness) — pre-transform such
+    * a key (log, epoch-day, id-minus-base) or bucket it upstream, the same
+    * advice table formats give. Null keys z-sort first, together.
+    */
+  def writeZOrdered(df: DataFrame, outDir: String, nFiles: Int,
+                    bits: Int, keys: String*): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.size >= 2, "z-order needs at least two keys (one key → writeClustered)")
+    require(keys.size * bits <= 62, s"${keys.size} keys × $bits bits overflows a long z-value")
+    val n = keys.size
+    val bounds = df.agg(
+      min(col(keys.head).cast("double")).as("mn0"),
+      keys.tail.flatMap(k => Seq(max(col(k).cast("double")).as(s"mx_$k"),
+        min(col(k).cast("double")).as(s"mn_$k"))) :+
+        max(col(keys.head).cast("double")).as("mx0"): _*).head()
+    def mnmx(i: Int): (Double, Double) =
+      if (i == 0) (bounds.getAs[Double]("mn0"), bounds.getAs[Double]("mx0"))
+      else (bounds.getAs[Double](s"mn_${keys(i)}"), bounds.getAs[Double](s"mx_${keys(i)}"))
+    val maxBucket = (1L << bits) - 1
+    val zcol = keys.indices.flatMap { i =>
+      val (mn, mx) = mnmx(i)
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      val scaled = (col(keys(i)).cast("double") - lit(mn)) / lit(span) * lit(maxBucket.toDouble)
+      val bucket = least(greatest(round(scaled, 0).cast("long"), lit(0L)), lit(maxBucket))
+      (0 until bits).map(b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * n + i))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__graft_z", zcol)
+      .repartitionByRange(math.max(1, nFiles), col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(outDir)
+    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
+  }
+
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

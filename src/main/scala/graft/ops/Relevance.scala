@@ -188,6 +188,75 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  /** B35 — bigram language-model perplexity (the CCNet-style quality
+    * filter, real log-probabilities this time): train an add-k-smoothed
+    * bigram LM on the corpus itself, score every document by its
+    * cross-entropy under that model. High-perplexity documents are the
+    * gibberish/OCR-damage/wrong-language tail a pretraining pipeline drops;
+    * [[bigramCoverage]] is the integer-exact screen, this is the standard
+    * statistic (what CCNet computes with a KenLM model — here the "model"
+    * is the corpus's own bigram table, which is what you want for
+    * self-referential outlier scoring).
+    *
+    * Model: `p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)` with k = 0.5,
+    * `c(w1·)` the bigram-START count (so Σ_w2 p = 1 exactly) and V the
+    * corpus-wide distinct-token count. Per doc over its n bigram positions:
+    * `cross_entropy = -(1/n) Σ ln p`, `perplexity = exp(cross_entropy)`.
+    *
+    * Scale shape (mirrors [[bigramCoverage]]): bigrams explode per row with
+    * zero shuffle; per-(doc, bigram) counts partial-aggregate map-side
+    * BEFORE any shuffle and the persisted result feeds BOTH the model
+    * aggregation and the scoring join, so the explode runs once; the model
+    * tables aggregate by bigram/start-token (map-side combined — a hot
+    * bigram shuffles one row per mapper, never one per occurrence); V is a
+    * broadcast 1-row scalar; the scoring join is a keyed equi-join on the
+    * bigram whose model side is bounded by the bigram vocabulary, not the
+    * corpus — AQE broadcasts it when small. Nothing is all-pairs; text
+    * never shuffles.
+    *
+    * Float-parity budget (vs the DuckDB oracle): the ln argument is exact
+    * in both engines (integer counts + 0.5 into one correctly-rounded
+    * divide), so per-term disagreement is the ln libraries' ≤1-ulp
+    * (~1e-16 relative); the per-doc weighted sum adds order-dependent
+    * rounding ~n·ulp(Σ) ≈ 1e-13 absolute. Both are ~7 orders of magnitude
+    * below the 5e-7 half-step of `round(·, 6)`, so the rounded outputs
+    * hash-match (a boundary hit needs the true value within ~1e-13 of a
+    * rounding edge). Docs with < 2 tokens have no bigrams and keep a row
+    * with n_bigrams = 0 and null scores rather than vanishing.
+    */
+  def lmPerplexity(spark: SparkSession, dir: String, addK: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    // Persisted: feeds the corpus bigram counts AND the scoring join.
+    // Lazily persisted — released by graft.Caches.clear (see Caches).
+    val perDoc = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> struct(x AS w1, tok[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val bi = perDoc.groupBy("w1", "w2").agg(sum(col("cnt")).as("cbi"))
+    val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
+    val vocab = toks.select(explode(col("tok")).as("w"))
+      .agg(count_distinct(col("w")).as("vocab"))
+    val logProb = bi.join(starts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("cbi") + lit(addK)) / (col("cw") + lit(addK) * col("vocab"))).as("lp"))
+    val scored = perDoc.join(logProb, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("s"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("cross_entropy"),
+        round(exp(-col("s") / col("n_bigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   def collocations(spark: SparkSession, dir: String,
                    minCount: Int = 5, k: Int = 50): DataFrame = {
     val toks = Tables.documents(spark, dir)

@@ -467,4 +467,55 @@ object Similarity {
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** B36 — semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then within
+    * each cluster drop every vector that has a LOWER-id cluster-mate at
+    * cosine ≥ `minCos`. Where [[embeddingNearDup]] finds near-identical
+    * PAIRS via LSH collision, this prunes semantically redundant documents
+    * — paraphrases, templated rewrites — that share a semantic cluster
+    * without being byte-near-identical; the published result is that
+    * pruning these speeds up LLM training at equal quality.
+    *
+    * Reuses the deterministic mini-IVF k-means ([[ivfCentroids]]: lowest-id
+    * seeds, rounded means — the DuckDB oracle replays it exactly), so the
+    * cluster assignment is the SAME pass an IVF index build already does:
+    * a production pipeline prunes and indexes from one clustering.
+    *
+    * Scale shape: the driver holds only the C×dim centroid matrix; the
+    * assignment is one narrow codegen pass; the only shuffle joins the
+    * corpus to itself ON THE CELL KEY, so pair work is Σ cells(size²) —
+    * bounded by the cluster granularity C, the method's own knob (SemDeDup
+    * runs C ≈ n/1000 at web scale precisely so cluster width, and thus
+    * per-key join cost, stays constant as the corpus grows; k-means keeps
+    * the cells balanced, unlike hash buckets, so there is no degenerate-key
+    * star to guard). Pairs that straddle a cluster boundary are not
+    * compared — that recall trade IS the algorithm, not an approximation
+    * we add. Output is corpus-sized (one row per vector with its cell and
+    * keep/drop verdict), so the final sort is a real range-partitioned
+    * orderBy, not the driver-bounded repartition(1) sort of the top-k paths.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, cells: Int = 16,
+                    minCos: Double = 0.45, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // Same lazy-persist contract as ivfTopKOf: the k-means' eager jobs fill
+    // the cache, the returned plan's two corpus scans (both join sides)
+    // read it. Released by graft.Caches.clear.
+    if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
+    val centroids = ivfCentroids(emb, cells, iters = 2, dim = dim)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(col("embedding"), centroids).as("cell"))
+    val removed = corpus
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(corpus.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        round(cosine(col("va"), col("vb")), 6) >= minCos)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus
+      .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("rm").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
 }

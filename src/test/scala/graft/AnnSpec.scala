@@ -86,6 +86,32 @@ class AnnSpec extends SparkSpec {
       s"expected a partition filter on cell in:\n$plan")
   }
 
+  test("semanticDedup drops exactly the within-cluster lower-id mates above the threshold") {
+    val tau = 0.45
+    val got = Similarity.semanticDedup(spark, sf0001, minCos = tau).collect()
+    assert(got.length.toLong === Tables.embeddings(spark, sf0001).count(),
+      "one verdict row per corpus vector")
+    val dropped = got.filter(_.getAs[Long]("kept") == 0L).map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped.nonEmpty, "threshold must be non-vacuous at the gate scale")
+    // exact semantic replay: the op's own cluster assignment + an exhaustive
+    // cosine sweep. dropped must equal {id_b | exists same-cluster id_a <
+    // id_b with cos >= tau}; pairs straddling a cluster boundary do NOT
+    // drop — that recall trade is SemDeDup's definition, pinned here.
+    val cellOf = got.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val hi = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = hi.collect { case (x, y) if cellOf(x) == cellOf(y) => y }.toSet
+    assert(dropped === expectedDropped)
+    assert(hi.exists { case (x, y) => cellOf(x) != cellOf(y) },
+      "corpus should exercise the boundary-straddle branch too")
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)

@@ -163,4 +163,45 @@ class MaintenanceSpec extends SparkSpec {
     // nothing lost in the rewrite
     assert(spark.read.parquet(out).count() === li.count())
   }
+
+  test("writeZOrdered prunes on BOTH keys where a lexicographic sort prunes only the first") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // a full 64x64 grid: every (x, y) once — the layout, not the data,
+    // decides how many files a single-key filter has to touch
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val zdir = tempDir("zorder") + "/grid"
+    val ldir = tempDir("zlinear") + "/grid"
+    Maintenance.writeZOrdered(grid, zdir, nFiles = 16, bits = 6, "x", "y")
+    Maintenance.writeClustered(grid, ldir, nFiles = 16, "x", "y")
+    def extents(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSeq
+    val zext = extents(zdir)
+    val lext = extents(ldir)
+    assert(zext.size === 16 && lext.size === 16)
+    // nothing lost, grid intact
+    assert(spark.read.parquet(zdir).count() === 4096)
+    assert(spark.read.parquet(zdir).select("x", "y").distinct().count() === 4096)
+    // files hit by a y-only equality filter (the second sort key): the
+    // lexicographic layout spans all y in every file — zero pruning; the
+    // z-layout bounds each file's y-extent, so most files prune away
+    def hitsY(ext: Seq[(Long, Long, Long, Long)], y: Long) =
+      ext.count { case (_, _, lo, hi) => lo <= y && y <= hi }
+    val ys = Seq(0L, 17L, 33L, 52L, 63L)
+    val zHits = ys.map(hitsY(zext, _)).sum
+    val lHits = ys.map(hitsY(lext, _)).sum
+    assert(lHits === ys.size * 16, "lexicographic layout cannot prune on the second key")
+    assert(zHits <= lHits / 2,
+      s"z-order should halve second-key file hits at worst: z=$zHits linear=$lHits")
+    // and the FIRST key still prunes: no file spans all of x
+    assert(zext.forall { case (lo, hi, _, _) => hi - lo < 63 },
+      s"every z-file should bound x too: $zext")
+  }
 }

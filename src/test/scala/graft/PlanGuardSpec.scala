@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
     "temperature_sample", // broadcast min-class-size scalar
     "contamination",      // broadcast eval-sample row count
     "collocations",       // broadcast total-token scalar
+    "lm_perplexity",      // broadcast vocabulary-size scalar
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar
     "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe

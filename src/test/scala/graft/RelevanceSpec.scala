@@ -115,6 +115,51 @@ class RelevanceSpec extends SparkSpec {
     assert(m(2L).getAs[Double]("coverage") === math.rint(2.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("lmPerplexity: hand-computed add-k bigram cross-entropy; zero-bigram docs keep a null row") {
+    val dir = tempDir("lmppl")
+    // bigram counts: (a,b) = 2 (docs 1,2), (a,c) = 1 (doc 3);
+    // start counts: c(a·) = 3; vocab = {a, b, c, solo} → V = 4, k = 0.5
+    // (doc 4 has no bigrams but its token still counts toward V):
+    //   p(b|a) = 2.5 / (3 + 2) = 0.5, p(c|a) = 1.5/5 = 0.3
+    // doc 1: ce = ln(2),    ppl = 2.0 exactly
+    // doc 3: ce = ln(10/3), ppl = 3.3333
+    writeDocs(dir, Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "solo") // one token → zero bigrams, null scores
+    ))
+    val m = Relevance.lmPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.size === 4)
+    assert(m(1L).getAs[Long]("n_bigrams") === 1L)
+    assert(m(1L).getAs[Double]("cross_entropy") === math.rint(math.log(2.0) * 1e6) / 1e6)
+    assert(m(1L).getAs[Double]("perplexity") === 2.0)
+    assert(m(3L).getAs[Double]("cross_entropy") === math.rint(math.log(10.0 / 3.0) * 1e6) / 1e6)
+    assert(m(3L).getAs[Double]("perplexity") === 3.3333)
+    assert(m(4L).getAs[Long]("n_bigrams") === 0L)
+    assert(m(4L).isNullAt(m(4L).fieldIndex("cross_entropy")))
+    assert(m(4L).isNullAt(m(4L).fieldIndex("perplexity")))
+  }
+
+  test("lmPerplexity ranks a never-seen-transitions doc above the corpus norm") {
+    val dir = tempDir("lmppl2")
+    val sentence = "the cat sat on the mat"
+    writeDocs(dir, Seq(
+      (1L, sentence), (2L, sentence), (3L, sentence), (4L, sentence),
+      (5L, "mat the on sat cat the") // same words, transitions the corpus never repeats
+    ))
+    val m = Relevance.lmPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(m(5L) > m(1L), s"shuffled doc must score higher perplexity: ${m(5L)} vs ${m(1L)}")
+    assert(m(1L) === m(4L), "identical docs score identically")
+  }
+
+  test("lmPerplexity is non-empty and fully scored at the driver's gate scale") {
+    val rows = Relevance.lmPerplexity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // corpus docs are all multi-token: every row must carry a real score
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("cross_entropy"))))
+  }
+
   test("collocations: adjacent-pair lift, one-token docs contribute nothing") {
     val dir = tempDir("colloc")
     // "new york" always adjacent (5×); "a b" appear but never adjacent

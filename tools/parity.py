@@ -26,7 +26,8 @@ def main():
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
     if "--skip-verify" not in sys.argv and "--oracle-only" not in sys.argv:
-        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        names = " ".join(sorted(only))
+        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir} {names}'.rstrip()],
                            capture_output=True, text=True)
         errs = [l for l in r.stdout.splitlines() if "[verify]" in l or "[error]" in l]
         for l in errs: print(l)
