@@ -121,7 +121,10 @@ object SparkEntry {
     // no oracleSql entries: sketches return engine-specific estimates
     // (rows-only driver check; error bounds pinned in OpsSpec/RelevanceSpec)
     "token_percentiles_approx" -> ((s, d) => Analytics.tokenPercentilesApprox(s, d)),
-    "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d))
+    "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d)),
+    // no oracleSql: the BPE learn loop is an iterative argmax-and-rewrite,
+    // outside SQL — BpeSpec replays an independent implementation instead
+    "bpe_learn"            -> ((s, d) => graft.ops.Bpe.learn(s, d, merges = 16))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs

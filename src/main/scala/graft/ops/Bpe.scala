@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE vocabulary learning (SURVEY.md §2 B37) — the Sennrich
+  * et al. 2016 byte-pair-encoding merge procedure, the tokenizer-training
+  * step of an LLM data pipeline (TextAnalysis.tokenCount APPLIES a
+  * tokenizer; this LEARNS one from the corpus).
+  *
+  * The algorithm is inherently iterative (merge k is defined on the state
+  * after merge k-1), so the structure mirrors the repo's other driver-
+  * iterative builders (Dedup.dupClusters): construction is lazy behind a
+  * [[graft.plans.DeferredFrame]], the rounds run at the first action, and
+  * the driver only ever holds the learned merge list (k rows).
+  *
+  * Scale shape — the key fact is that BPE's sufficient statistic is the
+  * WORD-TYPE frequency table, not the corpus:
+  *
+  *  1. ONE corpus pass builds `(word, freq)` via a map-side-combined
+  *     groupBy — the only corpus-sized computation. Everything after runs
+  *     on the vocabulary (10⁷-10⁸ rows for a web corpus — distributed but
+  *     ~10⁴× smaller than the text), which is also why this is EXACT where
+  *     production trainers subsample: the frequency table is the lossless
+  *     compression of the corpus for this algorithm.
+  *  2. Each round: adjacent-pair counts weighted by word freq — a typed
+  *     flatMap + partial-aggregated groupBy over the vocab — and the
+  *     argmax pair via TakeOrdered(1) (freq desc, then lexicographic —
+  *     deterministic under any partitioning; no global sort).
+  *  3. The winning pair is greedily merged left-to-right in every word's
+  *     symbol array (vocab-sized map). Each round's table is persisted and
+  *     its predecessor released, so round t reads round t-1's cache, never
+  *     the re-derived chain.
+  *
+  * Stops early when no pair reaches `minPairFreq` (merging singletons
+  * teaches nothing and destabilizes ties). Output: one row per learned
+  * merge — rank, left, right, merged, freq — tiny by construction.
+  *
+  * Not DuckDB-oracled: the learn loop is an iterative argmax-and-rewrite,
+  * outside SQL; the spec instead replays an independent single-machine BPE
+  * implementation on the collected frequency table and demands identical
+  * merge sequences.
+  */
+object Bpe {
+
+  /** End-of-word sentinel (Sennrich's `</w>`): merges cannot cross word
+    * boundaries and a word-final symbol is distinct from the same symbol
+    * mid-word.
+    */
+  val EndOfWord = "</w>"
+
+  val mergesSchema: StructType = StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("left", StringType, nullable = true),
+    StructField("right", StringType, nullable = true),
+    StructField("merged", StringType, nullable = true),
+    StructField("freq", LongType, nullable = false)))
+
+  /** Greedy left-to-right application of one merge to one symbol array —
+    * the standard BPE rewrite ("aaa" under (a,a) → ["aa", "a"]).
+    */
+  def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `merges` BPE merges from the documents table. Lazy: rounds run
+    * at the first action on the returned frame.
+    */
+  def learn(spark: SparkSession, dir: String, merges: Int = 32,
+            minPairFreq: Long = 2L): DataFrame =
+    graft.plans.DeferredFrame(spark, mergesSchema)(() =>
+      learnFrom(Tables.documents(spark, dir).select(col("text")), merges, minPairFreq))
+
+  /** The eager learn loop over any single-string-column frame. */
+  def learnFrom(texts: DataFrame, merges: Int, minPairFreq: Long): DataFrame = {
+    val spark = texts.sparkSession
+    import spark.implicits._
+    val wordFreq = texts
+      .select(explode(split(col(texts.columns.head), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // initial state: each word as its character symbols + the terminal
+    var words: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      wordFreq.as[(String, Long)]
+        .map { case (w, f) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], f) }
+        .persist()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // the round-(t-1) table stays cached until round t's stats action has
+    // MATERIALIZED the round-t table from it (this round's map reads the
+    // cache, not the re-derived chain back to the corpus); released one
+    // round late, so at most two vocab-sized caches coexist
+    var prev: Option[org.apache.spark.sql.Dataset[(Seq[String], Long)]] = None
+    var rank = 1L
+    var done = false
+    while (rank <= merges && !done) {
+      // pair stats: one partial-aggregated shuffle over the vocab, then a
+      // TakeOrdered(1) argmax — freq desc, lexicographic tie-break, so the
+      // winner is independent of partitioning. This action also fills the
+      // current round's cache.
+      val best = words.flatMap { case (syms, f) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
+      }.toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("freq"))
+        .orderBy(desc("freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
+      if (best.isEmpty || best.head.getAs[Long]("freq") < minPairFreq) done = true
+      else {
+        val (l, r, f) = (best.head.getString(0), best.head.getString(1),
+          best.head.getAs[Long]("freq"))
+        learned += ((rank, l, r, l + r, f))
+        prev = Some(words)
+        words = words.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }.persist()
+        rank += 1
+      }
+    }
+    words.unpersist()
+    prev.foreach(_.unpersist())
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(learned.toSeq.map {
+        case (rk, l, r, m, f) => org.apache.spark.sql.Row(rk, l, r, m, f)
+      }, numSlices = 1), mergesSchema)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  /** Independent single-machine BPE over a word-frequency list — a second
+    * implementation of the Sennrich procedure (mutable counts map, minBy
+    * argmax) sharing no code with the distributed learner except the
+    * public applyMerge rewrite. The distributed result must match its
+    * merge sequence exactly, freqs included.
+    */
+  private def refBpe(freqs: Seq[(String, Long)], merges: Int,
+                     minFreq: Long): Seq[(String, String, Long)] = {
+    var words: Seq[(Seq[String], Long)] =
+      freqs.map { case (w, f) => (w.map(_.toString).toList :+ Bpe.EndOfWord, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.size < merges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (f < minFreq) continue = false
+        else {
+          out += ((l, r, f))
+          words = words.map { case (s, fr) => (Bpe.applyMerge(s, l, r), fr) }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed BPE learns the exact merge sequence of an independent implementation") {
+    import org.apache.spark.sql.functions._
+    val got = Bpe.learn(spark, sf0001, merges = 12).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getString(2),
+        r.getString(3), r.getAs[Long]("freq")))
+    val freqs = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toSeq
+    val want = refBpe(freqs, merges = 12, minFreq = 2L)
+    assert(got.length === want.length)
+    got.zip(want).zipWithIndex.foreach { case (((rk, l, r, m, f), (wl, wr, wf)), i) =>
+      assert(rk === i + 1L)
+      assert((l, r, f) === ((wl, wr, wf)), s"merge ${i + 1} diverged")
+      assert(m === l + r)
+    }
+    assert(got.length === 12, "the sf0.001 corpus supports at least 12 merges")
+  }
+
+  test("hand corpus: ties break lexicographically, full merge then stop") {
+    val s = spark
+    import s.implicits._
+    // one word type "ab" x3: pairs (a,b) and (b,</w>) tie at 3 — (a,b)
+    // wins lexicographically; two merges exhaust the word, round 3 stops
+    val texts = Seq("ab ab", "ab").toDF("text")
+    val got = Bpe.learnFrom(texts, merges = 10, minPairFreq = 2L).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getAs[Long]("freq")))
+    assert(got.toSeq === Seq(("a", "b", 3L), ("ab", Bpe.EndOfWord, 3L)))
+  }
+
+  test("minPairFreq stops before learning singleton merges") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("abc xyz qrs").toDF("text") // every pair occurs once
+    assert(Bpe.learnFrom(texts, merges = 10, minPairFreq = 2L).count() === 0L)
+  }
+
+  test("learn constructs lazily behind a deferred leaf") {
+    val df = Bpe.learn(spark, sf0001)
+    assert(df.queryExecution.logical.isInstanceOf[graft.plans.DeferredRelation])
+  }
+}
