@@ -89,6 +89,8 @@ object SparkEntry {
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
+    "label_prototypes"     -> ((s, d) => graft.ops.Embeddings.labelPrototypes(s, d)),
+    "prototype_assign"     -> ((s, d) => graft.ops.Embeddings.prototypeAssign(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
     "cluster_keep_best"    -> ((s, d) => Dedup.clusterKeepBest(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
@@ -124,7 +126,8 @@ object SparkEntry {
     "distinct_users_approx" -> ((s, d) => Analytics.distinctUsersApprox(s, d)),
     // no oracleSql: the BPE learn loop is an iterative argmax-and-rewrite,
     // outside SQL — BpeSpec replays an independent implementation instead
-    "bpe_learn"            -> ((s, d) => graft.ops.Bpe.learn(s, d, merges = 16))
+    "bpe_learn"            -> ((s, d) => graft.ops.Bpe.learn(s, d, merges = 16)),
+    "bpe_encode"           -> ((s, d) => graft.ops.Bpe.encode(s, d, merges = 16))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -867,6 +870,35 @@ object SparkEntry {
         |       event_type,
         |       regexp_replace(props, '\d+', '<NUM>', 'g') AS props_redacted
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "label_prototypes" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT label, CAST(i AS INT) AS pos, round(avg(v[i]), 6) AS m,
+        |       CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM e, generate_series(1, 64) gs(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    // prototypes rebuilt in SQL with the same round-6 means; assignment
+    // replays NearestCentroid's ordering (cos DESC, higher label on ties)
+    "prototype_assign" -> {
+      s"""WITH e AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |p AS (SELECT label, i AS pos, round(avg(v[i]), 6) AS m
+         |      FROM e, generate_series(1, 64) gs(i) GROUP BY label, i),
+         |lp AS (SELECT label AS plabel, list(m ORDER BY pos) AS proto
+         |       FROM p GROUP BY label),
+         |s AS (SELECT e.vec_id, e.label, lp.plabel,
+         |        ${cosOf("e.v", "lp.proto")} AS cs
+         |      FROM e CROSS JOIN lp),
+         |a AS (SELECT vec_id, label, plabel AS assigned FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY cs DESC, plabel DESC) AS rn FROM s)
+         |      WHERE rn = 1)
+         |SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+         |FROM a GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
+    },
 
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, label,

@@ -132,4 +132,64 @@ object Bpe {
         case (rk, l, r, m, f) => org.apache.spark.sql.Row(rk, l, r, m, f)
       }, numSlices = 1), mergesSchema)
   }
+
+  /** Encode one word (symbol seq with terminal) under a rank-ordered merge
+    * list — the standard BPE apply: merges in learned order, each greedy
+    * left-to-right.
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString).toList :+ EndOfWord
+    merges.foreach { case (l, r) => if (syms.length > 1) syms = applyMerge(syms, l, r) }
+    syms
+  }
+
+  /** B37b — encode the corpus under a learned merge list: per-doc subword
+    * token counts, the statistic a token-budget pipeline actually consumes
+    * (B9's regex count approximates it; this is the real tokenizer the
+    * corpus trained).
+    *
+    * Scale shape: learning is the expensive step and happens ONCE ([[learn]]
+    * — or its result read from a table); this apply pass ships the KB-sized
+    * merge list as a broadcast-style closure constant and encodes in one
+    * narrow mapPartitions with a per-partition word→tokens memo — corpus
+    * words repeat heavily (that is why BPE works), so each partition pays
+    * the k-merge rewrite once per word TYPE it sees, not per occurrence.
+    * No shuffle at all until the caller aggregates.
+    */
+  def encode(spark: SparkSession, dir: String, merges: Int = 16,
+             minPairFreq: Long = 2L): DataFrame =
+    graft.plans.DeferredFrame(spark, encodeSchema) { () =>
+      val docs = Tables.documents(spark, dir)
+      val mergeList = learnFrom(docs.select(col("text")), merges, minPairFreq)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      encodeWith(docs, mergeList)
+    }
+
+  val encodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("tokens_per_word", DoubleType, nullable = true)))
+
+  /** The eager apply pass over (doc_id, text) under a fixed merge list. */
+  def encodeWith(docs: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        rows.map { case (id, text) =>
+          val ws = text.split(" ").filter(_.nonEmpty)
+          var toks = 0L
+          ws.foreach { w =>
+            toks += memo.getOrElseUpdate(w, encodeWord(w, mergeList).length)
+          }
+          (id, ws.length.toLong, toks,
+            if (ws.isEmpty) None
+            else Some(math.rint(toks.toDouble / ws.length * 1e6) / 1e6))
+        }
+      }
+      .toDF("doc_id", "n_words", "n_tokens", "tokens_per_word")
+      .orderBy("doc_id")
+  }
 }

@@ -72,4 +72,59 @@ object Embeddings {
         col("qz.q_csv").as("q_csv"))
       .orderBy("vec_id")
   }
+
+  /** B38 — per-label prototype (mean) embeddings, the supervised
+    * embedding-space diagnostic a labeled corpus runs before training:
+    * class prototypes feed nearest-prototype QA ([[prototypeAssign]]),
+    * outlier screens, and per-class drift monitoring. Emitted in exploded
+    * long form (label, pos, m, n_vecs) — one scalar row per component —
+    * because array columns hash engine-differently in the parity gate
+    * (same canonicalization choice as quantizeSummary's q_csv).
+    *
+    * Scale shape: posexplode is a narrow pass; the groupBy keys on
+    * (label, component) — labels×dim rows total, partial-aggregated
+    * map-side, so a billion-vector class shuffles one row per mapper per
+    * component. `pos` is 1-based to mirror the oracle's generate_series.
+    */
+  def labelPrototypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos0", "x")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
+  /** B38b — nearest-prototype assignment + confusion counts: every vector
+    * assigned to its max-cosine class prototype (ties → higher label,
+    * mirroring NearestCentroid's higher-index rule), aggregated to the
+    * (label, assigned) confusion matrix — the cluster-purity answer to
+    * "do the embeddings separate the classes?".
+    *
+    * The prototype matrix is labels×dim (KBs regardless of corpus size —
+    * same driver-bounded-collect contract as the IVF centroids) and rides
+    * the codegen'd NearestCentroid expression; component means round to 6
+    * decimals exactly as ivfCentroids' means do, so the DuckDB oracle
+    * rebuilds bit-identical prototypes in SQL. The corpus pass is one
+    * narrow assignment + a labels²-key partial-aggregated groupBy.
+    */
+  def prototypeAssign(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // driver-side prototype build: labels sorted ascending = matrix index
+    // order, so NearestCentroid's higher-index tie rule is higher-label
+    val protoRows = emb
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val labels = protoRows.map(_._1).distinct.sorted
+    val protos: Array[Array[Double]] = labels.map { lb =>
+      val comps = protoRows.filter(_._1 == lb).sortBy(_._2).map(_._3)
+      comps.map(v => java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toArray
+    }.toArray
+    val labelOf = typedlit(labels.toSeq)
+    emb.select(col("label"),
+        graft.functions.VectorExpressions.nearestCentroid(col("embedding"), protos).as("idx"))
+      .select(col("label"), element_at(labelOf, col("idx") + 1).as("assigned"))
+      .groupBy("label", "assigned").agg(count(lit(1)).as("n"))
+      .orderBy("label", "assigned")
+  }
 }

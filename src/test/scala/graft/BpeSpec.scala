@@ -76,4 +76,46 @@ class BpeSpec extends SparkSpec {
     val df = Bpe.learn(spark, sf0001)
     assert(df.queryExecution.logical.isInstanceOf[graft.plans.DeferredRelation])
   }
+
+  test("encodeWord: zero merges yields chars + terminal; full merges collapse the word") {
+    assert(Bpe.encodeWord("abc", Nil) === Seq("a", "b", "c", Bpe.EndOfWord))
+    val merges = Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.EndOfWord))
+    assert(Bpe.encodeWord("abc", merges) === Seq("abc" + Bpe.EndOfWord))
+  }
+
+  test("encode applies the corpus-learned merges: hand corpus collapses to one token per word") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("bpeenc")
+    Seq((1L, "ab ab", "en", "src", 5L), (2L, "ab", "en", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // learn finds (a,b) then (ab,</w>): every "ab" encodes to ONE token
+    val got = Bpe.encode(spark, dir, merges = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("tokens_per_word")))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 1L, 1L, 1.0)))
+  }
+
+  test("distributed encode matches a local word-by-word replay on the corpus") {
+    import org.apache.spark.sql.functions._
+    val merges = 8
+    val got = Bpe.encode(spark, sf0001, merges = merges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    // merges from the independent learner, applied word-by-word locally
+    val freqs = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toSeq
+    val learned = refBpe(freqs, merges, 2L).map { case (l, r, _) => (l, r) }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    docs.foreach { row =>
+      val want = row.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => Bpe.encodeWord(w, learned).length.toLong).sum
+      assert(got(row.getLong(0)) === want, s"doc ${row.getLong(0)} token count diverged")
+    }
+  }
 }

@@ -147,4 +147,46 @@ class OpsSpec extends SparkSpec {
       .where(col("n_chars_computed") =!= col("n_chars")).count()
     assert(bad === 0)
   }
+
+  test("labelPrototypes: one row per (label, component), mean verified independently") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val labels = emb.select("label").distinct().count()
+    val rows = graft.ops.Embeddings.labelPrototypes(spark, sf0001).collect()
+    assert(rows.length.toLong === labels * 64)
+    // pick one (label, pos) and recompute its mean from raw vectors
+    val sample = rows.head
+    val (lb, pos) = (sample.getInt(0), sample.getInt(1))
+    val want = emb.where(col("label") === lb)
+      .select(element_at(col("embedding"), pos).cast("double").as("x"))
+      .agg(round(avg("x"), 6)).head().getDouble(0)
+    assert(sample.getDouble(2) === want)
+    assert(rows.forall(_.getAs[Long]("n_vecs") > 0))
+  }
+
+  test("prototypeAssign: confusion counts cover the corpus and match a local replay") {
+    val got = graft.ops.Embeddings.prototypeAssign(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(got.values.sum === emb.count(), "every vector is assigned exactly once")
+    // local replay: round-6 prototypes, cosine argmax with higher-label ties
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val protos = vecs.groupBy(_._2).map { case (lb, vs) =>
+      lb -> Array.tabulate(64) { i =>
+        val m = vs.map(_._3(i)).sum / vs.length
+        java.math.BigDecimal.valueOf(m).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.map { case (_, lb, v) =>
+      val assigned = protos.toSeq.map { case (pl, p) => (cos(v, p), pl) }
+        .maxBy { case (c, pl) => (c, pl) }._2
+      (lb, assigned)
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    assert(got === want)
+  }
 }

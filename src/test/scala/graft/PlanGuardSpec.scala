@@ -66,7 +66,7 @@ class PlanGuardSpec extends SparkSpec {
     // DeferredRelation leaf — creation builds attributes and a thunk,
     // nothing that can launch a job; the gate count and propagation rounds
     // run at the first action (CurationSpec's collects cover execution).
-    for (name <- Seq("dup_clusters", "cluster_keep_best", "bpe_learn")) {
+    for (name <- Seq("dup_clusters", "cluster_keep_best", "bpe_learn", "bpe_encode")) {
       val df = SparkEntry.queries(name)(spark, sf0001)
       assert(df.queryExecution.logical.isInstanceOf[graft.plans.DeferredRelation],
         s"$name should construct as a deferred leaf")
