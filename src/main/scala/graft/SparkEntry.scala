@@ -70,6 +70,7 @@ object SparkEntry {
     "ingest_csv"           -> ((s, d) => graft.sources.TextSources.csvRoundtrip(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
+    "split_divergence"     -> ((s, d) => graft.ops.Corpus.splitDivergence(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
@@ -726,6 +727,32 @@ object SparkEntry {
          |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // KL over the joint vocabulary with the same hash-replayed split as
+    // train_split; float budget as lm_perplexity (exact ln arguments)
+    "split_divergence" -> {
+      val trainCut = (0.9 * (1 << 24)).toLong
+      val valCut = (0.95 * (1 << 24)).toLong
+      s"""WITH d AS (SELECT CASE WHEN u < $trainCut THEN 'train'
+         |                       WHEN u < $valCut THEN 'val'
+         |                       ELSE 'test' END AS split, text
+         |           FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u,
+         |                        text FROM documents)),
+         |t AS (SELECT split, unnest(string_split(text, ' ')) AS w FROM d),
+         |c AS (SELECT split, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |n AS (SELECT split, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vocab FROM c),
+         |vb AS (SELECT DISTINCT w FROM c),
+         |p AS (SELECT n.split, vb.w, n.n,
+         |        (coalesce(c.cnt, 0) + 0.5) / (n.n + 0.5 * v.vocab) AS p
+         |      FROM n CROSS JOIN vb CROSS JOIN v
+         |      LEFT JOIN c ON c.split = n.split AND c.w = vb.w)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |       max(a.n) AS n_tokens_a, max(b.n) AS n_tokens_b,
+         |       round(sum(a.p * ln(a.p / b.p)), 6) AS kl
+         |FROM p a JOIN p b ON a.w = b.w AND a.split <> b.split
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "corpus_stats" ->

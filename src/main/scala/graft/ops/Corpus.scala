@@ -32,6 +32,56 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** B39 — split-distribution divergence: the KL divergence between every
+    * ordered pair of train/val/test unigram distributions (add-k smoothed
+    * over the JOINT vocabulary so every term is defined) — the QA number
+    * that catches a skewed split before a wasted training run: a
+    * hash-random split should show near-zero divergences, a
+    * time/source-correlated one lights up.
+    *
+    * Shapes: one token explode feeds a partial-aggregated (split, token)
+    * count whose persisted frame then derives totals, the joint
+    * vocabulary, and both sides of the scoring join; the vocab×splits
+    * probability grid attaches totals through a bounded
+    * (splits-by-construction) broadcast and V as a 1-row scalar; the
+    * pair scoring is a token-keyed self-join partial-aggregated into 6
+    * rows. Nothing is all-pairs in the corpus dimension; text never
+    * shuffles. Float budget identical to lmPerplexity (exact ln
+    * arguments; summation-order error orders below the round-6 step).
+    */
+  def splitDivergence(spark: SparkSession, dir: String,
+                      trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                      addK: Double = 0.5): DataFrame = {
+    val u = DocHash.hash24("split:")
+    val trainCut = (trainFrac * (1 << 24)).toLong
+    val valCut = ((trainFrac + valFrac) * (1 << 24)).toLong
+    val counts = Tables.documents(spark, dir)
+      .select(when(u < trainCut, "train").when(u < valCut, "val")
+        .otherwise("test").as("split"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("split", "w").agg(count(lit(1)).as("cnt"))
+      .persist() // feeds totals + vocab + both scoring sides; Caches.clear releases
+    val totals = counts.groupBy("split").agg(sum(col("cnt")).as("n"))
+    val vocabSize = counts.select(count_distinct(col("w")).as("vocab"))
+    val grid = counts.select("w").distinct()
+      // splits are a construction constant (≤3 rows) — bounded broadcast,
+      // same class as ann_brute's probe set
+      .crossJoin(broadcast(totals))
+    val p = grid.join(counts, Seq("split", "w"), "left_outer")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("split"), col("w"), col("n"),
+        ((coalesce(col("cnt"), lit(0L)) + lit(addK)) /
+          (col("n") + lit(addK) * col("vocab"))).as("p"))
+    p.select(col("split").as("split_a"), col("w"), col("n").as("n_a"), col("p").as("pa"))
+      .join(p.select(col("split").as("split_b"), col("w"), col("n").as("n_b"),
+        col("p").as("pb")), Seq("w"))
+      .where(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(max(col("n_a")).as("n_tokens_a"), max(col("n_b")).as("n_tokens_b"),
+        round(sum(col("pa") * log(col("pa") / col("pb"))), 6).as("kl"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** B12 — corpus composition stats per (lang, source): doc/token/char
     * volumes and mean doc length — the dashboard numbers a data curation
     * run reports. One partial-aggregated shuffle on a tiny key space.

@@ -77,6 +77,30 @@ class BpeSpec extends SparkSpec {
     assert(df.queryExecution.logical.isInstanceOf[graft.plans.DeferredRelation])
   }
 
+  test("property: encode/merge rewrites never change the word they spell") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random words over a small alphabet (so merges actually apply) plus a
+    // random learned merge list; the invariant every BPE rewrite must keep:
+    // concatenating the tokens (minus the terminal) re-spells the word
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pair = for {
+      l <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "abc")
+      r <- Gen.oneOf("a", "b", "c", Bpe.EndOfWord, "ab", "bc")
+    } yield (l, r)
+    val cases = Gen.listOfN(300, for {
+      w <- word
+      ms <- Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k, pair))
+    } yield (w, ms)).pureApply(Gen.Parameters.default, Seed(42L))
+    cases.foreach { case (w, ms) =>
+      val toks = Bpe.encodeWord(w, ms)
+      assert(toks.mkString.stripSuffix(Bpe.EndOfWord) === w,
+        s"'$w' under $ms re-spelled as ${toks.mkString("|")}")
+      assert(toks.last.endsWith(Bpe.EndOfWord), "terminal symbol survives at the end")
+    }
+  }
+
   test("encodeWord: zero merges yields chars + terminal; full merges collapse the word") {
     assert(Bpe.encodeWord("abc", Nil) === Seq("a", "b", "c", Bpe.EndOfWord))
     val merges = Seq(("a", "b"), ("ab", "c"), ("abc", Bpe.EndOfWord))

@@ -42,4 +42,40 @@ class CorpusSpec extends SparkSpec {
     val plan = Corpus.contamination(spark, sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
+
+  test("splitDivergence matches a local smoothed-KL replay over the same hash split") {
+    val got = Corpus.splitDivergence(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_tokens_a"), r.getAs[Long]("n_tokens_b"), r.getAs[Double]("kl")))
+      .toMap
+    assert(got.keySet === Set("train" -> "val", "train" -> "test", "val" -> "train",
+      "val" -> "test", "test" -> "train", "test" -> "val"),
+      "all six ordered split pairs present")
+    // local replay: md5-prefix split, add-1/2 smoothing over the joint vocab
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      if (u < (0.9 * (1 << 24)).toLong) "train"
+      else if (u < (0.95 * (1 << 24)).toLong) "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { r =>
+      val s = splitOf(r.getLong(0))
+      r.getString(1).split(" ").foreach(w =>
+        counts((s, w)) = counts.getOrElse((s, w), 0L) + 1)
+    }
+    val vocab = counts.keySet.map(_._2)
+    val totals = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def p(s: String, w: String): Double =
+      (counts.getOrElse((s, w), 0L) + 0.5) / (totals(s) + 0.5 * vocab.size)
+    got.foreach { case ((a, b), (na, nb, kl)) =>
+      assert(na === totals(a) && nb === totals(b))
+      val want = vocab.toSeq.map(w => p(a, w) * math.log(p(a, w) / p(b, w))).sum
+      assert(math.abs(kl - want) < 2e-6, s"KL($a||$b): got $kl want $want")
+      assert(kl >= 0.0, "KL divergence is nonnegative")
+    }
+  }
 }

@@ -38,6 +38,7 @@ class PlanGuardSpec extends SparkSpec {
     "contamination",      // broadcast eval-sample row count
     "collocations",       // broadcast total-token scalar
     "lm_perplexity",      // broadcast vocabulary-size scalar
+    "split_divergence",   // broadcast split-totals (<=3 rows by construction) + V scalar
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar
     "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
