@@ -61,6 +61,7 @@ object SparkEntry {
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d))
     }),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
+    "semantic_contamination" -> ((s, d) => Similarity.semanticContamination(s, d)),
     "semantic_dedup"       -> ((s, d) => Similarity.semanticDedup(s, d)),
     "multimodal_meta"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // D19 interchange seams: eager format dump + schema'd read-back; the
@@ -668,6 +669,31 @@ object SparkEntry {
          |SELECT id_a, id_b, cos
          |FROM (SELECT id_a, id_b, $cosSql AS cos FROM cand)
          |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // embedding_near_dup's oracle with the cross-set filter + orientation
+    // on the verified pairs — eval stand-in is vec_id % 50, as in B13
+    "semantic_contamination" -> {
+      val (k, tables) = graft.ops.Similarity.nearDupParams(0.45)
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |ks AS (SELECT vec_id, v,
+         |        ${lshKeysSql(tables, k, dim = 64)} AS jk
+         |      FROM e),
+         |kb AS (SELECT vec_id AS id, 0 AS band, ks.jk[i] AS bkey
+         |       FROM ks, generate_series(1, $tables) AS s2(i)),
+         |${guardedCand0Ctes(cap = 256)},
+         |cand AS (SELECT p.id_a, p.id_b, a.v AS v, b.v AS qv
+         |         FROM cand0 p JOIN ks a ON p.id_a = a.vec_id
+         |                      JOIN ks b ON p.id_b = b.vec_id),
+         |pairs AS (SELECT id_a, id_b, cos
+         |          FROM (SELECT id_a, id_b, $cosSql AS cos FROM cand)
+         |          WHERE cos >= 0.45)
+         |SELECT CASE WHEN id_a % 50 = 0 THEN id_a ELSE id_b END AS eval_id,
+         |       CASE WHEN id_a % 50 = 0 THEN id_b ELSE id_a END AS corpus_id,
+         |       cos
+         |FROM pairs WHERE (id_a % 50 = 0) <> (id_b % 50 = 0)
+         |ORDER BY eval_id, corpus_id""".stripMargin
     },
 
     // SemDeDup prune over the replayed k-means assignment: same corpus

@@ -468,6 +468,27 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** B40 — semantic contamination screening: eval-set↔corpus NEAR-dup
+    * pairs by embedding cosine — the embedding-level analog of the 8-gram
+    * contamination check (Corpus.contamination): paraphrased benchmark
+    * leakage shares no 8-gram but sits at high cosine. Same deterministic
+    * eval stand-in (vec_id % 50 == 0) as B13, same guarded LSH bucket
+    * machinery as [[embeddingNearDup]] — candidates meet only on a
+    * colliding table key, the bucket-width guard caps degenerate keys, and
+    * the cross-set filter + orientation run on the verified pairs (the
+    * within-set pairs it discards cost one filtered row each, bounded by
+    * the same guard). Output: (eval_id, corpus_id, cos ≥ minCos).
+    */
+  def semanticContamination(spark: SparkSession, dir: String, minCos: Double = 0.45,
+                            dim: Int = 64): DataFrame =
+    embeddingNearDup(spark, dir, minCos, dim)
+      .where((col("id_a") % 50 === 0) =!= (col("id_b") % 50 === 0))
+      .select(
+        when(col("id_a") % 50 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        when(col("id_a") % 50 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"),
+        col("cos"))
+      .orderBy("eval_id", "corpus_id")
+
   /** B36 — semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then within
     * each cluster drop every vector that has a LOWER-id cluster-mate at

@@ -86,6 +86,21 @@ class AnnSpec extends SparkSpec {
       s"expected a partition filter on cell in:\n$plan")
   }
 
+  test("semanticContamination is exactly the cross-set slice of near-dup, oriented eval-first") {
+    val all = Similarity.embeddingNearDup(spark, sf0001, minCos = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = Similarity.semanticContamination(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("cos")))
+    got.foreach { case (e, c, _) =>
+      assert(e % 50 === 0, "eval side from the eval sample")
+      assert(c % 50 !== 0, "corpus side outside the eval sample")
+    }
+    val want = all.collect { case (a, b, cs) if (a % 50 == 0) != (b % 50 == 0) =>
+      if (a % 50 == 0) (a, b, cs) else (b, a, cs)
+    }.toSet
+    assert(got.toSet === want)
+  }
+
   test("semanticDedup drops exactly the within-cluster lower-id mates above the threshold") {
     val tau = 0.45
     val got = Similarity.semanticDedup(spark, sf0001, minCos = tau).collect()
