@@ -80,7 +80,20 @@ object Bpe {
     graft.plans.DeferredFrame(spark, mergesSchema)(() =>
       learnFrom(Tables.documents(spark, dir).select(col("text")), merges, minPairFreq))
 
-  /** The eager learn loop over any single-string-column frame. */
+  /** The eager learn loop over any single-string-column frame.
+    *
+    * The word-frequency pass is Catalyst (map-side-combined groupBy over
+    * the corpus — the one data-sized computation); the MERGE ROUNDS run on
+    * a plain RDD. Deliberately so: a Dataset formulation chains one typed
+    * map per round into an ever-deeper logical plan, and re-analyzing /
+    * cache-matching that growing plan made round cost blow up superlinearly
+    * past ~10 rounds (measured: 8 merges ≈ 2 s, 16 merges ≈ 38 s at
+    * sf0.001 — pure planning, data-independent). The RDD loop has no plan
+    * to re-derive: each round is one map-side-combined `reduceByKey` plus a
+    * `takeOrdered(1)` argmax and a narrow rewrite map, constant cost per
+    * round (16 merges ≈ 3 s). This is the "genuine per-partition iterative
+    * logic" case the RDD escape hatch exists for.
+    */
   def learnFrom(texts: DataFrame, merges: Int, minPairFreq: Long): DataFrame = {
     val spark = texts.sparkSession
     import spark.implicits._
@@ -89,40 +102,38 @@ object Bpe {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     // initial state: each word as its character symbols + the terminal
-    var words: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
-      wordFreq.as[(String, Long)]
+    var words: org.apache.spark.rdd.RDD[(Seq[String], Long)] =
+      wordFreq.as[(String, Long)].rdd
         .map { case (w, f) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], f) }
         .persist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    // the round-(t-1) table stays cached until round t's stats action has
-    // MATERIALIZED the round-t table from it (this round's map reads the
+    // the round-(t-1) RDD stays cached until round t's stats action has
+    // MATERIALIZED the round-t RDD from it (this round's rewrite reads the
     // cache, not the re-derived chain back to the corpus); released one
     // round late, so at most two vocab-sized caches coexist
-    var prev: Option[org.apache.spark.sql.Dataset[(Seq[String], Long)]] = None
+    var prev: Option[org.apache.spark.rdd.RDD[(Seq[String], Long)]] = None
     var rank = 1L
     var done = false
     while (rank <= merges && !done) {
-      // pair stats: one partial-aggregated shuffle over the vocab, then a
-      // TakeOrdered(1) argmax — freq desc, lexicographic tie-break, so the
-      // winner is independent of partitioning. This action also fills the
-      // current round's cache.
+      // pair stats: one map-side-combined reduceByKey over the vocab, then
+      // a takeOrdered(1) argmax — freq desc, lexicographic tie-break, so
+      // the winner is independent of partitioning. This action also fills
+      // the current round's cache.
       val best = words.flatMap { case (syms, f) =>
         if (syms.length < 2) Iterator.empty
-        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
-      }.toDF("l", "r", "f")
-        .groupBy("l", "r").agg(sum("f").as("freq"))
-        .orderBy(desc("freq"), asc("l"), asc("r"))
-        .limit(1).collect()
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => ((a, b), f) }
+      }.reduceByKey(_ + _)
+        .takeOrdered(1)(Ordering.by { case ((l, r), f) => (-f, l, r) })
+        .headOption
       prev.foreach(_.unpersist())
       prev = None
-      if (best.isEmpty || best.head.getAs[Long]("freq") < minPairFreq) done = true
-      else {
-        val (l, r, f) = (best.head.getString(0), best.head.getString(1),
-          best.head.getAs[Long]("freq"))
-        learned += ((rank, l, r, l + r, f))
-        prev = Some(words)
-        words = words.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }.persist()
-        rank += 1
+      best match {
+        case Some(((l, r), f)) if f >= minPairFreq =>
+          learned += ((rank, l, r, l + r, f))
+          prev = Some(words)
+          words = words.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }.persist()
+          rank += 1
+        case _ => done = true
       }
     }
     words.unpersist()

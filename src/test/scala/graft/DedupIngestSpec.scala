@@ -73,6 +73,51 @@ class DedupIngestSpec extends SparkSpec {
       docs.map(_._2).distinct.size.toLong)
   }
 
+  test("withinWatermarkDedup: horizon suppression, then engine-expired state re-admits") {
+    import org.apache.spark.sql.functions._
+    val src = tempDir("wmdedup-src")
+    val out = tempDir("wmdedup-out") + "/data"
+    val cp = tempDir("wmdedup-cp")
+    def writeTimed(name: String, docs: Seq[(Long, String, Long)]): Unit = {
+      val lines = docs.map { case (id, text, sec) =>
+        s"""{"doc_id":$id,"text":"$text","sec":$sec}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    def runBatch(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, sec LONG")
+        .json(src)
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val q = DedupIngest.withinWatermarkDedup(stream, "ts", "10 seconds")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: in-horizon duplicate suppressed (t=10 and t=11, delay 10s)
+    writeTimed("w1", Seq((1L, "alpha", 10L), (2L, "alpha", 11L)))
+    runBatch()
+    // batch 2: watermark still behind the key's expiry → suppressed; the
+    // t=100 row also advances the watermark to 90s for the next batch
+    writeTimed("w2", Seq((3L, "alpha", 100L)))
+    runBatch()
+    // batch 3: watermark (90s) passed expiry (first-seen 10s + 10s) → the
+    // engine dropped the state and the same content is re-admitted
+    writeTimed("w3", Seq((4L, "alpha", 110L)))
+    runBatch()
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L),
+      s"in-horizon duplicate must be suppressed: $kept")
+    assert(kept.contains(4L),
+      s"post-horizon duplicate must be re-admitted (bounded state): $kept")
+  }
+
   test("dedupBatch against an explicit index is a pure keyed anti-join") {
     val s = spark
     import s.implicits._
