@@ -23,11 +23,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce folds the whole query's
-      // final stage into one task (the narrow-dependency collapse banned in
-      // SURVEY §4); repartition keeps the compute wide and only merges for
-      // the single-file dump the oracle compare wants.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      // Merge to one file WITHOUT losing the query's ORDER BY: the oracle
+      // compare matches rows positionally, and a bare repartition(1)'s
+      // round-robin shuffle does not guarantee the reduce task concatenates
+      // map outputs in order (it happens to in local mode — a latent
+      // cluster bug). monotonically_increasing_id() stamps the sorted
+      // output (range partitions are ordered by partition id, so the ids
+      // are globally ascending), the shuffle moves the rows, and the
+      // within-partition sort on the id restores the order exactly. Still
+      // NOT coalesce(1): that would fold the whole query's final stage
+      // into one task (the narrow-dependency collapse banned in SURVEY §4);
+      // this keeps the compute wide and re-sorts only the dumped rows.
+      try fn(spark, sfDir)
+        .withColumn("__row", org.apache.spark.sql.functions.monotonically_increasing_id())
+        .repartition(1).sortWithinPartitions("__row").drop("__row")
+        .write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -21,16 +21,24 @@ object Corpus {
     * thresholds. Same doc → same split on every run, every engine (md5
     * prefix parses identically in DuckDB), resumable and join-free.
     */
-  def trainSplit(spark: SparkSession, dir: String,
-                 trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+  /** The ONE split-assignment expression, shared by [[trainSplit]] and
+    * [[splitDivergence]]: the KL diagnostic only means anything if it
+    * measures exactly the split the splitter assigns — two hand-copied
+    * hash/cut computations could drift one edit at a time.
+    */
+  private def splitCol(trainFrac: Double, valFrac: Double): org.apache.spark.sql.Column = {
     val u = DocHash.hash24("split:")
     val trainCut = (trainFrac * (1 << 24)).toLong
     val valCut = ((trainFrac + valFrac) * (1 << 24)).toLong
+    when(u < trainCut, "train").when(u < valCut, "val").otherwise("test")
+  }
+
+  def trainSplit(spark: SparkSession, dir: String,
+                 trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        when(u < trainCut, "train").when(u < valCut, "val").otherwise("test").as("split"))
+        splitCol(trainFrac, valFrac).as("split"))
       .orderBy("doc_id")
-  }
 
   /** B39 — split-distribution divergence: the KL divergence between every
     * ordered pair of train/val/test unigram distributions (add-k smoothed
@@ -52,12 +60,8 @@ object Corpus {
   def splitDivergence(spark: SparkSession, dir: String,
                       trainFrac: Double = 0.9, valFrac: Double = 0.05,
                       addK: Double = 0.5): DataFrame = {
-    val u = DocHash.hash24("split:")
-    val trainCut = (trainFrac * (1 << 24)).toLong
-    val valCut = ((trainFrac + valFrac) * (1 << 24)).toLong
     val counts = Tables.documents(spark, dir)
-      .select(when(u < trainCut, "train").when(u < valCut, "val")
-        .otherwise("test").as("split"),
+      .select(splitCol(trainFrac, valFrac).as("split"),
         explode(split(col("text"), " ")).as("w"))
       .groupBy("split", "w").agg(count(lit(1)).as("cnt"))
       .persist() // feeds totals + vocab + both scoring sides; Caches.clear releases

@@ -106,19 +106,19 @@ object Embeddings {
     * rebuilds bit-identical prototypes in SQL. The corpus pass is one
     * narrow assignment + a labels²-key partial-aggregated groupBy.
     */
-  def prototypeAssign(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+  def prototypeAssign(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // driver-side prototype build: labels sorted ascending = matrix index
-    // order, so NearestCentroid's higher-index tie rule is higher-label
-    val protoRows = emb
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+    // driver-side prototype build FROM labelPrototypes — the one aggregation
+    // both diagnostics share, so assignment can never drift from the
+    // published prototype table (its round-6 means are already the ones the
+    // oracle rebuilds). Labels sorted ascending = matrix index order, so
+    // NearestCentroid's higher-index tie rule is higher-label.
+    val protoRows = labelPrototypes(spark, dir)
+      .select(col("label"), col("pos"), col("m"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val labels = protoRows.map(_._1).distinct.sorted
     val protos: Array[Array[Double]] = labels.map { lb =>
-      val comps = protoRows.filter(_._1 == lb).sortBy(_._2).map(_._3)
-      comps.map(v => java.math.BigDecimal.valueOf(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()).toArray
+      protoRows.filter(_._1 == lb).sortBy(_._2).map(_._3)
     }.toArray
     val labelOf = typedlit(labels.toSeq)
     emb.select(col("label"),

@@ -98,10 +98,17 @@ object DedupIngest {
     * at all: state size is rate×horizon, independent of history.
     */
   def withinWatermarkDedup(docs: DataFrame, eventTimeCol: String,
-                           delay: String): DataFrame =
-    docs.withColumn("text_hash", md5(col("text")))
+                           delay: String): DataFrame = {
+    val hashed = docs.withColumn("text_hash", md5(col("text")))
       .withWatermark(eventTimeCol, delay)
+    // Null text routes AROUND the dedup, same invariant as [[dedupBatch]]:
+    // a missing/corrupt text field has no content to be a duplicate of,
+    // and a keyed dedup would fold every null-text doc into one state key
+    // and silently drop all but the first distinct document.
+    hashed.where(col("text_hash").isNotNull)
       .dropDuplicatesWithinWatermark("text_hash")
+      .unionByName(hashed.where(col("text_hash").isNull))
+  }
 
   /** Start the ingest stream: JSON docs from `sourceDir` → deduped parquet
     * in `outDir` + hash index in `indexDir`, both partitioned by epoch.

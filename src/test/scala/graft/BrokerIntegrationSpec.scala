@@ -73,7 +73,12 @@ class BrokerIntegrationSpec extends SparkSpec {
     * epoch spaced by 10k keeps each run's ranges disjoint from every prior
     * run's; the three tests carve non-overlapping sub-ranges out of it.
     */
-  private val runBase: Long = (System.currentTimeMillis() / 1000L) * 10000L
+  // millisecond resolution: a seconds-based nonce collides when two suite
+  // runs start within the same wall-clock second (CI retry, parallel jobs
+  // on the shared broker) — then both filter the same id range and see
+  // each other's deliveries. 10k ids per millisecond base keeps the three
+  // tests' sub-ranges disjoint and fits a long through 2262.
+  private val runBase: Long = System.currentTimeMillis() * 10000L
 
   /** Seed `n` event rows with ids `base until base+n` into the live source
     * via Spark's batch writer for that format — one JSON line per event for

@@ -100,8 +100,13 @@ class DedupIngestSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
-    // batch 1: in-horizon duplicate suppressed (t=10 and t=11, delay 10s)
+    // batch 1: in-horizon duplicate suppressed (t=10 and t=11, delay 10s);
+    // the two NULL-text docs (missing field) both pass through — null
+    // content routes around the dedup instead of folding into one state key
     writeTimed("w1", Seq((1L, "alpha", 10L), (2L, "alpha", 11L)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/w1n.json"),
+      """{"doc_id": 90, "sec": 10}
+        |{"doc_id": 91, "sec": 11}""".stripMargin)
     runBatch()
     // batch 2: watermark still behind the key's expiry → suppressed; the
     // t=100 row also advances the watermark to 90s for the next batch
@@ -116,6 +121,8 @@ class DedupIngestSpec extends SparkSpec {
       s"in-horizon duplicate must be suppressed: $kept")
     assert(kept.contains(4L),
       s"post-horizon duplicate must be re-admitted (bounded state): $kept")
+    assert(kept.contains(90L) && kept.contains(91L),
+      s"distinct null-text docs must BOTH survive (no content to dedup on): $kept")
   }
 
   test("dedupBatch against an explicit index is a pure keyed anti-join") {
