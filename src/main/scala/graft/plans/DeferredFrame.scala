@@ -42,8 +42,14 @@ case class DeferredRelation(output: Seq[Attribute],
     Statistics(sizeInBytes = BigInt(Long.MaxValue))
 }
 
+// `thunk` is DRIVER-ONLY state (doExecute resolves it into an RDD before
+// any task ships) and closes over the SparkSession — but operators composed
+// ABOVE this leaf (a projection, a sort) capture their child plan in task
+// closures, which would drag the thunk into task serialization and fail
+// with "Task not serializable". @transient drops it from the shipped
+// closure; executors only ever see the materialized RDD.
 case class DeferredExec(output: Seq[Attribute],
-                        thunk: () => DataFrame) extends SparkPlan with LeafExecNode {
+                        @transient thunk: () => DataFrame) extends SparkPlan with LeafExecNode {
   @transient private lazy val inner: DataFrame = {
     val df = thunk()
     val got = df.schema
