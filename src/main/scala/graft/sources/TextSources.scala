@@ -52,7 +52,7 @@ object TextSources {
     * dumps in the system temp dir.
     */
   private val roundtripDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def roundtripDir(dataDir: String, fmt: String): String =
+  private[graft] def roundtripDir(dataDir: String, fmt: String): String =
     roundtripDirs.computeIfAbsent(s"$fmt:$dataDir", _ => {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_ingest_${fmt}_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -204,4 +204,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(zext.forall { case (lo, hi, _, _) => hi - lo < 63 },
       s"every z-file should bound x too: $zext")
   }
+
+  test("writeZOrdered keeps files size-balanced under heavy key skew") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share one (x, y) corner — uniform bucketing degrades the
+    // PRUNING there (documented), but repartitionByRange samples the
+    // z-value distribution, so file SIZES must stay balanced regardless
+    val rows = (0 until 4000).map { i =>
+      if (i < 3600) (0L, 0L, i.toLong)
+      else ((i % 64).toLong, (i / 64 % 64).toLong, i.toLong)
+    }
+    val dir = tempDir("zskew") + "/rows"
+    Maintenance.writeZOrdered(rows.toDF("x", "y", "payload"), dir, nFiles = 8, bits = 6, "x", "y")
+    val counts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.toString).count())
+    assert(spark.read.parquet(dir).count() === 4000)
+    // range partitioning cannot split one identical z-value across files,
+    // so the hot corner's 3600 rows necessarily share one file — the
+    // balance property under skew is that the DISTINCT tail does not get
+    // swallowed into it: the sampler's boundaries put most of the other
+    // 400 rows in their own file(s)
+    assert(counts.count(_ > 0) >= 2, s"all rows in one file: ${counts.toSeq.sorted}")
+    assert(counts.max <= 3600 + 100,
+      s"hot file swallowed the distinct tail: ${counts.toSeq.sorted}")
+  }
 }

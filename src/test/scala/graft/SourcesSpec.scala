@@ -12,9 +12,14 @@ class SourcesSpec extends SparkSpec {
         col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
 
-  test("JSONL round trip preserves every document byte-exactly") {
-    val got = TextSources.jsonlRoundtrip(spark, sf0001).collect().map(_.toSeq).toSeq
-    assert(got === originalHashes(sf0001))
+  test("JSONL round trip preserves every document byte-exactly, across preserved shards") {
+    val df = TextSources.jsonlRoundtrip(spark, sf0001)
+    assert(df.collect().map(_.toSeq).toSeq === originalHashes(sf0001))
+    // the write kept multiple shards, so the read back parallelizes
+    // file-per-task (the splittability rule the object doc states)
+    val nFiles = new java.io.File(TextSources.roundtripDir(sf0001, "jsonl"))
+      .listFiles().count(f => f.getName.endsWith(".json") && f.length() > 0)
+    assert(nFiles >= 2, s"interchange dump collapsed to $nFiles file(s)")
   }
 
   test("CSV round trip preserves every document byte-exactly") {
