@@ -87,6 +87,7 @@ object SparkEntry {
     "temperature_sample"   -> ((s, d) => graft.ops.Curation.temperatureSample(s, d)),
     "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
     "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
+    "training_order"       -> ((s, d) => graft.ops.Curation.trainingOrder(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
@@ -1042,6 +1043,18 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, lang, source, rank_in_source FROM r
         |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
+
+    // global row_number over the decorrelated 'shuffle:' hash order; the
+    // engine computes it two-level (sharded prefix), the oracle in one sort
+    "training_order" ->
+      """WITH d AS (SELECT doc_id,
+        |             ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS pos
+        |      FROM d)
+        |SELECT doc_id, pos, (pos - 1) % 8 AS out_shard FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     // occurrence-weighted fraction of a doc's bigrams whose corpus count
     // reaches the threshold; zero-bigram docs keep a row with null coverage

@@ -360,6 +360,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B41 — training-order shuffle + shard assignment: the step between a
+    * curated corpus and a training run. Each document gets `pos`, its
+    * 1-based position in a deterministic pseudo-random global order (the
+    * content-free 24-bit-md5 order every sampler here uses, under its own
+    * `shuffle:` prefix so the training order is decorrelated from the
+    * split/sample orders), and `out_shard = (pos-1) mod nShards`, the
+    * round-robin shard that order is dealt into — so every data-parallel
+    * reader sees an unbiased interleaved slice of the shuffle, not a
+    * contiguous (and therefore hash-range-biased) block. Deterministic ⇒
+    * reproducible across engines, reruns, and restarts; no RNG state to
+    * checkpoint.
+    *
+    * Scale shape: a naive global `row_number()` is ONE unpartitioned sort
+    * of the corpus — the exact single-partition window this file exists to
+    * avoid. [[shardedPrefix]] with a constant key is the two-level fix:
+    * per-shard counts collapse to a ≤2^shardBits-row broadcast table whose
+    * prefix sums are each shard's base offset, and the in-shard rank
+    * window holds ~1/2^shardBits of the corpus (shardBits scales to 24).
+    * The shuffles carry (doc_id, u) — never text; a writer materializes
+    * the order with `repartition(col("out_shard"))` +
+    * `sortWithinPartitions("pos")`, one shuffle, no global sort.
+    */
+  def trainingOrder(spark: SparkSession, dir: String,
+                    nShards: Long = 8, shardBits: Int = 6): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val docs = Tables.documents(spark, dir)
+    val u = DocHash.hash24("shuffle:")
+    val base = docs.select(col("doc_id"), u.as("u"))
+      .withColumn("k", lit("all"))
+      .withColumn("shard", shiftright(col("u"), 24 - shardBits))
+    shardedPrefix(base, "k", lit(1L), shardBits)
+      .withColumn("pos", (col("before") + 1L).cast("long"))
+      .withColumn("out_shard", pmod(col("pos") - 1L, lit(nShards)).cast("long"))
+      .select("doc_id", "pos", "out_shard")
+      .orderBy("doc_id")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

@@ -169,6 +169,29 @@ class CurationSpec extends SparkSpec {
     assert(k2 === kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap)
   }
 
+  test("trainingOrder is a permutation in hash order, round-robin sharded, shard-count invariant") {
+    val dir = docsDir((1L to 37L).map(i => i -> varied)) // non-multiple of nShards
+    val got = Curation.trainingOrder(spark, dir, nShards = 8).collect()
+    // pos is a dense permutation 1..N
+    assert(got.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to 37L).toSeq)
+    // pos is exactly the global (u, doc_id) rank under the 'shuffle:' hash
+    val expectOrder = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("shuffle:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long").as("u"))
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("doc_id")))
+      .sorted.map(_._2).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap === expectOrder)
+    // round-robin deal: shard = (pos-1) % 8, so sizes differ by at most 1
+    assert(got.forall(r => r.getAs[Long]("out_shard") === (r.getAs[Long]("pos") - 1) % 8))
+    val sizes = got.groupBy(_.getAs[Long]("out_shard")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, "round-robin shards are balanced to within 1")
+    // the two-level order is the single-sort order for ANY shard count
+    val k2 = Curation.trainingOrder(spark, dir, nShards = 8, shardBits = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(k2 === got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap)
+  }
+
   test("two-level rank operators agree with the single-window reference on skewed random data") {
     // 400 docs, 90% in one hot source/lang — the skew shape the two-level
     // machinery exists for. Deterministic seed; reference = the naive
