@@ -216,25 +216,35 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    // At 79 keys the full per-query map measured ~1.97 KB — one more round
-    // of registry growth clips the line's HEAD, which kills the JSON parse
-    // outright. The compact line therefore lists individually only queries
-    // at ≥ 0.4 s (the ones a round-over-round wall comparison can read
-    // signal from; ~2/3 of the registry idles at the sub-0.4 s job floor)
-    // and folds the rest into small_n/small_total so the suite total still
-    // cross-checks. Full per-query walls live in bench_latest.json and the
-    // full line above — this line is the truncation-proof digest.
-    val (bigQ, smallQ) = qresults.partition { case (_, v) => v >= 0.4 || v < 0 }
-    val compactQ = bigQ.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
-      .mkString("{", ",", "}")
-    val smallFields =
-      s""","small_n":${smallQ.size},"small_total":${fmt2(smallQ.map(_._2).sum)}"""
+    // At 79 keys the full per-query map measured ~1.97 KB — registry growth
+    // clips the line's HEAD, which kills the JSON parse outright (r8, and
+    // again in r10 where a fixed 0.4 s fold threshold missed fitting by ~2
+    // bytes). The compact line lists individually only queries above a fold
+    // threshold (the ones a round-over-round wall comparison can read
+    // signal from; most of the registry idles at the sub-half-second job
+    // floor) and folds the rest into small_n/small_total so the suite total
+    // still cross-checks. The threshold is ADAPTIVE: it rises until the
+    // whole line fits 1750 bytes — the driver keeps the last ~2000 bytes of
+    // stdout and sbt's "[info] " prefix plus its closing "[success]" line
+    // eat ~80 — so no amount of registry growth can clip the head again.
+    // Full per-query walls live in bench_latest.json and the full line.
     val compactAnchor = if (duckBest.isEmpty) "" else {
       // same hoisted aggregate as the full line; regression count only —
       // names live in the full line / bench_latest
       s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(aggRatio)},"regr":${regressions.size}"""
     }
-    println(s"""{"metric":"summary","queries":$compactQ$smallFields,"value":${fmt2(total)}$compactAnchor$failedField}""")
+    def compactLine(foldBelow: Double): String = {
+      val (bigQ, smallQ) = qresults.partition { case (_, v) => v >= foldBelow || v < 0 }
+      val compactQ = bigQ.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+      val smallFields =
+        s""","fold_below":$foldBelow,"small_n":${smallQ.size},"small_total":${fmt2(smallQ.map(_._2).sum)}"""
+      s"""{"metric":"summary","queries":$compactQ$smallFields,"value":${fmt2(total)}$compactAnchor$failedField}"""
+    }
+    val summary = Iterator.iterate(0.5)(_ + 0.25).map(compactLine)
+      .find(_.length <= 1750)
+      .getOrElse(compactLine(Double.MaxValue)) // every query folded: ~200 B
+    println(summary)
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.events.{ChangeEvents, ResumeTokens}
-import graft.ops.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Dedup, Maintenance, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -130,7 +130,14 @@ object SparkEntry {
     // no oracleSql: the BPE learn loop is an iterative argmax-and-rewrite,
     // outside SQL — BpeSpec replays an independent implementation instead
     "bpe_learn"            -> ((s, d) => graft.ops.Bpe.learn(s, d, merges = 16)),
-    "bpe_encode"           -> ((s, d) => graft.ops.Bpe.encode(s, d, merges = 16))
+    "bpe_encode"           -> ((s, d) => graft.ops.Bpe.encode(s, d, merges = 16)),
+    // round-11 additions
+    "dsir_select"          -> ((s, d) => graft.ops.Corpus.dsirSelect(s, d)),
+    "ppl_buckets"          -> ((s, d) => graft.ops.Relevance.pplBuckets(s, d)),
+    "embedding_pca"        -> ((s, d) => graft.ops.Embeddings.embeddingPca(s, d)),
+    "corpus_diff"          -> ((s, d) => Dedup.corpusDiff(s, d)),
+    "event_transitions"    -> ((s, d) => Analytics.eventTransitions(s, d)),
+    "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -152,8 +159,39 @@ object SparkEntry {
       Similarity.centroidsDF(s, ivfIndexDir(d, "extras"))
     }),
     "ann_ivf_probe" -> ((s, d) =>
-      Similarity.ivfProbePersisted(s, d, ivfIndexDir(d, "extras")))
+      Similarity.ivfProbePersisted(s, d, ivfIndexDir(d, "extras"))),
+    // Layout writers (D13/D20) as timed extras: spec-verified pruning is
+    // only half the story — a future repartition/sort change that broke
+    // file disjointness or ballooned the write cost would otherwise surface
+    // functionally but never in a measured number (VERDICT r10 #6). Each
+    // entry rewrites the sf events table into its layout (the eager write
+    // IS the timed cost) and returns the file census so MaintenanceSpec can
+    // assert the layout actually produced the requested file count.
+    "layout_clustered" -> ((s, d) => {
+      val out = ivfIndexDir(d, "layout_clustered")
+      Maintenance.writeClustered(Tables.events(s, d), out, nFiles = 16, "user_id", "ts")
+      layoutCensus(s, out)
+    }),
+    "layout_zorder" -> ((s, d) => {
+      val out = ivfIndexDir(d, "layout_zorder")
+      Maintenance.writeZOrdered(Tables.events(s, d), out, nFiles = 16, bits = 6,
+        "user_id", "ts")
+      layoutCensus(s, out)
+    })
   )
+
+  /** One row per data file of a just-written layout (name, bytes) — the
+    * frame a layout benchExtra returns: tiny, and it lets the spec assert
+    * the writer produced exactly the file count it was asked for.
+    */
+  private def layoutCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen)).toSeq
+      .toDF("file", "bytes").orderBy("file")
+  }
 
   /** Scratch dir for a persisted IVF index, one per (tag, data dir) —
     * keyed by data dir so concurrent users of two datasets in one JVM
@@ -287,6 +325,22 @@ object SparkEntry {
          |         FROM sf) WHERE rn = 1),
          |corpus AS (SELECT af.vec_id, e.v, af.cell FROM af JOIN e USING (vec_id))""".stripMargin
     (ctes, fc)
+  }
+
+  /** The semantic_dedup oracle at an explicit cluster count — the oracleSql
+    * entry pins cells=16 (what the derived C floors to at the gate SFs);
+    * CrossoverBench calls this with the derivation's larger C so the
+    * crossover's DuckDB pass replays the same configuration Spark ran.
+    */
+  private[graft] def semanticDedupSql(cells: Int): String = {
+    val (corpusCtes, _) = ivfCorpusCtes(cells, iters = 2, dim = 64)
+    s"""WITH $corpusCtes,
+       |rm AS (SELECT DISTINCT b.vec_id
+       |       FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       WHERE round(${cosOf("a.v", "b.v")}, 6) >= 0.45)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       |       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM corpus c LEFT JOIN rm USING (vec_id) ORDER BY c.vec_id""".stripMargin
   }
 
   private def ivfOracleSql(nQueries: Int = 5, k: Int = 5, cells: Int = 16,
@@ -699,16 +753,13 @@ object SparkEntry {
 
     // SemDeDup prune over the replayed k-means assignment: same corpus
     // CTEs as the IVF oracles (prune and index share one clustering).
-    "semantic_dedup" -> {
-      val (corpusCtes, _) = ivfCorpusCtes(cells = 16, iters = 2, dim = 64)
-      s"""WITH $corpusCtes,
-         |rm AS (SELECT DISTINCT b.vec_id
-         |       FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |       WHERE round(${cosOf("a.v", "b.v")}, 6) >= 0.45)
-         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
-         |       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM corpus c LEFT JOIN rm USING (vec_id) ORDER BY c.vec_id""".stripMargin
-    },
+    // cells=16 here is what the registered query's corpus-derived C
+    // (Similarity.semanticCells: max(16, n/1000)) floors to at every gate
+    // SF (500 vecs at sf0.01, 2k at sf0.1) — the same number by
+    // construction, asserted by AnnSpec's derived≡explicit pin. At
+    // crossover scale the derivation grows C and CrossoverBench emits a
+    // matching-C oracle override, so both engines always run the same C.
+    "semantic_dedup" -> semanticDedupSql(cells = 16),
 
     // Interchange fidelity: the Spark side hashes the text AFTER the
     // JSONL/CSV round trip; the oracle hashes the parquet original — a
@@ -1451,6 +1502,190 @@ object SparkEntry {
         |       round(quantile_cont(ntok, 0.9), 6) AS p90,
         |       round(quantile_cont(ntok, 0.99), 6) AS p99
         |FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DSIR importance selection: same md5 split as train_split; ln args are
+    // quotients of correctly-rounded divides of exact integers+0.5 —
+    // identical bits on both engines (lm_perplexity's float budget).
+    "dsir_select" -> {
+      val trainCut = (0.9 * (1 << 24)).toLong
+      val valCut = (0.95 * (1 << 24)).toLong
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |             CASE WHEN u < $trainCut THEN 'train'
+         |                  WHEN u < $valCut THEN 'val'
+         |                  ELSE 'test' END AS split
+         |           FROM (SELECT doc_id, lang, text,
+         |                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+         |                 FROM documents)),
+         |pd AS (SELECT doc_id, lang, split, w, count(*) AS cnt
+         |       FROM (SELECT doc_id, lang, split, unnest(string_split(text, ' ')) AS w FROM d)
+         |       GROUP BY 1, 2, 3, 4),
+         |raw AS (SELECT w, sum(cnt) AS cr FROM pd GROUP BY 1),
+         |tgt AS (SELECT w, sum(cnt) AS ct FROM pd WHERE split = 'val' GROUP BY 1),
+         |sc AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+         |              (SELECT count(*) FROM raw) AS vocab,
+         |              (SELECT sum(ct) FROM tgt) AS nt),
+         |lr AS (SELECT raw.w,
+         |         ln(((coalesce(ct, 0) + 0.5) / (nt + 0.5 * vocab)) /
+         |            ((cr + 0.5) / (nr + 0.5 * vocab))) AS lr
+         |       FROM raw LEFT JOIN tgt USING (w) CROSS JOIN sc),
+         |s AS (SELECT pd.doc_id, pd.lang, sum(cnt) AS n_tokens, sum(cnt * lr.lr) AS s
+         |      FROM pd JOIN lr USING (w) WHERE pd.split <> 'val' GROUP BY 1, 2)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       round(s / n_tokens, 6) AS score
+         |FROM s ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    // CCNet perplexity buckets: the lm_perplexity CTEs verbatim, plus
+    // per-lang tercile cutoffs via quantile_cont (the C9 percentile
+    // contract) and closed-threshold assignment.
+    "ppl_buckets" -> {
+      val ps = Seq(1.0 / 3, 2.0 / 3)
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+         |b AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+         |      FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+         |pd AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+         |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd GROUP BY 1, 2),
+         |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vocab
+         |      FROM (SELECT unnest(tok) AS w FROM t)),
+         |lp AS (SELECT cb.w1, cb.w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp
+         |       FROM cb JOIN cu USING (w1) CROSS JOIN v),
+         |d AS (SELECT pd.doc_id, sum(pd.cnt) AS nb, sum(pd.cnt * lp.lp) AS s
+         |      FROM pd JOIN lp USING (w1, w2) GROUP BY 1),
+         |ppl AS (SELECT t.doc_id, t.lang, round(exp(-d.s / d.nb), 4) AS perplexity
+         |        FROM t LEFT JOIN d ON t.doc_id = d.doc_id),
+         |cuts AS (SELECT lang, quantile_cont(perplexity, ${ps.head}) AS cut1,
+         |                quantile_cont(perplexity, ${ps.last}) AS cut2
+         |         FROM ppl WHERE perplexity IS NOT NULL GROUP BY lang)
+         |SELECT ppl.doc_id, ppl.lang, ppl.perplexity,
+         |       CASE WHEN perplexity IS NULL THEN NULL
+         |            WHEN perplexity <= cut1 THEN 'head'
+         |            WHEN perplexity <= cut2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM ppl LEFT JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin
+    },
+
+    "embedding_pca" -> embeddingPcaSql(iters = 40, dim = 64),
+
+    // Cross-snapshot diff: the exact-hash join plus the SAME banded-LSH
+    // candidate/estimate replay as dedup_minhash_pairs, filtered to
+    // cross-parity pairs.
+    "corpus_diff" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS ej
+         |        FROM cand),
+         |near AS (SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS nid
+         |         FROM est WHERE ej >= 0.5 AND (id_a % 2 = 1) <> (id_b % 2 = 1)),
+         |prevh AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 2 = 0)
+         |SELECT d.doc_id, d.lang, d.source,
+         |       CASE WHEN p.th IS NOT NULL THEN 'exact_dup'
+         |            WHEN n.nid IS NOT NULL THEN 'near_dup'
+         |            ELSE 'new' END AS status
+         |FROM documents d
+         |LEFT JOIN prevh p ON md5(d.text) = p.th
+         |LEFT JOIN near n ON d.doc_id = n.nid
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "event_transitions" ->
+      s"""WITH $evCte,
+         |p AS (SELECT event_type,
+         |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |      FROM ev),
+         |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+         |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+         |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // RFM: integer epoch-day recency, decimal-exact monetary, quintile
+    // CUTOFFS via quantile_cont (same percentile contract as C9; scores via
+    // strict comparisons so a tie sits in the lower bucket on both engines).
+    "rfm_segments" -> {
+      val ps = Seq(0.2, 0.4, 0.6, 0.8)
+      def score(v: String, cuts: String, up: Boolean): String =
+        "CAST(1 " + ps.indices.map { i =>
+          val cmp = if (up) ">" else "<"
+          s"+ (CASE WHEN $v $cmp $cuts[${i + 1}] THEN 1 ELSE 0 END)"
+        }.mkString(" ") + " AS BIGINT)"
+      s"""WITH pc AS (SELECT o_custkey AS custkey,
+         |              max(epoch(o_orderdate)::BIGINT) AS last_epoch,
+         |              count(*) AS frequency,
+         |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         |            FROM orders GROUP BY 1),
+         |mx AS (SELECT max(last_epoch) AS max_epoch FROM pc),
+         |base AS (SELECT custkey, (max_epoch - last_epoch) // 86400 AS recency_days,
+         |                frequency, monetary
+         |         FROM pc CROSS JOIN mx),
+         |cuts AS (SELECT quantile_cont(recency_days, [${ps.mkString(", ")}]) AS rc,
+         |                quantile_cont(frequency, [${ps.mkString(", ")}]) AS fc,
+         |                quantile_cont(monetary, [${ps.mkString(", ")}]) AS mc
+         |         FROM base)
+         |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+         |       CAST(frequency AS BIGINT) AS frequency, monetary,
+         |       ${score("recency_days", "rc", up = false)} AS r_score,
+         |       ${score("frequency", "fc", up = true)} AS f_score,
+         |       ${score("monetary", "mc", up = true)} AS m_score,
+         |       ${score("recency_days", "rc", up = false)} * 100 +
+         |       ${score("frequency", "fc", up = true)} * 10 +
+         |       ${score("monetary", "mc", up = true)} AS rfm_cell
+         |FROM base CROSS JOIN cuts ORDER BY custkey""".stripMargin
+    }
   )
+
+  /** The embedding_pca oracle: replay the moment pass, the 6-dp-rounded
+    * covariance, `iters` unrolled power steps, the rounded deflation, and
+    * `iters` more steps — the same rounded-grid lockstep the Scala driver
+    * math walks (Embeddings.embeddingPca), then the centered projections.
+    * Sum orders differ between engines only on UNROUNDED intermediates
+    * (~1e-13, seven orders under the round-6 half-step).
+    */
+  private def embeddingPcaSql(iters: Int, dim: Int): String = {
+    val v0 = 1.0 / math.sqrt(dim.toDouble) // round6(0.125) = 0.125 exactly at dim 64
+    // every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and the w→v→w chain references its predecessor twice (main
+    // relation + the norm scalar subquery), so inlining re-evaluates the
+    // whole chain EXPONENTIALLY many times back to the corpus self-join
+    def iterCtes(cov: String, tag: String): String = {
+      val steps = (1 to iters).map { t =>
+        val prev = if (t == 1) s"v${tag}0" else s"v$tag${t - 1}"
+        s"""w$tag$t AS MATERIALIZED (SELECT c.i, sum(c.c * p.v) AS w
+           |           FROM $cov c JOIN $prev p ON p.i = c.j GROUP BY c.i),
+           |v$tag$t AS MATERIALIZED (SELECT i,
+           |             round(w / (SELECT sqrt(sum(w * w)) FROM w$tag$t), 6) AS v
+           |            FROM w$tag$t)""".stripMargin
+      }.mkString(",\n")
+      s"""v${tag}0 AS (SELECT i, CAST($v0 AS DOUBLE) AS v FROM generate_series(1, $dim) gs(i)),
+         |$steps""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |x AS MATERIALIZED (SELECT vec_id, i, v[i] AS xi FROM e, generate_series(1, $dim) gs(i)),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |mu AS (SELECT i, round(sum(xi) / max(n), 6) AS m FROM x CROSS JOIN cnt GROUP BY i),
+       |c0 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |         round(sum(a.xi * b.xi) / max(n) - max(ma.m) * max(mb.m), 6) AS c
+       |       FROM x a JOIN x b USING (vec_id) CROSS JOIN cnt
+       |       JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+       |       GROUP BY a.i, b.i),
+       |${iterCtes("c0", "a")},
+       |l1 AS (SELECT round(sum(a.v * c.c * b.v), 6) AS l
+       |       FROM c0 c JOIN va$iters a ON a.i = c.i JOIN va$iters b ON b.i = c.j),
+       |c2 AS MATERIALIZED (SELECT c.i, c.j,
+       |         round(c.c - (SELECT l FROM l1) * a.v * b.v, 6) AS c
+       |       FROM c0 c JOIN va$iters a ON a.i = c.i JOIN va$iters b ON b.i = c.j),
+       |${iterCtes("c2", "b")},
+       |p AS (SELECT x.vec_id,
+       |        round(sum((x.xi - mu.m) * a.v), 6) AS p1,
+       |        round(sum((x.xi - mu.m) * b.v), 6) AS p2
+       |      FROM x JOIN mu USING (i)
+       |      JOIN va$iters a ON a.i = x.i JOIN vb$iters b ON b.i = x.i
+       |      GROUP BY x.vec_id)
+       |SELECT e.vec_id, e.label, p.p1, p.p2
+       |FROM e JOIN p USING (vec_id) ORDER BY e.vec_id""".stripMargin
+  }
 }

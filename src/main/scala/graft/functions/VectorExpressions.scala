@@ -98,6 +98,14 @@ object VectorExpressions {
     sqlshim.column(ProbeCellIds(sqlshim.expression(vec),
       centroids.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 
+  /** Centered projections onto k constant basis rows: out[c] =
+    * Σ_i (x_i − means_i) · basis[c][i]. One tight per-row loop — the PCA
+    * scoring pass. See ProjectVector.
+    */
+  def projectVector(vec: Column, basis: Array[Array[Double]], means: Array[Double]): Column =
+    sqlshim.column(ProjectVector(sqlshim.expression(vec),
+      basis.map(_.toIndexedSeq).toIndexedSeq, means.toIndexedSeq))
+
   /** Driver-side evaluation of [[ProbeCellIds]] for a handful of collected
     * query vectors — evaluates the SAME expression instance the distributed
     * plan would run (identical fold order, tie/NaN handling), so the cell
@@ -221,6 +229,58 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Centered dot products against a constant basis matrix: the PCA
+  * projection kernel. out[c] = Σ_i (x_i − means_i)·basis[c][i], summed in
+  * ascending component order (the order the oracle's sum effectively
+  * reproduces to ~1 ulp; outputs are rounded downstream, same float budget
+  * as lmPerplexity). The basis/means ride as expression FIELDS — the same
+  * no-generated-literals choice as [[NearestCentroid]], since codegen'ing a
+  * k×dim matrix as Java source makes compilation dominate runtime. Null on
+  * dimension mismatch, never a truncated projection.
+  */
+case class ProjectVector(child: Expression, basis: Seq[Seq[Double]], means: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  CentroidKernel.requireUniform(basis)
+  require(basis.isEmpty || basis.head.length == means.length,
+    s"basis dimension ${basis.headOption.map(_.length)} must equal means dimension ${means.length}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    CentroidKernel.checkVec(child)
+
+  @transient private lazy val matrix: Array[Array[Double]] = basis.map(_.toArray).toArray
+  @transient private lazy val mu: Array[Double] = means.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != mu.length) return null // dimension mismatch: null, never wrong scores
+    val isFloat = CentroidKernel.elemIsFloat(child)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - mu(i)
+      i += 1
+    }
+    val out = new Array[Double](matrix.length)
+    var c = 0
+    while (c < matrix.length) {
+      val b = matrix(c)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += x(j) * b(j); j += 1 }
+      out(c) = dot
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectVector =
     copy(child = newChild)
 }
 

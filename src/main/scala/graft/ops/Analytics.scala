@@ -372,4 +372,86 @@ object Analytics {
                              accuracy: Int = 10000): DataFrame =
     percentilesByLang(spark, dir,
       ps => s"percentile_approx(ntok, array(${ps.mkString(", ")}), $accuracy)")
+
+  /** C19 — event-transition matrix: per-user next-event analysis — for every
+    * ordered (prev, next) event-type pair, the corpus-wide transition count
+    * and row-normalized probability p(next | prev). The first-order-Markov
+    * view of user behavior: "after a view, 12% purchase" is the product
+    * question sessionization and funnels don't answer directly.
+    *
+    * Scale shape: ONE shuffle on the user key for the lag window (the same
+    * exchange eventsWindow pays; (ts, event_id) is a total order so the lag
+    * is deterministic), then a partial-aggregated groupBy on the tiny
+    * (prev, next) key space — ≤ |event_types|² rows — and a window over
+    * that bounded frame for the row normalization. The probability is one
+    * integer-ratio double divide, engine-exact.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** C21 — RFM customer segmentation over the orders fact table: per
+    * customer, Recency (days from last order to the corpus's latest order —
+    * integer epoch-day math, engine-exact), Frequency (order count),
+    * Monetary (decimal-exact revenue), each scored into quintiles 1-5 and
+    * combined into the `rfm_cell` every CRM playbook keys on (555 =
+    * recent+frequent+big spender).
+    *
+    * Quintile boundaries are percentile CUTOFFS (the same cross-engine-exact
+    * `percentile`/`quantile_cont` contract as C9) attached as a 1-row
+    * broadcast, NOT an `ntile` window — ntile globally sorts all customers
+    * in one partition, the single-partition-window anti-pattern (§4); the
+    * cutoff form is a scan-speed comparison. Score ties sit ON a cutoff →
+    * the lower bucket, closed-comparison convention as pplBuckets. Recency
+    * scores INVERT (smaller days-since = higher score). Exact percentile
+    * buffers the customer-cardinality aggregate — the documented C9 trade;
+    * `percentile_approx` is the fact-scale swap.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        // o_orderdate ships as TIMESTAMP_NTZ — route through TIMESTAMP for
+        // the epoch cast (session tz is UTC; any constant offset cancels in
+        // the recency difference anyway)
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("last_epoch"),
+        count(lit(1)).as("frequency"),
+        sum(dec("o_totalprice")).cast("double").as("monetary"))
+    val anchor = perCust.agg(max(col("last_epoch")).as("max_epoch"))
+    val base = perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        ((col("max_epoch") - col("last_epoch")) / lit(86400L)).cast("long"))
+      .select(col("custkey"), col("recency_days"), col("frequency"), col("monetary"))
+    def pct(c: String) = s"percentile($c, array(${ps.mkString(", ")}))"
+    val cuts = base.agg(
+      expr(pct("recency_days")).as("rc"),
+      expr(pct("frequency")).as("fc"),
+      expr(pct("monetary")).as("mc"))
+    def scoreUp(v: Column, cutsCol: Column): Column =
+      ps.indices.map(i => when(v > element_at(cutsCol, i + 1), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    def scoreDown(v: Column, cutsCol: Column): Column =
+      ps.indices.map(i => when(v < element_at(cutsCol, i + 1), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    base.crossJoin(broadcast(cuts))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        scoreDown(col("recency_days").cast("double"), col("rc")).as("r_score"),
+        scoreUp(col("frequency").cast("double"), col("fc")).as("f_score"),
+        scoreUp(col("monetary"), col("mc")).as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("custkey")
+  }
 }

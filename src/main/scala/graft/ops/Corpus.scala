@@ -86,6 +86,59 @@ object Corpus {
       .orderBy("split_a", "split_b")
   }
 
+  /** B42 — DSIR-style importance selection (Xie et al. 2023,
+    * arXiv:2302.03169): score every candidate document by how much more
+    * likely its tokens are under a TARGET distribution than under the raw
+    * corpus distribution, and keep the top-k — the "select raw data that
+    * looks like the high-quality target" step (DSIR selects pretraining
+    * data resembling Wikipedia; here the target is the held-out `val`
+    * split, the same deterministic md5 split the splitter assigns, so the
+    * whole pipeline stays content-free-reproducible). Features are
+    * unigrams with add-k smoothing over the raw vocabulary (DSIR uses
+    * hashed n-grams; unigrams keep the oracle exact and the shape is
+    * identical — swap the explode for a hash expression to widen).
+    * Deterministic variant of the paper's Gumbel-top-k: rank by the
+    * per-token average log importance ratio (length-normalized so short
+    * docs don't win by variance), ties broken by doc_id.
+    *
+    * Scale shape (mirrors [[splitDivergence]] + lmPerplexity): one token
+    * explode feeds a persisted per-(doc, token) partial-aggregated count;
+    * target and raw unigram tables both derive from it (the explode runs
+    * once); totals and vocabulary attach as 1-row broadcast scalars; the
+    * log-ratio table is vocabulary-bounded and joins token-keyed; the
+    * final top-k is TakeOrdered, never a global sort. Float budget as
+    * lmPerplexity: the ln argument is a quotient of correctly-rounded
+    * divides of exact integers+0.5 — identical bits on both engines.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 100,
+                 trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                 addK: Double = 0.5): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), splitCol(trainFrac, valFrac).as("split"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "split", "w").agg(count(lit(1)).as("cnt"))
+      .persist() // feeds raw + target counts AND the scoring join; Caches.clear releases
+    val raw = perDoc.groupBy("w").agg(sum(col("cnt")).as("cr"))
+    val tgt = perDoc.where(col("split") === "val")
+      .groupBy("w").agg(sum(col("cnt")).as("ct"))
+    // raw covers every token (target ⊆ corpus), so V = |raw| is the joint vocab
+    val scalars = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("vocab"))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("nt"))))
+    val lr = raw.join(tgt, Seq("w"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      .select(col("w"),
+        log(((coalesce(col("ct"), lit(0L)) + lit(addK)) / (col("nt") + lit(addK) * col("vocab"))) /
+          ((col("cr") + lit(addK)) / (col("nr") + lit(addK) * col("vocab")))).as("lr"))
+    perDoc.where(col("split") =!= "val") // candidates: the pool outside the target
+      .join(lr, Seq("w"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("lr")).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("s") / col("n_tokens"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** B12 — corpus composition stats per (lang, source): doc/token/char
     * volumes and mean doc length — the dashboard numbers a data curation
     * run reports. One partial-aggregated shuffle on a tiny key space.

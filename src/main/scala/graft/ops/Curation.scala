@@ -377,7 +377,14 @@ object Curation {
     * avoid. [[shardedPrefix]] with a constant key is the two-level fix:
     * per-shard counts collapse to a ≤2^shardBits-row broadcast table whose
     * prefix sums are each shard's base offset, and the in-shard rank
-    * window holds ~1/2^shardBits of the corpus (shardBits scales to 24).
+    * window holds ~1/2^shardBits of the corpus. shardBits can rise toward
+    * 24 as the corpus grows, with two caveats at the extreme: the
+    * broadcast shard table is 2^shardBits rows (at 24, ~16M rows — raise
+    * only as far as the window width requires), and the order is only as
+    * random as the 24-bit hash — once the corpus size approaches 2^24
+    * docs, hash ties grow into runs ordered by doc_id, so sequential-id
+    * runs of ~n/2^24 docs ride together in the order (widen the hash
+    * before relying on the interleave property past ~10M docs).
     * The shuffles carry (doc_id, u) — never text; a writer materializes
     * the order with `repartition(col("out_shard"))` +
     * `sortWithinPartitions("pos")`, one shuffle, no global sort.
@@ -392,7 +399,8 @@ object Curation {
       .withColumn("shard", shiftright(col("u"), 24 - shardBits))
     shardedPrefix(base, "k", lit(1L), shardBits)
       .withColumn("pos", (col("before") + 1L).cast("long"))
-      .withColumn("out_shard", pmod(col("pos") - 1L, lit(nShards)).cast("long"))
+      // `before` IS the exclusive prefix (pos - 1), already non-negative
+      .withColumn("out_shard", (col("before") % nShards).cast("long"))
       .select("doc_id", "pos", "out_shard")
       .orderBy("doc_id")
   }

@@ -115,6 +115,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B49 — cross-snapshot corpus diff: classify every document of a NEW
+    * crawl against the PREVIOUS snapshot — `exact_dup` (byte-identical text
+    * to some previous doc), `near_dup` (MinHash-estimated Jaccard ≥
+    * `threshold` against some previous doc — the re-crawled page whose
+    * timestamp/ad block changed), or `new`. This is the incremental-ingest
+    * triage step a recurring crawl runs before paying full curation for
+    * content it already has; [[incremental]] is the streaming keep/drop
+    * decision, this is the batch WHAT-CHANGED report across snapshots.
+    * Snapshots are deterministic doc_id-parity stand-ins (even = previous,
+    * odd = new crawl), the same convention as the %-50 eval slice.
+    *
+    * Scale shape: the exact check joins on distinct md5 hashes
+    * (partial-agg'd, AQE-broadcast when the previous snapshot's hash set is
+    * small); the near check reuses the ENTIRE guarded-LSH pairs machinery
+    * ([[pairsFrom]] — banded buckets, width guard, keyed meets only) and
+    * then keeps only cross-parity pairs — bare-id rows. Nothing all-pairs;
+    * the new crawl streams at scan speed past two hash joins.
+    */
+  def corpusDiff(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val near = minhashPairsPortable(spark, dir, threshold = threshold)
+      .where((col("id_a") % 2 === 1) =!= (col("id_b") % 2 === 1))
+      .select(when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .distinct()
+      .withColumn("is_near", lit(1L))
+    val prevHashes = docs.where(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("th")).distinct()
+      .withColumn("is_exact", lit(1L))
+    docs.where(col("doc_id") % 2 === 1)
+      .withColumn("th", md5(col("text")))
+      .join(prevHashes, Seq("th"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_exact").isNotNull, "exact_dup")
+          .when(col("is_near").isNotNull, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** B34 — duplicate-SPAN trimming (the Lee et al. "Deduplicating Training
     * Data" granularity, between B26's passage keep-one and B1's doc drop):
     * remove every token covered by a k-gram whose occurrence count reaches

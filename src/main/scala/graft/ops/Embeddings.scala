@@ -93,6 +93,107 @@ object Embeddings {
       .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
 
+  /** Spark's round(x, 6) semantics on the driver: java.math.BigDecimal
+    * HALF_UP — the exact code path Catalyst's Round takes for doubles, so
+    * driver-side PCA math rounds bit-identically to an in-plan round(·, 6)
+    * (which the board's oracles already match against DuckDB's round).
+    */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** B47 — top-2 principal components of the embedding corpus by a
+    * DETERMINISTIC fixed-iteration power method, plus every vector's
+    * centered projection onto them — the embedding-space QA map (cluster
+    * structure, batch effects, collapsed dimensions) a pipeline draws
+    * before committing to an embedding model, and the first step of
+    * PCA whitening. Like the 2-iteration k-means (ivfCentroids), the
+    * output is the FIXED-STEP iterate, reproducible bit-for-bit across
+    * engines — a diagnostic contract, not a converged eigensolver — though at 40
+    * steps the rounded iterate has FIXED (updates fall under the 6-dp
+    * grid), so extra steps are no-ops and the output is stable in iters).
+    *
+    * Determinism discipline (what makes the DuckDB oracle exact): means
+    * and covariance entries round to 6 dp; each iteration rounds the
+    * normalized vector to 6 dp; λ = vᵀCv rounds to 6 dp; the deflation
+    * C₂ = round₆(C − λ·vᵢ·vⱼ) operates on already-rounded inputs so both
+    * engines see identical bits. Unrounded intermediate sums differ only
+    * by summation order (~1e-13 absolute — 7 orders under the 5e-7
+    * rounding half-step; lmPerplexity's budget argument).
+    *
+    * Scale shape: the moment pass is ONE narrow `treeAggregate` over the
+    * corpus with a fixed-size dense accumulator (dim + dim² doubles ≈
+    * 33 KB at dim 64) — zero shuffle, partials combine on executors
+    * (depth-2 tree), the same pattern MLlib's RowMatrix.computeCovariance
+    * ships; the Catalyst alternative (posexplode self-join) shuffles the
+    * 64×-exploded corpus to meet itself. RDD use is justified the same
+    * way BPE's merge loop is: a driver-iterative fixed-size accumulation
+    * Catalyst can only express by materializing n·dim² rows. The power
+    * iteration runs on the driver over the 64×64 matrix (bounded by
+    * construction — the IVF-centroid collect contract); the projection is
+    * one codegen'd ProjectVector pass at scan speed.
+    */
+  def embeddingPca(spark: SparkSession, dir: String, iters: Int = 40,
+                   dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // --- moment pass: n, Σx, ΣxxT in one narrow aggregation ---------------
+    val (n, sumX, sumXX) = emb.select(asDouble(col("embedding")).as("v"))
+      .rdd.map(_.getSeq[Double](0))
+      .treeAggregate((0L, new Array[Double](dim), new Array[Double](dim * dim)))(
+        seqOp = { case ((cnt, s, ss), v) =>
+          require(v.length == dim, s"expected $dim-dim embedding, got ${v.length}")
+          var i = 0
+          while (i < dim) {
+            s(i) += v(i)
+            var j = 0
+            val base = i * dim
+            while (j < dim) { ss(base + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+          (cnt + 1, s, ss)
+        },
+        combOp = { case ((c1, s1, ss1), (c2, s2, ss2)) =>
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < dim * dim) { ss1(i) += ss2(i); i += 1 }
+          (c1 + c2, s1, ss1)
+        })
+    require(n > 0, s"no embeddings under $dir")
+    val mu = Array.tabulate(dim)(i => round6(sumX(i) / n))
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      round6(sumXX(i * dim + j) / n - mu(i) * mu(j)))
+    // --- fixed-step power iteration + one deflation, all on rounded grids --
+    def powerIter(c: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { i =>
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += c(i)(j) * v(j); j += 1 }
+          dot
+        }
+        var nsq = 0.0
+        var i = 0
+        while (i < dim) { nsq += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(nsq)
+        require(nrm > 0, "zero matrix-vector product — degenerate covariance; PCA undefined")
+        v = w.map(x => round6(x / nrm))
+      }
+      var lambda = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) lambda += v(i) * c(i)(j) * v(j)
+      (v, round6(lambda))
+    }
+    val (v1, l1) = powerIter(cov)
+    val cov2 = Array.tabulate(dim, dim)((i, j) => round6(cov(i)(j) - l1 * v1(i) * v1(j)))
+    val (v2, _) = powerIter(cov2)
+    val proj = graft.functions.VectorExpressions
+      .projectVector(col("embedding"), Array(v1, v2), mu)
+    emb.select(col("vec_id"), col("label"), proj.as("p"))
+      .select(col("vec_id"), col("label"),
+        round(element_at(col("p"), 1), 6).as("p1"),
+        round(element_at(col("p"), 2), 6).as("p2"))
+      .orderBy("vec_id")
+  }
+
   /** B38b — nearest-prototype assignment + confusion counts: every vector
     * assigned to its max-cosine class prototype (ties → higher label,
     * mirroring NearestCentroid's higher-index rule), aggregated to the

@@ -149,6 +149,35 @@ object Maintenance {
     graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
   }
 
+  /** D21 — bloom-filtered point-lookup layout: write parquet with a BLOOM
+    * FILTER on each `keys` column, the data-skipping structure for point
+    * equality lookups on HIGH-CARDINALITY keys where min/max clustering
+    * (D13/D20) cannot help — a clustered layout prunes by range, but "find
+    * event/user X" on an unsorted or differently-sorted key reads every
+    * row group whose [min,max] spans X, which for a uniform key is ALL of
+    * them. The bloom filter answers "definitely not here" per row group at
+    * a few bits per distinct value, so a reader (Spark's parquet reader
+    * consults blooms on equality predicates, as does every parquet-mr
+    * based engine) skips row groups with no candidate match.
+    *
+    * `expectedNdv` sizes the filter (parquet-mr derives bits from the
+    * target false-positive rate); pass the PER-FILE distinct count, not
+    * the table's. Complements, not replaces, the sorted layouts: range
+    * queries want D13/D20, point lookups on a second uncorrelated key
+    * want this — and the options compose onto one write when both shapes
+    * matter.
+    */
+  def writeBloomFiltered(df: DataFrame, outDir: String, nFiles: Int,
+                         expectedNdv: Long, keys: String*): Unit = {
+    require(keys.nonEmpty, "bloom layout needs at least one key column")
+    val base = df.repartition(math.max(1, nFiles)).write.mode("overwrite")
+    keys.foldLeft(base) { (w, k) =>
+      w.option(s"parquet.bloom.filter.enabled#$k", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$k", expectedNdv.toString)
+    }.parquet(outDir)
+    graft.Tables.invalidateSpread(outDir) // layout changed under any memoized reader
+  }
+
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

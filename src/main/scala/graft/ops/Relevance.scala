@@ -257,6 +257,46 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  /** B44 — CCNet-style perplexity buckets (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): split each language's corpus into
+    * head / middle / tail TERCILES by LM perplexity — CCNet's curation
+    * currency ("train on head+middle, drop tail", or sample by bucket).
+    * Composes [[lmPerplexity]]: the per-doc perplexity is the registered
+    * B35 statistic, already hash-verified against the oracle.
+    *
+    * Buckets are threshold-based, exactly as CCNet computes them: per-lang
+    * cutoffs at the 1/3 and 2/3 quantiles (`quantile_cont` interpolation —
+    * the same cross-engine-exact `percentile` contract as C9), then a
+    * scan-speed comparison. `ppl <= cut` is closed on both cutoffs so a
+    * document sitting exactly on an interpolated threshold (possible when
+    * adjacent 4-dp perplexities collide, e.g. exact-duplicate docs) lands
+    * in the lower bucket on both engines. Zero-bigram docs have no
+    * perplexity and keep a null bucket rather than vanishing (CCNet drops
+    * them; the caller filters).
+    *
+    * Scale shape: the cutoff aggregate produces one row per language
+    * (exact percentile buffers one lang's values — the same documented C9
+    * trade; the 100 TB swap is `percentile_approx`, one line, mergeable
+    * sketches), broadcasts back, and the assignment is a pure projection.
+    * Nothing here adds a shuffle beyond lmPerplexity's own.
+    */
+  def pplBuckets(spark: SparkSession, dir: String, addK: Double = 0.5): DataFrame = {
+    val ps = Seq(1.0 / 3, 2.0 / 3)
+    val ppl = lmPerplexity(spark, dir, addK)
+    val cuts = ppl.where(col("perplexity").isNotNull)
+      .groupBy("lang")
+      .agg(expr(s"percentile(perplexity, array(${ps.mkString(", ")}))").as("pct"))
+      .select(col("lang"),
+        element_at(col("pct"), 1).as("cut1"), element_at(col("pct"), 2).as("cut2"))
+    ppl.join(broadcast(cuts), Seq("lang"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("perplexity"),
+        when(col("perplexity").isNull, lit(null).cast("string"))
+          .when(col("perplexity") <= col("cut1"), lit("head"))
+          .when(col("perplexity") <= col("cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   def collocations(spark: SparkSession, dir: String,
                    minCount: Int = 5, k: Int = 50): DataFrame = {
     val toks = Tables.documents(spark, dir)

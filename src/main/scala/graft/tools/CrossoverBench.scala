@@ -35,6 +35,19 @@ object CrossoverBench {
     val q = names.map(n => "\"" + n + "\":" +
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(best(n)))).mkString(",")
     println(s"""{"crossover_spark":{$q},"dir":"$dir","reps":$reps}""")
+    // semantic_dedup's registered query DERIVES its cluster count from the
+    // corpus (C = max(16, n/1000) — SemDeDup's own C ∝ n knob), so the
+    // sf-pinned cells=16 oracle in oracle_sql.json replays the WRONG
+    // configuration at crossover scale. Emit a matching-C oracle override
+    // for crossover.py to merge before its DuckDB pass — both engines then
+    // run the same clustering.
+    if (names.contains("semantic_dedup")) {
+      val n = graft.Tables.embeddings(spark, dir).count()
+      val cells = graft.ops.Similarity.semanticCells(n)
+      val sql = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(SparkEntry.semanticDedupSql(cells))
+      println(s"""{"oracle_sql_overrides":{"semantic_dedup":$sql},"derived_cells":$cells}""")
+    }
     spark.stop()
   }
 }

@@ -127,6 +127,20 @@ class AnnSpec extends SparkSpec {
       "corpus should exercise the boundary-straddle branch too")
   }
 
+  test("semanticDedup's corpus-derived cell count equals the explicit-C result at gate SF") {
+    // The registered query derives C = max(16, n/1000) (SemDeDup's own
+    // C ∝ n configuration); at every gate SF that floors to 16, so the
+    // pinned cells=16 oracle replays the identical clustering. This pin is
+    // what licenses the fixed-C oracle: if the derivation ever diverged
+    // from 16 at sf0.001-0.1, hash-parity would silently break.
+    assert(Similarity.semanticCells(500) === 16, "sf0.01 floors to the oracle's C")
+    assert(Similarity.semanticCells(2000) === 16, "sf0.1 floors to the oracle's C")
+    assert(Similarity.semanticCells(100000) === 100, "crossover scale grows C with n")
+    val derived = Similarity.semanticDedup(spark, sf0001).collect()
+    val explicit = Similarity.semanticDedup(spark, sf0001, cells = 16).collect()
+    assert(derived.map(_.toSeq).toSeq === explicit.map(_.toSeq).toSeq)
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)

@@ -78,4 +78,45 @@ class CorpusSpec extends SparkSpec {
       assert(kl >= 0.0, "KL divergence is nonnegative")
     }
   }
+
+  test("dsirSelect matches a local importance-weight replay; target split never selected") {
+    val k = 50
+    val got = Corpus.dsirSelect(spark, sf0001, k = k).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))
+    assert(got.length === k)
+    // independent replay: same md5 split, add-1/2 smoothed unigram target
+    // (val) vs raw (whole corpus) log ratio, per-token average, top-k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = java.lang.Long.parseLong(hex, 16)
+      if (u < (0.9 * (1 << 24)).toLong) "train"
+      else if (u < (0.95 * (1 << 24)).toLong) "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq, splitOf(r.getLong(0))))
+    val raw = scala.collection.mutable.Map.empty[String, Long]
+    val tgt = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, toks, sp) =>
+      toks.foreach { w =>
+        raw(w) = raw.getOrElse(w, 0L) + 1
+        if (sp == "val") tgt(w) = tgt.getOrElse(w, 0L) + 1
+      }
+    }
+    val (nr, nt, v) = (raw.values.sum.toDouble, tgt.values.sum.toDouble, raw.size.toDouble)
+    def lr(w: String): Double =
+      math.log(((tgt.getOrElse(w, 0L) + 0.5) / (nt + 0.5 * v)) /
+        ((raw(w) + 0.5) / (nr + 0.5 * v)))
+    val want = docs.filter(_._3 != "val").map { case (id, toks, _) =>
+      (id, toks.length.toLong, toks.map(lr).sum / toks.length)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(k)
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq, "same docs in the same order")
+    got.zip(want).foreach { case ((_, n1, s1), (_, n2, s2)) =>
+      assert(n1 === n2)
+      assert(math.abs(s1 - s2) < 2e-6, s"score drift: $s1 vs $s2")
+    }
+    val valIds = docs.filter(_._3 == "val").map(_._1).toSet
+    assert(got.forall(g => !valIds(g._1)), "the target split is never a selection candidate")
+  }
 }

@@ -102,6 +102,41 @@ class DedupSpec extends SparkSpec {
     assert(portable === fast, s"portable=$portable fast=$fast")
   }
 
+  test("corpusDiff classifies planted exact/near/new docs across snapshot parities") {
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+    val b = "spark executes distributed dataframes with catalyst optimizing logical plans into efficient physical stages across many worker nodes"
+    val rows = Seq(
+      0L -> a,                            // previous snapshot
+      1L -> a,                            // new crawl: byte-identical -> exact_dup
+      2L -> b,                            // previous snapshot
+      3L -> b.replace("many", "several"), // new crawl: 1-token edit -> near_dup
+      4L -> "astronomy observations reveal distant galaxies drifting apart as the universe expands at an accelerating rate",
+      5L -> "completely unrelated text about cooking pasta with garlic butter and fresh basil leaves in a small kitchen")
+    val dir = tempDir("corpusdiff")
+    rows.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = Dedup.corpusDiff(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "exact_dup", 3L -> "near_dup", 5L -> "new"),
+      s"got $got")
+  }
+
+  test("corpusDiff is non-vacuous on the driver corpus and covers exactly the new crawl") {
+    val got = Dedup.corpusDiff(spark, sf0001).collect()
+    val odd = Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1).count()
+    assert(got.length.toLong === odd, "one status row per new-crawl doc")
+    // the planted near-dup structure straddles parity at every SF the gate
+    // runs (12 near_dup at sf0.01); at sf0.001 at least the statuses must
+    // be well-formed and 'new' must dominate
+    val statuses = got.map(_.getAs[String]("status")).toSet
+    assert(statuses.subsetOf(Set("exact_dup", "near_dup", "new")))
+    assert(got.count(_.getAs[String]("status") == "new") > got.length / 2)
+  }
+
   test("dupSpanTrim removes every occurrence of a corpus-repeated 5-gram span, keeps unique text") {
     val s = spark
     import s.implicits._

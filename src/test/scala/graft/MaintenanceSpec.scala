@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Maintenance
+import scala.jdk.CollectionConverters._
 
 /** D11 — small-file compaction: the rewrite must preserve every row while
   * collapsing per-epoch file sprawl to the size-targeted count.
@@ -229,5 +230,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(counts.count(_ > 0) >= 2, s"all rows in one file: ${counts.toSeq.sorted}")
     assert(counts.max <= 3600 + 100,
       s"hot file swallowed the distinct tail: ${counts.toSeq.sorted}")
+  }
+
+  test("writeBloomFiltered stores a bloom filter for keyed columns only, and it answers") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("bloom") + "/data"
+    val rows = (0 until 5000).map(i => (i.toLong * 7919L % 100000L, s"payload$i"))
+    Maintenance.writeBloomFiltered(rows.toDF("user_id", "payload"), dir,
+      nFiles = 2, expectedNdv = 5000, "user_id")
+    assert(spark.read.parquet(dir).count() === 5000, "layout must preserve rows")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2)
+    for (f <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        val rg = reader.getRowGroups.get(0)
+        val colOf = rg.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+        val bfReader = reader.getBloomFilterDataReader(rg)
+        val bf = bfReader.readBloomFilter(colOf("user_id"))
+        assert(bf != null, s"${f.getName}: no bloom filter on the keyed column")
+        // membership sanity: a value written into this row group must hash-hit
+        // (bloom filters have no false negatives)
+        val present = spark.read.parquet(f.toString)
+          .select("user_id").head().getLong(0)
+        assert(bf.findHash(bf.hash(present)), "written key must bloom-hit")
+        assert(bfReader.readBloomFilter(colOf("payload")) == null,
+          s"${f.getName}: unexpected bloom filter on a non-keyed column")
+      } finally reader.close()
+    }
+  }
+
+  test("layout benchExtras write the requested file count on the real events table") {
+    // The timed layout_clustered/layout_zorder bench entries (VERDICT r10
+    // #6) must actually produce the file layout they claim to time: 16
+    // range/z partitions of the sf events table, every file non-empty, and
+    // the returned census frame IS that listing — so a future repartition
+    // change that collapsed or sprayed files trips here, not only in a
+    // quietly shifted bench number.
+    for (name <- Seq("layout_clustered", "layout_zorder")) {
+      val census = SparkEntry.benchExtras(name)(spark, "/root/testdata/sf0.001").collect()
+      assert(census.length === 16, s"$name wrote ${census.length} files, wanted 16")
+      assert(census.forall(_.getAs[Long]("bytes") > 0L), s"$name wrote an empty file")
+    }
   }
 }

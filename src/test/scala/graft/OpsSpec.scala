@@ -189,4 +189,50 @@ class OpsSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
     assert(got === want)
   }
+
+  test("embeddingPca matches an independent local covariance + power-iteration replay") {
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = graft.ops.Embeddings.embeddingPca(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("p1"), r.getAs[Double]("p2"))).toMap
+    val vecs = Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(got.size === vecs.length)
+    val dim = 64
+    val n = vecs.length.toDouble
+    val mu = Array.tabulate(dim)(i => r6(vecs.map(_._2(i)).sum / n))
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      r6(vecs.map(v => v._2(i) * v._2(j)).sum / n - mu(i) * mu(j)))
+    def iterate(c: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to 40) {
+        val w = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(x => r6(x / nrm))
+      }
+      val lam = (for (i <- 0 until dim; j <- 0 until dim) yield v(i) * c(i)(j) * v(j)).sum
+      (v, r6(lam))
+    }
+    val (v1, l1) = iterate(cov)
+    val cov2 = Array.tabulate(dim, dim)((i, j) => r6(cov(i)(j) - l1 * v1(i) * v1(j)))
+    val (v2, _) = iterate(cov2)
+    vecs.foreach { case (id, x) =>
+      val c = Array.tabulate(dim)(i => x(i) - mu(i))
+      val (w1, w2) = (r6((0 until dim).map(i => c(i) * v1(i)).sum),
+        r6((0 until dim).map(i => c(i) * v2(i)).sum))
+      val (g1, g2) = got(id)
+      // both sides round to 6 dp off sums that differ only by order (~1e-13);
+      // allow one rounding step for boundary landings
+      assert(math.abs(g1 - w1) <= 1e-6 && math.abs(g2 - w2) <= 1e-6,
+        s"vec $id: got ($g1, $g2) want ($w1, $w2)")
+    }
+    // the leading component explains at least as much variance as the second
+    def variance(xs: Iterable[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(variance(got.values.map(_._1)) >= variance(got.values.map(_._2)) * 0.99,
+      "p1 must carry at least p2's variance")
+  }
 }

@@ -38,6 +38,10 @@ class PlanGuardSpec extends SparkSpec {
     "contamination",      // broadcast eval-sample row count
     "collocations",       // broadcast total-token scalar
     "lm_perplexity",      // broadcast vocabulary-size scalar
+    "ppl_buckets",        // composed on lm_perplexity: inherits its V scalar;
+                          // its own per-lang cutoff join is a keyed broadcast
+    "dsir_select",        // broadcast corpus/target-total + vocab scalars
+    "rfm_segments",       // broadcast 1-row anchor-date + quintile-cutoff scalars
     "split_divergence",   // broadcast split-totals (<=3 rows by construction) + V scalar
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar

@@ -321,4 +321,84 @@ class RelevanceSpec extends SparkSpec {
     // 4 grouping sets present
     assert(cube.map(_.getAs[Long]("gid")).distinct.sorted.toList === List(0L, 1L, 2L, 3L))
   }
+
+  test("pplBuckets: terciles partition each language in perplexity order, nulls stay null") {
+    val got = Relevance.pplBuckets(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        Option(r.getAs[java.lang.Double]("perplexity")).map(_.doubleValue()),
+        Option(r.getAs[String]("bucket"))))
+    assert(got.length.toLong === Tables.documents(spark, sf0001).count(),
+      "one bucket row per doc")
+    got.foreach { case (id, _, ppl, bucket) =>
+      assert(ppl.isDefined === bucket.isDefined, s"doc $id: null ppl iff null bucket")
+    }
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for ((_, perLang) <- got.filter(_._3.isDefined).groupBy(_._2)) {
+      val byBucket = perLang.groupBy(_._4.get)
+      // closed thresholds: every head ppl <= every middle ppl <= every tail
+      val maxOf = byBucket.view.mapValues(_.map(_._3.get).max).toMap
+      val minOf = byBucket.view.mapValues(_.map(_._3.get).min).toMap
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").filter(byBucket.contains).sliding(2)
+           if order(lo) < order(hi))
+        assert(maxOf(lo) <= minOf(hi), s"$lo max ${maxOf(lo)} > $hi min ${minOf(hi)}")
+      // terciles: bucket sizes within the tie tolerance of n/3
+      val n = perLang.length
+      if (n >= 9) byBucket.foreach { case (b, rows) =>
+        assert(math.abs(rows.length - n / 3.0) <= n / 6.0 + 1,
+          s"bucket $b holds ${rows.length} of $n — not a tercile")
+      }
+    }
+  }
+
+  test("eventTransitions matches a local lag replay and rows normalize to one") {
+    val got = Analytics.eventTransitions(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("prob"))).toMap
+    // local replay: per-user (ts, event_id)-ordered adjacent pairs
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("tss"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    // row-normalization: probabilities per prev_type sum to ~1 (round-6 each)
+    got.keys.map(_._1).toSet.foreach { (prev: String) =>
+      val sum = got.collect { case ((p, _), (_, prob)) if p == prev => prob }.sum
+      assert(math.abs(sum - 1.0) < 1e-5, s"$prev: probs sum to $sum")
+    }
+  }
+
+  test("rfmSegments: quintile scores are monotone in their metric and compose the cell") {
+    val got = Analytics.rfmSegments(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("recency_days"),
+        r.getAs[Long]("frequency"), r.getAs[Double]("monetary"),
+        r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+        r.getAs[Long]("rfm_cell")))
+    assert(got.nonEmpty)
+    got.foreach { case (ck, _, _, _, r, f, m, cell) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"cust $ck scores")
+      assert(cell === r * 100 + f * 10 + m, s"cust $ck cell")
+    }
+    // monotone: more monetary can never mean a lower m_score (ties share a score)
+    got.sortBy(_._4).map(_._7).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "m_score must be monotone in monetary")
+      case _ =>
+    }
+    got.sortBy(_._3).map(_._6).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "f_score must be monotone in frequency")
+      case _ =>
+    }
+    // recency inverts: fewer days since last order -> HIGHER score
+    got.sortBy(_._2).map(_._5).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "r_score must be anti-monotone in recency_days")
+      case _ =>
+    }
+    // monetary is continuous: all five quintile scores must actually occur
+    assert(got.map(_._7).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+      "monetary quintiles cover 1..5")
+  }
 }
