@@ -137,7 +137,9 @@ object SparkEntry {
     "embedding_pca"        -> ((s, d) => graft.ops.Embeddings.embeddingPca(s, d)),
     "corpus_diff"          -> ((s, d) => Dedup.corpusDiff(s, d)),
     "event_transitions"    -> ((s, d) => Analytics.eventTransitions(s, d)),
-    "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d))
+    "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
+    "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -1567,6 +1569,47 @@ object SparkEntry {
     },
 
     "embedding_pca" -> embeddingPcaSql(iters = 40, dim = 64),
+
+    // Domain-level curation: per-doc round-6 quality score (text_quality's
+    // exact expression), dup flag via the (hash -> count, min-id) join,
+    // source-level round-6 averages.
+    "source_quality" ->
+      """WITH q AS (SELECT doc_id, source, md5(text) AS h,
+        |             round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0) *
+        |                   (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |                    CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS score
+        |           FROM documents),
+        |hs AS (SELECT h, count(*) AS c, min(doc_id) AS m FROM q GROUP BY 1),
+        |d AS (SELECT q.source, q.score,
+        |        CASE WHEN hs.c > 1 AND q.doc_id <> hs.m THEN 1.0 ELSE 0.0 END AS is_dup
+        |      FROM q JOIN hs USING (h))
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(score), 6) AS avg_quality,
+        |       round(avg(is_dup), 6) AS dup_frac,
+        |       (round(avg(score), 6) >= 0.15 AND round(avg(is_dup), 6) <= 0.2) AS keep
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Last-touch attribution: the same ignore-nulls carry-forward window as
+    // the Spark side; floor(epoch(ts)) is the repo's truncation-exact
+    // epoch-seconds convention (DuckDB's bare ::BIGINT would round).
+    "attribution" ->
+      s"""WITH $evCte,
+         |w AS (SELECT event_id, user_id, event_type,
+         |        CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+         |        last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS)
+         |          OVER uw AS m_id,
+         |        last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+         |          OVER uw AS m_type,
+         |        last_value(CASE WHEN event_type IN ('view', 'click')
+         |                        THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+         |          OVER uw AS m_tss
+         |      FROM ev
+         |      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id AS purchase_id, user_id,
+         |       CASE WHEN tss - m_tss <= 604800 THEN m_id END AS touch_id,
+         |       CASE WHEN tss - m_tss <= 604800 THEN m_type END AS touch_type,
+         |       CASE WHEN tss - m_tss <= 604800 THEN tss - m_tss END AS secs_since_touch
+         |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
 
     // Cross-snapshot diff: the exact-hash join plus the SAME banded-LSH
     // candidate/estimate replay as dedup_minhash_pairs, filtered to

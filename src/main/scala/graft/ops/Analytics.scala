@@ -400,6 +400,41 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** C22 — last-touch marketing attribution: every purchase attributed to
+    * the SAME user's most recent preceding view/click within `maxWaitSecs`
+    * — the question ad-spend reporting actually asks, which funnels
+    * (ordered global stages) and sessionization (gap windows) don't answer
+    * per purchase. Purchases whose latest touch is older than the window
+    * (or who have none) keep a row with null attribution — unattributed
+    * revenue is a reported number, not a dropped row.
+    *
+    * Shape: ONE user-key exchange; the carry-forward is
+    * `last(..., ignoreNulls) OVER (user ORDER BY ts, event_id)` — the
+    * same no-join carry-forward trick as the as-of join (C10), so there is
+    * no range join and no per-key pair explosion; (ts, event_id) is a
+    * total order so the window is deterministic; the horizon check is
+    * integer epoch-second math, engine-exact.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+                           maxWaitSecs: Long = 7L * 86400L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def touch(c: Column): Column =
+      last(when(col("event_type").isin("view", "click"), c), ignoreNulls = true).over(byUser)
+    val inWindow = col("tss") - col("m_tss") <= maxWaitSecs
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("ts").cast("timestamp").cast("long").as("tss"))
+      .withColumn("m_id", touch(col("event_id")))
+      .withColumn("m_type", touch(col("event_type")))
+      .withColumn("m_tss", touch(col("tss")))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(inWindow, col("m_id")).as("touch_id"),
+        when(inWindow, col("m_type")).as("touch_type"),
+        when(inWindow, col("tss") - col("m_tss")).as("secs_since_touch"))
+      .orderBy("purchase_id")
+  }
+
   /** C21 — RFM customer segmentation over the orders fact table: per
     * customer, Recency (days from last order to the corpus's latest order —
     * integer epoch-day math, engine-exact), Frequency (order count),

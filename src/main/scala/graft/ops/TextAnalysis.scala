@@ -93,6 +93,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** B50 — per-source (domain) quality aggregation + keep verdict: the
+    * RefinedWeb/C4 "domain-level curation" step — individual documents are
+    * noisy signals, but a SOURCE whose average quality is low or whose
+    * duplicate fraction is high is dropped wholesale (link farms, scraped
+    * mirrors, template sites). Per source: doc count, mean of the B8
+    * quality score (the per-doc round-6 score text_quality already
+    * hash-verifies), the fraction of docs that are non-first byte-exact
+    * duplicates, and the keep verdict both thresholds gate.
+    *
+    * Scale shape: the per-doc score is a pure projection; the dup flag
+    * joins the corpus to a partial-aggregated (hash → count, min-id) table
+    * on the content hash (AQE-splittable, same key as B1); the final
+    * aggregate collapses to source cardinality with map-side partials.
+    * avg() of identical round-6 inputs differs across engines only by
+    * summation order (~1e-13) — invisible at the round-6 output step.
+    */
+  def sourceQuality(spark: SparkSession, dir: String,
+                    minAvgScore: Double = 0.15, maxDupFrac: Double = 0.2): DataFrame = {
+    val tokens = toks(col("text"))
+    val nTok = size(tokens).cast("double")
+    val nUniq = size(array_distinct(tokens)).cast("double")
+    val score = round(least(lit(1.0), nTok / lit(200.0)) * (nUniq / nTok), 6)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), score.as("score"), md5(col("text")).as("h"))
+    val hashStats = docs.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("m"))
+    docs.join(hashStats, Seq("h"))
+      .withColumn("is_dup", (col("c") > 1 && col("doc_id") =!= col("m")).cast("double"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 6).as("avg_quality"),
+        round(avg(col("is_dup")), 6).as("dup_frac"))
+      .withColumn("keep",
+        col("avg_quality") >= minAvgScore && col("dup_frac") <= maxDupFrac)
+      .orderBy("source")
+  }
+
   /** B10 — document fingerprinting: winnowing-style rolling fingerprint —
     * hash every k-token shingle, keep the minimum (and the document-level
     * hash). The shingle hashing runs in the codegen'd ShingleHashes

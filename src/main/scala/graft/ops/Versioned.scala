@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** D22 — snapshot-versioned parquet table ("Delta-lite"): commits publish an
+  * immutable MANIFEST naming exactly the data files of one snapshot, and the
+  * manifest is always written LAST via an atomic rename — so a reader
+  * resolves one manifest and reads one complete snapshot, never a mix of
+  * two commits and never a half-written one (the same commit discipline as
+  * D12's corpus manifest and D11's swap, promoted to a multi-version log).
+  * What this buys a 100 TB lake without a table-format dependency:
+  *
+  *  - time-travel reads: `read(dir, version)` pins any retained snapshot —
+  *    the reproducibility contract a training run needs ("the corpus AS OF
+  *    the run's manifest"), and what plain directory reads cannot give once
+  *    a writer overwrites in place;
+  *  - atomic replace: a new commit becomes visible in one rename; concurrent
+  *    readers keep whichever snapshot they resolved;
+  *  - rollback: a new manifest re-referencing an old snapshot's files —
+  *    O(manifest) metadata, no data rewrite;
+  *  - vacuum: delete data files no retained manifest references — safe by
+  *    construction because references, not directory listings, define the
+  *    table.
+  *
+  * Layout: `dir/data/v<N>-<i>.parquet` (files never mutated after commit),
+  * `dir/manifest-v<N>.json` (version, file names, file count). Single-writer
+  * (like the reference's one-connector-per-collection model): commits from
+  * one process at a time; readers are unrestricted.
+  */
+object Versioned {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Long) = new Path(dir, f"manifest-v$v%d.json")
+
+  /** All committed versions, ascending; empty for a fresh/absent dir. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toLong
+      }.sorted.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, new Path(dir))
+    val in = fs.open(manifestPath(dir, v))
+    val node = try mapper.readTree(in) finally in.close()
+    val files = node.path("files")
+    (0 until files.size()).map(files.get(_).asText())
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Long,
+                            files: Seq[String]): Unit = {
+    val fs = fsOf(spark, new Path(dir))
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("n_files", files.size)
+    val arr = node.putArray("files")
+    files.foreach(arr.add)
+    // temp + rename: the manifest appears atomically or not at all — a
+    // crash mid-commit leaves data files with NO manifest, which vacuum
+    // reclaims and readers never see
+    val tmp = new Path(dir, s"_manifest-v$v.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    if (!fs.rename(tmp, manifestPath(dir, v)))
+      sys.error(s"could not publish manifest v$v under $dir")
+  }
+
+  /** Commit `df` as the next version: stage the parquet write, move the
+    * part files to immutable names under data/, publish the manifest LAST.
+    * Returns the new version number.
+    */
+  def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val base = new Path(dir)
+    val fs = fsOf(spark, base)
+    fs.mkdirs(new Path(base, "data"))
+    val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
+    val staging = new Path(base, s"_staging-v$v")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val target = new Path(base, f"data/v$v%d-$i%05d.parquet")
+      if (!fs.rename(p, target)) sys.error(s"could not place ${p.getName} for v$v")
+      target.getName
+    }
+    fs.delete(staging, true)
+    writeManifest(spark, dir, v, named.toSeq)
+    graft.Tables.invalidateSpread(dir)
+    v
+  }
+
+  /** Read a snapshot: the pinned `version`, or the latest when ≤ 0. Reads
+    * exactly the manifest's files — concurrent commits and un-vacuumed
+    * stale files are invisible by construction.
+    */
+  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = if (version > 0) version else vs.last
+    require(vs.contains(v), s"version $v not present under $dir (have $vs)")
+    val files = readManifest(spark, dir, v).map(n => s"$dir/data/$n")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Roll the table back to `to`: a NEW manifest (next version) referencing
+    * the old snapshot's files — metadata-only, no data rewrite, and the
+    * bad intermediate versions stay readable until vacuumed.
+    */
+  def rollback(spark: SparkSession, dir: String, to: Long): Long = {
+    val files = readManifest(spark, dir, to) // throws if `to` was never committed
+    val v = versions(spark, dir).last + 1
+    writeManifest(spark, dir, v, files)
+    graft.Tables.invalidateSpread(dir)
+    v
+  }
+
+  /** Drop all but the newest `keepLast` manifests and delete every data
+    * file the RETAINED manifests do not reference (files shared with a
+    * retained snapshot — e.g. via rollback — survive). Returns the deleted
+    * file names. Also reclaims crash debris: staging dirs and data files
+    * no manifest ever published.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val base = new Path(dir)
+    val fs = fsOf(spark, base)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val deletedData = fs.listStatus(new Path(base, "data"))
+      .map(_.getPath).filter(p => !live(p.getName))
+      .map { p => fs.delete(p, false); s"data/${p.getName}" }
+    val deletedManifests = drop.map { v =>
+      fs.delete(manifestPath(dir, v), false); s"manifest-v$v.json"
+    }
+    val debris = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("_staging-"))
+      .map { p => fs.delete(p, true); p.getName }
+    graft.Tables.invalidateSpread(dir)
+    (deletedData ++ deletedManifests ++ debris).toSeq
+  }
+}

@@ -87,11 +87,31 @@ object CrossoverGen {
     (id, ts, user, etype, value, s"""{"k": ${r.nextInt(100)}}""")
   }
 
+  /** Order row for `id` — pure function like [[eventRow]]; mirrors the
+    * sf0.1 table's measured shape: ~10 orders/customer, o_totalprice
+    * uniform-ish in [1k, 500k] with 2-dp cents, orderdate uniform across a
+    * ~2.5-year window at day granularity (the real table's midnight-only
+    * timestamps), categorical status/priority.
+    */
+  def orderRow(id: Long, nCust: Long, startDay: Long,
+               spanDays: Int): (Long, Long, String, Double, Long, String) = {
+    val r = mix(0x08DE85L ^ id)
+    val statuses = Array("F", "O", "P")
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cust = java.lang.Math.floorMod(r.nextLong(), nCust)
+    val status = statuses(r.nextInt(statuses.length))
+    val price = math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100
+    val day = startDay + r.nextInt(spanDays)
+    val prio = prios(r.nextInt(prios.length))
+    (id, cust, status, price, day, prio)
+  }
+
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse(sys.error("usage: CrossoverGen <outDir> [nDocs] [nVecs] [nEvents]"))
+    val outDir = args.headOption.getOrElse(sys.error("usage: CrossoverGen <outDir> [nDocs] [nVecs] [nEvents] [nOrders]"))
     val nDocs = if (args.length > 1) args(1).toLong else 50000L
     val nVecs = if (args.length > 2) args(2).toLong else 100000L
     val nEvents = if (args.length > 3) args(3).toLong else 2000000L
+    val nOrders = if (args.length > 4) args(4).toLong else 0L
     val srcDir = "/root/testdata/sf0.1"
     val spark = graft.BenchHarness.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -157,7 +177,23 @@ object CrossoverGen {
       .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"vocab":${vocab.length}}""")
+    if (nOrders > 0) {
+      // sf0.1: 150k orders / 15k customers ≈ 10 per customer — preserved so
+      // the RFM frequency distribution keeps its character at scale
+      val nCust = math.max(nOrders / 10L, 1L)
+      val startDay = java.time.LocalDate.parse("1996-01-01").toEpochDay
+      val orders = spark.range(nOrders).as[Long].mapPartitions { ids =>
+        ids.map(orderRow(_, nCust, startDay, spanDays = 900))
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "day", "o_orderpriority")
+        .withColumn("o_orderdate",
+          timestamp_micros(col("day") * 86400L * 1000000L).cast("timestamp_ntz"))
+        .drop("day")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+      orders.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+
+    println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"n_orders":$nOrders,"vocab":${vocab.length}}""")
     spark.stop()
   }
 }

@@ -372,6 +372,57 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("sourceQuality: a dup-heavy low-quality source is dropped, a clean one kept") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("srcq")
+    val longText = (1 to 60).map(i => s"word$i").mkString(" ")
+    val good = (0 until 10).map(i => (i.toLong, longText + s" unique$i", "en", "clean"))
+    // spammy: 8 byte-identical copies + 2 ultra-short docs
+    val spam = (10 until 18).map(i => (i.toLong, "buy now " + longText.take(20), "en", "spam")) ++
+      Seq((18L, "x", "en", "spam"), (19L, "y z", "en", "spam"))
+    (good ++ spam).map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalysis.sourceQuality(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("dup_frac"), r.getAs[Boolean]("keep"))).toMap
+    assert(got("clean")._1 === 10L && got("clean")._2 === 0.0 && got("clean")._3,
+      s"clean source must keep: ${got("clean")}")
+    // 8 copies -> 7 non-first duplicates of 10 docs = 0.7 dup fraction
+    assert(got("spam")._2 === 0.7 && !got("spam")._3, s"spam source must drop: ${got("spam")}")
+  }
+
+  test("lastTouchAttribution matches a local carry-forward replay on the driver corpus") {
+    val got = Analytics.lastTouchAttribution(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_id")).map(_.longValue()),
+          Option(r.getAs[String]("touch_type")),
+          Option(r.getAs[java.lang.Long]("secs_since_touch")).map(_.longValue()))).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("tss"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = scala.collection.mutable.Map.empty[Long, (Option[Long], Option[String], Option[Long])]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var touch: Option[(Long, String, Long)] = None
+      // event_id order == time order (ts strictly increases with event_id)
+      rows.sortBy(_._3).foreach { case (_, tss, id, tpe) =>
+        if (tpe == "purchase") {
+          want(id) = touch match {
+            case Some((tid, ttype, ttss)) if tss - ttss <= 7L * 86400L =>
+              (Some(tid), Some(ttype), Some(tss - ttss))
+            case _ => (None, None, None)
+          }
+        }
+        if (tpe == "view" || tpe == "click") touch = Some((id, tpe, tss))
+      }
+    }
+    assert(got.keySet === want.keySet, "one row per purchase")
+    assert(got === want.toMap)
+    assert(got.values.exists(_._1.isDefined), "attribution must be non-vacuous at gate SF")
+  }
+
   test("rfmSegments: quintile scores are monotone in their metric and compose the cell") {
     val got = Analytics.rfmSegments(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("recency_days"),

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Versioned
+
+/** D22 — snapshot-versioned table: manifest-last commits, time travel,
+  * metadata-only rollback, reference-safe vacuum.
+  */
+class VersionedSpec extends SparkSpec {
+
+  private def rows(from: Int, n: Int) = {
+    val s = spark
+    import s.implicits._
+    (from until from + n).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+  }
+
+  test("commits are snapshots: latest read, time travel, versions ascend") {
+    val dir = tempDir("versioned") + "/table"
+    val v1 = Versioned.commit(spark, rows(0, 100), dir)
+    val v2 = Versioned.commit(spark, rows(1000, 250), dir)
+    assert((v1, v2) === ((1L, 2L)))
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L))
+    assert(Versioned.read(spark, dir).count() === 250)
+    assert(Versioned.read(spark, dir, 1).count() === 100)
+    assert(Versioned.read(spark, dir, 1).agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0) === 0L)
+    assert(Versioned.read(spark, dir, 2).agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0) === 1000L)
+  }
+
+  test("rollback is metadata-only and the rolled-to snapshot reads identically") {
+    val dir = tempDir("versioned-rb") + "/table"
+    Versioned.commit(spark, rows(0, 50), dir)
+    Versioned.commit(spark, rows(500, 80), dir) // the "bad" commit
+    val v3 = Versioned.rollback(spark, dir, to = 1)
+    assert(v3 === 3L)
+    val latest = Versioned.read(spark, dir).select("id").collect().map(_.getLong(0)).sorted
+    assert(latest.toSeq === (0L until 50L))
+    // the bad version stays pinnable until vacuumed
+    assert(Versioned.read(spark, dir, 2).count() === 80)
+  }
+
+  test("vacuum deletes only unreferenced files; shared (rolled-back-to) files survive") {
+    val dir = tempDir("versioned-vac") + "/table"
+    Versioned.commit(spark, rows(0, 50), dir)    // v1
+    Versioned.commit(spark, rows(500, 80), dir)  // v2
+    Versioned.rollback(spark, dir, to = 1)       // v3 references v1's FILES
+    // keepLast=2 retains v2+v3; v1's manifest goes but its files are v3's
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(deleted.contains("manifest-v1.json"))
+    assert(!deleted.exists(_.startsWith("data/v1-")),
+      s"v1 files are referenced by the rollback manifest: $deleted")
+    assert(Versioned.read(spark, dir).count() === 50, "latest still reads after vacuum")
+    assert(Versioned.read(spark, dir, 2).count() === 80)
+    // keepLast=1 retains only v3 -> v2's data files must actually go
+    val deleted2 = Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(deleted2.exists(_.startsWith("data/v2-")), s"expected v2 data gone: $deleted2")
+    assert(Versioned.read(spark, dir).count() === 50)
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, 2))
+  }
+
+  test("a crashed commit (staged files, no manifest) is invisible and vacuum reclaims it") {
+    val dir = tempDir("versioned-crash") + "/table"
+    Versioned.commit(spark, rows(0, 30), dir)
+    // simulate a crash AFTER staging, BEFORE the manifest rename: stage a
+    // parquet write under the staging name commit() uses and stop there
+    rows(900, 10).write.mode("overwrite").parquet(s"$dir/_staging-v2")
+    assert(Versioned.versions(spark, dir) === Seq(1L), "no manifest, no version")
+    assert(Versioned.read(spark, dir).count() === 30, "readers see the last commit only")
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(deleted.contains("_staging-v2"), s"staging debris reclaimed: $deleted")
+    // the next commit proceeds normally
+    assert(Versioned.commit(spark, rows(100, 5), dir) === 2L)
+    assert(Versioned.read(spark, dir).count() === 5)
+  }
+}
