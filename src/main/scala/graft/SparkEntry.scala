@@ -139,7 +139,8 @@ object SparkEntry {
     "event_transitions"    -> ((s, d) => Analytics.eventTransitions(s, d)),
     "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d)),
     "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
-    "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d))
+    "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
+    "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -1588,6 +1589,29 @@ object SparkEntry {
         |       round(avg(is_dup), 6) AS dup_frac,
         |       (round(avg(score), 6) >= 0.15 AND round(avg(is_dup), 6) <= 0.2) AS keep
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Data-quality contract: the one-pass scalar checks + the FK orphan
+    // count; "check" is quoted (DuckDB reserved word). Pass verdicts
+    // compare the UNROUNDED metric, as the Spark side does.
+    "dq_checks" ->
+      """WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_ids,
+        |             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_text,
+        |             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS DOUBLE) AS bad_len,
+        |             CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS DOUBLE) AS bad_lang,
+        |             CAST(min(n_chars) AS DOUBLE) AS min_chars
+        |           FROM documents),
+        |o AS (SELECT CAST(count(*) AS DOUBLE) AS orphans
+        |      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT * FROM (
+        |  SELECT 'doc_row_count' AS "check", round(n, 6) AS metric, n >= 1.0 AS pass FROM a
+        |  UNION ALL SELECT 'doc_id_unique_ratio', round(n_ids / n, 6), n_ids / n = 1.0 FROM a
+        |  UNION ALL SELECT 'doc_text_null_count', round(null_text, 6), null_text = 0.0 FROM a
+        |  UNION ALL SELECT 'doc_nchars_mismatch_count', round(bad_len, 6), bad_len = 0.0 FROM a
+        |  UNION ALL SELECT 'doc_lang_missing_count', round(bad_lang, 6), bad_lang = 0.0 FROM a
+        |  UNION ALL SELECT 'doc_min_chars', round(min_chars, 6), min_chars > 0.0 FROM a
+        |  UNION ALL SELECT 'orders_custkey_orphans', round(orphans, 6), orphans = 0.0 FROM o)
+        |ORDER BY "check"""".stripMargin,
 
     // Last-touch attribution: the same ignore-nulls carry-forward window as
     // the Spark side; floor(epoch(ts)) is the repo's truncation-exact

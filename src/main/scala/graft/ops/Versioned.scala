@@ -57,10 +57,11 @@ object Versioned {
   }
 
   private def writeManifest(spark: SparkSession, dir: String, v: Long,
-                            files: Seq[String]): Unit = {
+                            files: Seq[String], epoch: Long = -1L): Unit = {
     val fs = fsOf(spark, new Path(dir))
     val node = mapper.createObjectNode()
     node.put("version", v)
+    node.put("epoch", epoch)
     node.put("n_files", files.size)
     val arr = node.putArray("files")
     files.foreach(arr.add)
@@ -75,11 +76,37 @@ object Versioned {
       sys.error(s"could not publish manifest v$v under $dir")
   }
 
+  /** The streaming epoch recorded in version `v`'s manifest (-1 for plain
+    * batch commits).
+    */
+  def epochOf(spark: SparkSession, dir: String, v: Long): Long = {
+    val fs = fsOf(spark, new Path(dir))
+    val in = fs.open(manifestPath(dir, v))
+    try mapper.readTree(in).path("epoch").asLong(-1L) finally in.close()
+  }
+
+  /** D22b — epoch-idempotent `foreachBatch` sink: commit each micro-batch's
+    * full result as a new version of the table — a streaming MATERIALIZED
+    * VIEW with time travel (every epoch stays pinnable until vacuumed).
+    * Structured Streaming replays the last uncommitted epoch after a crash
+    * (the checkpoint advances only after foreachBatch returns), so a replay
+    * of an epoch the table already holds must be a no-op — otherwise the
+    * restart double-publishes. The guard is the manifest's own epoch field:
+    * strictly-greater epochs commit, replays skip. Same single-writer
+    * contract as [[commit]]; one streaming query per table dir.
+    */
+  def epochWriter(dir: String): (DataFrame, Long) => Unit = (df, epoch) => {
+    val s = df.sparkSession
+    val last = versions(s, dir).lastOption.map(epochOf(s, dir, _)).getOrElse(-1L)
+    if (epoch > last) { commit(s, df, dir, epoch); () }
+  }
+
   /** Commit `df` as the next version: stage the parquet write, move the
     * part files to immutable names under data/, publish the manifest LAST.
-    * Returns the new version number.
+    * Returns the new version number. `epoch` tags streaming commits for
+    * [[epochWriter]]'s replay guard.
     */
-  def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  def commit(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
     val base = new Path(dir)
     val fs = fsOf(spark, base)
     fs.mkdirs(new Path(base, "data"))
@@ -94,7 +121,7 @@ object Versioned {
       target.getName
     }
     fs.delete(staging, true)
-    writeManifest(spark, dir, v, named.toSeq)
+    writeManifest(spark, dir, v, named.toSeq, epoch)
     graft.Tables.invalidateSpread(dir)
     v
   }

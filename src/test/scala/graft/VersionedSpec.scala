@@ -58,6 +58,23 @@ class VersionedSpec extends SparkSpec {
     intercept[IllegalArgumentException](Versioned.read(spark, dir, 2))
   }
 
+  test("epochWriter commits each epoch once: replays are no-ops, progress resumes") {
+    val dir = tempDir("versioned-epoch") + "/table"
+    val w = Versioned.epochWriter(dir)
+    w(rows(0, 10), 0L)
+    w(rows(100, 20), 1L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L))
+    // crash-replay of the last epoch (checkpoint not yet advanced): no-op
+    w(rows(100, 20), 1L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L), "replayed epoch must not re-commit")
+    assert(Versioned.read(spark, dir).count() === 20)
+    // progress resumes with the next epoch; manifests record their epochs
+    w(rows(500, 5), 2L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L, 3L))
+    assert(Versioned.epochOf(spark, dir, 3L) === 2L)
+    assert(Versioned.read(spark, dir).count() === 5)
+  }
+
   test("a crashed commit (staged files, no manifest) is invisible and vacuum reclaims it") {
     val dir = tempDir("versioned-crash") + "/table"
     Versioned.commit(spark, rows(0, 30), dir)
