@@ -140,7 +140,8 @@ object SparkEntry {
     "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d)),
     "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
     "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
-    "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d))
+    "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d)),
+    "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -1589,6 +1590,32 @@ object SparkEntry {
         |       round(avg(is_dup), 6) AS dup_frac,
         |       (round(avg(score), 6) >= 0.15 AND round(avg(is_dup), 6) <= 0.2) AS keep
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Volume-anomaly z-scores: integer windowed sums make mean/variance/z
+    // fixed chains of correctly-rounded ops — identical bits on both
+    // engines; the (ss - s*s/n)/(n-1) form is deliberate (the engines' own
+    // one-pass stddev aggregates differ in the last ulp).
+    "event_anomalies" ->
+      s"""WITH $evCte,
+         |d AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |             CAST(count(*) AS DOUBLE) AS x
+         |      FROM ev GROUP BY 1, 2),
+         |w AS (SELECT event_type, day, x,
+         |        CAST(count(x) OVER tw AS DOUBLE) AS n,
+         |        sum(x) OVER tw AS s,
+         |        sum(x * x) OVER tw AS ss
+         |      FROM d
+         |      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+         |                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |v AS (SELECT *, CASE WHEN n >= 2
+         |                     THEN (ss - s * s / n) / (n - 1) END AS variance FROM w)
+         |SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+         |       CAST(n AS BIGINT) AS baseline_days,
+         |       CASE WHEN n >= 3 AND variance > 0
+         |            THEN round((x - s / n) / sqrt(variance), 6) END AS z,
+         |       CASE WHEN n >= 3 AND variance > 0
+         |            THEN round((x - s / n) / sqrt(variance), 6) >= 3.0 END AS spike
+         |FROM v ORDER BY event_type, day""".stripMargin,
 
     // Data-quality contract: the one-pass scalar checks + the FK orphan
     // count; "check" is quoted (DuckDB reserved word). Pass verdicts

@@ -400,6 +400,51 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** C24 — event-volume anomaly detection: per (event_type, day), the
+    * z-score of the day's event count against the PRECEDING `window` days'
+    * baseline (current day excluded, so a spike can't inflate its own
+    * baseline) — the ops-dashboard "did clicks spike today?" alarm. Days
+    * with fewer than `minBaseline` preceding observations, or a
+    * zero-variance baseline, report a null z (no evidence ≠ no anomaly).
+    *
+    * Engine-exactness: counts are integers, so the windowed s/ss sums are
+    * EXACT doubles regardless of summation order, and mean/variance/z are
+    * fixed chains of correctly-rounded ops — identical bits on both
+    * engines, no ln/exp budget needed. Variance uses the (ss − s²/n)/(n−1)
+    * sum-of-squares form precisely because it is such a chain; the
+    * engines' own stddev aggregates (one-pass M2) would differ in the
+    * last ulp.
+    *
+    * Scale shape: the (type, day) pre-aggregation collapses map-side to
+    * types×days rows; the RANGE window partitions by event_type over
+    * integer days — bounded by days-of-history per type, never by event
+    * volume.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String, window: Int = 7,
+                     minBaseline: Int = 3, zThreshold: Double = 3.0): DataFrame = {
+    val trailing = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-window, -1)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(epochFloorDiv(86400)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .withColumn("n", count(col("x")).over(trailing).cast("double"))
+      .withColumn("s", sum(col("x")).over(trailing))
+      .withColumn("ss", sum(col("x") * col("x")).over(trailing))
+      // guard BEFORE dividing: n=0 (no baseline) and n=1 (zero denominator)
+      // must yield null variance, not an ANSI divide-by-zero
+      .withColumn("variance",
+        when(col("n") >= 2,
+          (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+      .withColumn("z",
+        when(col("n") >= minBaseline && col("variance") > 0,
+          round((col("x") - col("s") / col("n")) / sqrt(col("variance")), 6)))
+      .select(col("event_type"), col("day"),
+        col("x").cast("long").as("n_events"),
+        col("n").cast("long").as("baseline_days"),
+        col("z"), (col("z") >= zThreshold).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** C22 — last-touch marketing attribution: every purchase attributed to
     * the SAME user's most recent preceding view/click within `maxWaitSecs`
     * — the question ad-spend reporting actually asks, which funnels

@@ -372,6 +372,37 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("eventAnomalies: planted spike z-scored against the prior week, thin/flat baselines null") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("anom")
+    // click: 8,9,10,11,12,10,10 then a 50-event spike on day 7;
+    // view: constant 5/day -> zero-variance baseline, z must stay null
+    val clickDays = Seq(8, 9, 10, 11, 12, 10, 10, 50)
+    val rows = for {
+      (cnt, day) <- (clickDays.map(("click", _)) ++ Seq.fill(8)(("view", 5))).zipWithIndex
+      d = day % 8
+      i <- 0 until cnt._2
+    } yield (day.toLong * 1000 + i,
+      new java.sql.Timestamp((d.toLong * 86400L + i) * 1000L),
+      i.toLong % 7, cnt._1, 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.Analytics.eventAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("baseline_days"), Option(r.getAs[java.lang.Double]("z")),
+          Option(r.getAs[java.lang.Boolean]("spike")))).toMap
+    // spike day: n=7, s=70, ss=710 -> var=(710-4900/7)/6, z=(50-10)/sqrt(var)
+    val varExp = (710.0 - 70.0 * 70.0 / 7.0) / 6.0
+    val zExp = math.rint((50.0 - 10.0) / math.sqrt(varExp) * 1e6) / 1e6
+    assert(got(("click", 7L)) === ((7L, Some(zExp), Some(true))))
+    // day 3's baseline {8,9,10}: var=1, z=(11-9)/1=2 -> no spike
+    assert(got(("click", 3L)) === ((3L, Some(2.0), Some(false))))
+    // thin baselines (days 0-2) and the zero-variance view series stay null
+    for (d <- 0L to 2L) assert(got(("click", d))._2.isEmpty, s"day $d must be null-z")
+    for (d <- 3L to 7L) assert(got(("view", d))._2.isEmpty, "flat baseline has no z")
+  }
+
   test("sourceQuality: a dup-heavy low-quality source is dropped, a clean one kept") {
     val s = spark
     import s.implicits._
