@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StringType
+
+/** A14 — dead-letter (quarantine) routing for malformed change events: the
+  * connector's sources currently DROP rows that cannot become envelopes (a
+  * corrupt JSON line, a document with no id — the policy every binding
+  * shares), which protects the stream but silently loses the evidence. A
+  * production CDC pipeline quarantines instead: the poison row lands in a
+  * dead-letter store with its RAW bytes and a reason, the stream keeps
+  * moving, and an operator replays the DLQ after fixing the producer — the
+  * reference's failure story is job-restart-on-error (server.rs:200-252);
+  * this is the complementary per-ROW error path that keeps one bad record
+  * from ever costing a restart.
+  *
+  * Mechanics: the JSON dir source reads PERMISSIVE with
+  * `columnNameOfCorruptRecord`, so a syntactically corrupt line surfaces as
+  * one row whose `_raw` column holds the original bytes (all schema fields
+  * null) instead of poisoning the batch; a parseable row that is still not
+  * an event (missing event_id) is the other reason. Routing happens inside
+  * `foreachBatch`: good rows take EXACTLY the normal path
+  * (ChangeStreamJob.toChangeEvents → the idempotent QueuePublisher), bad
+  * rows append to the DLQ as an epoch-overwritten parquet partition — the
+  * same replay-replaces idempotence contract as the queue itself, so a
+  * crash-replayed epoch cannot double-quarantine.
+  *
+  * Scale: quarantining is a per-row filter on the already-decoded batch —
+  * no second parse, no extra shuffle; the DLQ write is one partition per
+  * epoch, bounded by the epoch's own bad-row count.
+  */
+object DeadLetter {
+
+  val RawCol = "_raw"
+
+  /** The quarantine split of a decoded batch: (reason, raw) for bad rows.
+    * Reasons: `corrupt_json` (unparseable line — `_raw` holds the bytes),
+    * `missing_event_id` (valid JSON, not an event — raw is reconstructed
+    * from the parsed fields, since Spark only retains the original line
+    * for corrupt rows).
+    */
+  def reasonCol: org.apache.spark.sql.Column =
+    when(col(RawCol).isNotNull, "corrupt_json")
+      .when(col("event_id").isNull, "missing_event_id")
+
+  /** Stream a JSON event dir with quarantine routing: good rows → the
+    * change-event envelope → `publisher` (the normal pipeline), bad rows →
+    * `dlqDir` as (reason, raw, epoch), epoch-overwritten. One streaming
+    * query, one checkpoint — the DLQ commits atomically with the queue.
+    */
+  def startWithDlq(spark: SparkSession, sourceDir: String,
+                   publisher: QueuePublisher, dlqDir: String,
+                   checkpointDir: String, db: String = "test",
+                   coll: String = "testcoll", queryName: String = "connector-dlq",
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(ChangeStreamJob.eventSchema.add(RawCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", RawCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(sourceDir)
+      .withColumn("__dlq_reason", reasonCol)
+    raw.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val bad = batch.where(col("__dlq_reason").isNotNull)
+          .select(col("__dlq_reason").as("reason"),
+            coalesce(col(RawCol),
+              to_json(struct(ChangeStreamJob.eventSchema.fieldNames.map(col): _*)))
+              .as("raw"))
+        bad.withColumn("epoch", lit(epochId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(dlqDir)
+        val good = batch.where(col("__dlq_reason").isNull)
+          .drop("__dlq_reason", RawCol)
+        publisher.publish(ChangeStreamJob.toChangeEvents(good, db, coll), epochId)
+        ()
+      }
+      .start()
+  }
+}

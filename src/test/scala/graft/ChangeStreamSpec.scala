@@ -38,6 +38,34 @@ class ChangeStreamSpec extends SparkSpec {
     assert(row.getAs[String]("full_document").contains("\"event_id\":0"))
   }
 
+  test("dead-letter routing: corrupt and id-less rows quarantine with reasons, good rows flow") {
+    val (src, queue, ckpt, dlq) =
+      (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"), tempDir("dlq") + "/d")
+    writeEvents(src, "good.json", 0 until 10)
+    // one syntactically corrupt line + one valid-JSON row that is not an event
+    Files.write(Paths.get(src, "bad.json"),
+      ("{\"event_id\": 999, \"ts_us\": THIS-IS-NOT-JSON\n" +
+        """{"ts_us":1704067200000000,"user_id":1,"event_type":"click","value":1.5,"props":"{}"}""")
+        .getBytes)
+    val q = graft.streaming.DeadLetter.startWithDlq(spark, src,
+      graft.streaming.ParquetQueuePublisher(queue), dlq, ckpt)
+    q.awaitTermination(60000)
+    assert(queueIds(queue).sorted === (0L until 10L), "good rows take the normal path")
+    val dead = spark.read.parquet(dlq).collect()
+    assert(dead.length === 2)
+    val byReason = dead.map(r => r.getAs[String]("reason") -> r.getAs[String]("raw")).toMap
+    assert(byReason.keySet === Set("corrupt_json", "missing_event_id"))
+    assert(byReason("corrupt_json").contains("THIS-IS-NOT-JSON"),
+      "the DLQ must preserve the original corrupt bytes for replay")
+    assert(byReason("missing_event_id").contains("\"event_type\":\"click\""))
+    // replay idempotence: a fresh checkpoint re-processes the same dir and
+    // the epoch-overwritten DLQ partition REPLACES, never duplicates
+    val q2 = graft.streaming.DeadLetter.startWithDlq(spark, src,
+      graft.streaming.ParquetQueuePublisher(queue), dlq, tempDir("ckpt2"))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(dlq).count() === 2, "replayed epoch must not duplicate the DLQ")
+  }
+
   test("one-by-one delivery: events arriving file-at-a-time are all delivered in order") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     (0 until 5).foreach { i =>
