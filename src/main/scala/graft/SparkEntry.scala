@@ -75,6 +75,8 @@ object SparkEntry {
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
+    "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
+    "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
@@ -873,6 +875,53 @@ object SparkEntry {
         |WHERE doc_id % 50 <> 0
         |  AND doc_id NOT IN (SELECT DISTINCT corpus_id FROM p WHERE n_shared >= 3)
         |ORDER BY doc_id""".stripMargin,
+
+    // Cross-source shingle overlap: distinct (source, 8-gram-hash) universe,
+    // df-capped at 64 sources per shingle (universal boilerplate is excluded
+    // from sizes AND pairs, consistently), keyed self-meet on the hash.
+    "source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT source,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t),
+        |sh AS (SELECT DISTINCT source, ('0x' || substr(md5(x), 1, 15))::BIGINT AS h
+        |       FROM s, unnest(s.sh) AS u(x)),
+        |capped AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 64),
+        |shc AS (SELECT sh.source, sh.h FROM sh JOIN capped USING (h)),
+        |sizes AS (SELECT source, count(*) AS n FROM shc GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |      FROM shc a JOIN shc b ON a.h = b.h AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared,
+        |       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM p JOIN sizes sa ON sa.source = p.source_a
+        |       JOIN sizes sb ON sb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Conjunctive funnel: dup_2gram_frac is EXACTLY B14's signal (same
+    // greatest(len-1,1) denominator, same 6-dp rounding) so one definition
+    // serves both queries.
+    "filter_funnel" ->
+      """WITH t AS (SELECT n_chars, string_split(text, ' ') AS tok FROM documents),
+        |f AS (SELECT n_chars BETWEEN 100 AND 20000 AS f1,
+        |             len(tok) >= 30 AS f2,
+        |             round(1.0 - CAST(len(list_distinct(
+        |                 [array_to_string(tok[i:i+1], ' ')
+        |                  for i in generate_series(1, greatest(len(tok)-1, 1))])) AS DOUBLE)
+        |               / greatest(len(tok)-1, 1), 6) <= 0.07 AS f3
+        |      FROM t),
+        |a AS (SELECT count(*) AS total,
+        |             CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS s1,
+        |             CAST(count(*) FILTER (WHERE f1 AND f2) AS BIGINT) AS s2,
+        |             CAST(count(*) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT) AS s3
+        |      FROM f)
+        |SELECT stage, survivors, dropped_here FROM (
+        |  SELECT '0_all' AS stage, total AS survivors, CAST(0 AS BIGINT) AS dropped_here FROM a
+        |  UNION ALL SELECT '1_length', s1, total - s1 FROM a
+        |  UNION ALL SELECT '2_min_words', s2, s1 - s2 FROM a
+        |  UNION ALL SELECT '3_repetition', s3, s2 - s3 FROM a)
+        |ORDER BY stage""".stripMargin,
 
     "repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -297,6 +297,54 @@ object Corpus {
       .orderBy("eval_id", "corpus_id")
   }
 
+  /** B51 — cross-source overlap matrix: for every source pair, how many
+    * distinct 8-gram shingles they share, plus the Jaccard of their shingle
+    * sets — the "is src7 a mirror of src3 / how much boilerplate do my
+    * crawls share?" question a data-sourcing decision needs BEFORE
+    * committing to dedup cost. Full-document hashes answer it only for
+    * byte-exact mirrors; shingle overlap sees partial mirrors, shared
+    * templates and quote-heavy sources too (same currency as B13's
+    * contamination check).
+    *
+    * Shapes for 100 TB: the corpus collapses to distinct (source, shingle)
+    * rows FIRST (partial-aggregated — a source's repeated boilerplate
+    * collapses map-side), and the pair meet is keyed on the shingle hash —
+    * never all-pairs of sources, never all-pairs of docs. Per-key join
+    * width is the shingle's source count, capped at `maxSources`: a
+    * shingle present in more sources than that is universal boilerplate —
+    * it says nothing about PAIRWISE affinity but would contribute
+    * O(maxSources²) rows per hash — so it is excluded from the overlap
+    * universe on both engines (sizes and Jaccard are over the capped
+    * universe, consistently). The distinct frame is persisted: it feeds
+    * the per-source sizes AND both join sides (released by
+    * [[graft.Caches]].clear).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, shingleK: Int = 8,
+                    maxSources: Int = 64): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true)
+          .getField("hv")).as("h"))
+      .distinct()
+      .persist()
+    val capped = sh.groupBy("h").agg(count(lit(1)).as("nsrc"))
+      .where(col("nsrc") <= maxSources).select("h")
+    val shc = sh.join(capped, Seq("h"))
+    val sizes = shc.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = shc.select(col("source").as("source_a"), col("h"))
+      .join(shc.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** B13b — decontamination REMOVAL: the corpus with every doc flagged by
     * [[contamination]] dropped — check → remove as one operator, the step
     * an actual training run executes. The flagged set (already tiny: docs

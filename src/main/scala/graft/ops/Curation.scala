@@ -405,6 +405,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B52 — filter-funnel report: survivors and per-stage drops through the
+    * ordered, CONJUNCTIVE curation gauntlet (length → min words → repeated-
+    * bigram repetition, the C4/Gopher stage order) — the observability
+    * artifact every curation run ships with its output, because "we kept
+    * 61%" is meaningless without "stage 2 took 19% of it". Cumulative
+    * semantics: a doc counts as surviving stage k iff it passed stages
+    * 1..k, so `dropped_here` attributes each loss to the FIRST stage that
+    * rejected it — the number that tells you which filter to re-tune.
+    *
+    * One scan: every stage predicate is per-row array/scalar math (the
+    * repeated-bigram fraction is B14's `dup_2gram_frac`, same codegen'd
+    * ShingleHashes loop, same rounding — one signal definition, not two
+    * drifting copies), the aggregate is a single map-side partial
+    * collapsing to ONE row, and `stack` unpivots that row into the 4-stage
+    * report. Zero shuffles beyond the final 1-row collapse — at 100 TB
+    * this costs exactly one pass over the text.
+    *
+    * Engine-exactness: stage thresholds compare integers or 6-dp-rounded
+    * single-division doubles, so the oracle replays bit-identically.
+    */
+  def filterFunnel(spark: SparkSession, dir: String,
+                   minChars: Long = 100, maxChars: Long = 20000,
+                   minWords: Int = 30, maxRep: Double = 0.07): DataFrame = {
+    val tok = toks(col("text"))
+    val total2 = greatest(size(tok) - lit(1), lit(1)).cast("double")
+    val distinct2 = size(
+      VectorExpressions.shingleHashes(col("text"), 2, md5Based = true).getField("hv"))
+      .cast("double")
+    val rep = round(lit(1.0) - distinct2 / total2, 6)
+    val flags = Tables.documents(spark, dir).select(
+      (col("n_chars") >= minChars && col("n_chars") <= maxChars).as("f1"),
+      (size(tok) >= minWords).as("f2"),
+      (rep <= maxRep).as("f3"))
+    val agg = flags.agg(
+      count(lit(1)).as("total"),
+      sum(col("f1").cast("long")).as("s1"),
+      sum((col("f1") && col("f2")).cast("long")).as("s2"),
+      sum((col("f1") && col("f2") && col("f3")).cast("long")).as("s3"))
+    agg.select(expr(
+      "stack(4, '0_all', total, 0L, " +
+        "'1_length', s1, total - s1, " +
+        "'2_min_words', s2, s1 - s2, " +
+        "'3_repetition', s3, s2 - s3) AS (stage, survivors, dropped_here)"))
+      .orderBy("stage")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

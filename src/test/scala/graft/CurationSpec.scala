@@ -361,4 +361,45 @@ class CurationSpec extends SparkSpec {
     assert(cl(10L).getAs[Long]("cluster_size") === 3)
     assert(!cl.contains(50L) || cl(50L).getAs[Long]("cluster_size") === 1)
   }
+
+  test("filter funnel: each loss is attributed to the FIRST failing stage") {
+    val clean = (0 until 40).map(i => s"tok$i").mkString(" ") // passes everything
+    val dir = docsDir(Seq(
+      0L -> clean,
+      1L -> clean.replace("tok0", "tokA"),
+      2L -> "tiny doc",                               // fails length AND words -> stage 1 only
+      3L -> (0 until 12).map(i => s"verylongword$i").mkString(" "), // 100+ chars, <30 words -> stage 2
+      4L -> Seq.fill(40)("spam ham").mkString(" ")))  // 80 words, 2 distinct bigrams -> stage 3
+    val got = graft.ops.Curation.filterFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("survivors"), r.getAs[Long]("dropped_here"))).toMap
+    assert(got === Map(
+      "0_all" -> (5L, 0L),
+      "1_length" -> (4L, 1L),   // doc 2 (also <30 words, but length claims it)
+      "2_min_words" -> (3L, 1L), // doc 3
+      "3_repetition" -> (2L, 1L))) // doc 4
+  }
+
+  test("source overlap: planted shared shingles produce exact pair counts; the df cap drops universal boilerplate") {
+    // docsDir assigns source = src(id % 3); each doc is exactly one 8-gram
+    val common = (0 until 8).map(i => s"c$i").mkString(" ")
+    val ab = (0 until 8).map(i => s"s$i").mkString(" ")
+    val uniq = (0 until 8).map(i => s"u$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> common, 1L -> common, 2L -> common, // all three sources
+      3L -> ab, 4L -> ab,                       // src0 and src1 only
+      5L -> uniq))                              // src2 only
+    def rows(maxSources: Int) =
+      graft.ops.Corpus.sourceOverlap(spark, dir, maxSources = maxSources).collect()
+        .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+          (r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toMap
+    val full = rows(maxSources = 64)
+    assert(full === Map(
+      ("src0", "src1") -> (2L, 1.0),        // {common, ab} on both sides
+      ("src0", "src2") -> (1L, 0.333333),   // common of {common,ab} vs {common,uniq}
+      ("src1", "src2") -> (1L, 0.333333)))
+    // cap = 2: the 3-source shingle is boilerplate and leaves the universe
+    // entirely — sizes AND pairs shrink consistently
+    assert(rows(maxSources = 2) === Map(("src0", "src1") -> (1L, 1.0)))
+  }
 }
