@@ -78,6 +78,8 @@ object SparkEntry {
     "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
+    "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
+    "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
@@ -1439,6 +1441,40 @@ object SparkEntry {
         |c AS (SELECT doc_id, token, count(*) AS cnt FROM e GROUP BY doc_id, token)
         |SELECT token, CAST(sum(cnt) AS BIGINT) AS tf, count(*) AS df
         |FROM c GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // Exact top-k is a valid oracle for the Misra-Gries sketch ONLY while
+    // per-partition distinct tokens <= m (=256): below capacity MG never
+    // decrements and the merged estimate IS the exact count. The gate corpus
+    // holds a ~31-token vocabulary; the eviction path is spec-tested with
+    // m=4 (CorpusSpec).
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, count(*) AS est FROM t
+        |GROUP BY w ORDER BY est DESC, w LIMIT 50""".stripMargin,
+
+    // The arithmetic tree mirrors Relevance.bm25Search token for token:
+    // constants compose IN-ENGINE ((1.2 + 1.0), never a 2.2 literal — the
+    // Scala-side sum is a different double), inputs are exact integers, and
+    // the per-doc sum rounds to 6 dp before the tie-broken top-k cut.
+    "bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM d),
+        |e AS (SELECT doc_id, unnest(tok) AS w FROM d),
+        |tf AS (SELECT e.doc_id, dl.dl, e.w, count(*) AS tf
+        |       FROM e JOIN dl ON dl.doc_id = e.doc_id
+        |       WHERE e.w IN ('spark', 'window', 'merge')
+        |       GROUP BY e.doc_id, dl.dl, e.w),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       round(sum(
+        |         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |         * (tf.tf * (1.2 + 1.0))
+        |         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+        |                           / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+        |       ), 6) AS score
+        |FROM tf JOIN dfs USING (w) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "doc_top_terms" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

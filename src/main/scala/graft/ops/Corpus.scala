@@ -170,6 +170,56 @@ object Corpus {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** B54 — heavy hitters under fixed memory (Misra-Gries, the mergeable
+    * frequent-items summary): top-k tokens by estimated count where no
+    * executor ever holds more than `m` counters — the sketch that answers
+    * "what dominates this corpus" when the vocabulary itself does not fit
+    * (token vocab at 100 TB is ~billions of byte-sequences; C22's exact
+    * vocab_top shuffles all of it, this shuffles ≤ m rows per partition).
+    *
+    * Per-partition Misra-Gries: increment a held counter, admit while
+    * capacity remains, else decrement ALL m counters (the arriving token is
+    * absorbed unstored) — each decrement round retires m+1 token
+    * occurrences, so a partition's undercount is ≤ nₚ/(m+1) and, summing,
+    * the merged estimate satisfies `exact − N/(m+1) ≤ est ≤ exact`: any
+    * token with frequency above N/(m+1) is GUARANTEED present. The merge is
+    * a partial-aggregated groupBy over ≤ m·P summary rows (the standard
+    * mergeability result for MG summaries), and the top-k is TakeOrdered.
+    *
+    * The registered oracle is EXACT top-k by count, valid because the gate
+    * corpus' per-partition distinct-token count sits far under the default
+    * m = 256 — MG never decrements, so the sketch degrades to exact
+    * counting (documented oracle condition, like the approx-sketch
+    * registrations C9/C15 but stronger: exact-match rather than rows-only
+    * while the condition holds). The approximate path — where MG actually
+    * evicts — is exercised by CorpusSpec with m = 4 against a planted
+    * skew corpus, asserting both sides of the error bound.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   m: Int = 256, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val toksDs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w")).as[String]
+    val partials = toksDs.mapPartitions { it =>
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        val cur = cnt.getOrElse(w, 0L)
+        if (cur > 0L || cnt.size < m) cnt(w) = cur + 1
+        else {
+          val ks = cnt.keys.toArray
+          ks.foreach { key =>
+            val v = cnt(key) - 1
+            if (v == 0L) cnt.remove(key) else cnt(key) = v
+          }
+        }
+      }
+      cnt.iterator
+    }.toDF("w", "est")
+    partials.groupBy("w").agg(sum(col("est")).as("est"))
+      .orderBy(col("est").desc, col("w"))
+      .limit(k)
+  }
+
   /** B23 — per-document salient terms: top-k tokens by a rarity-weighted
     * score, `cnt · N / df` — tf·idf with a LINEAR idf. The linear form is
     * deliberate: it is integer-ratio double math, IEEE-exact on every

@@ -326,4 +326,52 @@ object Relevance {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** B53 — BM25 keyword search (Robertson-Sparck Jones; the Okapi BM25
+    * formulation every lexical retrieval system ships): top-k documents for
+    * a query-term set, scored `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))`. The retrieval half of the
+    * relevance story — B27 ranks doc-doc similarity, this ranks docs
+    * against a QUERY, the "find me training examples about X" probe.
+    *
+    * Scale shapes: the term filter prunes the exploded stream BEFORE any
+    * shuffle (only query-term occurrences survive — |terms| is user-query
+    * sized, so the tf table carries ≤ |terms| rows per doc); df and the
+    * corpus scalars (N, Σdl) are partial-aggregated to |terms| rows + one
+    * row and attach as broadcasts; the final top-k is TakeOrdered (limit
+    * over sort), never a global sort materialization.
+    *
+    * Engine-exactness: every input to the score is an exact integer (tf,
+    * df, N, dl, Σdl) or a decimal literal both engines parse to the same
+    * double; the arithmetic tree is written identically in the oracle SQL
+    * (constants composed IN-ENGINE — `k1 + 1.0` stays a runtime add, since
+    * a Scala-side `1.2 + 1` and a SQL literal `2.2` are different doubles),
+    * and the per-doc sum rounds to 6 dp before ranking — the same float
+    * budget as lmPerplexity, ulp-level summation-order noise orders below
+    * the rounding step. Ties break on doc_id so the top-k cut is
+    * deterministic on both engines.
+    */
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("spark", "window", "merge"),
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 50): DataFrame = {
+    val withDl = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), size(col("tok")).cast("long").as("dl"), col("tok"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfTab), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

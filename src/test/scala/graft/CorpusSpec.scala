@@ -119,4 +119,16 @@ class CorpusSpec extends SparkSpec {
     val valIds = docs.filter(_._3 == "val").map(_._1).toSet
     assert(got.forall(g => !valIds(g._1)), "the target split is never a selection candidate")
   }
+
+  test("heavy hitters below capacity degrade to exact counts (the registered-oracle condition)") {
+    val got = Corpus.heavyHitters(spark, sf0001, m = 256, k = 50).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("est"))
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf0001).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").foreach(w => exact(w) = exact.getOrElse(w, 0L) + 1)
+    }
+    assert(exact.size <= 256, "oracle condition: vocabulary fits the MG capacity")
+    val want = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
+    assert(got.toSeq === want, "below capacity the sketch IS the exact top-k")
+  }
 }

@@ -402,4 +402,21 @@ class CurationSpec extends SparkSpec {
     // entirely — sizes AND pairs shrink consistently
     assert(rows(maxSources = 2) === Map(("src0", "src1") -> (1L, 1.0)))
   }
+
+  test("heavy hitters under eviction (m=4): the dominant token survives within the MG error bound") {
+    // 10 docs x (50 'hot' + 50 unique fillers) = N=1000 tokens, hot=500.
+    // With m=4 the undercount bound is N/(m+1)=200, so est(hot) >= 300 while
+    // every filler's true count is 1 — 'hot' MUST rank first.
+    val dir = docsDir((0 until 10).map { i =>
+      i.toLong -> (0 until 50).map(j => s"hot f${i}_$j").mkString(" ")
+    })
+    val got = graft.ops.Corpus.heavyHitters(spark, dir, m = 4, k = 5).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("est"))
+    assert(got.nonEmpty && got.head._1 === "hot", s"got=${got.toSeq}")
+    val estHot = got.head._2
+    assert(estHot <= 500L, "Misra-Gries never overcounts")
+    assert(estHot >= 300L, s"undercount must stay within N/(m+1)=200: est=$estHot")
+    // no filler can report more than its true count of 1
+    got.tail.foreach { case (w, est) => assert(est <= 1L, s"$w overcounted: $est") }
+  }
 }

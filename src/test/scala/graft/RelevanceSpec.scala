@@ -483,4 +483,35 @@ class RelevanceSpec extends SparkSpec {
     assert(got.map(_._7).distinct.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
       "monetary quintiles cover 1..5")
   }
+
+  test("bm25Search matches a full local Okapi replay: same docs, same order, same scores") {
+    val terms = Seq("spark", "window", "merge")
+    val topK = 50
+    val got = graft.ops.Relevance.bm25Search(spark, sf0001, terms, topK = topK).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+    assert(got.length === topK)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    val want = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.length.toLong,
+        BigDecimal(contribs.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(topK)
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq, "same ranking")
+    got.zip(want).foreach { case ((_, nt1, s1), (_, nt2, s2)) =>
+      assert(nt1 === nt2)
+      assert(math.abs(s1 - s2) < 2e-6, s"score drift: $s1 vs $s2")
+    }
+  }
 }
