@@ -145,7 +145,9 @@ object SparkEntry {
     "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
     "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
     "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d)),
-    "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d))
+    "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d)),
+    "scd2_history"         -> ((s, d) => ChangeEvents.scd2History(s, d)),
+    "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -1701,6 +1703,41 @@ object SparkEntry {
          |       CASE WHEN n >= 3 AND variance > 0
          |            THEN round((x - s / n) / sqrt(variance), 6) >= 3.0 END AS spike
          |FROM v ORDER BY event_type, day""".stripMargin,
+
+    // SCD2: lead() runs over ALL ops per key (a delete closes the prior
+    // version) BEFORE deletes are filtered — same order as the Spark side.
+    "scd2_history" ->
+      s"""WITH $evCte,
+         |changes AS (SELECT user_id AS document_key, event_id,
+         |              $opType AS operation_type,
+         |              $fullDoc AS full_document
+         |            FROM ev),
+         |v AS (SELECT *, lead(event_id) OVER (PARTITION BY document_key
+         |                                     ORDER BY event_id) AS valid_to_id
+         |      FROM changes)
+         |SELECT document_key, event_id AS valid_from_id, valid_to_id,
+         |       valid_to_id IS NULL AS is_current, full_document
+         |FROM v WHERE operation_type <> 'delete'
+         |ORDER BY document_key, valid_from_id""".stripMargin,
+
+    "daily_fill" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |            CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |            count(*) AS n_orders,
+        |            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |          FROM orders GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT t.priority, gs.day
+        |         FROM (SELECT DISTINCT priority FROM daily) t,
+        |              span s, unnest(generate_series(s.d0, s.d1)) AS gs(day)),
+        |j AS (SELECT g.priority, g.day, d.n_orders, d.day_value
+        |      FROM grid g LEFT JOIN daily d USING (priority, day))
+        |SELECT priority, day,
+        |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |       n_orders IS NOT NULL AS observed, day_value,
+        |       last_value(day_value IGNORE NULLS)
+        |         OVER (PARTITION BY priority ORDER BY day) AS value_carry
+        |FROM j ORDER BY priority, day""".stripMargin,
 
     // Data-quality contract: the one-pass scalar checks + the FK orphan
     // count; "check" is quoted (DuckDB reserved word). Pass verdicts

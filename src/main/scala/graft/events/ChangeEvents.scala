@@ -183,6 +183,39 @@ object ChangeEvents {
       .orderBy("document_key")
   }
 
+  /** C25 — SCD Type 2 history build: fold the change feed into the full
+    * VERSIONED dimension — every insert/update becomes a version row with
+    * `[valid_from_id, valid_to_id)` bounds in feed order, the open version
+    * carries `is_current`, and a delete CLOSES the prior version without
+    * emitting one (a deleted key has history but no current row). This is
+    * the warehouse-standard complement to [[applyChanges]]: A5d answers
+    * "what is the state", this answers "what was the state when" — the
+    * as-of dimension an auditable pipeline joins facts against.
+    *
+    * One shuffle, same key as applyChanges: a single window over
+    * (document_key, event_id) computes `lead(event_id)` BEFORE deletes are
+    * filtered, so the delete's id becomes the prior version's closing
+    * bound exactly as a MERGE-based SCD2 loader would write it.
+    * Insert-after-delete reopens the key naturally (the new version's
+    * lead is whatever follows). Engine-exact: integer ids, boolean flag,
+    * the same byte-pinned full_document JSON as the queue payload.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("document_key")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id").as("document_key"),
+        col("event_id"),
+        operationType(col("event_type")).as("operation_type"),
+        fullDocumentJson.as("full_document"))
+      .withColumn("valid_to_id", lead(col("event_id"), 1).over(byKey))
+      .where(col("operation_type") =!= "delete")
+      .select(col("document_key"), col("event_id").as("valid_from_id"),
+        col("valid_to_id"), col("valid_to_id").isNull.as("is_current"),
+        col("full_document"))
+      .orderBy("document_key", "valid_from_id")
+  }
+
   /** A7 — multi-collection fan-out (server.rs:174-199 spawns one job per
     * configured collection): route events to per-collection queues and report
     * per-queue publish stats. Money sums are decimal-exact, surfaced as

@@ -235,4 +235,59 @@ class OpsSpec extends SparkSpec {
     assert(variance(got.values.map(_._1)) >= variance(got.values.map(_._2)) * 0.99,
       "p1 must carry at least p2's variance")
   }
+
+  test("scd2History: intervals are ordered, one current version per live key, and the current slice IS cdc_apply") {
+    val hist = ChangeEvents.scd2History(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("document_key"), r.getAs[Long]("valid_from_id"),
+        Option(r.getAs[java.lang.Long]("valid_to_id")).map(_.toLong),
+        r.getAs[Boolean]("is_current"), r.getAs[String]("full_document")))
+    assert(hist.nonEmpty)
+    hist.foreach { case (_, from, to, current, _) =>
+      assert(current === to.isEmpty, "is_current means exactly open-ended")
+      to.foreach(t => assert(t > from, "versions close strictly after they open"))
+    }
+    hist.groupBy(_._1).foreach { case (key, vs) =>
+      assert(vs.count(_._4) <= 1, s"key $key has multiple current versions")
+      // every closed version's bound is a later feed event than its open
+      val froms = vs.map(_._2).sorted
+      assert(froms.distinct.length === froms.length, s"key $key reuses a version id")
+    }
+    // the current slice is exactly the applyChanges materialization
+    val current = hist.filter(_._4).map(t => (t._1, t._2, t._5)).sortBy(_._1).toSeq
+    val applied = ChangeEvents.applyChanges(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("document_key"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("full_document"))).sortBy(_._1).toSeq
+    assert(current === applied, "SCD2's open versions must equal the apply-changes state")
+  }
+
+  test("dailyFill: full calendar grid, zero-filled flows, carry-forward gauges match a local replay") {
+    val got = Analytics.dailyFill(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day"),
+        r.getAs[Long]("n_orders"), r.getAs[Boolean]("observed"),
+        Option(r.getAs[java.lang.Double]("day_value")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("value_carry")).map(_.toDouble)))
+    // local replay of the daily aggregate
+    val raw = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority"), col("o_orderdate").cast("timestamp").cast("long"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 86400L), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val byDay = raw.groupBy(t => (t._1, t._2)).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._3).sum.toDouble) }
+    val (d0, d1) = (raw.map(_._2).min, raw.map(_._2).max)
+    val prios = raw.map(_._1).distinct.sorted
+    assert(got.length === prios.length * (d1 - d0 + 1).toInt, "grid covers every (priority, day)")
+    assert(got.exists(!_._4), "the fill path must actually fill at this SF")
+    var carry = Map.empty[String, Double]
+    got.sortBy(t => (t._1, t._2)).foreach { case (p, day, n, obs, v, vc) =>
+      byDay.get((p, day)) match {
+        case Some((en, ev)) =>
+          assert(obs && n === en, s"($p,$day) count")
+          assert(v.exists(x => math.abs(x - ev) < 1e-6), s"($p,$day) value")
+          carry += p -> ev
+        case None =>
+          assert(!obs && n === 0L && v.isEmpty, s"($p,$day) must zero-fill")
+          assert(vc === carry.get(p), s"($p,$day) carry: got $vc want ${carry.get(p)}")
+      }
+    }
+  }
 }
