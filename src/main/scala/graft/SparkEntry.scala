@@ -106,6 +106,8 @@ object SparkEntry {
     "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
+    "lang_confusion"       -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "source_concentration" -> ((s, d) => graft.ops.Corpus.sourceConcentration(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // C. batch analytics core
@@ -147,7 +149,9 @@ object SparkEntry {
     "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d)),
     "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d)),
     "scd2_history"         -> ((s, d) => ChangeEvents.scd2History(s, d)),
-    "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d))
+    "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d)),
+    "event_paths"          -> ((s, d) => Analytics.eventPaths(s, d)),
+    "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -229,6 +233,36 @@ object SparkEntry {
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
   private val evCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Shared SQL fragment: the per-doc language-ID prediction CTE chain
+    * (`pred` is the final per-doc frame) — one classifier definition feeds
+    * both the lang_id oracle and the lang_confusion aggregate.
+    */
+  private val langIdCtes: String = {
+    val sw = graft.ops.TextAnalysis.langStopwords
+    val hitExprs = sw.map { case (l, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(tok, x -> list_contains($arr, x))) AS BIGINT) AS hits_$l"
+    }.mkString(",\n        ")
+    val bestExpr = sw.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
+    val predCases = sw.map { case (l, _) =>
+      s"WHEN hits_$l = best_hits AND stopword_ratio > 0.04 THEN '$l'"
+    }.mkString("\n            ")
+    val hitNames = sw.map { case (l, _) => s"hits_$l" }.mkString(", ")
+    s"""t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        $hitExprs,
+       |        CAST(len(tok) AS BIGINT) AS n_tokens
+       |      FROM t),
+       |b AS (SELECT *, $bestExpr AS best_hits,
+       |        round(CAST($bestExpr AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
+       |      FROM h),
+       |pred AS (SELECT doc_id, lang AS lang_declared, $hitNames, n_tokens, best_hits,
+       |           stopword_ratio,
+       |           CASE $predCases
+       |                ELSE 'und' END AS lang_pred
+       |         FROM b)""".stripMargin
+  }
 
   /** Shared SQL fragment: the change-event full_document JSON. */
   // Each field coalesces to the literal 'null' — mirroring
@@ -903,6 +937,23 @@ object SparkEntry {
         |       JOIN sizes sb ON sb.source = p.source_b
         |ORDER BY source_a, source_b""".stripMargin,
 
+    "source_concentration" ->
+      """WITH per AS (SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS vol
+        |             FROM documents GROUP BY source),
+        |scal AS (SELECT count(*) AS n_sources, CAST(sum(n) AS BIGINT) AS n_docs,
+        |               CAST(sum(vol) AS BIGINT) AS total_chars,
+        |               CAST(max(vol) AS BIGINT) AS max_vol,
+        |               sum(CAST(vol AS DOUBLE) * CAST(vol AS DOUBLE)) AS ss FROM per),
+        |tk AS (SELECT CAST(sum(vol) AS BIGINT) AS topk_vol
+        |       FROM (SELECT vol FROM per ORDER BY vol DESC, source LIMIT 5))
+        |SELECT n_sources, n_docs, total_chars,
+        |       round(CAST(max_vol AS DOUBLE) / CAST(total_chars AS DOUBLE), 6) AS top1_share,
+        |       round(CAST(topk_vol AS DOUBLE) / CAST(total_chars AS DOUBLE), 6) AS topk_share,
+        |       round(ss / (CAST(total_chars AS DOUBLE) * CAST(total_chars AS DOUBLE)), 6) AS hhi,
+        |       round(CAST(total_chars AS DOUBLE) * CAST(total_chars AS DOUBLE) / ss, 2)
+        |         AS effective_sources
+        |FROM scal CROSS JOIN tk""".stripMargin,
+
     // Conjunctive funnel: dup_2gram_frac is EXACTLY B14's signal (same
     // greatest(len-1,1) denominator, same 6-dp rounding) so one definition
     // serves both queries.
@@ -1212,30 +1263,20 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_chars_computed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "lang_id" -> {
-      val sw = graft.ops.TextAnalysis.langStopwords
-      val hitExprs = sw.map { case (l, words) =>
-        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(tok, x -> list_contains($arr, x))) AS BIGINT) AS hits_$l"
-      }.mkString(",\n        ")
-      val bestExpr = sw.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
-      val predCases = sw.map { case (l, _) =>
-        s"WHEN hits_$l = best_hits AND stopword_ratio > 0.04 THEN '$l'"
-      }.mkString("\n            ")
-      val hitNames = sw.map { case (l, _) => s"hits_$l" }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
-         |h AS (SELECT doc_id, lang,
-         |        $hitExprs,
-         |        CAST(len(tok) AS BIGINT) AS n_tokens
-         |      FROM t),
-         |b AS (SELECT *, $bestExpr AS best_hits,
-         |        round(CAST($bestExpr AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio
-         |      FROM h)
-         |SELECT doc_id, lang AS lang_declared, $hitNames, n_tokens, best_hits, stopword_ratio,
-         |       CASE $predCases
-         |            ELSE 'und' END AS lang_pred
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""WITH $langIdCtes
+         |SELECT * FROM pred ORDER BY doc_id""".stripMargin,
+
+    // Confusion over EXACTLY the registered classifier: the per-doc
+    // prediction CTEs are shared with lang_id, not a second copy.
+    "lang_confusion" ->
+      s"""WITH $langIdCtes,
+         |c AS (SELECT lang_declared, lang_pred, count(*) AS n_docs
+         |      FROM pred GROUP BY 1, 2)
+         |SELECT lang_declared, lang_pred, n_docs,
+         |       round(CAST(n_docs AS DOUBLE) /
+         |             sum(n_docs) OVER (PARTITION BY lang_declared), 6) AS frac_of_declared
+         |FROM c ORDER BY lang_declared, lang_pred""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, length(text) AS len, string_split(text, ' ') AS tok
@@ -1738,6 +1779,41 @@ object SparkEntry {
         |       last_value(day_value IGNORE NULLS)
         |         OVER (PARTITION BY priority ORDER BY day) AS value_carry
         |FROM j ORDER BY priority, day""".stripMargin,
+
+    "event_paths" ->
+      s"""WITH $evCte,
+         |s AS (SELECT user_id, event_type,
+         |        lead(event_type, 1) OVER w AS e2,
+         |        lead(event_type, 2) OVER w AS e3
+         |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+         |SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+         |       count(*) AS n_paths, count(DISTINCT user_id) AS n_users
+         |FROM s WHERE e3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""".stripMargin,
+
+    // The winsorized mean recomposes from exact parts (decimal middle sum +
+    // count*cutoff per tail) in the same written order as the Spark side.
+    "winsorized_stats" ->
+      """WITH cuts AS (SELECT o_orderpriority AS priority,
+        |        quantile_cont(o_totalprice, 0.01) AS lo_cut,
+        |        quantile_cont(o_totalprice, 0.99) AS hi_cut
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority AS priority, o.o_totalprice, c.lo_cut, c.hi_cut
+        |      FROM orders o JOIN cuts c ON c.priority = o.o_orderpriority),
+        |a AS (SELECT priority, count(*) AS n_orders,
+        |        min(lo_cut) AS lo_raw, min(hi_cut) AS hi_raw,
+        |        CAST(count(*) FILTER (WHERE o_totalprice < lo_cut) AS BIGINT) AS n_lo,
+        |        CAST(count(*) FILTER (WHERE o_totalprice > hi_cut) AS BIGINT) AS n_hi,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+        |        coalesce(CAST(sum(CASE WHEN o_totalprice >= lo_cut AND o_totalprice <= hi_cut
+        |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS sum_mid
+        |      FROM j GROUP BY priority)
+        |SELECT priority, n_orders, round(lo_raw, 6) AS lo_cut, round(hi_raw, 6) AS hi_cut,
+        |       n_lo AS n_clipped_low, n_hi AS n_clipped_high,
+        |       round(sum_raw / n_orders, 6) AS mean_raw,
+        |       round((sum_mid + n_lo * lo_raw + n_hi * hi_raw) / n_orders, 6) AS mean_winsor
+        |FROM a ORDER BY priority""".stripMargin,
 
     // Data-quality contract: the one-pass scalar checks + the FK orphan
     // count; "check" is quoted (DuckDB reserved word). Pass verdicts

@@ -535,6 +535,81 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** C27 — event path mining: the top-k most-travelled 3-step event-type
+    * sequences across per-user event order — the "what do users actually
+    * DO around a purchase" navigation question funnels (which fix the
+    * target) and transitions (which see only pairs) both miss. Paths are
+    * consecutive triples in (user, event_id) order; `n_users` counts
+    * distinct travellers so one bot replaying a loop cannot fake a
+    * popular path.
+    *
+    * One user-key window shuffle (two leads ride the same sorted pass),
+    * then the aggregate collapses to ≤ \|event types\|³ cells with
+    * map-side partials — the distinct-user count expands to (path, user)
+    * keys, which partial-dedup map-side before the final collapse. The
+    * top-k is TakeOrdered over the tiny cell table.
+    */
+  def eventPaths(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .where(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"), col("e3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
+  /** C28 — winsorized robust statistics: per-priority order-value outlier
+    * report — p01/p99 cutoffs (the same cross-engine-exact `percentile` ≡
+    * `quantile_cont` contract as C9/C21), counts clipped at each tail, and
+    * the raw vs winsorized mean whose gap IS the outlier distortion a
+    * revenue dashboard silently absorbs. The clip comparisons are strict
+    * (`<` / `>`) against interpolated-double cutoffs computed identically
+    * on both engines, so boundary rows land the same side everywhere.
+    *
+    * Scale: cutoffs aggregate per priority (exact percentile buffers one
+    * group's values — C9's documented trade, `percentile_approx` is the
+    * 100 TB swap) and broadcast back; the clip + means are one scan-speed
+    * pass with map-side partials. Money sums are decimal-exact before the
+    * final double cast.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val cuts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(expr(s"percentile(o_totalprice, array($pLo, $pHi))").as("pct"))
+      .select(col("priority"),
+        element_at(col("pct"), 1).as("lo_cut"), element_at(col("pct"), 2).as("hi_cut"))
+    // The winsorized mean is recomposed from exact parts — decimal sum of
+    // the UNTOUCHED middle + count·cutoff for each clipped tail — because
+    // casting an interpolated-double cutoff to decimal(18,2) would round
+    // half-way cases engine-differently; this way every float op is a
+    // correctly-rounded product/add in a fixed written order.
+    val mid = when(col("o_totalprice") >= col("lo_cut") && col("o_totalprice") <= col("hi_cut"),
+      col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .join(broadcast(cuts), Seq("priority"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("lo_cut")), 6).as("lo_cut"),
+        round(min(col("hi_cut")), 6).as("hi_cut"),
+        sum((col("o_totalprice") < col("lo_cut")).cast("long")).as("n_lo"),
+        sum((col("o_totalprice") > col("hi_cut")).cast("long")).as("n_hi"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_raw"),
+        coalesce(sum(mid.cast("decimal(18,2)")).cast("double"), lit(0.0)).as("sum_mid"),
+        min(col("lo_cut")).as("lo_raw"), min(col("hi_cut")).as("hi_raw"))
+      .select(col("priority"), col("n_orders"), col("lo_cut"), col("hi_cut"),
+        col("n_lo").as("n_clipped_low"), col("n_hi").as("n_clipped_high"),
+        round(col("sum_raw") / col("n_orders"), 6).as("mean_raw"),
+        round((col("sum_mid") + col("n_lo") * col("lo_raw") + col("n_hi") * col("hi_raw"))
+          / col("n_orders"), 6).as("mean_winsor"))
+      .orderBy("priority")
+  }
+
   /** C26 — calendar densify + forward-fill: the per-(priority, day) order
     * series with every missing day materialized (`observed = false`, flow
     * count 0) and the gauge-style carry-forward of the last observed

@@ -395,6 +395,46 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** B56 — corpus concentration report: how dominated is the corpus by its
+    * largest sources — Herfindahl-Hirschman index over per-source char
+    * volume (Σ shareᵢ², the standard concentration number), its inverse
+    * (the "effective number of sources"), and top-1/top-k volume shares.
+    * The one-row health check a data-sourcing review reads before any
+    * per-source drilldown: HHI → 1 means one crawl IS the corpus and every
+    * diversity assumption downstream is fiction.
+    *
+    * Deliberately sort-free where it can be: HHI and top-1 are pure
+    * aggregates over the per-source table (which is itself a map-side
+    * collapsed groupBy — source cardinality, not doc cardinality), so no
+    * global rank exists anywhere in the plan except the top-k share, and
+    * that is TakeOrdered over the SOURCE table (k rows retained per
+    * partition, never a full sort). Gini needs a value-ordered global
+    * prefix — HHI answers the same question without one; that trade is
+    * this operator's scale design. Share divisions are exact-long /
+    * exact-long doubles; Σvol² runs in doubles (vol² overflows long at
+    * target scale), summation-order noise ~1e-13 ≪ the 6-dp step.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("vol"))
+    val scal = per.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("n")).as("n_docs"),
+      sum(col("vol")).as("total_chars"),
+      max(col("vol")).as("max_vol"),
+      sum(col("vol").cast("double") * col("vol").cast("double")).as("ss"))
+    val topk = per.orderBy(col("vol").desc, col("source")).limit(topK)
+      .agg(sum(col("vol")).as("topk_vol"))
+    val total = col("total_chars").cast("double")
+    scal.crossJoin(broadcast(topk))
+      .select(col("n_sources"), col("n_docs"), col("total_chars"),
+        round(col("max_vol").cast("double") / total, 6).as("top1_share"),
+        round(col("topk_vol").cast("double") / total, 6).as("topk_share"),
+        round(col("ss") / (total * total), 6).as("hhi"),
+        round(total * total / col("ss"), 2).as("effective_sources"))
+  }
+
   /** B13b — decontamination REMOVAL: the corpus with every doc flagged by
     * [[contamination]] dropped — check → remove as one operator, the step
     * an actual training run executes. The flagged set (already tiny: docs

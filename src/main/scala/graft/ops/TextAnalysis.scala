@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table (SURVEY.md §2 B7-B10).
@@ -153,5 +154,28 @@ object TextAnalysis {
         size(col("hv")).cast("long").as("n_shingles")
       )
       .orderBy("doc_id")
+  }
+
+  /** B55 — language-ID confusion matrix: B7's prediction against the
+    * corpus' declared label, aggregated to (declared, predicted) cells with
+    * each cell's share of its declared language — the "is my language
+    * classifier good enough to route curation on" QA answer, and the
+    * per-language recall readout (diagonal cells) a multilingual pipeline
+    * tracks release over release. Composes [[langId]] unchanged, so the
+    * confusion is over EXACTLY the registered classifier, not a drifting
+    * copy.
+    *
+    * Scale: the per-doc prediction is B7's scan-speed pass; the confusion
+    * collapses map-side to ≤ langs² cells, and the share window runs over
+    * that tiny aggregate — nothing post-scan scales with corpus size.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val perDeclared = Window.partitionBy(col("lang_declared"))
+    langId(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac_of_declared",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(perDeclared), 6))
+      .orderBy("lang_declared", "lang_pred")
   }
 }

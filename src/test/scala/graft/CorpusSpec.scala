@@ -120,6 +120,24 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall(g => !valIds(g._1)), "the target split is never a selection candidate")
   }
 
+  test("sourceConcentration matches a local HHI replay and respects its bounds") {
+    val r = Corpus.sourceConcentration(spark, sf0001).collect().head
+    val vols = Tables.documents(spark, sf0001).select("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = vols.values.sum.toDouble
+    val hhi = vols.values.map(v => (v / total) * (v / total)).sum
+    assert(r.getAs[Long]("n_sources") === vols.size.toLong)
+    assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-6)
+    assert(math.abs(r.getAs[Double]("effective_sources") - 1.0 / hhi) < 0.01)
+    val sorted = vols.values.toSeq.sorted.reverse
+    assert(math.abs(r.getAs[Double]("top1_share") - sorted.head / total) < 1e-6)
+    assert(math.abs(r.getAs[Double]("topk_share") - sorted.take(5).sum / total) < 1e-6)
+    // structural bounds: 1/n <= hhi <= 1, top1 <= topk
+    assert(r.getAs[Double]("hhi") >= 1.0 / vols.size - 1e-9 && r.getAs[Double]("hhi") <= 1.0)
+    assert(r.getAs[Double]("top1_share") <= r.getAs[Double]("topk_share"))
+  }
+
   test("heavy hitters below capacity degrade to exact counts (the registered-oracle condition)") {
     val got = Corpus.heavyHitters(spark, sf0001, m = 256, k = 50).collect()
       .map(r => r.getAs[String]("w") -> r.getAs[Long]("est"))

@@ -45,6 +45,9 @@ class PlanGuardSpec extends SparkSpec {
     "split_divergence",   // broadcast split-totals (<=3 rows by construction) + V scalar
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar
+    "bm25_search",        // broadcast 1-row (N, sum_dl) corpus-stats scalar
+    "daily_fill",         // broadcast 1-row (min_day, max_day) span scalar
+    "source_concentration", // broadcast 1-row top-k-volume scalar
     "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
                           // vectors (bounded by construction, not by data)
                           // against the corpus; ann_lsh/ann_ivf are the

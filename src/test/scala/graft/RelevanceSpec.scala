@@ -484,6 +484,63 @@ class RelevanceSpec extends SparkSpec {
       "monetary quintiles cover 1..5")
   }
 
+  test("eventPaths matches a local consecutive-triple replay") {
+    val got = graft.ops.Analytics.eventPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("n_users")))
+    val ev = Tables.events(spark, sf0001).select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val triples = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2), uid)).toSeq
+    }
+    val want = triples.groupBy(t => (t._1, t._2, t._3)).map { case (k, vs) =>
+      (k._1, k._2, k._3, vs.size.toLong, vs.map(_._4).distinct.size.toLong)
+    }.toSeq.sortBy { case (a, b, c, n, _) => (-n, a, b, c) }.take(25)
+    assert(got.toSeq === want, "top-25 paths must match the local replay exactly")
+  }
+
+  test("winsorizedStats: clipped counts and both means match a local quantile replay") {
+    val got = graft.ops.Analytics.winsorizedStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val raw = Tables.orders(spark, sf0001).select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def quantile(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= s.length) s.last else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    raw.groupBy(_._1).foreach { case (prio, rows) =>
+      val xs = rows.map(_._2).toSeq
+      val (lo, hi) = (quantile(xs, 0.01), quantile(xs, 0.99))
+      val r = got(prio)
+      assert(r.getAs[Long]("n_orders") === xs.length.toLong)
+      assert(r.getAs[Long]("n_clipped_low") === xs.count(_ < lo).toLong, s"$prio low")
+      assert(r.getAs[Long]("n_clipped_high") === xs.count(_ > hi).toLong, s"$prio high")
+      val meanRaw = xs.sum / xs.length
+      val meanWin = xs.map(x => if (x < lo) lo else if (x > hi) hi else x).sum / xs.length
+      assert(math.abs(r.getAs[Double]("mean_raw") - meanRaw) < 1e-4, s"$prio mean_raw")
+      assert(math.abs(r.getAs[Double]("mean_winsor") - meanWin) < 1e-4, s"$prio mean_winsor")
+      // winsorization pulls the mean toward the body, never past the cutoffs
+      assert(r.getAs[Double]("mean_winsor") >= lo && r.getAs[Double]("mean_winsor") <= hi)
+    }
+  }
+
+  test("langConfusion is exactly the langId output aggregated, and shares sum to one") {
+    val got = graft.ops.TextAnalysis.langConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("frac_of_declared"))).toMap
+    val perDoc = graft.ops.TextAnalysis.langId(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang_declared"), r.getAs[String]("lang_pred")))
+    val want = perDoc.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    assert(got.view.mapValues(_._1).toMap === want, "cells must aggregate langId exactly")
+    perDoc.map(_._1).distinct.foreach { decl =>
+      val fracSum = got.collect { case ((d, _), (_, f)) if d == decl => f }.sum
+      assert(math.abs(fracSum - 1.0) < 1e-5, s"$decl shares sum to 1, got $fracSum")
+    }
+  }
+
   test("bm25Search matches a full local Okapi replay: same docs, same order, same scores") {
     val terms = Seq("spark", "window", "merge")
     val topK = 50
