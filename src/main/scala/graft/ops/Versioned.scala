@@ -126,6 +126,52 @@ object Versioned {
     v
   }
 
+  /** Commit `df` as an APPEND: the next version's manifest references the
+    * previous snapshot's files UNCHANGED plus the newly staged files — the
+    * Delta-style append commit. O(new data) write cost however large the
+    * table already is, and the file-level delta between two append
+    * versions is recoverable from the manifests alone ([[newFiles]]),
+    * which is what incremental downstream maintenance consumes.
+    */
+  def append(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
+    val base = new Path(dir)
+    val fs = fsOf(spark, base)
+    fs.mkdirs(new Path(base, "data"))
+    val prior = versions(spark, dir).lastOption
+    val prevFiles = prior.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+    val v = prior.getOrElse(0L) + 1
+    val staging = new Path(base, s"_staging-v$v")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val target = new Path(base, f"data/v$v%d-$i%05d.parquet")
+      if (!fs.rename(p, target)) sys.error(s"could not place ${p.getName} for v$v")
+      target.getName
+    }
+    fs.delete(staging, true)
+    writeManifest(spark, dir, v, prevFiles ++ named.toSeq, epoch)
+    graft.Tables.invalidateSpread(dir)
+    v
+  }
+
+  /** The data files version `to` references that version `since` does not
+    * (file NAMES are immutable once committed, so set difference over the
+    * manifests IS the delta). `since` ≤ 0 means "everything in `to`".
+    * Returns None when `to` is not a pure append of `since` — files were
+    * REMOVED (a replace commit or a rollback landed in between), so a
+    * file-level delta does not describe the change and the caller must
+    * fall back to a full read.
+    */
+  def newFiles(spark: SparkSession, dir: String,
+               since: Long, to: Long): Option[Seq[String]] = {
+    val toF = readManifest(spark, dir, to)
+    if (since <= 0) return Some(toF.map(n => s"$dir/data/$n"))
+    val sinceF = readManifest(spark, dir, since).toSet
+    if (!sinceF.subsetOf(toF.toSet)) None
+    else Some(toF.filterNot(sinceF).map(n => s"$dir/data/$n"))
+  }
+
   /** Read a snapshot: the pinned `version`, or the latest when ≤ 0. Reads
     * exactly the manifest's files — concurrent commits and un-vacuumed
     * stale files are invisible by construction.

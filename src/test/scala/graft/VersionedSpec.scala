@@ -89,4 +89,59 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.commit(spark, rows(100, 5), dir) === 2L)
     assert(Versioned.read(spark, dir).count() === 5)
   }
+
+  private def docs(langs: (String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    langs.zipWithIndex.map { case ((l, c), i) => (i.toLong, l, c) }
+      .toDF("doc_id", "lang", "n_chars")
+  }
+
+  test("append commits reference prior files unchanged; newFiles recovers the exact delta") {
+    val dir = tempDir("versioned-append") + "/table"
+    Versioned.commit(spark, docs("en" -> 10L, "fr" -> 20L), dir)
+    Versioned.append(spark, docs("en" -> 5L), dir)
+    Versioned.append(spark, docs("de" -> 7L, "en" -> 1L), dir)
+    assert(Versioned.read(spark, dir).count() === 5, "appends accumulate")
+    assert(Versioned.read(spark, dir, 1).count() === 2, "old snapshots unchanged")
+    // the v1->v3 delta is exactly the rows appended after v1
+    val delta = Versioned.newFiles(spark, dir, since = 1, to = 3).get
+    assert(spark.read.parquet(delta: _*).count() === 3)
+    // a replace commit breaks the append chain: no file-level delta exists
+    Versioned.commit(spark, docs("zh" -> 9L), dir)
+    assert(Versioned.newFiles(spark, dir, since = 1, to = 4).isEmpty,
+      "a rewrite must force the full-recompute path, not a wrong delta")
+  }
+
+  test("incremental aggregate maintenance: O(delta) refreshes stay equal to a full recompute") {
+    import graft.ops.IncrementalAgg
+    val base = tempDir("incr-base") + "/table"
+    val state = tempDir("incr-state") + "/agg"
+    def stateMap() = Versioned.read(spark, state).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"))).toMap
+    def fullMap() = Versioned.read(spark, base).groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("d"),
+        org.apache.spark.sql.functions.sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"))).toMap
+
+    Versioned.commit(spark, docs("en" -> 10L, "en" -> 30L, "fr" -> 20L), base)
+    assert(IncrementalAgg.refresh(spark, base, state) === ((1L, false)), "first build is a full pass")
+    assert(stateMap() === fullMap())
+
+    Versioned.append(spark, docs("en" -> 5L, "de" -> 100L), base)
+    assert(IncrementalAgg.refresh(spark, base, state) === ((2L, true)), "append refreshes incrementally")
+    assert(stateMap() === fullMap())
+    assert(stateMap()("en") === ((3L, 45L)))
+
+    // crash-replay: refreshing an already-covered version is a no-op commit-wise
+    val versionsBefore = Versioned.versions(spark, state)
+    assert(IncrementalAgg.refresh(spark, base, state) === ((2L, true)))
+    assert(Versioned.versions(spark, state) === versionsBefore, "replay must not re-commit")
+
+    // a replace commit rewrites history: refresh falls back to full recompute
+    Versioned.commit(spark, docs("zh" -> 9L, "zh" -> 1L), base)
+    assert(IncrementalAgg.refresh(spark, base, state) === ((3L, false)), "rewrite forces the full path")
+    assert(stateMap() === fullMap())
+    assert(stateMap() === Map("zh" -> ((2L, 10L))))
+  }
 }
