@@ -151,6 +151,8 @@ object SparkEntry {
     "scd2_history"         -> ((s, d) => ChangeEvents.scd2History(s, d)),
     "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d)),
     "event_paths"          -> ((s, d) => Analytics.eventPaths(s, d)),
+    "basket_affinity"      -> ((s, d) => Analytics.basketAffinity(s, d)),
+    "content_novelty"      -> ((s, d) => graft.ops.Curation.contentNovelty(s, d)),
     "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d))
   )
 
@@ -1791,6 +1793,39 @@ object SparkEntry {
          |FROM s WHERE e3 IS NOT NULL
          |GROUP BY 1, 2, 3
          |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""".stripMargin,
+
+    "basket_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |f AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS p1, x.l_partkey AS p2, count(*) AS pair_cnt
+        |      FROM b a JOIN b x ON a.l_orderkey = x.l_orderkey AND a.l_partkey < x.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, pair_cnt,
+        |       round((CAST(pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) /
+        |             (CAST(f1.c AS DOUBLE) * CAST(f2.c AS DOUBLE)), 6) AS lift
+        |FROM p JOIN f f1 ON f1.l_partkey = p.p1
+        |       JOIN f f2 ON f2.l_partkey = p.p2
+        |       CROSS JOIN n
+        |ORDER BY pair_cnt DESC, lift DESC, p1, p2 LIMIT 50""".stripMargin,
+
+    // First-seen novelty: shingle construction identical to contamination's
+    // (short docs emit one whole-doc shingle; per-doc distinct).
+    "content_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 15))::BIGINT AS h
+        |      FROM s, unnest(s.sh) AS u(x)),
+        |first AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h)
+        |SELECT h.doc_id, count(*) AS n_shingles,
+        |       CAST(count(*) FILTER (WHERE first.first_doc < h.doc_id) AS BIGINT) AS n_seen_before,
+        |       round(1.0 - CAST(count(*) FILTER (WHERE first.first_doc < h.doc_id) AS DOUBLE)
+        |               / count(*), 6) AS novelty
+        |FROM h JOIN first USING (h)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
 
     // The winsorized mean recomposes from exact parts (decimal middle sum +
     // count*cutoff per tail) in the same written order as the Spark side.

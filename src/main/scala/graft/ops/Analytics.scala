@@ -535,6 +535,45 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** C29 — market-basket affinity: part pairs co-ordered more often than
+    * chance, ranked by support then lift — the retail "bought together"
+    * workload over the order/lineitem fact (B28 mines the same lift
+    * statistic over text bigrams; this is the transactional shape: pairs
+    * form WITHIN a basket via a key-equi self-join, not by adjacency).
+    *
+    * Scale shapes: baskets dedup to distinct (order, part) FIRST
+    * (map-side); the self-join meets rows only on a shared ORDER key, so
+    * per-key width is basket size — bounded by order economics, not
+    * corpus size (the classic market-basket bound); `minSupport` prunes
+    * the pair table before any ranking; part frequencies attach by keyed
+    * joins (part cardinality is fact-scale at 100 TB — no broadcast hint,
+    * AQE decides); the order-count scalar is a 1-row broadcast attach and
+    * the final top-k is TakeOrdered. Lift casts to double BEFORE
+    * multiplying — B28's documented long-overflow guard.
+    */
+  def basketAffinity(spark: SparkSession, dir: String,
+                     minSupport: Int = 3, k: Int = 50): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist() // feeds order count, part frequencies, and both join sides
+    val nOrders = baskets.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val freq = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minSupport)
+    pairs
+      .join(freq.select(col("l_partkey").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(freq.select(col("l_partkey").as("p2"), col("c").as("c2")), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_cnt"),
+        round((col("pair_cnt").cast("double") * col("n_orders").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
+      .orderBy(col("pair_cnt").desc, col("lift").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
   /** C27 — event path mining: the top-k most-travelled 3-step event-type
     * sequences across per-user event order — the "what do users actually
     * DO around a purchase" navigation question funnels (which fix the

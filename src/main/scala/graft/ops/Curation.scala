@@ -142,6 +142,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B57 — content novelty score: per document, the fraction of its
+    * distinct 8-gram shingles NOT already present in any earlier document
+    * (doc_id order = ingest order) — "how much of this document is new
+    * content". The per-DOC scalar complement to B26's passage dedup (which
+    * keeps/drops passages) and B15's boilerplate fraction (which scores
+    * against corpus-COMMON shingles regardless of order): a scraper
+    * re-crawling yesterday's pages scores ~0 here while still passing
+    * exact dedup, which is exactly the incremental-crawl waste signal a
+    * data-acquisition budget needs.
+    *
+    * Shapes: one shingle explode (distinct-per-doc by ShingleHashes'
+    * construction) persisted to feed BOTH the first-seen aggregate
+    * (groupBy h → min(doc_id), map-side combined on an ~unique hash space)
+    * and the scoring join (hash-keyed, never all-pairs); the per-doc
+    * collapse is a two-column partial aggregate. Released by
+    * [[graft.Caches]].clear.
+    */
+  def contentNovelty(spark: SparkSession, dir: String, shingleK: Int = 8): DataFrame = {
+    val hashed = docShingleHashes(Tables.documents(spark, dir), shingleK).persist()
+    val first = hashed.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    hashed.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") < col("doc_id")).cast("long")).as("n_seen_before"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+        round(lit(1.0) - col("n_seen_before").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** B16 — deterministic stratified rebalancing sample: downsample each
     * language class to the size of the smallest class. The keep decision is
     * integer-exact — u * class_n < target_n * 2^24 with u a 24-bit

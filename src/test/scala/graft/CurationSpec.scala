@@ -403,6 +403,23 @@ class CurationSpec extends SparkSpec {
     assert(rows(maxSources = 2) === Map(("src0", "src1") -> (1L, 1.0)))
   }
 
+  test("content novelty: a re-crawl scores 0, fresh content 1, partial copies in between") {
+    val eight = (0 until 8).map(i => s"x$i").mkString(" ")
+    val fresh8 = (0 until 8).map(i => s"y$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> eight,                  // first occurrence: fully novel
+      1L -> eight,                  // exact re-crawl: fully stale
+      2L -> (eight + " " + fresh8), // 9 shingles, 1 shared (the exact first window)
+      3L -> (0 until 8).map(i => s"z$i").mkString(" "))) // untouched: novel
+    val got = graft.ops.Curation.contentNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_seen_before"), r.getAs[Double]("novelty"))).toMap
+    assert(got(0L) === ((1L, 0L, 1.0)))
+    assert(got(1L) === ((1L, 1L, 0.0)), "an exact re-crawl is fully stale")
+    assert(got(2L) === ((9L, 1L, 0.888889)))
+    assert(got(3L) === ((1L, 0L, 1.0)))
+  }
+
   test("heavy hitters under eviction (m=4): the dominant token survives within the MG error bound") {
     // 10 docs x (50 'hot' + 50 unique fillers) = N=1000 tokens, hot=500.
     // With m=4 the undercount bound is N/(m+1)=200, so est(hot) >= 300 while

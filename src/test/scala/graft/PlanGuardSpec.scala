@@ -48,6 +48,7 @@ class PlanGuardSpec extends SparkSpec {
     "bm25_search",        // broadcast 1-row (N, sum_dl) corpus-stats scalar
     "daily_fill",         // broadcast 1-row (min_day, max_day) span scalar
     "source_concentration", // broadcast 1-row top-k-volume scalar
+    "basket_affinity",    // broadcast 1-row order-count scalar
     "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
                           // vectors (bounded by construction, not by data)
                           // against the corpus; ann_lsh/ann_ivf are the

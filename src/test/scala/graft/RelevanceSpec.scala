@@ -484,6 +484,27 @@ class RelevanceSpec extends SparkSpec {
       "monetary quintiles cover 1..5")
   }
 
+  test("basketAffinity matches a local pair-count replay with exact lifts") {
+    val got = graft.ops.Analytics.basketAffinity(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Double]("lift")))
+    val baskets = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toDouble
+    val freq = baskets.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val pairCnt = baskets.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
+    val want = pairCnt.toSeq.map { case ((a, b), c) =>
+      (a, b, c.toLong,
+        BigDecimal(c * nOrders / (freq(a) * freq(b)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (a, b, c, l) => (-c, -l, a, b) }.take(50)
+    assert(got.toSeq === want, "ranked pair list must match the local replay exactly")
+    assert(got.nonEmpty, "min-support pairs must exist at this SF")
+  }
+
   test("eventPaths matches a local consecutive-triple replay") {
     val got = graft.ops.Analytics.eventPaths(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
