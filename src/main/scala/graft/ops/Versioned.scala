@@ -175,14 +175,24 @@ object Versioned {
   /** Read a snapshot: the pinned `version`, or the latest when ≤ 0. Reads
     * exactly the manifest's files — concurrent commits and un-vacuumed
     * stale files are invisible by construction.
+    *
+    * `mergeSchema = true` reconciles schema ACROSS the snapshot's files —
+    * the schema-evolution read for append chains whose later appends added
+    * columns (earlier rows surface null for them, parquet's standard
+    * evolution semantics). Opt-in because reconciliation reads every
+    * file's footer up front: cheap per append batch, not something the
+    * default read path should pay on a 100 TB table whose schema never
+    * moved.
     */
-  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+  def read(spark: SparkSession, dir: String, version: Long = -1L,
+           mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
     val v = if (version > 0) version else vs.last
     require(vs.contains(v), s"version $v not present under $dir (have $vs)")
     val files = readManifest(spark, dir, v).map(n => s"$dir/data/$n")
-    spark.read.parquet(files: _*)
+    val reader = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    reader.parquet(files: _*)
   }
 
   /** Roll the table back to `to`: a NEW manifest (next version) referencing

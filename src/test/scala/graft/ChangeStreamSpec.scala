@@ -66,6 +66,36 @@ class ChangeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dlq).count() === 2, "replayed epoch must not duplicate the DLQ")
   }
 
+  test("dimension enrichment re-resolves the versioned dimension at epoch boundaries") {
+    import graft.ops.Versioned
+    val s = spark
+    import s.implicits._
+    val (src, dim, out) =
+      (tempDir("src"), tempDir("dim") + "/d", tempDir("enriched") + "/e")
+    val ckpt = tempDir("ckpt")
+    def dimRows(seg: String) = (0 until 7).map(u => (u.toLong, seg)).toDF("user_id", "segment")
+    Versioned.commit(spark, dimRows("bronze"), dim)
+    writeEvents(src, "batch1.json", 0 until 6)
+    val q1 = graft.streaming.DimensionEnrich.start(spark, src, dim, out, ckpt)
+    q1.awaitTermination(60000)
+    // the dimension moves BETWEEN epochs; new events must see the new version
+    Versioned.commit(spark, dimRows("gold"), dim)
+    writeEvents(src, "batch2.json", 100 until 106)
+    val q2 = graft.streaming.DimensionEnrich.start(spark, src, dim, out, ckpt)
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("segment"), r.getAs[Long]("dim_version"))).toMap
+    assert(rows.keySet === ((0L until 6L) ++ (100L until 106L)).toSet)
+    (0L until 6L).foreach(i => assert(rows(i) === (("bronze", 1L)), s"epoch 1 event $i"))
+    (100L until 106L).foreach(i => assert(rows(i) === (("gold", 2L)), s"epoch 2 event $i"))
+    // within-epoch consistency: one dim_version per epoch, by construction
+    // partition-column epochs read back as Integer — key on the string form
+    val perEpoch = spark.read.parquet(out).select("epoch", "dim_version").distinct().collect()
+      .groupBy(_.get(0).toString).view.mapValues(_.length)
+    assert(perEpoch.values.forall(_ === 1), "an epoch must never mix dimension versions")
+  }
+
   test("one-by-one delivery: events arriving file-at-a-time are all delivered in order") {
     val (src, queue, ckpt) = (tempDir("src"), tempDir("queue") + "/q", tempDir("ckpt"))
     (0 until 5).foreach { i =>

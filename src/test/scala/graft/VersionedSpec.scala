@@ -113,6 +113,23 @@ class VersionedSpec extends SparkSpec {
       "a rewrite must force the full-recompute path, not a wrong delta")
   }
 
+  test("schema evolution: an append may add a column; mergeSchema reads reconcile, old rows null") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("versioned-schema") + "/table"
+    Versioned.commit(spark, Seq((1L, "en")).toDF("doc_id", "lang"), dir)
+    Versioned.append(spark,
+      Seq((2L, "fr", 0.9)).toDF("doc_id", "lang", "quality"), dir)
+    val merged = Versioned.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "quality"))
+    val byId = merged.collect().map(r => r.getAs[Long]("doc_id") ->
+      Option(r.getAs[java.lang.Double]("quality"))).toMap
+    assert(byId(1L).isEmpty, "pre-evolution rows surface null for the new column")
+    assert(byId(2L).contains(0.9))
+    // the default (no-merge) read still works and time travel is unaffected
+    assert(Versioned.read(spark, dir, 1).columns.sorted.toSeq === Seq("doc_id", "lang"))
+  }
+
   test("incremental aggregate maintenance: O(delta) refreshes stay equal to a full recompute") {
     import graft.ops.IncrementalAgg
     val base = tempDir("incr-base") + "/table"
