@@ -137,6 +137,7 @@ object SparkEntry {
     // outside SQL — BpeSpec replays an independent implementation instead
     "bpe_learn"            -> ((s, d) => graft.ops.Bpe.learn(s, d, merges = 16)),
     "bpe_encode"           -> ((s, d) => graft.ops.Bpe.encode(s, d, merges = 16)),
+    "bpe_fertility"        -> ((s, d) => graft.ops.Bpe.fertility(s, d, merges = 16)),
     // round-11 additions
     "dsir_select"          -> ((s, d) => graft.ops.Corpus.dsirSelect(s, d)),
     "ppl_buckets"          -> ((s, d) => graft.ops.Relevance.pplBuckets(s, d)),

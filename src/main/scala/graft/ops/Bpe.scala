@@ -182,6 +182,46 @@ object Bpe {
     StructField("n_tokens", LongType, nullable = false),
     StructField("tokens_per_word", DoubleType, nullable = true)))
 
+  /** B58 — tokenizer fertility report: per language, tokens-per-word and
+    * chars-per-token under the corpus-trained BPE — the tokenizer-efficiency
+    * readout a multilingual training run budgets by (a language whose
+    * fertility is 2× pays 2× the sequence length for the same text; that is
+    * a cost AND a quality signal about vocabulary fit). Composes the
+    * REGISTERED encode pass ([[encode]]'s own per-doc frame, not a copy)
+    * joined to the corpus language labels and collapsed to language
+    * cardinality with map-side partials; ratios divide exact longs once at
+    * the end. Rows-only like the bpe family (the merge loop is not SQL) —
+    * BpeSpec's independent single-machine replay is the correctness
+    * anchor, and the fertility spec replays this aggregate from that
+    * verified per-doc output.
+    */
+  def fertility(spark: SparkSession, dir: String, merges: Int = 16,
+                minPairFreq: Long = 2L): DataFrame =
+    graft.plans.DeferredFrame(spark, fertilitySchema) { () =>
+      val docs = Tables.documents(spark, dir)
+      val mergeList = learnFrom(docs.select(col("text")), merges, minPairFreq)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      encodeWith(docs, mergeList)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6).as("tokens_per_word"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    }
+
+  val fertilitySchema: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = true),
+    StructField("n_docs", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = true),
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("tokens_per_word", DoubleType, nullable = true),
+    StructField("chars_per_token", DoubleType, nullable = true)))
+
   /** The eager apply pass over (doc_id, text) under a fixed merge list. */
   def encodeWith(docs: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession

@@ -142,4 +142,25 @@ class BpeSpec extends SparkSpec {
       assert(got(row.getLong(0)) === want, s"doc ${row.getLong(0)} token count diverged")
     }
   }
+
+  test("fertility aggregates the verified per-doc encode by language exactly") {
+    val got = Bpe.fertility(spark, sf0001, merges = 16).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("tokens_per_word"),
+        r.getAs[Double]("chars_per_token"))).toMap
+    val perDoc = Bpe.encode(spark, sf0001, merges = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    val meta = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = meta.groupBy(_._2).map { case (lang, rows) =>
+      val (w, t, c) = (rows.map(r => perDoc(r._1)._1).sum, rows.map(r => perDoc(r._1)._2).sum,
+        rows.map(_._3).sum)
+      lang -> (rows.length.toLong, w, t,
+        BigDecimal(t.toDouble / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(c.toDouble / t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === want)
+    // fertility is a real signal: every language pays at least one token per word
+    got.values.foreach { case (_, _, _, tpw, cpt) => assert(tpw >= 1.0 && cpt > 0.0) }
+  }
 }
