@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairsPortable(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ngram_jaccard_lsh"    -> ((s, d) => Dedup.ngramJaccardLshPortable(s, d)),
+    "lsh_precision"        -> ((s, d) => Dedup.lshPrecision(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q5_join"              -> ((s, d) => Analytics.q5Join(s, d)),
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
+    "session_conversion"   -> ((s, d) => graft.streaming.Sessionize.sessionConversion(s, d)),
     "asof_join"            -> ((s, d) => graft.ops.Joins.clickPurchaseAsof(s, d)),
     "range_join"           -> ((s, d) => graft.ops.Joins.prePurchaseViews(s, d)),
     "q6_agg"               -> ((s, d) => Analytics.q6Agg(s, d)),
@@ -635,6 +637,23 @@ object SparkEntry {
          |                       for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
          |      FROM cand)
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Same banded candidates + exact verify as ngram_jaccard_lsh, without
+    // the threshold filter, collapsed to the one-row precision report.
+    "lsh_precision" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |v AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
+         |      FROM hb),
+         |p AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(va.shh, vb.shh)) AS DOUBLE) AS inter,
+         |        CAST(len(va.shh) AS DOUBLE) + CAST(len(vb.shh) AS DOUBLE) AS szsum
+         |      FROM cand c JOIN v va ON c.id_a = va.doc_id JOIN v vb ON c.id_b = vb.doc_id),
+         |j AS (SELECT round(inter / (szsum - inter), 6) AS jaccard FROM p)
+         |SELECT count(*) AS candidates,
+         |       CAST(count(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS accepted,
+         |       round(CAST(count(*) FILTER (WHERE jaccard >= 0.5) AS DOUBLE) / count(*), 6)
+         |         AS lsh_precision
+         |FROM j""".stripMargin,
 
     "ngram_jaccard_lsh" ->
       s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
@@ -1389,6 +1408,26 @@ object SparkEntry {
          |       min(epoch_s) AS start_s, max(epoch_s) AS end_s,
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // Same gap/sequence CTE chain as events_sessionize, collapsed to the
+    // per-day session-denominated conversion rate.
+    "session_conversion" ->
+      s"""WITH $evCte,
+         |f AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, event_type FROM ev),
+         |g AS (SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER w > 1800 THEN 1
+         |                     WHEN lag(epoch_s) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+         |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_seq
+         |      FROM g),
+         |sess AS (SELECT user_id, session_seq, min(epoch_s) AS start_s,
+         |           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |         FROM s GROUP BY user_id, session_seq),
+         |d AS (SELECT (start_s - start_s % 86400) // 86400 AS day,
+         |        count(*) AS n_sessions, CAST(sum(converted) AS BIGINT) AS n_converted
+         |      FROM sess GROUP BY 1)
+         |SELECT day, n_sessions, n_converted,
+         |       round(CAST(n_converted AS DOUBLE) / n_sessions, 6) AS conversion
+         |FROM d ORDER BY day""".stripMargin,
 
     "q6_agg" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -577,6 +577,26 @@ object Dedup {
       numHashes, bands, maxBucket, portable = true, minJaccard)
       .orderBy("id_a", "id_b")
 
+  /** B59 — LSH candidate-precision report: one row summarizing how well the
+    * banding is tuned — candidate pairs produced, candidates whose EXACT
+    * Jaccard clears the dedup threshold, and the precision ratio. Precision
+    * far below target means the bands are too permissive (the verify stage
+    * — the expensive exact-Jaccard join — is mostly wasted work); candidate
+    * count is the LSH cost driver itself. Same banded candidate generation
+    * and exact verify as the registered `ngram_jaccard_lsh` (minJaccard 0
+    * keeps every candidate scored), collapsed map-side to one row — the
+    * report costs what the verify already cost, plus nothing.
+    */
+  def lshPrecision(spark: SparkSession, dir: String, shingleK: Int = 3,
+                   minJaccard: Double = 0.5, numHashes: Int = 32,
+                   bands: Int = 16, maxBucket: Int = 256): DataFrame =
+    verifyJaccard(hashedDocs(Tables.documents(spark, dir), shingleK, md5Based = true),
+      numHashes, bands, maxBucket, portable = true, minJaccard = 0.0)
+      .agg(count(lit(1)).as("candidates"),
+        sum((col("jaccard") >= minJaccard).cast("long")).as("accepted"))
+      .select(col("candidates"), col("accepted"),
+        round(col("accepted").cast("double") / col("candidates"), 6).as("lsh_precision"))
+
   /** (doc_id, hs struct(h24, hv)): one shingling + hashing pass per doc. */
   private def hashedDocs(docs: DataFrame, shingleK: Int, md5Based: Boolean): DataFrame =
     docs.select(col("doc_id"),

@@ -26,7 +26,12 @@ object Sessionize {
 
   // ------------------------------------------------------------------ batch
 
-  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = GapSeconds): DataFrame = {
+  /** Per-event session assignment — the ONE gap/sequence definition shared
+    * by [[sessions]] and [[sessionConversion]], so the conversion report
+    * can never disagree with the registered session table about where a
+    * session starts.
+    */
+  private def assigned(spark: SparkSession, dir: String, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     // Project lag ONCE (two `when` branches over lag plan two identical
     // window expressions — Spark does not dedupe them), and give the running
@@ -35,15 +40,18 @@ object Sessionize {
     // event_id is unique within a user.
     val runningRows = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
       .withColumn("epoch_s", col("ts").cast("long"))
       .withColumn("prev_s", lag(col("epoch_s"), 1).over(byUser))
       .withColumn("is_new_session",
         when(col("prev_s").isNull || col("epoch_s") - col("prev_s") > gapSeconds, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("is_new_session")).over(runningRows).cast("long"))
-    flagged
+  }
+
+  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = GapSeconds): DataFrame = {
+    assigned(spark, dir, gapSeconds)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -55,6 +63,33 @@ object Sessionize {
       )
       .orderBy("user_id", "session_seq")
   }
+
+  /** C30 — sessionized conversion rate: per day (of session START), how
+    * many sessions happened and what fraction contained a purchase — the
+    * "did Tuesday's release move conversion" product metric, which is a
+    * SESSION-denominated rate (event- or user-denominated versions both
+    * mislead: one inflates with chatty sessions, the other hides repeat
+    * visits). Composes [[assigned]], the same gap/sequence definition the
+    * registered session table uses.
+    *
+    * Shapes: the session collapse is the same (user, session_seq)
+    * partial-aggregated groupBy as C7 (carrying only a start-epoch min and
+    * a purchase-flag max), and the day report collapses to calendar
+    * cardinality. Conversion divides two exact longs once, round 6.
+    */
+  def sessionConversion(spark: SparkSession, dir: String,
+                        gapSeconds: Long = GapSeconds): DataFrame =
+    assigned(spark, dir, gapSeconds)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("epoch_s")).as("start_s"),
+        max((col("event_type") === "purchase").cast("int")).as("converted"))
+      .groupBy(((col("start_s") - pmod(col("start_s"), lit(86400L))) / 86400L)
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).cast("long").as("n_converted"))
+      .withColumn("conversion",
+        round(col("n_converted").cast("double") / col("n_sessions"), 6))
+      .orderBy("day")
 
   // -------------------------------------------------------------- streaming
 

@@ -163,4 +163,17 @@ class DedupSpec extends SparkSpec {
     assert(m(4L).getAs[String]("trimmed_text") === "")
     assert(m(4L).getAs[Long]("n_removed") === 10L)
   }
+
+  test("lshPrecision counts exactly the registered verify's candidates and acceptances") {
+    val r = graft.ops.Dedup.lshPrecision(spark, sf0001).collect().head
+    val (cands, acc, prec) = (r.getAs[Long]("candidates"), r.getAs[Long]("accepted"),
+      r.getAs[Double]("lsh_precision"))
+    // accepted ≡ the registered ngram_jaccard_lsh row count (same bands,
+    // same verify, same threshold)
+    val registered = graft.ops.Dedup.ngramJaccardLshPortable(spark, sf0001).count()
+    assert(acc === registered)
+    assert(cands >= acc && cands > 0)
+    assert(math.abs(prec - acc.toDouble / cands) < 1e-6)
+    assert(prec > 0.0 && prec <= 1.0)
+  }
 }

@@ -192,6 +192,37 @@ class SessionizeSpec extends SparkSpec {
     assert(st.get.nEvents === 2L)
   }
 
+  test("session conversion matches a local replay over the registered session split") {
+    val got = Sessionize.sessionConversion(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"), r.getAs[Double]("conversion"))).toMap
+    // local replay: same gap rule, same whole-second truncation
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "cast(ts as long) as s", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._2).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._1)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._3 - prev > 1800L)
+          bounds += scala.collection.mutable.ArrayBuffer(e)
+        else bounds.last += e
+        prev = e._3
+      }
+      bounds.map(b => (b.map(_._3).min, b.exists(_._4 == "purchase")))
+    }.toSeq
+    val want = sessions.groupBy { case (start, _) => Math.floorDiv(start, 86400L) }
+      .map { case (day, ss) =>
+        val conv = ss.count(_._2).toLong
+        day -> (ss.size.toLong, conv,
+          BigDecimal(conv.toDouble / ss.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got === want)
+    assert(got.values.exists(v => v._3 > 0.0 && v._3 < 1.0),
+      "conversion must be a real rate at this SF, not all-0/all-1")
+  }
+
   test("batch sessionization matches a hand-computed session split") {
     val out = Sessionize.sessions(spark, sf0001)
     // sessions partition the events: total n_events == total events
