@@ -45,6 +45,39 @@ object DeadLetter {
     when(col(RawCol).isNotNull, "corrupt_json")
       .when(col("event_id").isNull, "missing_event_id")
 
+  /** A15 — DLQ replay: re-attempt the quarantined rows after the producer
+    * or parser was fixed — the second half of the dead-letter contract
+    * (quarantine without replay is just a slower delete). Each stored
+    * `raw` line re-parses under the CURRENT schema; rows that now decode
+    * to a real event publish through the normal envelope path under a
+    * replay epoch, rows that still fail stay quarantined (the DLQ is
+    * REWRITTEN to exactly the still-bad set, so replay is idempotent:
+    * a second replay with nothing fixed is a no-op). Returns
+    * (published, still_quarantined).
+    *
+    * Batch job, not a stream: replay is an operator action after a fix,
+    * and the DLQ is bounded by the failure window — one keyed-nothing
+    * scan over it, the publish is the queue's own idempotent epoch write.
+    */
+  def replay(spark: SparkSession, dlqDir: String, publisher: QueuePublisher,
+             replayEpoch: Long, db: String = "test",
+             coll: String = "testcoll"): (Long, Long) = {
+    val dlq = spark.read.parquet(dlqDir)
+    val parsed = dlq.withColumn("ev",
+      from_json(col("raw"), ChangeStreamJob.eventSchema))
+    val good = parsed.where(col("ev").isNotNull && col("ev.event_id").isNotNull)
+      .select(col("ev.*"))
+    val still = parsed.where(col("ev").isNull || col("ev.event_id").isNull)
+      .select("reason", "raw", "epoch")
+      // materialize before the overwrite clobbers the files being read
+      .localCheckpoint(true)
+    val published = good.count()
+    if (published > 0)
+      publisher.publish(ChangeStreamJob.toChangeEvents(good, db, coll), replayEpoch)
+    still.write.mode("overwrite").partitionBy("epoch").parquet(dlqDir)
+    (published, still.count())
+  }
+
   /** Stream a JSON event dir with quarantine routing: good rows → the
     * change-event envelope → `publisher` (the normal pipeline), bad rows →
     * `dlqDir` as (reason, raw, epoch), epoch-overwritten. One streaming

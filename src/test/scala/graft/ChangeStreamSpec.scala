@@ -66,6 +66,27 @@ class ChangeStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dlq).count() === 2, "replayed epoch must not duplicate the DLQ")
   }
 
+  test("DLQ replay publishes rows the fixed parser now accepts and keeps the rest quarantined") {
+    val s = spark
+    import s.implicits._
+    val (queue, dlq) = (tempDir("queue") + "/q", tempDir("dlq") + "/d")
+    // a quarantine as A14 would leave it: one now-valid raw line (producer
+    // fixed upstream and re-sent into the DLQ path), one forever-corrupt
+    val nowValid =
+      """{"event_id":7,"ts_us":1704067200000000,"user_id":3,"event_type":"click","value":1.0,"props":"{}"}"""
+    Seq(("corrupt_json", nowValid, 0L), ("corrupt_json", "still {not json", 0L))
+      .toDF("reason", "raw", "epoch")
+      .write.partitionBy("epoch").parquet(dlq)
+    val pub = graft.streaming.ParquetQueuePublisher(queue)
+    val (published, still) = graft.streaming.DeadLetter.replay(spark, dlq, pub, replayEpoch = 999L)
+    assert((published, still) === ((1L, 1L)))
+    assert(queueIds(queue) === Seq(7L), "the recovered event reaches the queue")
+    val left = spark.read.parquet(dlq).collect()
+    assert(left.length === 1 && left.head.getAs[String]("raw").contains("still {not json"))
+    // idempotence: nothing else fixed -> a second replay is a no-op
+    assert(graft.streaming.DeadLetter.replay(spark, dlq, pub, replayEpoch = 1000L) === ((0L, 1L)))
+  }
+
   test("dimension enrichment re-resolves the versioned dimension at epoch boundaries") {
     import graft.ops.Versioned
     val s = spark
