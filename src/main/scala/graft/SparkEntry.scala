@@ -154,6 +154,7 @@ object SparkEntry {
     "scd2_history"         -> ((s, d) => ChangeEvents.scd2History(s, d)),
     "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d)),
     "event_paths"          -> ((s, d) => Analytics.eventPaths(s, d)),
+    "new_vs_returning"     -> ((s, d) => Analytics.newVsReturning(s, d)),
     "basket_affinity"      -> ((s, d) => Analytics.basketAffinity(s, d)),
     "content_novelty"      -> ((s, d) => graft.ops.Curation.contentNovelty(s, d)),
     "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d))
@@ -1833,6 +1834,20 @@ object SparkEntry {
          |FROM s WHERE e3 IS NOT NULL
          |GROUP BY 1, 2, 3
          |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""".stripMargin,
+
+    "new_vs_returning" ->
+      s"""WITH $evCte,
+         |ud AS (SELECT DISTINCT user_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM ev),
+         |fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+         |SELECT ud.day, count(*) AS active_users,
+         |       CAST(count(*) FILTER (WHERE ud.day = fd.first_day) AS BIGINT) AS new_users,
+         |       count(*) - CAST(count(*) FILTER (WHERE ud.day = fd.first_day) AS BIGINT)
+         |         AS returning_users,
+         |       round(CAST(count(*) - count(*) FILTER (WHERE ud.day = fd.first_day) AS DOUBLE)
+         |             / count(*), 6) AS returning_frac
+         |FROM ud JOIN fd USING (user_id)
+         |GROUP BY ud.day ORDER BY ud.day""".stripMargin,
 
     "basket_affinity" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -535,6 +535,35 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** C31 — new vs returning daily actives: per day, distinct active users
+    * split into first-ever-seen ("new") and returning — the growth-
+    * accounting decomposition every DAU chart needs (a flat DAU hiding
+    * 100% churn+acquisition and a healthy retained base read identically
+    * without it).
+    *
+    * Shapes: the (user, day) activity set collapses map-side FIRST (event
+    * volume → user-day cardinality); each user's first day is one more
+    * partial-aggregated groupBy on the same key (no window over a user's
+    * full history — the two-aggregate formulation shuffles (user, day)
+    * pairs once and user rows once); the flag join is user-keyed; the day
+    * report is calendar cardinality.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), expr(epochFloorDiv(86400)).as("day"))
+      .distinct()
+    val firstDay = userDays.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    userDays.join(firstDay, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("active_users"),
+        sum((col("day") === col("first_day")).cast("long")).as("new_users"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        round((col("active_users") - col("new_users")).cast("double") /
+          col("active_users"), 6).as("returning_frac"))
+      .orderBy("day")
+  }
+
   /** C29 — market-basket affinity: part pairs co-ordered more often than
     * chance, ranked by support then lift — the retail "bought together"
     * workload over the order/lineitem fact (B28 mines the same lift

@@ -484,6 +484,24 @@ class RelevanceSpec extends SparkSpec {
       "monetary quintiles cover 1..5")
   }
 
+  test("newVsReturning: a user is new exactly once and day totals decompose") {
+    val got = graft.ops.Analytics.newVsReturning(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("active_users"), r.getAs[Long]("new_users"), r.getAs[Long]("returning_users")))
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "cast(ts as long) div 86400 as day").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.groupBy(_._2).map { case (day, rows) =>
+      val nw = rows.count { case (u, d) => first(u) == d }.toLong
+      day -> (rows.length.toLong, nw, rows.length - nw)
+    }
+    assert(got.toMap === want)
+    assert(got.map(_._2._2).sum === first.size.toLong,
+      "summed new_users must equal the distinct user population")
+    assert(got.toMap.keySet.size > 1 && got.exists(_._2._3 > 0), "returning users exist at this SF")
+  }
+
   test("basketAffinity matches a local pair-count replay with exact lifts") {
     val got = graft.ops.Analytics.basketAffinity(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
