@@ -77,6 +77,7 @@ object SparkEntry {
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
     "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
+    "source_lang_drift"    -> ((s, d) => graft.ops.Corpus.sourceLangDrift(s, d)),
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
@@ -959,6 +960,24 @@ object SparkEntry {
         |FROM p JOIN sizes sa ON sa.source = p.source_a
         |       JOIN sizes sb ON sb.source = p.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // FULL source x lang grid: zero-obs cells contribute their expected
+    // count (the drift evidence); same fixed-order float chain as Spark.
+    "source_lang_drift" ->
+      """WITH c AS (SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS lang_n FROM c GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(obs) AS BIGINT) AS src_n FROM c GROUP BY 1),
+        |g AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+        |grid AS (SELECT st.source, st.src_n, lt.lang, lt.lang_n FROM st CROSS JOIN lt),
+        |t AS (SELECT grid.source, grid.src_n,
+        |        CAST(coalesce(c.obs, 0) AS DOUBLE)
+        |          - grid.src_n * (CAST(grid.lang_n AS DOUBLE) / g.n) AS dev,
+        |        grid.src_n * (CAST(grid.lang_n AS DOUBLE) / g.n) AS exp
+        |      FROM grid LEFT JOIN c ON c.source = grid.source AND c.lang = grid.lang
+        |      CROSS JOIN g)
+        |SELECT source, max(src_n) AS n_docs,
+        |       round(sum(dev * dev / exp), 6) AS chi_square
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "source_concentration" ->
       """WITH per AS (SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS vol

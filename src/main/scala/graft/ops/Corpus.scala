@@ -435,6 +435,48 @@ object Corpus {
         round(total * total / col("ss"), 2).as("effective_sources"))
   }
 
+  /** B60 — per-source language-mix drift: for each source, the chi-square
+    * statistic of its language composition against the corpus-wide mix —
+    * the "this crawler started ingesting the wrong site" alarm: a source
+    * whose mix diverges hard from the corpus (or from its own historical
+    * self — run on two snapshots and diff) is the first symptom of a
+    * misconfigured scraper or an injected spam stream, visible long
+    * before per-doc quality filters trip.
+    *
+    * χ² = Σ_lang (obs − exp)²/exp with exp = source_total · corpus_share.
+    * Engine-exact float chain: obs and totals are exact longs; corpus
+    * shares divide once; each term's (obs−exp)²/exp composes
+    * correctly-rounded ops in a fixed order, summed over ≤ |langs| terms
+    * before a round-6. Shapes: one (source, lang) partial-aggregated
+    * count; corpus marginals collapse from it; the scoring join is
+    * lang-keyed against a broadcast-sized marginal table; output is
+    * source cardinality.
+    */
+  def sourceLangDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+      .persist() // feeds marginals AND the scoring join; Caches.clear releases
+    val langTotals = counts.groupBy("lang").agg(sum(col("obs")).as("lang_n"))
+    val grand = counts.agg(sum(col("obs")).as("n"))
+    val srcTotals = counts.groupBy("source").agg(sum(col("obs")).as("src_n"))
+    // FULL source × lang grid: a language the source never produced still
+    // contributes its expected count to χ² (the zero-obs term IS the
+    // drift evidence — dropping it understates exactly the worst drifts).
+    // The cross is source-cardinality × the language inventory — bounded
+    // by construction like ann_brute's probe set, not by data volume.
+    val grid = srcTotals.crossJoin(broadcast(langTotals))
+    grid.join(counts, Seq("source", "lang"), "left_outer")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("src_n"),
+        (coalesce(col("obs"), lit(0L)).cast("double") -
+          col("src_n") * (col("lang_n").cast("double") / col("n"))).as("dev"),
+        (col("src_n") * (col("lang_n").cast("double") / col("n"))).as("exp"))
+      .groupBy("source")
+      .agg(max(col("src_n")).as("n_docs"),
+        round(sum(col("dev") * col("dev") / col("exp")), 6).as("chi_square"))
+      .orderBy("source")
+  }
+
   /** B13b — decontamination REMOVAL: the corpus with every doc flagged by
     * [[contamination]] dropped — check → remove as one operator, the step
     * an actual training run executes. The flagged set (already tiny: docs

@@ -191,6 +191,23 @@ object CrossoverGen {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
       orders.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+      // lineitem mirrors the sf0.1 basket shape: ~4 lines/order (uniform
+      // 1..7, max well under the real 17), parts ≈ orders/7.5 (sf0.1:
+      // 150k orders / 20k parts), part draw uniform — enough structure for
+      // basket_affinity's pair/frequency/lift math to do real work. Only
+      // the columns the measured queries touch.
+      val nParts = math.max(nOrders / 8L, 1L)
+      val lineitem = spark.range(nOrders).as[Long].mapPartitions { ids =>
+        ids.flatMap { oid =>
+          val r = mix(0x11EA17L ^ oid)
+          val n = 1 + r.nextInt(7)
+          (0 until n).map { _ =>
+            (oid, java.lang.Math.floorMod(r.nextLong(), nParts))
+          }
+        }
+      }.toDF("l_orderkey", "l_partkey")
+      lineitem.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
 
     println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"n_orders":$nOrders,"vocab":${vocab.length}}""")

@@ -120,6 +120,28 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall(g => !valIds(g._1)), "the target split is never a selection candidate")
   }
 
+  test("sourceLangDrift matches a local chi-square replay including zero-obs cells") {
+    val got = Corpus.sourceLangDrift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Double]("chi_square"))).toMap
+    val rows = Tables.documents(spark, sf0001).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val langN = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val srcN = docs.length.toDouble
+      val obs = docs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val chi = langN.map { case (lang, ln) =>
+        val exp = srcN * (ln / n)
+        val d = obs.getOrElse(lang, 0.0) - exp
+        d * d / exp
+      }.sum
+      val (gn, gchi) = got(src)
+      assert(gn === docs.length.toLong)
+      assert(math.abs(gchi - chi) < 1e-5, s"$src: got $gchi want $chi")
+      assert(gchi >= 0.0)
+    }
+  }
+
   test("sourceConcentration matches a local HHI replay and respects its bounds") {
     val r = Corpus.sourceConcentration(spark, sf0001).collect().head
     val vols = Tables.documents(spark, sf0001).select("source", "n_chars").collect()

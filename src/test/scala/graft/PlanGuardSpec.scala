@@ -49,6 +49,9 @@ class PlanGuardSpec extends SparkSpec {
     "daily_fill",         // broadcast 1-row (min_day, max_day) span scalar
     "source_concentration", // broadcast 1-row top-k-volume scalar
     "basket_affinity",    // broadcast 1-row order-count scalar
+    "source_lang_drift",  // broadcast grand-total scalar + the language
+                          // inventory (bounded by construction, like
+                          // ann_brute's probe set)
     "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
                           // vectors (bounded by construction, not by data)
                           // against the corpus; ann_lsh/ann_ivf are the
