@@ -156,6 +156,7 @@ object SparkEntry {
     "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d)),
     "event_paths"          -> ((s, d) => Analytics.eventPaths(s, d)),
     "new_vs_returning"     -> ((s, d) => Analytics.newVsReturning(s, d)),
+    "purchase_intervals"   -> ((s, d) => Analytics.purchaseIntervals(s, d)),
     "basket_affinity"      -> ((s, d) => Analytics.basketAffinity(s, d)),
     "content_novelty"      -> ((s, d) => graft.ops.Curation.contentNovelty(s, d)),
     "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d))
@@ -1853,6 +1854,19 @@ object SparkEntry {
          |FROM s WHERE e3 IS NOT NULL
          |GROUP BY 1, 2, 3
          |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""".stripMargin,
+
+    "purchase_intervals" ->
+      s"""WITH $evCte,
+         |p AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+         |      FROM ev WHERE event_type = 'purchase'),
+         |g AS (SELECT user_id, s - lag(s) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
+         |      FROM p)
+         |SELECT count(DISTINCT user_id) AS repeat_users,
+         |       count(*) AS n_intervals,
+         |       round(CAST(sum(gap_s) AS DOUBLE) / count(*) / 3600.0, 6) AS mean_hours,
+         |       round(quantile_cont(gap_s, 0.5) / 3600.0, 6) AS p50_hours,
+         |       round(quantile_cont(gap_s, 0.9) / 3600.0, 6) AS p90_hours
+         |FROM g WHERE gap_s IS NOT NULL""".stripMargin,
 
     "new_vs_returning" ->
       s"""WITH $evCte,

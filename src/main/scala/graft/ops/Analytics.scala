@@ -535,6 +535,34 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** C32 — inter-purchase interval statistics: the gap distribution between
+    * a user's consecutive purchases (repeat-buyer cadence) — the number
+    * replenishment marketing, churn models, and LTV forecasts all key on,
+    * and one neither retention cohorts (calendar-bucketed) nor funnels
+    * (ordered one-shot) expose.
+    *
+    * Shapes: the purchase filter pushes into the scan; one user-key window
+    * produces the lag stream (intervals, not events, survive it); the
+    * summary collapses to one row — mean from exact integer-second sums,
+    * p50/p90 via the C9 exact-percentile contract (buffers interval
+    * cardinality — repeat-purchase counts, not event volume;
+    * `percentile_approx` is the fact-scale swap).
+    */
+  def purchaseIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"))
+      .withColumn("gap_s", col("s") - lag(col("s"), 1).over(byUser))
+      .where(col("gap_s").isNotNull)
+      .agg(
+        count_distinct(col("user_id")).as("repeat_users"),
+        count(lit(1)).as("n_intervals"),
+        round(sum(col("gap_s")).cast("double") / count(lit(1)) / 3600.0, 6).as("mean_hours"),
+        round(expr("percentile(gap_s, 0.5)") / 3600.0, 6).as("p50_hours"),
+        round(expr("percentile(gap_s, 0.9)") / 3600.0, 6).as("p90_hours"))
+  }
+
   /** C31 — new vs returning daily actives: per day, distinct active users
     * split into first-ever-seen ("new") and returning — the growth-
     * accounting decomposition every DAU chart needs (a flat DAU hiding

@@ -484,6 +484,31 @@ class RelevanceSpec extends SparkSpec {
       "monetary quintiles cover 1..5")
   }
 
+  test("purchaseIntervals matches a local lag-and-quantile replay") {
+    val r = graft.ops.Analytics.purchaseIntervals(spark, sf0001).collect().head
+    val ev = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "cast(ts as long) as s").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val ss = rows.sortBy(_._2).map(_._3)
+      ss.zip(ss.drop(1)).map { case (a, b) => b - a }
+    }.toSeq
+    val repeatUsers = ev.groupBy(_._1).count(_._2.length >= 2)
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= s.length) s.last else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    assert(r.getAs[Long]("repeat_users") === repeatUsers.toLong)
+    assert(r.getAs[Long]("n_intervals") === gaps.length.toLong)
+    assert(gaps.nonEmpty, "repeat purchases must exist at this SF")
+    assert(math.abs(r.getAs[Double]("mean_hours") - gaps.sum.toDouble / gaps.length / 3600.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p50_hours") - q(gaps, 0.5) / 3600.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p90_hours") - q(gaps, 0.9) / 3600.0) < 1e-5)
+  }
+
   test("newVsReturning: a user is new exactly once and day totals decompose") {
     val got = graft.ops.Analytics.newVsReturning(spark, sf0001).collect()
       .map(r => r.getAs[Long]("day") ->
