@@ -159,7 +159,13 @@ object SparkEntry {
     "purchase_intervals"   -> ((s, d) => Analytics.purchaseIntervals(s, d)),
     "basket_affinity"      -> ((s, d) => Analytics.basketAffinity(s, d)),
     "content_novelty"      -> ((s, d) => graft.ops.Curation.contentNovelty(s, d)),
-    "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d))
+    "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d)),
+    // round-12 additions — the sketch siblings of the percentile-family
+    // analytics (VERDICT r11 #2): no oracleSql (engine-specific order
+    // statistics, rows-only driver check; rank-error bounds pinned in
+    // RelevanceSpec against the exact anchors)
+    "purchase_intervals_approx" -> ((s, d) => Analytics.purchaseIntervalsApprox(s, d)),
+    "rfm_segments_approx"  -> ((s, d) => Analytics.rfmSegmentsApprox(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs

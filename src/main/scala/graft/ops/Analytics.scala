@@ -497,7 +497,33 @@ object Analytics {
     * buffers the customer-cardinality aggregate — the documented C9 trade;
     * `percentile_approx` is the fact-scale swap.
     */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsWith(spark, dir,
+      (c, ps) => s"percentile($c, array(${ps.mkString(", ")}))")
+
+  /** C21b — the one-pass 100 TB variant of [[rfmSegments]]:
+    * `percentile_approx` cutoffs (Greenwald-Khanna mergeable sketches —
+    * partials combine map-side, so the cutoff aggregate never buffers the
+    * customer population in one task the way exact `percentile` does; at
+    * fact scale that single reducer is the plan's only scale hazard).
+    * Registered rows-only, the C9/C15 sketch-sibling pattern: the sketch
+    * returns an engine-specific order statistic, so no bit-exact
+    * cross-engine oracle exists — RelevanceSpec instead bounds every
+    * approx-vs-exact score disagreement to customers whose metric sits
+    * inside the sketch's published rank-error window of a quintile cutoff.
+    */
+  def rfmSegmentsApprox(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame =
+    rfmSegmentsWith(spark, dir,
+      (c, ps) => s"percentile_approx($c, array(${ps.mkString(", ")}), $accuracy)")
+
+  /** Shared scaffold for the exact and sketch RFM variants: only the cutoff
+    * aggregate expression differs, so only it varies — the quintile list,
+    * scoring direction, and cell composition can't drift between the two
+    * (the percentilesByLang discipline).
+    */
+  private def rfmSegmentsWith(spark: SparkSession, dir: String,
+                              pctAgg: (String, Seq[Double]) => String): DataFrame = {
     val ps = Seq(0.2, 0.4, 0.6, 0.8)
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
@@ -513,7 +539,7 @@ object Analytics {
       .withColumn("recency_days",
         ((col("max_epoch") - col("last_epoch")) / lit(86400L)).cast("long"))
       .select(col("custkey"), col("recency_days"), col("frequency"), col("monetary"))
-    def pct(c: String) = s"percentile($c, array(${ps.mkString(", ")}))"
+    def pct(c: String) = pctAgg(c, ps)
     val cuts = base.agg(
       expr(pct("recency_days")).as("rc"),
       expr(pct("frequency")).as("fc"),
@@ -545,10 +571,36 @@ object Analytics {
     * produces the lag stream (intervals, not events, survive it); the
     * summary collapses to one row — mean from exact integer-second sums,
     * p50/p90 via the C9 exact-percentile contract (buffers interval
-    * cardinality — repeat-purchase counts, not event volume;
-    * `percentile_approx` is the fact-scale swap).
+    * cardinality — repeat-purchase counts, not event volume; the
+    * fact-scale swap is the REGISTERED sibling [[purchaseIntervalsApprox]],
+    * not a prose promise).
     */
-  def purchaseIntervals(spark: SparkSession, dir: String): DataFrame = {
+  def purchaseIntervals(spark: SparkSession, dir: String): DataFrame =
+    purchaseIntervalsWith(spark, dir, p => s"percentile(gap_s, $p)")
+
+  /** C32b — the one-pass 100 TB variant of [[purchaseIntervals]]:
+    * `percentile_approx` (mergeable Greenwald-Khanna sketches) for the
+    * gap quantiles. The exact variant's final one-row aggregate buffers
+    * EVERY repeat-purchase interval in a single task — the one measured
+    * non-converging crossover family (r11: both engines grew ~5× on 50×
+    * data at a constant ~31× ratio) and this plan's only fact-scale
+    * hazard; the sketch swap makes the reduce a fixed-size merge.
+    * Registered rows-only (the C9/C15 sketch-sibling pattern: the sketch
+    * returns an engine-specific order statistic, no bit-exact cross-engine
+    * oracle); RelevanceSpec bounds the approx quantiles' RANK among the
+    * true gap population within the published n/accuracy error.
+    */
+  def purchaseIntervalsApprox(spark: SparkSession, dir: String,
+                              accuracy: Int = 10000): DataFrame =
+    purchaseIntervalsWith(spark, dir, p => s"percentile_approx(gap_s, $p, $accuracy)")
+
+  /** Shared scaffold for the exact and sketch interval variants: only the
+    * quantile aggregate expression differs, so only it varies — the
+    * purchase filter, lag window, and summary columns can't drift between
+    * the two (the percentilesByLang discipline).
+    */
+  private def purchaseIntervalsWith(spark: SparkSession, dir: String,
+                                    pct: Double => String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
@@ -559,8 +611,8 @@ object Analytics {
         count_distinct(col("user_id")).as("repeat_users"),
         count(lit(1)).as("n_intervals"),
         round(sum(col("gap_s")).cast("double") / count(lit(1)) / 3600.0, 6).as("mean_hours"),
-        round(expr("percentile(gap_s, 0.5)") / 3600.0, 6).as("p50_hours"),
-        round(expr("percentile(gap_s, 0.9)") / 3600.0, 6).as("p90_hours"))
+        round(expr(pct(0.5)) / 3600.0, 6).as("p50_hours"),
+        round(expr(pct(0.9)) / 3600.0, 6).as("p90_hours"))
   }
 
   /** C31 — new vs returning daily actives: per day, distinct active users

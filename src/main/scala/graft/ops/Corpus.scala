@@ -201,19 +201,30 @@ object Corpus {
     val toksDs = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w")).as[String]
     val partials = toksDs.mapPartitions { it =>
+      // Offset-amortized Misra-Gries (ADVICE r11): the logical
+      // decrement-all is `offset += 1` — a counter's effective count is
+      // stored − offset, and a key is dead once stored ≤ offset — so an
+      // eviction round removes only the DEAD keys instead of rebuilding
+      // all m live counters. The eviction sweep is still O(m), but each
+      // round retires exactly m units of admitted mass (every resident key
+      // holds effective ≥ 1 — dead keys never survive a sweep) while the
+      // whole stream admits ≤ n units, so rounds ≤ n/m and the pass is
+      // O(n) amortized with an O(1)-per-arrival hot path. Estimates are
+      // bit-identical to textbook MG: offset increment ≡ decrement-all,
+      // dead-key removal ≡ zero removal, and the triggering arrival is
+      // not admitted either way.
       val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      var offset = 0L
       it.foreach { w =>
-        val cur = cnt.getOrElse(w, 0L)
-        if (cur > 0L || cnt.size < m) cnt(w) = cur + 1
-        else {
-          val ks = cnt.keys.toArray
-          ks.foreach { key =>
-            val v = cnt(key) - 1
-            if (v == 0L) cnt.remove(key) else cnt(key) = v
-          }
+        cnt.get(w) match {
+          case Some(cur) => cnt(w) = cur + 1
+          case None if cnt.size < m => cnt(w) = offset + 1
+          case None =>
+            offset += 1
+            cnt.filterInPlace((_, v) => v > offset)
         }
       }
-      cnt.iterator
+      cnt.iterator.map { case (k, v) => (k, v - offset) }
     }.toDF("w", "est")
     partials.groupBy("w").agg(sum(col("est")).as("est"))
       .orderBy(col("est").desc, col("w"))

@@ -97,7 +97,14 @@ object Versioned {
     */
   def epochWriter(dir: String): (DataFrame, Long) => Unit = (df, epoch) => {
     val s = df.sparkSession
-    val last = versions(s, dir).lastOption.map(epochOf(s, dir, _)).getOrElse(-1L)
+    // Guard on the MAX epoch across all retained manifests, not the latest
+    // manifest's: a rollback() or plain batch commit() interleaved with the
+    // streaming sink writes epoch −1 (or an older epoch) into the newest
+    // manifest, and a latest-only read would reset the guard — letting a
+    // crash-replayed epoch re-commit (double-publish) despite the
+    // idempotence contract (ADVICE r11). Cost: one small JSON read per
+    // retained manifest per batch, bounded by the vacuum retention policy.
+    val last = versions(s, dir).map(epochOf(s, dir, _)).foldLeft(-1L)(math.max)
     if (epoch > last) { commit(s, df, dir, epoch); () }
   }
 
@@ -202,7 +209,10 @@ object Versioned {
   def rollback(spark: SparkSession, dir: String, to: Long): Long = {
     val files = readManifest(spark, dir, to) // throws if `to` was never committed
     val v = versions(spark, dir).last + 1
-    writeManifest(spark, dir, v, files)
+    // propagate the rolled-to snapshot's epoch so the rollback manifest
+    // never weakens epochWriter's replay guard (belt to the max-across-
+    // manifests suspenders above — and vacuum can drop old manifests)
+    writeManifest(spark, dir, v, files, epochOf(spark, dir, to))
     graft.Tables.invalidateSpread(dir)
     v
   }
@@ -220,14 +230,23 @@ object Versioned {
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
     val live = keep.flatMap(readManifest(spark, dir, _)).toSet
-    val deletedData = fs.listStatus(new Path(base, "data"))
-      .map(_.getPath).filter(p => !live(p.getName))
-      .map { p => fs.delete(p, false); s"data/${p.getName}" }
+    // data/ may not exist yet: vacuum on a table with no commits (or one
+    // whose every commit crashed pre-rename) is a legal no-op, not a
+    // FileNotFoundException (ADVICE r11)
+    val dataDir = new Path(base, "data")
+    val deletedData =
+      (if (fs.exists(dataDir)) fs.listStatus(dataDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath).filter(p => !live(p.getName))
+        .map { p => fs.delete(p, false); s"data/${p.getName}" }
     val deletedManifests = drop.map { v =>
       fs.delete(manifestPath(dir, v), false); s"manifest-v$v.json"
     }
+    // crash debris: unpublished staging dirs AND half-written manifest
+    // temps (a writeManifest crash between create and rename leaves
+    // _manifest-v*.json.tmp, which nothing else reclaims — ADVICE r11)
     val debris = fs.listStatus(base).map(_.getPath)
-      .filter(_.getName.startsWith("_staging-"))
+      .filter(p => p.getName.startsWith("_staging-") ||
+        (p.getName.startsWith("_manifest-") && p.getName.endsWith(".tmp")))
       .map { p => fs.delete(p, true); p.getName }
     graft.Tables.invalidateSpread(dir)
     (deletedData ++ deletedManifests ++ debris).toSeq

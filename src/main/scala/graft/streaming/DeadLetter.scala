@@ -62,6 +62,9 @@ object DeadLetter {
   def replay(spark: SparkSession, dlqDir: String, publisher: QueuePublisher,
              replayEpoch: Long, db: String = "test",
              coll: String = "testcoll"): (Long, Long) = {
+    // An emptied-by-replay (or never-populated) DLQ has no data files —
+    // schema inference would fail, and there is nothing to do (ADVICE r11).
+    if (!hasDataFiles(spark, dlqDir)) return (0L, 0L)
     val dlq = spark.read.parquet(dlqDir)
     val parsed = dlq.withColumn("ev",
       from_json(col("raw"), ChangeStreamJob.eventSchema))
@@ -74,8 +77,45 @@ object DeadLetter {
     val published = good.count()
     if (published > 0)
       publisher.publish(ChangeStreamJob.toChangeEvents(good, db, coll), replayEpoch)
-    still.write.mode("overwrite").partitionBy("epoch").parquet(dlqDir)
-    (published, still.count())
+    val stillCount = still.count()
+    if (stillCount > 0)
+      still.write.mode("overwrite").partitionBy("epoch").parquet(dlqDir)
+    else
+      // A fully-successful replay must leave the DLQ READABLE, but a
+      // zero-row partitionBy write emits no data files at all (only
+      // _SUCCESS) and plain spark.read.parquet then fails inference
+      // (ADVICE r11). Write one explicit empty UNPARTITIONED file carrying
+      // the (reason, raw, epoch) schema instead; [[startWithDlq]] clears it
+      // before its next partitioned quarantine write so the two layouts
+      // never coexist.
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          still.schema)
+        .write.mode("overwrite").parquet(dlqDir)
+    (published, stillCount)
+  }
+
+  /** Delete root-level parquet files under `dir` (the empty readability
+    * marker [[replay]] writes when everything replayed successfully).
+    */
+  private def clearFlatMarker(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Whether `dir` holds at least one parquet data file (top level or one
+    * partition level down — the two layouts the DLQ writers produce).
+    */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    def parquetIn(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    parquetIn(p) || fs.listStatus(p).exists(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_") && parquetIn(s.getPath))
   }
 
   /** Stream a JSON event dir with quarantine routing: good rows → the
@@ -106,6 +146,11 @@ object DeadLetter {
             coalesce(col(RawCol),
               to_json(struct(ChangeStreamJob.eventSchema.fieldNames.map(col): _*)))
               .as("raw"))
+        // Clear the zero-row flat marker a fully-successful [[replay]] may
+        // have left: root-level data files and epoch=N partition dirs must
+        // never coexist (Spark rejects the mixed layout at read). The
+        // marker is empty by construction, so this deletes no data.
+        clearFlatMarker(batch.sparkSession, dlqDir)
         bad.withColumn("epoch", lit(epochId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -46,7 +46,15 @@ object DimensionEnrich {
             outDir: String, checkpointDir: String,
             queryName: String = "dimension-enrich",
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 4): StreamingQuery =
+            maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    // Fail FAST with an actionable message rather than letting the first
+    // micro-batch die on a bare NoSuchElementException from versions().last
+    // when enrichment is started before the dimension's first commit
+    // (ADVICE r11). The per-batch resolve below then always finds ≥ 1
+    // version — Versioned never deletes the last one.
+    require(Versioned.versions(spark, dimDir).nonEmpty,
+      s"DimensionEnrich.start: no committed dimension version under $dimDir — " +
+        "commit the dimension table (Versioned.commit) before starting enrichment")
     spark.readStream
       .schema(ChangeStreamJob.eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -69,4 +77,5 @@ object DimensionEnrich {
         ()
       }
       .start()
+  }
 }

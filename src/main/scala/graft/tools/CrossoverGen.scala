@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   *     TIMESTAMP(MICROS, adjustedToUTC=false) — the round-9 driver
   *     layout, exercising the reader's NTZ branch.
   *
+  * v5 (VERDICT r11 #1): the corpus also carries the Q3/Q5 join chain —
+  * customer (orders' own nCust derivation, so keys line up), supplier
+  * (sf0.1's orders:supplier ratio), verbatim 25-nation / 5-region
+  * dimensional content, and lineitem grows the revenue columns
+  * (l_extendedprice/l_discount/l_suppkey/l_shipdate, the measured sf0.1
+  * marginals, shipdate anchored to the order's own date) — so the 8
+  * legacy >10× families (q3_join, q5_join, asof_join, publish_dedup and
+  * the four documents-only text families) measure on real join work.
+  *
   * Deterministic: every row is a pure function of its id (per-row
   * java.util.Random seeded by a splitmix of the id), so exact-duplicate
   * donors regenerate their donor's text without reading it. Generation is
@@ -195,19 +204,60 @@ object CrossoverGen {
       // lineitem mirrors the sf0.1 basket shape: ~4 lines/order (uniform
       // 1..7, max well under the real 17), parts ≈ orders/7.5 (sf0.1:
       // 150k orders / 20k parts), part draw uniform — enough structure for
-      // basket_affinity's pair/frequency/lift math to do real work. Only
-      // the columns the measured queries touch.
+      // basket_affinity's pair/frequency/lift math to do real work. v5
+      // adds the Q3/Q5 revenue columns: price uniform [900, 105k] 2-dp,
+      // discount 0.00-0.10 (the measured marginals), supplier uniform,
+      // shipdate = the order's date + 1..120 days (replaying orderRow's
+      // pure day draw — no join needed at generation time). Only the
+      // columns the measured queries touch.
       val nParts = math.max(nOrders / 8L, 1L)
+      val nSupp = math.max(nOrders / 150L, 1L) // sf0.1: 150k orders / 1k suppliers
       val lineitem = spark.range(nOrders).as[Long].mapPartitions { ids =>
         ids.flatMap { oid =>
+          val orderDay = orderRow(oid, nCust, startDay, spanDays = 900)._5
           val r = mix(0x11EA17L ^ oid)
           val n = 1 + r.nextInt(7)
           (0 until n).map { _ =>
-            (oid, java.lang.Math.floorMod(r.nextLong(), nParts))
+            val part = java.lang.Math.floorMod(r.nextLong(), nParts)
+            val supp = java.lang.Math.floorMod(r.nextLong(), nSupp)
+            val price = math.rint((900.0 + r.nextDouble() * 104100.0) * 100) / 100
+            val disc = r.nextInt(11) / 100.0
+            val shipDay = orderDay + 1 + r.nextInt(120)
+            (oid, part, supp, price, disc, shipDay)
           }
         }
-      }.toDF("l_orderkey", "l_partkey")
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "ship_day")
+        .withColumn("l_shipdate",
+          timestamp_micros(col("ship_day") * 86400L * 1000000L).cast("timestamp_ntz"))
+        .drop("ship_day")
       lineitem.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+      // v5: the Q3/Q5 dimension chain. customer keys line up with orders'
+      // o_custkey draw (same nCust derivation); segments/nations uniform —
+      // the real tables' shape. supplier scales with orders (sf0.1 ratio);
+      // nation (25) and region (5) are FIXED dimensional content at every
+      // scale, reproduced verbatim from the testdata's generator family.
+      val customer = spark.range(nCust).as[Long].mapPartitions { ids =>
+        val segments = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        ids.map { id =>
+          val r = mix(0xC057L ^ id)
+          (id, r.nextInt(25), segments(r.nextInt(segments.length)))
+        }
+      }.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      customer.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+      val supplier = spark.range(nSupp).as[Long].mapPartitions { ids =>
+        ids.map { id => (id, mix(0x50BBL ^ id).nextInt(25)) }
+      }.toDF("s_suppkey", "s_nationkey")
+      supplier.write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+      val nation = (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      nation.coalesce(1).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+      val region = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+        .toDF("r_regionkey", "r_name")
+      region.coalesce(1).write.mode("overwrite").parquet(s"$outDir/region.parquet")
     }
 
     println(s"""{"generated":"$outDir","n_docs":$nDocs,"n_vecs":$nVecs,"n_events":$nEvents,"n_orders":$nOrders,"vocab":${vocab.length}}""")

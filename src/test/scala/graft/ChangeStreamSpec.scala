@@ -87,6 +87,27 @@ class ChangeStreamSpec extends SparkSpec {
     assert(graft.streaming.DeadLetter.replay(spark, dlq, pub, replayEpoch = 1000L) === ((0L, 1L)))
   }
 
+  test("a fully-successful DLQ replay leaves the DLQ readable and further replays are no-ops") {
+    val s = spark
+    import s.implicits._
+    val (queue, dlq) = (tempDir("queue2") + "/q", tempDir("dlq2") + "/d")
+    val nowValid =
+      """{"event_id":11,"ts_us":1704067200000000,"user_id":4,"event_type":"view","value":2.0,"props":"{}"}"""
+    Seq(("corrupt_json", nowValid, 0L)).toDF("reason", "raw", "epoch")
+      .write.partitionBy("epoch").parquet(dlq)
+    val pub = graft.streaming.ParquetQueuePublisher(queue)
+    assert(graft.streaming.DeadLetter.replay(spark, dlq, pub, replayEpoch = 1L) === ((1L, 0L)))
+    // ADVICE r11: the emptied DLQ must stay readable (monitoring reads,
+    // schema intact) and a second replay must be a clean no-op, not a
+    // schema-inference failure
+    val emptied = spark.read.parquet(dlq)
+    assert(emptied.count() === 0)
+    assert(emptied.columns.sorted === Array("epoch", "raw", "reason"))
+    assert(graft.streaming.DeadLetter.replay(spark, dlq, pub, replayEpoch = 2L) === ((0L, 0L)))
+    // and a replay against a DLQ dir that never existed is also a no-op
+    assert(graft.streaming.DeadLetter.replay(spark, tempDir("dlq3") + "/never", pub, 3L) === ((0L, 0L)))
+  }
+
   test("dimension enrichment re-resolves the versioned dimension at epoch boundaries") {
     import graft.ops.Versioned
     val s = spark
@@ -115,6 +136,14 @@ class ChangeStreamSpec extends SparkSpec {
     val perEpoch = spark.read.parquet(out).select("epoch", "dim_version").distinct().collect()
       .groupBy(_.get(0).toString).view.mapValues(_.length)
     assert(perEpoch.values.forall(_ === 1), "an epoch must never mix dimension versions")
+    // starting enrichment BEFORE the dimension's first commit fails fast
+    // with an actionable message, not a mid-batch NoSuchElementException
+    // (ADVICE r11)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DimensionEnrich.start(spark, src,
+        tempDir("dim-none") + "/never", out, tempDir("ckpt-none"))
+    }
+    assert(e.getMessage.contains("no committed dimension version"))
   }
 
   test("one-by-one delivery: events arriving file-at-a-time are all delivered in order") {

@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
                           // its own per-lang cutoff join is a keyed broadcast
     "dsir_select",        // broadcast corpus/target-total + vocab scalars
     "rfm_segments",       // broadcast 1-row anchor-date + quintile-cutoff scalars
+    "rfm_segments_approx", // same scaffold, sketch cutoffs — same 1-row attaches
     "split_divergence",   // broadcast split-totals (<=3 rows by construction) + V scalar
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar
@@ -70,6 +71,48 @@ class PlanGuardSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"scale-killer join shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  /** Queries whose global (un-partitioned) window runs over an input that
+    * is BOUNDED BY CONSTRUCTION — a prior aggregate collapses the frame to
+    * calendar/key-space cardinality before the window sees it, so the
+    * single window task holds days or event-types, never rows-of-the-fact.
+    * Everything else must partition its windows: a global window over an
+    * unbounded input serializes the whole table through one task — the
+    * same class of scale-killer as a cartesian, now guarded mechanically
+    * (VERDICT r11 #7) instead of by review convention.
+    */
+  private val globalWindowOk = Map(
+    "daily_trend" -> "trailing RANGE frame over the per-day aggregate (calendar cardinality)",
+    "training_order" -> ("prefix-sum over the ≤2^shardBits-row shard table (the constant " +
+      "partition key folds away; the CORPUS-width window stays sharded)")
+  )
+
+  test("no registered query plans a global (un-partitioned) window over an unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val hasGlobal = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      // logical traversal (not string matching): window specs are fixed at
+      // analysis, and the optimized plan sits below any AQE wrapper.
+      // Optimized (not analyzed): constant folding may legitimately EMPTY a
+      // spec (training_order's lit key) or keep one non-empty — the plan
+      // that runs is the one audited.
+      val plan = df.queryExecution.logical match {
+        case graft.plans.DeferredRelation(_, thunk) => thunk().queryExecution.optimizedPlan
+        case _ => df.queryExecution.optimizedPlan
+      }
+      val hits = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (hits.nonEmpty) Some(name) else None
+    }.toSet
+    val offenders = hasGlobal -- globalWindowOk.keySet
+    assert(offenders.isEmpty,
+      s"un-audited global windows (single-task at scale) in: ${offenders.toSeq.sorted.mkString(", ")} — " +
+        "partition the window or add an audited bounded-input justification")
+    // keep the whitelist honest: an entry whose query no longer plans a
+    // global window is stale documentation and must be removed
+    val stale = globalWindowOk.keySet -- hasGlobal
+    assert(stale.isEmpty, s"stale globalWindowOk entries (no global window planned): " +
+      s"${stale.toSeq.sorted.mkString(", ")}")
   }
 
   test("driver-iterative builders construct lazily behind a deferred leaf") {

@@ -509,6 +509,96 @@ class RelevanceSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p90_hours") - q(gaps, 0.9) / 3600.0) < 1e-5)
   }
 
+  test("purchaseIntervalsApprox: sketch quantiles stay within the rank-error bound of the gap population") {
+    val accuracy = 10000
+    val r = graft.ops.Analytics.purchaseIntervalsApprox(spark, sf0001, accuracy).collect().head
+    val ev = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "cast(ts as long) as s").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val ss = rows.sortBy(_._2).map(_._3)
+      ss.zip(ss.drop(1)).map { case (a, b) => b - a }
+    }.toSeq
+    assert(gaps.nonEmpty, "repeat purchases must exist at this SF")
+    // non-quantile columns are sketch-independent and must be EXACT
+    assert(r.getAs[Long]("n_intervals") === gaps.length.toLong)
+    assert(math.abs(r.getAs[Double]("mean_hours") - gaps.sum.toDouble / gaps.length / 3600.0) < 1e-5)
+    // hour-space replay of the registered projection: round(gap/3600, 6) is
+    // strictly monotone in integer-second gaps (adjacent gaps differ by
+    // ≥ 1 s ≈ 2.8e-4 h >> the 5e-7 rounding half-step), so ranks computed
+    // on the rounded hour values equal ranks on the raw seconds
+    val hours = gaps.map(g => math.rint(g / 3600.0 * 1e6) / 1e6)
+    val n = hours.length
+    for ((p, colName) <- Seq(0.5 -> "p50_hours", 0.9 -> "p90_hours")) {
+      val v = r.getAs[Double](colName)
+      assert(hours.contains(v), s"$colName=$v must be an actual gap of the population")
+      // Greenwald-Khanna guarantee: returned value's rank within n/accuracy
+      // of the target rank (+1 slack for the rank-definition boundary)
+      val eps = n.toDouble / accuracy + 1
+      val below = hours.count(_ < v)
+      val leq = hours.count(_ <= v)
+      assert(below <= p * n + eps && leq >= p * n - eps,
+        s"$colName=$v rank [$below,$leq] outside target ${p * n} ± $eps (n=$n)")
+    }
+  }
+
+  test("rfmSegmentsApprox: score disagreements vs exact only at metrics inside a cutoff's rank-error window") {
+    val accuracy = 10000
+    val exact = Analytics.rfmSegments(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    val approx = Analytics.rfmSegmentsApprox(spark, sf0001, accuracy).collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    assert(approx.keySet === exact.keySet, "same customer population")
+    // base metric populations, for rank arithmetic
+    def metric(name: String): Seq[Double] =
+      exact.values.map(r => name match {
+        case "recency_days" => r.getAs[Long]("recency_days").toDouble
+        case "frequency"    => r.getAs[Long]("frequency").toDouble
+        case "monetary"     => r.getAs[Double]("monetary")
+      }).toSeq
+    val n = exact.size
+    // ε: GK's n/accuracy rank error, +2 for quantile_cont interpolation
+    // sitting between adjacent samples and the <-vs-≤ rank boundary
+    val eps = n.toDouble / accuracy + 2
+    var disagreements = 0
+    for ((metricCol, scoreCol) <- Seq("recency_days" -> "r_score",
+           "frequency" -> "f_score", "monetary" -> "m_score")) {
+      val xs = metric(metricCol)
+      for (ck <- exact.keys) {
+        val e = exact(ck).getAs[Long](scoreCol)
+        val a = approx(ck).getAs[Long](scoreCol)
+        // scores step one threshold at a time; a sketch perturbs each
+        // cutoff independently, so approx can differ from exact only by
+        // crossing cutoffs the metric value sits between — and every such
+        // crossed cutoff p has the customer's value inside its GK rank
+        // window. Checking the NEAREST crossed thresholds covers all.
+        if (a != e) {
+          disagreements += 1
+          val v = metricCol match {
+            case "recency_days" => exact(ck).getAs[Long]("recency_days").toDouble
+            case "frequency"    => exact(ck).getAs[Long]("frequency").toDouble
+            case "monetary"     => exact(ck).getAs[Double]("monetary")
+          }
+          // r_score counts cutoffs ABOVE v (anti-monotone), f/m count
+          // below — either way score s means v sits between the (s-1)th
+          // and sth cutoff, so a flip means v straddles some quintile
+          // boundary p: assert v is within the rank window of AT LEAST
+          // one boundary
+          val below = xs.count(_ < v)
+          val leq = xs.count(_ <= v)
+          val nearBoundary = Seq(0.2, 0.4, 0.6, 0.8).exists { p =>
+            below <= p * n + eps && leq >= p * n - eps
+          }
+          assert(nearBoundary,
+            s"$scoreCol cust $ck: approx=$a exact=$e but $metricCol=$v " +
+              s"rank [$below,$leq] is not within ±$eps of any quintile boundary (n=$n)")
+        }
+      }
+    }
+    info(s"$disagreements boundary-window score disagreements across ${3 * n} scores")
+  }
+
   test("newVsReturning: a user is new exactly once and day totals decompose") {
     val got = graft.ops.Analytics.newVsReturning(spark, sf0001).collect()
       .map(r => r.getAs[Long]("day") ->

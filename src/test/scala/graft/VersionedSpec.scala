@@ -75,6 +75,43 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() === 5)
   }
 
+  test("epochWriter's replay guard survives interleaved rollbacks and batch commits") {
+    val dir = tempDir("versioned-epoch-rb") + "/table"
+    val w = Versioned.epochWriter(dir)
+    w(rows(0, 10), 0L)
+    w(rows(100, 20), 1L)
+    // an operator rolls back to v1 (epoch 0's commit) mid-stream: the new
+    // manifest must NOT reset the guard (ADVICE r11 — a latest-manifest
+    // read would see the rollback's weaker epoch and re-commit a replay)
+    Versioned.rollback(spark, dir, to = 1)
+    w(rows(100, 20), 1L) // crash-replay of epoch 1 after the rollback
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L, 3L),
+      "replayed epoch must not re-commit past a rollback")
+    // same for an interleaved plain batch commit (epoch -1 manifest)
+    Versioned.commit(spark, rows(900, 7), dir)
+    w(rows(100, 20), 1L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L, 3L, 4L),
+      "replayed epoch must not re-commit past a batch commit")
+    // genuinely new epochs still make progress
+    w(rows(500, 5), 2L)
+    assert(Versioned.read(spark, dir).count() === 5)
+  }
+
+  test("vacuum on a commit-less table is a no-op and reclaims manifest temps") {
+    val dir = tempDir("versioned-empty") + "/table"
+    // no commits at all: data/ absent — vacuum must not throw (ADVICE r11)
+    new java.io.File(dir).mkdirs()
+    assert(Versioned.vacuum(spark, dir, keepLast = 1) === Seq.empty)
+    // a writeManifest crash between create and rename leaves a .tmp —
+    // debris the sweep must reclaim
+    Versioned.commit(spark, rows(0, 5), dir)
+    val tmp = new java.io.File(dir, "_manifest-v9.json.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, "{\"half\":")
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(deleted.contains("_manifest-v9.json.tmp"), s"manifest temp reclaimed: $deleted")
+    assert(Versioned.read(spark, dir).count() === 5)
+  }
+
   test("a crashed commit (staged files, no manifest) is invisible and vacuum reclaims it") {
     val dir = tempDir("versioned-crash") + "/table"
     Versioned.commit(spark, rows(0, 30), dir)
