@@ -165,7 +165,11 @@ object SparkEntry {
     // statistics, rows-only driver check; rank-error bounds pinned in
     // RelevanceSpec against the exact anchors)
     "purchase_intervals_approx" -> ((s, d) => Analytics.purchaseIntervalsApprox(s, d)),
-    "rfm_segments_approx"  -> ((s, d) => Analytics.rfmSegmentsApprox(s, d))
+    "rfm_segments_approx"  -> ((s, d) => Analytics.rfmSegmentsApprox(s, d)),
+    // no oracleSql: the GD train loop is iterative driver logic outside
+    // SQL and scoring runs exp — QualityModelSpec replays the whole
+    // pipeline (features from raw text, GD, scores) sequentially instead
+    "quality_classifier"   -> ((s, d) => graft.ops.QualityModel.qualityClassifier(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs

@@ -455,19 +455,35 @@ object Curation {
     * Engine-exactness: stage thresholds compare integers or 6-dp-rounded
     * single-division doubles, so the oracle replays bit-identically.
     */
-  def filterFunnel(spark: SparkSession, dir: String,
-                   minChars: Long = 100, maxChars: Long = 20000,
-                   minWords: Int = 30, maxRep: Double = 0.07): DataFrame = {
+  /** Per-doc duplicate-2-gram fraction — B14's signal, factored so the
+    * funnel and the quality-classifier features share ONE definition.
+    */
+  private[ops] def dup2gramFrac: Column = {
     val tok = toks(col("text"))
     val total2 = greatest(size(tok) - lit(1), lit(1)).cast("double")
     val distinct2 = size(
       VectorExpressions.shingleHashes(col("text"), 2, md5Based = true).getField("hv"))
       .cast("double")
-    val rep = round(lit(1.0) - distinct2 / total2, 6)
+    round(lit(1.0) - distinct2 / total2, 6)
+  }
+
+  /** The funnel's per-doc stage flags (length, min-words, repetition) —
+    * ONE definition shared by the B52 report and B61's weak-supervision
+    * labels, so the distilled classifier can never drift from the report
+    * it distills (the topTokenCounts discipline).
+    */
+  private[ops] def funnelFlags(minChars: Long, maxChars: Long,
+                               minWords: Int, maxRep: Double): (Column, Column, Column) =
+    ((col("n_chars") >= minChars && col("n_chars") <= maxChars),
+      (size(toks(col("text"))) >= minWords),
+      (dup2gramFrac <= maxRep))
+
+  def filterFunnel(spark: SparkSession, dir: String,
+                   minChars: Long = 100, maxChars: Long = 20000,
+                   minWords: Int = 30, maxRep: Double = 0.07): DataFrame = {
+    val (p1, p2, p3) = funnelFlags(minChars, maxChars, minWords, maxRep)
     val flags = Tables.documents(spark, dir).select(
-      (col("n_chars") >= minChars && col("n_chars") <= maxChars).as("f1"),
-      (size(tok) >= minWords).as("f2"),
-      (rep <= maxRep).as("f3"))
+      p1.as("f1"), p2.as("f2"), p3.as("f3"))
     val agg = flags.agg(
       count(lit(1)).as("total"),
       sum(col("f1").cast("long")).as("s1"),
