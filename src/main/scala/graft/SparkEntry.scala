@@ -98,6 +98,8 @@ object SparkEntry {
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
+    "embedding_outliers"   -> ((s, d) => graft.ops.Embeddings.embeddingOutliers(s, d)),
+    "length_histogram"     -> ((s, d) => graft.ops.Corpus.lengthHistogram(s, d)),
     "label_prototypes"     -> ((s, d) => graft.ops.Embeddings.labelPrototypes(s, d)),
     "prototype_assign"     -> ((s, d) => graft.ops.Embeddings.prototypeAssign(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
@@ -116,6 +118,8 @@ object SparkEntry {
     "q1_agg"               -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join"              -> ((s, d) => Analytics.q3Join(s, d)),
     "q5_join"              -> ((s, d) => Analytics.q5Join(s, d)),
+    "q7_volume"            -> ((s, d) => Analytics.q7Volume(s, d)),
+    "q4_priority"          -> ((s, d) => Analytics.q4Priority(s, d)),
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "session_conversion"   -> ((s, d) => graft.streaming.Sessionize.sessionConversion(s, d)),
@@ -169,7 +173,11 @@ object SparkEntry {
     // no oracleSql: the GD train loop is iterative driver logic outside
     // SQL and scoring runs exp — QualityModelSpec replays the whole
     // pipeline (features from raw text, GD, scores) sequentially instead
-    "quality_classifier"   -> ((s, d) => graft.ops.QualityModel.qualityClassifier(s, d))
+    "quality_classifier"   -> ((s, d) => graft.ops.QualityModel.qualityClassifier(s, d)),
+    // no oracleSql: consumes the GD scores (same reason as
+    // quality_classifier) — QualityModelSpec replays the sweep exactly
+    // from the registered classifier output
+    "quality_sweep"        -> ((s, d) => graft.ops.QualityModel.qualitySweep(s, d))
   )
 
   /** Bench-only timing entries — NOT oracle queries (Verify never runs
@@ -1166,6 +1174,44 @@ object SparkEntry {
          |FROM a GROUP BY label, assigned ORDER BY label, assigned""".stripMargin
     },
 
+    "embedding_outliers" ->
+      """WITH e AS (SELECT label,
+        |             round(sqrt(list_sum(list_transform(
+        |               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |               x -> x * x))), 6) AS norm,
+        |             round(list_max(list_transform(embedding,
+        |               x -> abs(CAST(x AS DOUBLE)))), 6) AS peak
+        |           FROM embeddings),
+        |s AS (SELECT label, count(*) AS n_vecs,
+        |        sum(CAST(norm AS DECIMAL(18,6))) AS sn,
+        |        sum(CAST(peak AS DECIMAL(18,6))) AS sp,
+        |        sum(CAST(CAST(peak AS DECIMAL(18,6)) * CAST(peak AS DECIMAL(18,6))
+        |            AS DECIMAL(38,12))) AS ssp
+        |      FROM e GROUP BY label),
+        |m AS (SELECT label, n_vecs,
+        |        round(CAST(sn AS DOUBLE) / n_vecs, 6) AS mean_norm,
+        |        round(CAST(sp AS DOUBLE) / n_vecs, 6) AS mean_peak,
+        |        round(sqrt((CAST(ssp AS DOUBLE)
+        |                    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n_vecs)
+        |                   / (n_vecs - 1)), 6) AS std_peak
+        |      FROM s)
+        |SELECT m.label AS label, m.n_vecs, m.mean_norm, m.mean_peak, m.std_peak,
+        |       CAST(sum(CASE WHEN abs(e.peak - m.mean_peak) > 2.0 * m.std_peak
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN m ON e.label = m.label
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY m.label""".stripMargin,
+
+    "length_histogram" ->
+      """WITH b AS (SELECT lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket,
+        |             count(*) AS n_docs
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT lang, bucket * 16 AS bucket_lo_tokens, n_docs,
+        |       round(CAST(n_docs AS DOUBLE)
+        |             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+        |         AS lang_share
+        |FROM b ORDER BY lang, bucket_lo_tokens""".stripMargin,
+
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1390,6 +1436,32 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+         |       CAST(sum($discPrice) AS DOUBLE) AS volume,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "asof_join" ->
       s"""WITH $evCte,

@@ -801,4 +801,72 @@ object Analytics {
         col("observed"), col("day_value"), col("value_carry"))
       .orderBy("priority", "day")
   }
+
+  /** C33 — bilateral trade volume (TPC-H Q7 shape, generalized to the full
+    * nation×nation matrix): revenue shipped between every (supplier nation,
+    * customer nation) pair per ship-year, cross-border only — the
+    * import/export decomposition Q7 answers for one nation pair, kept
+    * un-filtered here so the query is non-vacuous at every SF and the
+    * output is the full trade matrix analysts actually pivot.
+    *
+    * Scale shape: nation (25 rows) broadcasts onto BOTH fact-side chains;
+    * supplier and customer are fact-scale at 100 TB so their joins stay
+    * keyed (AQE places sides from runtime stats — q5Join's documented
+    * discipline); lineitem⋈orders is the one unavoidable fact-fact shuffle
+    * and the ship-year filter pushes into the lineitem scan before it. The
+    * group-by key space is bounded by |nations|²×years (≤25·24·2 rows), so
+    * the aggregate collapses map-side regardless of fact volume. Money is
+    * decimal-exact until the final double cast.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).cast("long").as("ship_year"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** C34 — late-shipment order share (TPC-H Q4 shape): per order priority,
+    * how many 1996-placed orders had AT LEAST one lineitem shipped more
+    * than 60 days after the order date — the fulfillment-SLA breakdown,
+    * and the board's one EXISTS/semi-join aggregate (q3/q5/q7 are all
+    * inner-join shapes; C17's anti-join is the complement).
+    *
+    * Scale shape: a LEFT SEMI join on the order key — the probe side
+    * (lineitem) never widens the build side, each order emits at most
+    * once no matter how many lineitems violate, and Spark plans it as a
+    * shuffled/broadcast semi hash join with the date bound evaluated
+    * inside the join (no pre-join distinct, no post-join dedup pass).
+    * Both date filters push to their scans; the final aggregate is
+    * priority-cardinality.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    val late = ord.join(li,
+      ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      "left_semi")
+    late.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+      .orderBy("o_orderpriority")
+  }
 }

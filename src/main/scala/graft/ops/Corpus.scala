@@ -506,4 +506,32 @@ object Corpus {
       .join(flagged, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** B62 — per-language sequence-length histogram: documents bucketed by
+    * whitespace-token count (equi-width buckets of `bucketTokens`), with
+    * each bucket's share of its language — the sequence-length budget
+    * picture a training run sizes its context window, packing strategy
+    * (B30), and per-language sampling from; a language whose mass sits in
+    * the tail buckets needs different chunking than one that doesn't.
+    *
+    * Scale shape: ONE scan computes (lang, bucket) and collapses map-side
+    * to histogram cardinality (languages × occupied buckets — bounded by
+    * max document length, not corpus size); the lang-share window runs
+    * over that already-tiny frame. Share is one integer-ratio division
+    * rounded once (engine-exact).
+    */
+  def lengthHistogram(spark: SparkSession, dir: String, bucketTokens: Int = 16): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $bucketTokens").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val byLang = Window.partitionBy(col("lang"))
+    hist
+      .select(col("lang"), (col("bucket") * bucketTokens).as("bucket_lo_tokens"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(byLang), 6)
+          .as("lang_share"))
+      .orderBy("lang", "bucket_lo_tokens")
+  }
 }

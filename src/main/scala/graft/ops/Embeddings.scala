@@ -228,4 +228,58 @@ object Embeddings {
       .groupBy("label", "assigned").agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
   }
+
+  /** B63 — per-label embedding shape-outlier report: n, the mean L2 norm
+    * (the normalization check — unit-normalized shards read exactly 1.0),
+    * mean and stddev of the PEAK component magnitude, and how many vectors
+    * sit more than `zThresh` standard deviations from their label's mean
+    * peak — the cheap corruption screen an embedding pipeline runs before
+    * ANN/semantic-dedup consume the vectors. The norm alone is blind on a
+    * normalized corpus (every vector reads 1.0 by construction); the peak
+    * still moves — a one-hot-ish spike, a truncated read re-normalized, or
+    * a near-uniform degenerate vector all land tails of the peak
+    * distribution.
+    *
+    * Engine-exactness (the event_anomalies discipline): per-row norm and
+    * peak come from the SAME codegen'd pass the registered quantizeSummary
+    * publishes (ss + maxabs), rounded to the 6-dp grid; group sums run
+    * over decimal(18,6)/decimal(38,12) (exact in any partition order);
+    * mean/std are fixed chains of correctly-rounded double ops from those
+    * exact sums, rounded back to the grid BEFORE the outlier comparison,
+    * so both engines compare identical 6-dp values.
+    *
+    * Scale shape: one scan computes (norm, peak) — persisted, the stats
+    * pass and the outlier count both read it; the stats frame is
+    * label-cardinality and broadcast back; no shuffle ever carries a
+    * vector, only per-row scalars, and those collapse map-side in both
+    * aggregates.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String, zThresh: Double = 2.0): DataFrame = {
+    val qz = graft.functions.VectorExpressions.quantizeVector(col("embedding"))
+    // Lazily persisted — released by graft.Caches.clear.
+    val scalars = Tables.embeddings(spark, dir)
+      .withColumn("qz", qz)
+      .select(col("label"),
+        round(sqrt(col("qz.ss")), 6).as("norm"),
+        round(col("qz.maxabs"), 6).as("peak"))
+      .persist()
+    def d6(c: Column): Column = c.cast("decimal(18,6)")
+    val stats = scalars.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(d6(col("norm"))).as("sn"),
+        sum(d6(col("peak"))).as("sp"),
+        sum((d6(col("peak")) * d6(col("peak"))).cast("decimal(38,12)")).as("ssp"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sn").cast("double") / col("n_vecs"), 6).as("mean_norm"),
+        round(col("sp").cast("double") / col("n_vecs"), 6).as("mean_peak"),
+        round(sqrt(
+          (col("ssp").cast("double") - col("sp").cast("double") * col("sp").cast("double")
+            / col("n_vecs")) / (col("n_vecs") - lit(1))), 6).as("std_peak"))
+    scalars.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"), col("n_vecs"), col("mean_norm"), col("mean_peak"), col("std_peak"))
+      .agg(sum(when(abs(col("peak") - col("mean_peak")) > lit(zThresh) * col("std_peak"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select("label", "n_vecs", "mean_norm", "mean_peak", "std_peak", "n_outliers")
+      .orderBy("label")
+  }
 }

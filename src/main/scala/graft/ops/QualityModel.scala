@@ -68,10 +68,67 @@ object QualityModel {
       "f_rep" -> Curation.dup2gramFrac)
   }
 
-  def qualityClassifier(spark: SparkSession, dir: String, iters: Int = 40,
-                        step: Double = 5.0, l2: Double = 1e-4): DataFrame =
+  // shared GD hyperparameters: the classifier registration and the sweep
+  // must score with the SAME model
+  private[ops] val DefaultIters = 40
+  private[ops] val DefaultStep = 5.0
+  private[ops] val DefaultL2 = 1e-4
+
+  def qualityClassifier(spark: SparkSession, dir: String, iters: Int = DefaultIters,
+                        step: Double = DefaultStep, l2: Double = DefaultL2): DataFrame =
     graft.plans.DeferredFrame(spark, outSchema)(() =>
       trainAndScore(spark, dir, iters, step, l2))
+
+  private val sweepSchema = StructType(Seq(
+    StructField("threshold", DoubleType, nullable = false),
+    StructField("kept", LongType),
+    StructField("kept_frac", DoubleType),
+    StructField("precision", DoubleType),
+    StructField("recall", DoubleType)))
+
+  /** B64 — operating-point sweep over the trained classifier: for each
+    * candidate keep-threshold, the kept document count/fraction and the
+    * precision/recall against the weak-supervision labels — the table a
+    * curation run reads to CHOOSE its threshold (the corpus-size vs purity
+    * trade made explicit; GPT-3's curation picked its classifier cutoff
+    * exactly this way, via a kept-fraction target).
+    *
+    * Scale shape: the grid never joins the data — ONE pass over the scored
+    * frame computes every threshold's counters as conditional aggregates
+    * (2·|grid|+2 longs through the map-side partials, one 1-row reduce),
+    * then the 1-row result explodes into |grid| output rows. No cross
+    * join, no per-threshold scan, fact volume touched exactly once beyond
+    * the classifier's own passes.
+    *
+    * Rows-only like [[qualityClassifier]] (it consumes the GD scores);
+    * QualityModelSpec replays the sweep exactly from the registered
+    * classifier output.
+    */
+  def qualitySweep(spark: SparkSession, dir: String,
+                   thresholds: Seq[Double] = (5 to 95 by 5).map(_ / 100.0))
+      : DataFrame =
+    graft.plans.DeferredFrame(spark, sweepSchema)(() => {
+      val scored = trainAndScore(spark, dir, DefaultIters, DefaultStep, DefaultL2)
+      val aggs = thresholds.indices.flatMap { i =>
+        val t = thresholds(i)
+        Seq(
+          sum(when(col("prob") >= t, 1L).otherwise(0L)).as(s"k_$i"),
+          sum(when(col("prob") >= t && col("label") === 1L, 1L).otherwise(0L)).as(s"kp_$i"))
+      } :+ sum(col("label")).as("pos")
+      val one = scored.agg(count(lit(1)).as("total"), aggs: _*)
+      val rows = thresholds.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("threshold"),
+          col(s"k_$i").as("kept"),
+          round(col(s"k_$i").cast("double") / col("total"), 6).as("kept_frac"),
+          when(col(s"k_$i") > 0,
+            round(col(s"kp_$i").cast("double") / col(s"k_$i"), 6)).as("precision"),
+          when(col("pos") > 0,
+            round(col(s"kp_$i").cast("double") / col("pos"), 6)).as("recall"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .orderBy("threshold")
+    })
 
   private def trainAndScore(spark: SparkSession, dir: String, iters: Int,
                             step: Double, l2: Double): DataFrame = {

@@ -171,4 +171,24 @@ class CorpusSpec extends SparkSpec {
     val want = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
     assert(got.toSeq === want, "below capacity the sketch IS the exact top-k")
   }
+
+  test("lengthHistogram matches a local bucket replay and shares sum to 1 per language") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = Corpus.lengthHistogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sf0001).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong / 16L * 16L))
+    val want = docs.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val langTotals = docs.groupBy(_._1).map { case (l, vs) => l -> vs.length.toLong }
+    assert(got.keySet === want.keySet)
+    for ((k @ (lang, _), n) <- want) {
+      assert(got(k)._1 === n, s"$k count")
+      assert(got(k)._2 === r6(n.toDouble / langTotals(lang)), s"$k share")
+    }
+    // shares within each language must account for every document
+    got.groupBy(_._1._1).foreach { case (lang, rows) =>
+      assert(rows.values.map(_._1).sum === langTotals(lang), s"$lang docs covered")
+    }
+    assert(got.keys.map(_._2).toSet.size > 1, "multiple occupied buckets at gate SF")
+  }
 }

@@ -290,4 +290,86 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q7Volume: cross-border only, broadcast nations, conserved total volume") {
+    val q = Analytics.q7Volume(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"nation joins must broadcast:\n$plan")
+    val got = q.collect()
+    assert(got.nonEmpty, "trade matrix non-vacuous at gate SF")
+    got.foreach { r =>
+      assert(r.getString(0) !== r.getString(1), "same-nation rows must be excluded")
+      assert(Set(1996L, 1997L).contains(r.getLong(2)), "ship_year outside the filter window")
+    }
+    // conservation: the matrix total equals an independently-computed
+    // flat aggregate over the same joined fact rows
+    val flat = Tables.lineitem(spark, sf0001)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf0001), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .where(col("s_nationkey") =!= col("c_nationkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double"), count(lit(1)))
+      .collect().head
+    assert(math.abs(got.map(_.getDouble(3)).sum - flat.getDouble(0)) < 1e-6, "volume conserved")
+    assert(got.map(_.getLong(4)).sum === flat.getLong(1), "item count conserved")
+  }
+
+  test("q4Priority: plans a semi join and matches a distinct-late-orders replay") {
+    val q = Analytics.q4Priority(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.values.sum > 0, "non-vacuous at gate SF")
+    // independent replay: inner join + distinct order keys per priority
+    val ord = Tables.orders(spark, sf0001)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val want = ord.join(Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderpriority", "o_orderkey").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "semi-join counts must equal distinct violating orders")
+  }
+
+  test("embeddingOutliers matches a local replay; normalized corpus reads mean_norm 1.0") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = graft.ops.Embeddings.embeddingOutliers(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    assert(got.keySet === byLabel.keySet)
+    for ((label, vs) <- byLabel) {
+      val scalars = vs.map { case (_, v) =>
+        var ss = 0.0; var mx = 0.0
+        v.foreach { f => val d = f.toDouble; ss += d * d; if (math.abs(d) > mx) mx = math.abs(d) }
+        (r6(math.sqrt(ss)), r6(mx))
+      }
+      val n = scalars.length
+      // exact decimal sums, then the same rounded double chain
+      val sn = scalars.map(s => BigDecimal(s._1).setScale(6)).sum
+      val sp = scalars.map(s => BigDecimal(s._2).setScale(6)).sum
+      val ssp = scalars.map(s => (BigDecimal(s._2).setScale(6) * BigDecimal(s._2).setScale(6))).sum
+      val meanNorm = r6(sn.toDouble / n)
+      val meanPeak = r6(sp.toDouble / n)
+      val stdPeak = r6(math.sqrt((ssp.toDouble - sp.toDouble * sp.toDouble / n) / (n - 1)))
+      val outliers = scalars.count(s => math.abs(s._2 - meanPeak) > 2.0 * stdPeak).toLong
+      val (gn, gmn, gmp, gsp, go) = got(label)
+      assert(gn === n.toLong, s"label $label n")
+      assert(gmn === meanNorm, s"label $label mean_norm")
+      assert(gmn === 1.0, s"label $label: unit-normalized corpus must read 1.0")
+      assert(gmp === meanPeak, s"label $label mean_peak")
+      assert(gsp === stdPeak, s"label $label std_peak")
+      assert(go === outliers, s"label $label outliers")
+    }
+    assert(got.values.map(_._5).sum > 0, "peak outliers non-vacuous at gate SF")
+  }
 }
