@@ -33,5 +33,9 @@ object Caches {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     graft.ops.Similarity.invalidateCentroidCache()
+    graft.ops.Versioned.invalidateEpochCache()
+    // QualityModel's weight memo deliberately survives: it caches a
+    // deterministic computation result (48 bytes), not data blocks — see
+    // its scaladoc; mutating writers call invalidateWeightCache directly.
   }
 }

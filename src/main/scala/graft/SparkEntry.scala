@@ -1191,9 +1191,10 @@ object SparkEntry {
         |m AS (SELECT label, n_vecs,
         |        round(CAST(sn AS DOUBLE) / n_vecs, 6) AS mean_norm,
         |        round(CAST(sp AS DOUBLE) / n_vecs, 6) AS mean_peak,
-        |        round(sqrt((CAST(ssp AS DOUBLE)
-        |                    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n_vecs)
-        |                   / (n_vecs - 1)), 6) AS std_peak
+        |        CASE WHEN n_vecs > 1 THEN
+        |          round(sqrt((CAST(ssp AS DOUBLE)
+        |                      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n_vecs)
+        |                     / (n_vecs - 1)), 6) END AS std_peak
         |      FROM s)
         |SELECT m.label AS label, m.n_vecs, m.mean_norm, m.mean_peak, m.std_peak,
         |       CAST(sum(CASE WHEN abs(e.peak - m.mean_peak) > 2.0 * m.std_peak

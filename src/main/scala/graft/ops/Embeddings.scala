@@ -272,9 +272,13 @@ object Embeddings {
       .select(col("label"), col("n_vecs"),
         round(col("sn").cast("double") / col("n_vecs"), 6).as("mean_norm"),
         round(col("sp").cast("double") / col("n_vecs"), 6).as("mean_peak"),
-        round(sqrt(
+        // sample std needs n ≥ 2: a singleton label publishes NULL (and,
+        // downstream, 0 outliers — a null comparison never satisfies the
+        // z-test) instead of the NaN the n−1 denominator would produce,
+        // whose cross-engine representation is undefined (ADVICE r12)
+        when(col("n_vecs") > 1, round(sqrt(
           (col("ssp").cast("double") - col("sp").cast("double") * col("sp").cast("double")
-            / col("n_vecs")) / (col("n_vecs") - lit(1))), 6).as("std_peak"))
+            / col("n_vecs")) / (col("n_vecs") - lit(1))), 6)).as("std_peak"))
     scalars.join(broadcast(stats), Seq("label"))
       .groupBy(col("label"), col("n_vecs"), col("mean_norm"), col("mean_peak"), col("std_peak"))
       .agg(sum(when(abs(col("peak") - col("mean_peak")) > lit(zThresh) * col("std_peak"), 1L)

@@ -59,9 +59,17 @@ object Versioned {
   private def writeManifest(spark: SparkSession, dir: String, v: Long,
                             files: Seq[String], epoch: Long = -1L): Unit = {
     val fs = fsOf(spark, new Path(dir))
+    // Carry the table's max streaming epoch forward into EVERY manifest
+    // (commit, append, and rollback alike), so the replay guard reads ONE
+    // field from ONE manifest — O(1) per micro-batch — and survives vacuum
+    // dropping the manifest that originally recorded the max (ADVICE r12:
+    // the guard used to re-parse every retained manifest per batch, and a
+    // vacuum could still erase the max it was scanning for).
+    val carried = math.max(epoch, maxEpoch(spark, dir))
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("epoch", epoch)
+    node.put("max_epoch", carried)
     node.put("n_files", files.size)
     val arr = node.putArray("files")
     files.foreach(arr.add)
@@ -74,7 +82,41 @@ object Versioned {
     finally out.close()
     if (!fs.rename(tmp, manifestPath(dir, v)))
       sys.error(s"could not publish manifest v$v under $dir")
+    maxEpochCache.put(dir, java.lang.Long.valueOf(carried))
+    ()
   }
+
+  /** Driver-side running max epoch per table dir — saves even the one
+    * small manifest read per skipped replay batch. Write-through from
+    * [[writeManifest]]; a fresh JVM faults it in from the latest manifest.
+    * Single-writer contract (object doc) makes the cache sound: no other
+    * process advances the epoch behind this driver's back.
+    */
+  private val maxEpochCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def invalidateEpochCache(): Unit = maxEpochCache.clear()
+
+  /** The max streaming epoch ever committed to the table, −1 if none:
+    * the latest manifest's carried-forward `max_epoch`. Legacy manifests
+    * (written before the field existed) fall back to one scan across
+    * retained manifests' own `epoch` fields — the pre-r13 guard — so
+    * existing tables keep their replay protection.
+    */
+  def maxEpoch(spark: SparkSession, dir: String): Long =
+    Option(maxEpochCache.get(dir)).map(_.longValue).getOrElse {
+      val m = versions(spark, dir).lastOption match {
+        case None => -1L
+        case Some(latest) =>
+          val fs = fsOf(spark, new Path(dir))
+          val in = fs.open(manifestPath(dir, latest))
+          val node = try mapper.readTree(in) finally in.close()
+          if (node.has("max_epoch")) node.get("max_epoch").asLong(-1L)
+          else versions(spark, dir).map(epochOf(spark, dir, _)).foldLeft(-1L)(math.max)
+      }
+      maxEpochCache.put(dir, java.lang.Long.valueOf(m))
+      m
+    }
 
   /** The streaming epoch recorded in version `v`'s manifest (-1 for plain
     * batch commits).
@@ -97,15 +139,16 @@ object Versioned {
     */
   def epochWriter(dir: String): (DataFrame, Long) => Unit = (df, epoch) => {
     val s = df.sparkSession
-    // Guard on the MAX epoch across all retained manifests, not the latest
-    // manifest's: a rollback() or plain batch commit() interleaved with the
-    // streaming sink writes epoch −1 (or an older epoch) into the newest
-    // manifest, and a latest-only read would reset the guard — letting a
+    // Guard on the table's MAX epoch, not the latest manifest's own epoch:
+    // a rollback() or plain batch commit() interleaved with the streaming
+    // sink writes epoch −1 (or an older epoch) into the newest manifest,
+    // and a latest-only read of `epoch` would reset the guard — letting a
     // crash-replayed epoch re-commit (double-publish) despite the
-    // idempotence contract (ADVICE r11). Cost: one small JSON read per
-    // retained manifest per batch, bounded by the vacuum retention policy.
-    val last = versions(s, dir).map(epochOf(s, dir, _)).foldLeft(-1L)(math.max)
-    if (epoch > last) { commit(s, df, dir, epoch); () }
+    // idempotence contract (ADVICE r11). Since every manifest carries the
+    // max forward (`max_epoch`), the read is O(1) — the driver cache, or
+    // one field of one manifest on a fresh JVM — and vacuum cannot erase
+    // it (ADVICE r12).
+    if (epoch > maxEpoch(s, dir)) { commit(s, df, dir, epoch); () }
   }
 
   /** Commit `df` as the next version: stage the parquet write, move the

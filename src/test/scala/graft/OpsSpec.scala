@@ -372,4 +372,23 @@ class OpsSpec extends SparkSpec {
     }
     assert(got.values.map(_._5).sum > 0, "peak outliers non-vacuous at gate SF")
   }
+
+  test("embeddingOutliers publishes null std and 0 outliers for a singleton label") {
+    // sample std needs n ≥ 2; before the guard a one-vector label produced
+    // NaN (n−1 = 0 denominator) with engine-divergent NULL/NaN handling
+    val dir = tempDir("emb_singleton")
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(0.6f, 0.8f), 0),
+      (2L, Array(0.8f, 0.6f), 0),
+      (3L, Array(1.0f, 0.0f), 1)) // label 1 has exactly one vector
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Embeddings.embeddingOutliers(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(1).isNullAt(got(1).fieldIndex("std_peak")), "singleton std must be NULL")
+    assert(got(1).getAs[Long]("n_outliers") === 0L, "singleton label has no outliers")
+    assert(!got(0).isNullAt(got(0).fieldIndex("std_peak")), "n=2 label keeps its std")
+  }
 }

@@ -509,8 +509,14 @@ class RelevanceSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p90_hours") - q(gaps, 0.9) / 3600.0) < 1e-5)
   }
 
-  test("purchaseIntervalsApprox: sketch quantiles stay within the rank-error bound of the gap population") {
-    val accuracy = 10000
+  /** Rank-error-bound check for the sketch quantiles, run at two regimes:
+    * accuracy far above the population (sketch exact — the bound must be
+    * trivially tight) and accuracy far BELOW it (the sketch actually
+    * compresses — the regime the GK guarantee documents; ADVICE r12: the
+    * high-accuracy-only test never exercised approximation at gate SF).
+    */
+  private def checkPurchaseIntervalsApprox(accuracy: Int,
+                                           requireCompression: Boolean): Unit = {
     val r = graft.ops.Analytics.purchaseIntervalsApprox(spark, sf0001, accuracy).collect().head
     val ev = Tables.events(spark, sf0001)
       .where(col("event_type") === "purchase")
@@ -530,6 +536,9 @@ class RelevanceSpec extends SparkSpec {
     // on the rounded hour values equal ranks on the raw seconds
     val hours = gaps.map(g => math.rint(g / 3600.0 * 1e6) / 1e6)
     val n = hours.length
+    if (requireCompression)
+      assert(n > 5 * accuracy,
+        s"low-accuracy case must run in the compressing regime: n=$n vs accuracy=$accuracy")
     for ((p, colName) <- Seq(0.5 -> "p50_hours", 0.9 -> "p90_hours")) {
       val v = r.getAs[Double](colName)
       assert(hours.contains(v), s"$colName=$v must be an actual gap of the population")
@@ -543,8 +552,19 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
-  test("rfmSegmentsApprox: score disagreements vs exact only at metrics inside a cutoff's rank-error window") {
-    val accuracy = 10000
+  test("purchaseIntervalsApprox: sketch quantiles stay within the rank-error bound of the gap population") {
+    checkPurchaseIntervalsApprox(accuracy = 10000, requireCompression = false)
+  }
+
+  test("purchaseIntervalsApprox at accuracy=10: the COMPRESSING sketch still honors its rank bound") {
+    checkPurchaseIntervalsApprox(accuracy = 10, requireCompression = true)
+  }
+
+  /** Same two-regime policy as [[checkPurchaseIntervalsApprox]]: the
+    * disagreement loop only means something once accuracy sits below the
+    * customer population and the sketch genuinely perturbs cutoffs.
+    */
+  private def checkRfmSegmentsApprox(accuracy: Int, requireCompression: Boolean): Unit = {
     val exact = Analytics.rfmSegments(spark, sf0001).collect()
       .map(r => r.getAs[Long]("custkey") -> r).toMap
     val approx = Analytics.rfmSegmentsApprox(spark, sf0001, accuracy).collect()
@@ -558,6 +578,9 @@ class RelevanceSpec extends SparkSpec {
         case "monetary"     => r.getAs[Double]("monetary")
       }).toSeq
     val n = exact.size
+    if (requireCompression)
+      assert(n > 5 * accuracy,
+        s"low-accuracy case must run in the compressing regime: n=$n vs accuracy=$accuracy")
     // ε: GK's n/accuracy rank error, +2 for quantile_cont interpolation
     // sitting between adjacent samples and the <-vs-≤ rank boundary
     val eps = n.toDouble / accuracy + 2
@@ -596,7 +619,16 @@ class RelevanceSpec extends SparkSpec {
         }
       }
     }
-    info(s"$disagreements boundary-window score disagreements across ${3 * n} scores")
+    info(s"$disagreements boundary-window score disagreements across ${3 * n} scores " +
+      s"(accuracy=$accuracy)")
+  }
+
+  test("rfmSegmentsApprox: score disagreements vs exact only at metrics inside a cutoff's rank-error window") {
+    checkRfmSegmentsApprox(accuracy = 10000, requireCompression = false)
+  }
+
+  test("rfmSegmentsApprox at accuracy=10: the COMPRESSING sketch's flips all sit in rank windows") {
+    checkRfmSegmentsApprox(accuracy = 10, requireCompression = true)
   }
 
   test("newVsReturning: a user is new exactly once and day totals decompose") {

@@ -97,6 +97,27 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() === 5)
   }
 
+  test("epochWriter's replay guard survives vacuum and a driver restart (carried max_epoch)") {
+    val dir = tempDir("versioned-epoch-vac") + "/table"
+    val w = Versioned.epochWriter(dir)
+    w(rows(0, 10), 0L)
+    w(rows(100, 20), 5L)
+    // an interleaved batch commit writes an epoch=-1 manifest on top, then
+    // vacuum drops every manifest that recorded a real epoch — before the
+    // carried max_epoch, the guard's information was GONE (ADVICE r12)
+    Versioned.commit(spark, rows(900, 7), dir)
+    Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(Versioned.versions(spark, dir) === Seq(3L), "only the epoch=-1 manifest remains")
+    // fresh-JVM simulation: drop the driver-side running max
+    Versioned.invalidateEpochCache()
+    w(rows(100, 20), 5L) // crash-replay of epoch 5
+    assert(Versioned.versions(spark, dir) === Seq(3L),
+      "replayed epoch must not re-commit after vacuum dropped its manifest")
+    // progress still resumes past the carried max
+    w(rows(500, 5), 6L)
+    assert(Versioned.read(spark, dir).count() === 5)
+  }
+
   test("vacuum on a commit-less table is a no-op and reclaims manifest temps") {
     val dir = tempDir("versioned-empty") + "/table"
     // no commits at all: data/ absent — vacuum must not throw (ADVICE r11)
