@@ -869,4 +869,348 @@ object Analytics {
       .agg(count(lit(1)).as("late_orders"))
       .orderBy("o_orderpriority")
   }
+
+  /** The discounted line price, decimal-exact until the caller's final cast
+    * (the file's money discipline, factored for the conditional-share
+    * queries below which reference it twice per aggregate).
+    */
+  private def discVol: Column =
+    dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+
+  /** C35 — national market share (TPC-H Q8 shape): within one region's
+    * customer market and one part type, the share of yearly revenue
+    * supplied by one nation — the "how is our country's industry doing in
+    * that market" decomposition. The share is a CONDITIONAL aggregate
+    * (sum-if over supplier nation ÷ sum) so one pass computes both
+    * numerator and denominator — no second scan, no self-join.
+    *
+    * Scale shape: nation/region broadcast; part is filtered to one type
+    * BEFORE its join (the filter pushes to the part scan, and at 100 TB
+    * the filtered part side is what AQE sizes); customer collapses to a
+    * keyed key-set; supplier keeps its keyed join (fact-scale, q5Join's
+    * discipline). Group-key space is |years| — the aggregate collapses
+    * map-side. Decimal-exact volumes; the share divides two exact sums
+    * once, rounded to the 6-dp grid both engines agree on.
+    */
+  def q8Share(spark: SparkSession, dir: String,
+              shareNation: String = "NATION_3", ptype: String = "ECONOMY",
+              regionName: String = "ASIA"): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir).where(col("r_name") === regionName)
+    val regionNations = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rn_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("rn_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val pt = Tables.part(spark, dir).where(col("p_type") === ptype).select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("order_year"))
+    Tables.lineitem(spark, dir)
+      .withColumn("vol", discVol)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("order_year")
+      .agg(
+        round(
+          coalesce(sum(when(col("supp_nation") === shareNation, col("vol"))).cast("double"),
+            lit(0.0)) / sum(col("vol")).cast("double"), 6).as("mkt_share"),
+        sum(col("vol")).cast("double").as("total_volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("order_year")
+  }
+
+  /** C36 — returned-item reporting (TPC-H Q10 shape): the customers who
+    * returned the most revenue in one quarter — who to call before they
+    * churn. Keyed three-way join with both filters pushed (order window to
+    * the orders scan, return flag to the lineitem scan), customer-keyed
+    * aggregate, global top-k.
+    *
+    * Scale shape: the top-k is an `orderBy().limit(k)` — Spark plans
+    * TakeOrderedAndProject, a per-partition bounded heap + k-row driver
+    * merge, NEVER a global sort (OpsSpec pins the plan). Ties break on
+    * custkey so the cut is deterministic cross-engine.
+    */
+  def q10Returns(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("2000-10-01").cast("timestamp") &&
+             col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), discVol.as("vol"))
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("vol")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** C37 — customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders in a window — the engagement
+    * histogram, zero bucket included (the customers a LEFT join keeps and
+    * an inner join silently drops).
+    *
+    * Scale shape: orders collapse to (custkey, n_orders) FIRST — the
+    * partial aggregate runs map-side, so the outer join carries one narrow
+    * row per active customer instead of every order row through the probe
+    * (the n-per-customer widening a naive customer⟕orders join pays). The
+    * second aggregate is histogram-cardinality. One shuffle per side, both
+    * on the customer key.
+    */
+  def q13OrdersDist(spark: SparkSession, dir: String,
+                    since: String = "2000-01-01"): DataFrame = {
+    val cnt = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+  }
+
+  /** C38 — promotion revenue share (TPC-H Q14 shape): the fraction of one
+    * month's revenue that came from promo-class parts — marketing's "did
+    * the campaign move the needle" number. One conditional aggregate over
+    * the month's lineitems joined to part.
+    *
+    * Scale shape: the month filter pushes to the lineitem scan (the join
+    * sees one month, not the table); part joins KEYED on partkey — part is
+    * fact-scale at 100 TB (SF×200k rows) so no broadcast is baked in, AQE
+    * decides from runtime stats. Numerator and denominator come out of the
+    * same decimal partials; one 1-row reduce.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
+             col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+      .withColumn("vol", discVol)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          coalesce(sum(when(col("p_type") === "PROMO", col("vol"))).cast("double"), lit(0.0))
+          / sum(col("vol")).cast("double"), 6).as("promo_share"),
+        sum(col("vol")).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** C39 — large-volume orders (TPC-H Q18 shape): the biggest orders by
+    * total quantity — the bulk buyers a supply planner watches. The HAVING
+    * aggregate runs FIRST (lineitem collapses to one row per order,
+    * map-side partials, decimal-exact quantity sum so the threshold
+    * compare is partition-order-independent), and only qualifying orders
+    * join back to orders/customer — the join probe is the post-filter
+    * survivor set, not the fact table.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String,
+                   minQty: Int = 150, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("bo_orderkey"))
+      .agg(sum(dec("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > lit(minQty))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("bo_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** C40 — dormant high-balance customers (TPC-H Q22 shape): customers
+    * with above-average positive account balance and NO order since a
+    * cutoff, by nation — the win-back list with the budget to come back.
+    * The board's scalar-subquery + anti-join composition (C17's anti-join
+    * has no scalar gate; rfm's scalars have no anti-join).
+    *
+    * Scale shape: the average is a 1-row (sum, count) scalar broadcast
+    * onto the customer scan (whitelisted 1-row attach, PlanGuardSpec);
+    * the above-average test multiplies through instead of dividing —
+    * `bal·n > Σbal` over exact decimals, so no engine-dependent double
+    * division sits in a FILTER (a row on the boundary must fall the same
+    * side in both engines). The recency test is a LEFT ANTI join against
+    * the cutoff-filtered orders scan — each customer emits at most once
+    * however many orders they placed, no distinct pass needed.
+    */
+  /** C41 — shipping-latency SLA breakdown (TPC-H Q12 spirit, latency
+    * buckets instead of the ship-mode column this corpus lacks): per order
+    * priority, how many lineitems shipped within 30/60/90/90+ days of the
+    * order date — the fulfillment-latency profile behind C34's binary
+    * "late" verdict. One fact-fact join (the unavoidable orders⋈lineitem
+    * shuffle), then ALL four buckets come out of one conditional aggregate
+    * pass — no per-bucket scan, no pivot; group-key space is the 5
+    * priorities, so partials collapse map-side. Latency is integer
+    * calendar-day arithmetic (`datediff`), exact in both engines.
+    */
+  def q12Latency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority", "o_orderdate")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lat", datediff(col("l_shipdate").cast("timestamp"),
+        col("o_orderdate").cast("timestamp")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("lat") <= 30, 1L).otherwise(0L)).as("d30"),
+        sum(when(col("lat") > 30 && col("lat") <= 60, 1L).otherwise(0L)).as("d60"),
+        sum(when(col("lat") > 60 && col("lat") <= 90, 1L).otherwise(0L)).as("d90"),
+        sum(when(col("lat") > 90, 1L).otherwise(0L)).as("d90_plus"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C42 — top supplier by quarterly revenue (TPC-H Q15 shape): the
+    * supplier(s) whose revenue equals the quarter's maximum — ties kept,
+    * like the reference query's view-equality semantics. The per-supplier
+    * aggregate is keyed (supplier is fact-scale at 100 TB); the max is a
+    * 1-row scalar broadcast back onto the aggregate (whitelisted attach).
+    * The equality filter compares DECIMALS — the sum and its max are the
+    * same exact value, so the tie test cannot be split by double rounding
+    * in either engine; the cast to double happens after the cut.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("2000-07-01").cast("timestamp") &&
+             col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discVol).as("rev"))
+    val top = rev.agg(max(col("rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .where(col("rev") === col("max_rev"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** C43 — disjunctive-predicate revenue (TPC-H Q19 shape): revenue from
+    * lineitems matching ANY of three (brand, part-size range, quantity
+    * range) branches — the OR-of-conjunctions shape that breaks naive
+    * per-column pushdown. The join key stays a single equi-join on
+    * partkey; Spark extracts the part-only disjunction
+    * ((brand∧size) ∨ …) below the join so the part scan pre-filters to
+    * the union of branch parts instead of shipping the whole table into
+    * the join, and the mixed part×lineitem residual evaluates inside it.
+    * One 1-row conditional-free aggregate.
+    */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(discVol).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+
+  /** C44 — small-quantity order revenue (TPC-H Q17 shape): for one brand,
+    * the revenue sitting in lineitems whose quantity is below half the
+    * part's own average order quantity — the "trickle orders" a
+    * consolidation policy would sweep into bulk shipments. The board's
+    * PER-GROUP scalar-subquery composition (C40's scalar is global; this
+    * one is a correlated per-part threshold).
+    *
+    * Scale shape: the brand filter restricts lineitem FIRST (a keyed join
+    * against the filtered part key-set — every lineitem of a brand part is
+    * brand-filtered by definition, so the per-part average over the
+    * restricted rows equals the average over all of the part's rows), the
+    * per-part (Σqty, n) stats collapse map-side, and the threshold test
+    * multiplies through — `2·qty·n < Σqty` over exact decimals, no
+    * double-divided average in a filter (the C40 discipline applied
+    * per-group). Spark reuses the restricted-join exchange for both the
+    * stats pass and the probe.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String,
+                  brand: String = "Brand#5"): DataFrame = {
+    val bparts = Tables.part(spark, dir)
+      .where(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(bparts, col("l_partkey") === col("p_partkey"))
+    val pq = li.groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(dec("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+    li.join(pq, col("l_partkey") === col("pq_partkey"))
+      .where(dec("l_quantity") * lit(2) * col("cq") < col("sq"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice")).cast("double").as("small_qty_revenue"))
+  }
+
+  /** C45 — product-line margin by supplier nation and year (TPC-H Q9
+    * shape; the corpus has no partsupp, so the cost side is a retail-value
+    * proxy at a fixed carry rate): per (supplier nation, order year) over
+    * parts matching a name pattern, gross discounted revenue and margin
+    * after subtracting 10% of retail value × quantity — the profit
+    * decomposition Q9 answers, on the 6-table chain (lineitem, orders,
+    * part, supplier, nation).
+    *
+    * Scale shape: the name filter pushes to the part scan and the filtered
+    * part side is what AQE sizes; supplier keyed with nation broadcast
+    * (q5/q7 discipline); lineitem⋈orders is the one fact-fact shuffle;
+    * group key bounded by |nations|×|years|. The two money terms aggregate
+    * as SEPARATE exact decimal sums, and the 0.1 carry rate applies ONCE
+    * in double at the very end — a triple decimal product would overflow
+    * precision 38 and round differently per engine; two exact sums and
+    * one IEEE expression cannot.
+    */
+  def q9Margin(spark: SparkSession, dir: String,
+               namePattern: String = "%widget%"): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_name").like(namePattern))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"),
+        year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"))
+      .agg(
+        sum(discVol).cast("double").as("gross_revenue"),
+        round(sum(discVol).cast("double") -
+          lit(0.1) * sum(dec("p_retailprice") * dec("l_quantity")).cast("double"), 6)
+          .as("margin"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "o_year")
+  }
+
+  def q22Dormant(spark: SparkSession, dir: String,
+                 since: String = "2001-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val anchor = cust.where(col("c_acctbal") > 0)
+      .agg(sum(dec("c_acctbal")).as("bal_sum"), count(lit(1)).as("bal_n"))
+    val active = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(anchor))
+      .where(dec("c_acctbal") * col("bal_n") > col("bal_sum"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
 }

@@ -160,6 +160,43 @@ object QualityModel {
     */
   private[graft] val trainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private val calibSchema = StructType(Seq(
+    StructField("bucket_lo", DoubleType, nullable = false),
+    StructField("n_docs", LongType),
+    StructField("mean_prob", DoubleType),
+    StructField("label_rate", DoubleType)))
+
+  /** B65 — calibration report over the trained classifier: documents
+    * bucketed by predicted keep-probability (equi-width `buckets` bins,
+    * top-inclusive), each bin's size, mean predicted probability, and
+    * empirical label rate — the reliability diagram that says whether
+    * "prob 0.8" MEANS 80% (a curation run soft-sampling by prob assumes
+    * it does; a miscalibrated model silently reweights the corpus).
+    *
+    * Scale shape: one pass over the scored frame collapses map-side to
+    * bin cardinality (≤`buckets` groups); probabilities sum as 6-dp
+    * decimals so partition order can't move a mean; the model itself
+    * comes from the weight memo — no retraining when the classifier (or
+    * sweep) already ran. Rows-only like its siblings (consumes GD
+    * scores); QualityModelSpec replays the binning exactly from the
+    * registered classifier output.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String, buckets: Int = 10,
+                         iters: Int = DefaultIters, step: Double = DefaultStep,
+                         l2: Double = DefaultL2): DataFrame =
+    graft.plans.DeferredFrame(spark, calibSchema)(() => {
+      val scored = trainAndScore(spark, dir, iters, step, l2)
+      val bin = least(floor(col("prob") * buckets).cast("long"), lit(buckets - 1L))
+      scored.groupBy(bin.as("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("prob").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("mean_prob"),
+          round(sum(col("label")).cast("double") / count(lit(1)), 6).as("label_rate"))
+        .select((col("b").cast("double") / buckets).as("bucket_lo"),
+          col("n_docs"), col("mean_prob"), col("label_rate"))
+        .orderBy("bucket_lo")
+    })
+
   private def trainAndScore(spark: SparkSession, dir: String, iters: Int,
                             step: Double, l2: Double): DataFrame = {
     val (p1, p2, p3) = Curation.funnelFlags(

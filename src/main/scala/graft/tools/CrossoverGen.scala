@@ -39,6 +39,16 @@ import org.apache.spark.sql.functions._
   * legacy >10× families (q3_join, q5_join, asof_join, publish_dedup and
   * the four documents-only text families) measure on real join work.
   *
+  * v6 (VERDICT r12 bar, applied to the round-13 TPC-H batch): orders span
+  * the REAL table's 1995→2001 window (the r13 queries' 2000/2001 date
+  * filters were vacuous on v5's 1996+900d span), lineitem adds
+  * l_quantity (uniform 1..50, the measured range) and l_returnflag
+  * (uniform A/N/R — the real ~⅓ R marginal), customer adds
+  * c_name/c_acctbal (uniform [-999, 10000] 2-dp, the measured span), and
+  * a `part` table appears (Brand#1..25, the 6 p_type categories,
+  * p_size 1..50 — uniform like the real generator's draws), so
+  * q4/q8/q10/q12/q13/q14/q15/q18/q19/q22 all measure real work.
+  *
   * Deterministic: every row is a pure function of its id (per-row
   * java.util.Random seeded by a splitmix of the id), so exact-duplicate
   * donors regenerate their donor's text without reading it. Generation is
@@ -190,9 +200,12 @@ object CrossoverGen {
       // sf0.1: 150k orders / 15k customers ≈ 10 per customer — preserved so
       // the RFM frequency distribution keeps its character at scale
       val nCust = math.max(nOrders / 10L, 1L)
-      val startDay = java.time.LocalDate.parse("1996-01-01").toEpochDay
+      // v6: the real orders table spans 1995-01-01..2001-08-01 — reproduce
+      // it so the r13 queries' 2000/2001 windows select real slices
+      val startDay = java.time.LocalDate.parse("1995-01-01").toEpochDay
+      val spanDays = 2404
       val orders = spark.range(nOrders).as[Long].mapPartitions { ids =>
-        ids.map(orderRow(_, nCust, startDay, spanDays = 900))
+        ids.map(orderRow(_, nCust, startDay, spanDays))
       }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "day", "o_orderpriority")
         .withColumn("o_orderdate",
           timestamp_micros(col("day") * 86400L * 1000000L).cast("timestamp_ntz"))
@@ -212,9 +225,10 @@ object CrossoverGen {
       // columns the measured queries touch.
       val nParts = math.max(nOrders / 8L, 1L)
       val nSupp = math.max(nOrders / 150L, 1L) // sf0.1: 150k orders / 1k suppliers
+      val returnFlags = Array("A", "N", "R")
       val lineitem = spark.range(nOrders).as[Long].mapPartitions { ids =>
         ids.flatMap { oid =>
-          val orderDay = orderRow(oid, nCust, startDay, spanDays = 900)._5
+          val orderDay = orderRow(oid, nCust, startDay, spanDays)._5
           val r = mix(0x11EA17L ^ oid)
           val n = 1 + r.nextInt(7)
           (0 until n).map { _ =>
@@ -223,11 +237,14 @@ object CrossoverGen {
             val price = math.rint((900.0 + r.nextDouble() * 104100.0) * 100) / 100
             val disc = r.nextInt(11) / 100.0
             val shipDay = orderDay + 1 + r.nextInt(120)
-            (oid, part, supp, price, disc, shipDay)
+            // v6: quantity/returnflag for q18/q19/q10 (measured marginals)
+            val qty = (1 + r.nextInt(50)).toDouble
+            val rf = returnFlags(r.nextInt(returnFlags.length))
+            (oid, part, supp, price, disc, shipDay, qty, rf)
           }
         }
       }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-        "l_discount", "ship_day")
+        "l_discount", "ship_day", "l_quantity", "l_returnflag")
         .withColumn("l_shipdate",
           timestamp_micros(col("ship_day") * 86400L * 1000000L).cast("timestamp_ntz"))
         .drop("ship_day")
@@ -242,14 +259,29 @@ object CrossoverGen {
         val segments = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
         ids.map { id =>
           val r = mix(0xC057L ^ id)
-          (id, r.nextInt(25), segments(r.nextInt(segments.length)))
+          // v6: name/balance for q10/q22 (the measured [-999, 10000] 2-dp span)
+          val bal = math.rint((-999.0 + r.nextDouble() * 10999.0) * 100) / 100
+          (id, r.nextInt(25), segments(r.nextInt(segments.length)),
+            s"Customer#$id", bal)
         }
-      }.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      }.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_name", "c_acctbal")
       customer.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
+      // v6: part dimension for q8/q14/q19 — uniform categorical draws like
+      // the real generator's (25 brands, 6 types, sizes 1..50)
+      val part = spark.range(nParts).as[Long].mapPartitions { ids =>
+        val types = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+        ids.map { id =>
+          val r = mix(0x9A27L ^ id)
+          (id, s"Brand#${1 + r.nextInt(25)}", types(r.nextInt(types.length)),
+            1 + r.nextInt(50))
+        }
+      }.toDF("p_partkey", "p_brand", "p_type", "p_size")
+      part.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
       val supplier = spark.range(nSupp).as[Long].mapPartitions { ids =>
-        ids.map { id => (id, mix(0x50BBL ^ id).nextInt(25)) }
-      }.toDF("s_suppkey", "s_nationkey")
+        ids.map { id => (id, mix(0x50BBL ^ id).nextInt(25), s"Supplier#$id") }
+      }.toDF("s_suppkey", "s_nationkey", "s_name")
       supplier.write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
 
       val nation = (0 until 25).map(i => (i, s"NATION_$i", i % 5))

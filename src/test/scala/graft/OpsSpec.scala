@@ -391,4 +391,285 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_outliers") === 0L, "singleton label has no outliers")
     assert(!got(0).isNullAt(got(0).fieldIndex("std_peak")), "n=2 label keeps its std")
   }
+
+  test("q8Share: shares in [0,1] and the conditional numerator decomposes the total") {
+    val got = Analytics.q8Share(spark, sf0001).collect()
+    assert(got.nonEmpty, "market non-vacuous at gate SF")
+    // independent recompute: the same pipeline WITHOUT the conditional,
+    // broken out by supplier nation — the share must equal the named
+    // nation's slice over the year total, and slices must sum to 1
+    val byNation = Tables.lineitem(spark, sf0001)
+      .withColumn("vol", col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .join(Tables.part(spark, sf0001).where(col("p_type") === "ECONOMY")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf0001)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate").cast("timestamp")).cast("long").as("y")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf0001).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(spark, sf0001).withColumnRenamed("s_nationkey", "sn_key"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("y"), col("sn_key"))
+      .agg(sum(col("vol")).cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (r <- got) {
+      val yr = r.getAs[Long]("order_year")
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0, s"share $share out of range")
+      val total = byNation.collect { case ((y, _), v) if y == yr => v }.sum
+      val slice = byNation.getOrElse((yr, 3), 0.0) // NATION_3 = nationkey 3
+      assert(math.abs(r.getAs[Double]("total_volume") - total) < 1e-6, s"year $yr total")
+      assert(math.abs(share - math.rint(slice / total * 1e6) / 1e6) < 1e-6, s"year $yr share")
+    }
+  }
+
+  test("q10Returns: top-k plans as TakeOrdered (bounded heap) and matches an unlimited replay") {
+    val q = Analytics.q10Returns(spark, sf0001, k = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(k) must plan a bounded per-partition heap, not a global sort:\n$plan")
+    val got = q.collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue")))
+    assert(got.length === 20)
+    // replay: same aggregate without the limit, cut locally with the same tie-break
+    val all = Analytics.q10Returns(spark, sf0001, k = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue")))
+    val want = all.sortBy { case (ck, rev) => (-rev, ck) }.take(20)
+    assert(got.toSeq === want.toSeq, "top-20 cut must match the full ordering")
+  }
+
+  test("q13OrdersDist: zero bucket present and the histogram accounts every customer exactly once") {
+    val got = Analytics.q13OrdersDist(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("n_orders") -> r.getAs[Long]("n_custs")).toMap
+    assert(got.contains(0L),
+      "customers with no orders in the window must survive the outer join")
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(got.values.sum === nCust, "histogram partitions the customer population")
+    // independent replay from the raw orders
+    val cnt = Tables.orders(spark, sf0001)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = Tables.customer(spark, sf0001).select("c_custkey").collect().map(_.getLong(0))
+    val want = custs.map(c => cnt.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got === want, "distribution must match the per-customer replay")
+  }
+
+  test("q14Promo: promo share matches the two-slice decomposition") {
+    val r = Analytics.q14Promo(spark, sf0001).collect().head
+    val share = r.getAs[Double]("promo_share")
+    assert(share > 0.0 && share < 100.0, "non-vacuous, non-degenerate at gate SF")
+    def slice(promoOnly: Boolean): Double = {
+      val li = Tables.lineitem(spark, sf0001)
+        .where(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
+               col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+        .join(Tables.part(spark, sf0001).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+      val f = if (promoOnly) li.where(col("p_type") === "PROMO") else li
+      f.agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double")).collect().head.getDouble(0)
+    }
+    val (promo, total) = (slice(promoOnly = true), slice(promoOnly = false))
+    assert(math.abs(r.getAs[Double]("total_revenue") - total) < 1e-6)
+    assert(math.abs(share - math.rint(100.0 * promo / total * 1e6) / 1e6) < 1e-6)
+  }
+
+  test("q18BigOrders: every row clears the quantity bar and the cut matches a replay") {
+    val got = Analytics.q18BigOrders(spark, sf0001).collect()
+    assert(got.nonEmpty, "big orders exist at gate SF")
+    got.foreach(r => assert(r.getAs[Double]("sum_qty") > 150.0, "HAVING bar"))
+    // replay: per-order quantity sums from raw lineitem, same cut
+    val sums = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prices = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = sums.filter(_._2 > 150.0).keys.toSeq
+      .sortBy(ok => (-prices(ok), ok)).take(100)
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSeq === want,
+      "survivor set and ordering must match the replay")
+  }
+
+  test("q12Latency: buckets partition every joined item and match a local datediff replay") {
+    val got = Analytics.q12Latency(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (d30, d60, d90, dp, n) =>
+      assert(d30 + d60 + d90 + dp === n, "buckets must partition the items")
+    }
+    // local replay over UTC epoch seconds: both date columns are midnight
+    // UTC stamps (driver testdata), so the calendar-day difference both
+    // engines' datediff computes equals the floored epoch-day difference
+    val ordMap = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "cast(cast(o_orderdate as timestamp) as long) as os").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val lats = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey", "cast(cast(l_shipdate as timestamp) as long) as ss").collect()
+      .map { r =>
+        val (prio, os) = ordMap(r.getLong(0))
+        prio -> (Math.floorDiv(r.getLong(1), 86400L) - Math.floorDiv(os, 86400L))
+      }
+    val want = lats.groupBy(_._1).view.mapValues { xs =>
+      val ls = xs.map(_._2)
+      (ls.count(_ <= 30).toLong, ls.count(l => l > 30 && l <= 60).toLong,
+        ls.count(l => l > 60 && l <= 90).toLong, ls.count(_ > 90).toLong, ls.length.toLong)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q15TopSupplier: decimal-exact max cut keeps ties and matches a replay") {
+    val got = Analytics.q15TopSupplier(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("total_revenue"))
+    assert(got.nonEmpty, "the quarter has revenue at gate SF")
+    // replay from the per-supplier aggregate without the cut
+    val rev = Tables.lineitem(spark, sf0001)
+      .where(col("l_shipdate") >= lit("2000-07-01").cast("timestamp") &&
+             col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1))
+    val mx = rev.map(_._2).max
+    val want = rev.filter(_._2 == mx).map(_._1).sorted
+    assert(got.map(_._1).toSeq === want.toSeq, "exactly the max-revenue suppliers, ties kept")
+    got.foreach { case (_, r) => assert(math.abs(r - mx.doubleValue) < 1e-6) }
+  }
+
+  test("q19Disjunct: OR-of-conjunctions matches a local branch replay and part pre-filters below the join") {
+    val r = Analytics.q19Disjunct(spark, sf0001).collect().head
+    val parts = Tables.part(spark, sf0001)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
+    def hit(pk: Long, qty: Double): Boolean = parts.get(pk).exists { case (b, s) =>
+      (b == "Brand#1" && s >= 1 && s <= 15 && qty >= 1 && qty <= 20) ||
+      (b == "Brand#2" && s >= 10 && s <= 30 && qty >= 10 && qty <= 30) ||
+      (b == "Brand#3" && s >= 20 && s <= 50 && qty >= 20 && qty <= 40)
+    }
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .filter(x => hit(x.getLong(0), x.getDouble(1)))
+    val wantRev = li.map { x =>
+      val p = BigDecimal(x.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val d = BigDecimal(x.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      p * (BigDecimal(1).setScale(2) - d)
+    }.sum
+    assert(r.getAs[Long]("n_items") === li.length.toLong)
+    assert(math.abs(r.getAs[Double]("revenue") - wantRev.toDouble) < 1e-6)
+    assert(li.nonEmpty, "disjunction non-vacuous at gate SF")
+    // the part-only disjunction must evaluate BELOW the join: a Filter
+    // mentioning p_brand sits on the part side, not only above the join
+    val plan = Analytics.q19Disjunct(spark, sf0001).queryExecution.optimizedPlan
+    val joinNode = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.get
+    val partSideFiltered = joinNode.children.exists(_.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).exists(_ == "p_brand") => f
+    }.nonEmpty)
+    assert(partSideFiltered,
+      s"part-only disjunction must pre-filter the part scan below the join:\n$plan")
+  }
+
+  test("q17SmallQty: per-part threshold is exact-decimal and matches a local replay") {
+    val r = Analytics.q17SmallQty(spark, sf0001).collect().head
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val brandParts = Tables.part(spark, sf0001)
+      .where(col("p_brand") === "Brand#5").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(x => (x.getLong(0), d2(x.getDouble(1)), d2(x.getDouble(2))))
+      .filter(x => brandParts(x._1))
+    val stats = li.groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length)).toMap
+    val small = li.filter { case (pk, q, _) =>
+      val (sq, cq) = stats(pk); q * 2 * cq < sq
+    }
+    assert(small.nonEmpty, "small-quantity rows exist at gate SF")
+    assert(r.getAs[Long]("n_items") === small.length.toLong)
+    assert(math.abs(r.getAs[Double]("small_qty_revenue") - small.map(_._3).sum.toDouble) < 1e-6)
+  }
+
+  test("q9Margin: exact two-term sums and the IEEE margin chain match a local replay") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def sparkRound6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = Analytics.q9Margin(spark, sf0001).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getDouble(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(got.nonEmpty, "name pattern non-vacuous at gate SF")
+    val pt = Tables.part(spark, sf0001)
+      .where(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+      .collect().map(x => x.getLong(0) -> d2(x.getDouble(1))).toMap
+    val ord = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderkey", "cast(year(cast(o_orderdate as timestamp)) as long) as y")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val sn = {
+      val nat = Tables.nation(spark, sf0001).select("n_nationkey", "n_name").collect()
+        .map(x => x.getInt(0) -> x.getString(1)).toMap
+      Tables.supplier(spark, sf0001).select("s_suppkey", "s_nationkey").collect()
+        .map(x => x.getLong(0) -> nat(x.getInt(1))).toMap
+    }
+    val rows = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_orderkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity").collect()
+      .flatMap { x =>
+        pt.get(x.getLong(0)).map { retail =>
+          val key = (sn(x.getLong(2)), ord(x.getLong(1)))
+          val gross = d2(x.getDouble(3)) * (BigDecimal(1).setScale(2) - d2(x.getDouble(4)))
+          key -> (gross, retail * d2(x.getDouble(5)))
+        }
+      }
+    val want = rows.groupBy(_._1).view.mapValues { xs =>
+      val g = xs.map(_._2._1).sum.toDouble
+      val c = xs.map(_._2._2).sum.toDouble
+      (g, sparkRound6(g - 0.1 * c), xs.length.toLong)
+    }.toMap
+    assert(got.keySet === want.keySet)
+    for ((k, (g, m, n)) <- want) {
+      assert(math.abs(got(k)._1 - g) < 1e-6, s"$k gross")
+      assert(math.abs(got(k)._2 - m) < 1e-9, s"$k margin")
+      assert(got(k)._3 === n, s"$k n_items")
+    }
+  }
+
+  test("q22Dormant: anti-join of above-average balances, boundary-exact on both engines' side") {
+    val q = Analytics.q22Dormant(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"dormancy must plan as an anti join:\n$plan")
+    val got = q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty, "dormant high-balance customers exist at gate SF")
+    // local replay with exact decimal threshold arithmetic
+    val cust = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val pos = cust.filter(_._3 > 0)
+    val (balSum, balN) = (pos.map(_._3).sum, pos.length)
+    val active = Tables.orders(spark, sf0001)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val nations = Tables.nation(spark, sf0001).select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = cust
+      .filter { case (ck, _, bal) => bal * balN > balSum && !active(ck) }
+      .groupBy(c => nations(c._2)).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).sum.toDouble)).toMap
+    assert(got.keySet === want.keySet)
+    for ((n, (cnt, bal)) <- want) {
+      assert(got(n)._1 === cnt, s"nation $n count")
+      assert(math.abs(got(n)._2 - bal) < 1e-6, s"nation $n balance")
+    }
+  }
 }

@@ -53,10 +53,12 @@ class PlanGuardSpec extends SparkSpec {
     "source_lang_drift",  // broadcast grand-total scalar + the language
                           // inventory (bounded by construction, like
                           // ann_brute's probe set)
-    "ann_brute_topk"      // DELIBERATE baseline: broadcast of the k probe
+    "ann_brute_topk",     // DELIBERATE baseline: broadcast of the k probe
                           // vectors (bounded by construction, not by data)
                           // against the corpus; ann_lsh/ann_ivf are the
                           // scale paths and stay equi-join-only
+    "q22_dormant",        // broadcast 1-row (Σbal, n) average-balance scalar
+    "q15_top_supplier"    // broadcast 1-row max-revenue scalar
   )
 
   test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {

@@ -124,6 +124,36 @@ class QualityModelSpec extends SparkSpec {
     assert(got(grid.head)._1 > got(grid.last)._1, "kept must decrease over the grid")
   }
 
+  test("qualityCalibration replays exactly from the classifier output and ranks the classes") {
+    val scored = graft.ops.QualityModel.qualityClassifier(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Double]("prob")))
+    val got = graft.ops.QualityModel.qualityCalibration(spark, sf0001).collect()
+      .map(r => r.getAs[Double]("bucket_lo") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_prob"), r.getAs[Double]("label_rate")))
+      .toMap
+    val byBin = scored.groupBy { case (_, p) => math.min(math.floor(p * 10).toLong, 9L) }
+    assert(got.keySet === byBin.keySet.map(_.toDouble / 10))
+    // Spark's round(col, 6) is HALF_UP over the double's shortest decimal
+    // representation — mirror it exactly (math.rint is half-even and split
+    // an exact .5-at-6dp mean by one grid step)
+    def sparkRound6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    for ((b, xs) <- byBin) {
+      val (n, mp, lr) = got(b.toDouble / 10)
+      assert(n === xs.length.toLong, s"bin $b size")
+      // same decimal(18,6) sum: probs are 6-dp, so BigDecimal sums exactly
+      val want = xs.map(x => BigDecimal(x._2).setScale(6)).sum.toDouble / xs.length
+      assert(math.abs(mp - sparkRound6(want)) < 1e-9, s"bin $b mean_prob")
+      assert(math.abs(lr - sparkRound6(xs.count(_._1 == 1L).toDouble / xs.length)) < 1e-9,
+        s"bin $b label_rate")
+    }
+    assert(got.values.map(_._1).sum === scored.length.toLong, "bins partition the corpus")
+    // a separating model must rank: the top occupied bin's label rate
+    // beats the bottom occupied bin's
+    val keys = got.keySet.toSeq.sorted
+    assert(got(keys.last)._3 > got(keys.head)._3, "reliability must rank the classes")
+  }
+
   test("qualitySweep reuses the classifier's trained weights (no second GD run)") {
     // force a trained model into the memo, then assert the sweep's action
     // never re-enters the GD loop — the r12 defect was the sweep repeating
