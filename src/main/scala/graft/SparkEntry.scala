@@ -77,6 +77,7 @@ object SparkEntry {
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
     "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
+    "novelty_curve"        -> ((s, d) => graft.ops.Corpus.noveltyCurve(s, d)),
     "source_lang_drift"    -> ((s, d) => graft.ops.Corpus.sourceLangDrift(s, d)),
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
@@ -131,6 +132,11 @@ object SparkEntry {
     "q19_disjunct"         -> ((s, d) => Analytics.q19Disjunct(s, d)),
     "q17_small_qty"        -> ((s, d) => Analytics.q17SmallQty(s, d)),
     "q9_margin"            -> ((s, d) => Analytics.q9Margin(s, d)),
+    "q2_min_cost"          -> ((s, d) => Analytics.q2MinCost(s, d)),
+    "q11_important"        -> ((s, d) => Analytics.q11Important(s, d)),
+    "q16_variety"          -> ((s, d) => Analytics.q16Variety(s, d)),
+    "q20_excess"           -> ((s, d) => Analytics.q20Excess(s, d)),
+    "q21_waiting"          -> ((s, d) => Analytics.q21Waiting(s, d)),
     "events_window"        -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize"    -> ((s, d) => graft.streaming.Sessionize.sessions(s, d)),
     "session_conversion"   -> ((s, d) => graft.streaming.Sessionize.sessionConversion(s, d)),
@@ -1003,6 +1009,31 @@ object SparkEntry {
         |       JOIN sizes sb ON sb.source = p.source_b
         |ORDER BY source_a, source_b""".stripMargin,
 
+    // Acquisition-ordered novelty: the same distinct (source, shingle-hash)
+    // universe as source_overlap; first-contributor via min(source) because
+    // acquisition rank IS name order; cumulative over the source-cardinality
+    // aggregate.
+    "novelty_curve" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT source,
+        |        list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+        |      FROM t),
+        |sh AS (SELECT DISTINCT source, ('0x' || substr(md5(x), 1, 15))::BIGINT AS h
+        |       FROM s, unnest(s.sh) AS u(x)),
+        |f AS (SELECT h, min(source) AS source FROM sh GROUP BY 1),
+        |novel AS (SELECT source, count(*) AS novel_shingles FROM f GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS total_shingles FROM sh GROUP BY 1)
+        |SELECT tot.source, total_shingles,
+        |       CAST(coalesce(novel_shingles, 0) AS BIGINT) AS novel_shingles,
+        |       round(CAST(coalesce(novel_shingles, 0) AS DOUBLE) / total_shingles, 6)
+        |         AS novelty_rate,
+        |       CAST(sum(coalesce(novel_shingles, 0))
+        |            OVER (ORDER BY tot.source ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_novel
+        |FROM tot LEFT JOIN novel USING (source)
+        |ORDER BY source""".stripMargin,
+
     // FULL source x lang grid: zero-obs cells contribute their expected
     // count (the drift evidence); same fixed-order float chain as Spark.
     "source_lang_drift" ->
@@ -1624,6 +1655,81 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_cost
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey
+        |            WHERE p_type = 'ECONOMY' AND p_size <= 10
+        |            GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |       round(unit_cost, 6) AS unit_cost
+        |FROM ps
+        |JOIN mc USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q11_important" ->
+      """WITH v AS (SELECT l_partkey,
+        |                  sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                      * CAST(p_retailprice AS DECIMAL(18,2))) AS value
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey
+        |           GROUP BY 1),
+        |a AS (SELECT sum(value) AS total, count(*) AS n_parts FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS stock_value
+        |FROM v CROSS JOIN a
+        |WHERE value * n_parts * 10 > total * 13
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q16_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+        |q AS (SELECT l_suppkey, l_partkey,
+        |             sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+        |                       AND l_shipdate < TIMESTAMP '2001-01-01'
+        |                      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS q_year,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_total
+        |      FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |      GROUP BY 1, 2
+        |      HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+        |                       AND l_shipdate < TIMESTAMP '2001-01-01'
+        |                      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) * 2
+        |             > sum(CAST(l_quantity AS DECIMAL(18,2)))),
+        |sq AS (SELECT l_suppkey, count(*) AS n_surging_parts FROM q GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name, n_surging_parts
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN sq ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+        |                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                            THEN 1 ELSE 0 END) AS any_late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_orderstatus = 'F'
+        |            GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late,
+        |              max(CASE WHEN any_late = 1 THEN l_suppkey END) AS late_supp
+        |       FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
 
     "asof_join" ->
       s"""WITH $evCte,

@@ -1213,4 +1213,188 @@ object Analytics {
         sum(dec("c_acctbal")).cast("double").as("total_bal"))
       .orderBy("n_name")
   }
+
+  /** C46 — minimum-cost supplier per part (TPC-H Q2 shape; the corpus has
+    * no partsupp, so "supply cost" is each supplier's average historical
+    * unit sale price for the part, from lineitem). Within one part slice
+    * (type + size bound, Q2's region-of-interest), every supplier whose
+    * average unit price for a part EQUALS that part's minimum — ties kept,
+    * like Q2's correlated `= (SELECT min …)` — joined back to supplier
+    * detail and ranked by account balance (Q2's output order).
+    *
+    * Scale shape: the slice filter pushes to the part scan and restricts
+    * lineitem FIRST via a keyed join; the per-(part, supplier) aggregate
+    * collapses map-side; the per-part min reuses that aggregate's exchange
+    * (same key prefix). The unit cost is one IEEE double quotient of two
+    * exact decimal sums — division is bit-specified in IEEE 754, so both
+    * engines derive the identical double from identical decimals and the
+    * min-equality join-back cannot be split by rounding (the q15 tie
+    * discipline, applied per group). Top-k is TakeOrderedAndProject.
+    */
+  def q2MinCost(spark: SparkSession, dir: String, ptype: String = "ECONOMY",
+                maxSize: Int = 10, k: Int = 100): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_type") === ptype && col("p_size") <= maxSize)
+      .select("p_partkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(dec("l_extendedprice")).cast("double") /
+        sum(dec("l_quantity")).cast("double")).as("unit_cost"))
+    val minc = ps.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    ps.join(minc, col("l_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(k)
+  }
+
+  /** C47 — important stock (TPC-H Q11 shape; stock value proxied as each
+    * part's lifetime quantity × retail price — no partsupp availqty in
+    * this corpus): the parts whose stock value exceeds twice the mean
+    * part's, i.e. the inventory lines big enough to manage individually.
+    * Q11's literal fraction threshold shrinks with SF (0.0001/SF); the
+    * mean-relative form is the same "share of the global total" gate made
+    * scale-invariant, so the query is non-vacuous at every SF.
+    *
+    * Scale shape: the per-part aggregate is keyed (part is fact-scale);
+    * the global (total, n_parts) anchor is a 1-row scalar broadcast back
+    * onto it (whitelisted attach), and the threshold multiplies through —
+    * `value·n·10 > 13·total` (1.3× the mean) over exact decimals and
+    * integer literals, no double division in a filter (the q22
+    * discipline). Output is the above-threshold survivor set,
+    * value-ranked with key tie-break.
+    */
+  def q11Important(spark: SparkSession, dir: String): DataFrame = {
+    val value = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec("l_quantity") * dec("p_retailprice")).as("value"))
+    val anchor = value.agg(sum(col("value")).as("total"), count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(anchor))
+      .where(col("value") * col("n_parts") * lit(10) > col("total") * lit(13))
+      .select(col("l_partkey").as("p_partkey"), col("value").cast("double").as("stock_value"))
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
+
+  /** C48 — supplier variety by part attribute (TPC-H Q16 shape; the
+    * part–supplier relation comes from lineitem history — who actually
+    * shipped the part — instead of the partsupp catalog this corpus
+    * lacks): for each (brand, type, size) outside one excluded brand, how
+    * many distinct suppliers can source it — the supply-chain-risk
+    * inventory (a one-supplier attribute cell is a single point of
+    * failure).
+    *
+    * Scale shape: the exclusion pushes to the part scan; the join is
+    * keyed; `countDistinct` plans the standard two-level expand —
+    * partial-distinct (brand, type, size, supp) map-side, then a
+    * cardinality count — so the shuffle carries the distinct pair set,
+    * not the fact rows. Output cardinality is the attribute grid.
+    */
+  def q16Variety(spark: SparkSession, dir: String,
+                 excludeBrand: String = "Brand#1"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, dir)
+          .where(col("p_brand") =!= excludeBrand)
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** C49 — surging-demand suppliers (TPC-H Q20 shape; availability is
+    * proxied by shipment history — no partsupp availqty): suppliers of one
+    * nation for whom some name-matched part had MORE than half its
+    * lifetime quantity shipped in one recent year — the supply lines a
+    * buyer audits before committing next year's volume. Q20's nested
+    * semi-join chain: part name-filter → per-(supplier, part) quantity
+    * test → distinct supplier key-set → supplier detail.
+    *
+    * Scale shape: the name filter pushes to the part scan and restricts
+    * lineitem via a keyed join BEFORE any aggregate; the year/lifetime
+    * sums come out of ONE conditional-aggregate pass over that restricted
+    * join (no second scan); the qualifying test multiplies through
+    * (`2·q_year > q_total` over exact decimals, which also implies
+    * q_year > 0); the supplier side joins keyed against the qualifying
+    * per-supplier counts — each supplier emits at most once however many
+    * parts qualify. Nation broadcast for the name column (Q2O's one-nation
+    * filter is dropped so the query is non-vacuous at the gate SF — a
+    * caller narrows by n_name); output is the qualifying supplier list
+    * with the surging-part count carried for context.
+    */
+  def q20Excess(spark: SparkSession, dir: String, namePattern: String = "%widget%",
+                year0: String = "2000-01-01", year1: String = "2001-01-01"): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .where(col("p_name").like(namePattern)).select("p_partkey")
+    val inYear = col("l_shipdate") >= lit(year0).cast("timestamp") &&
+      col("l_shipdate") < lit(year1).cast("timestamp")
+    val qualifying = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(inYear, dec("l_quantity")).otherwise(lit(0).cast("decimal(18,2)")))
+        .as("q_year"), sum(dec("l_quantity")).as("q_total"))
+      .where(col("q_year") * lit(2) > col("q_total"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_surging_parts"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_surging_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  /** C50 — sole-late-supplier ranking (TPC-H Q21 shape; lateness is
+    * ship-vs-order latency >60 days — this corpus has no commit/receipt
+    * dates): for finalized multi-supplier orders where EXACTLY ONE
+    * supplier shipped late, charge that supplier — Q21's
+    * exists/not-exists pair (another supplier on the order / no OTHER
+    * late supplier) — and rank suppliers by how many orders they alone
+    * held up.
+    *
+    * Scale shape: Q21's textbook form is two correlated self-joins on
+    * lineitem (exists + not exists); here both collapse into TWO keyed
+    * aggregates over the one unavoidable orders⋈lineitem join — per
+    * (order, supplier) a late flag (map-side partials), then per order
+    * (n_suppliers, n_late, the single late key via a conditional max) —
+    * so the fact table is never self-joined and partition order can't
+    * leak (the conditional max is only published where n_late = 1).
+    * Supplier detail joins keyed against the per-supplier counts
+    * (supplier is fact-scale); top-k is TakeOrderedAndProject with key
+    * tie-break.
+    */
+  def q21Waiting(spark: SparkSession, dir: String, lateDays: Int = 60,
+                 k: Int = 100): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L).otherwise(0L))
+        .as("any_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("any_late")).as("n_late"),
+        max(when(col("any_late") === 1L, col("l_suppkey"))).as("late_supp"))
+      .where(col("n_supp") > 1 && col("n_late") === 1L)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
 }

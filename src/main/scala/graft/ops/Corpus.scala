@@ -406,6 +406,47 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** B66 — corpus-accumulation novelty curve: sources in deterministic
+    * acquisition order (ascending name — the stable proxy both engines
+    * agree on), and for each source how many of its distinct 8-gram
+    * shingles were NEVER seen in any earlier source — the "what does the
+    * next crawl buy us" curve a data-acquisition plan reads. A source
+    * whose novelty_rate is near zero duplicates the corpus it joins
+    * (cut it before paying to process it); the cumulative column is the
+    * corpus's distinct-shingle growth curve, the saturating-returns
+    * evidence behind dedup-aware acquisition ordering.
+    *
+    * Scale shape: ONE distinct (source, shingle-hash) universe feeds both
+    * sides (persisted — the same two-consumer pattern as sourceOverlap);
+    * "first source to contribute h" is `min(source)` over that universe —
+    * because acquisition rank IS name order, the min collapses map-side
+    * with no rank table and no join back to data; per-source totals are a
+    * second map-side collapse of the same frame. The cumulative sum is a
+    * global window over the per-SOURCE aggregate (source cardinality, a
+    * whitelisted bounded-input window like daily_trend). Shingles never
+    * shuffle text: the universe carries (source, 64-bit hash) only.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String, shingleK: Int = 8): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true)
+          .getField("hv")).as("h"))
+      .distinct()
+      .persist()
+    val novel = sh.groupBy("h").agg(min(col("source")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
+    val out = sh.groupBy("source").agg(count(lit(1)).as("total_shingles"))
+      .join(novel, Seq("source"), "left_outer")
+      .select(col("source"), col("total_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"))
+      .withColumn("novelty_rate",
+        round(col("novel_shingles").cast("double") / col("total_shingles"), 6))
+      .withColumn("cum_novel", sum(col("novel_shingles"))
+        .over(Window.orderBy("source").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("source")
+    out
+  }
+
   /** B56 — corpus concentration report: how dominated is the corpus by its
     * largest sources — Herfindahl-Hirschman index over per-source char
     * volume (Σ shareᵢ², the standard concentration number), its inverse

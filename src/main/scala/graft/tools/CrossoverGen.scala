@@ -49,6 +49,12 @@ import org.apache.spark.sql.functions._
   * p_size 1..50 — uniform like the real generator's draws), so
   * q4/q8/q10/q12/q13/q14/q15/q18/q19/q22 all measure real work.
   *
+  * v8 (the round-13 TPC-H completion): part gains p_name
+  * (adjective+noun grid, 'widget' ≈ 1/8 — the real ~13% LIKE-pattern
+  * marginal) and p_retailprice (900..999.9 2-dp), supplier gains
+  * s_acctbal ([-999, 10000] 2-dp) — the columns
+  * q2/q9/q11/q16/q17/q20/q21 measure on.
+  *
   * Deterministic: every row is a pure function of its id (per-row
   * java.util.Random seeded by a splitmix of the id), so exact-duplicate
   * donors regenerate their donor's text without reading it. Generation is
@@ -268,20 +274,33 @@ object CrossoverGen {
       customer.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
       // v6: part dimension for q8/q14/q19 — uniform categorical draws like
-      // the real generator's (25 brands, 6 types, sizes 1..50)
+      // the real generator's (25 brands, 6 types, sizes 1..50).
+      // v8: p_name (adjective+noun, widget ≈ 1/8 — the real ~13% marginal)
+      // and p_retailprice (the measured 900..999.9 2-dp span) for
+      // q9_margin/q11_important/q20_excess.
       val part = spark.range(nParts).as[Long].mapPartitions { ids =>
         val types = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+        val adjs = Array("red", "blue", "small", "hot", "green", "cold", "large", "dim")
+        val nouns = Array("ring", "widget", "bolt", "gear", "gizmo", "plate", "cog", "pin")
         ids.map { id =>
           val r = mix(0x9A27L ^ id)
+          val name = s"${adjs(r.nextInt(adjs.length))} ${nouns(r.nextInt(nouns.length))}"
+          val retail = math.rint((900.0 + r.nextDouble() * 99.9) * 100) / 100
           (id, s"Brand#${1 + r.nextInt(25)}", types(r.nextInt(types.length)),
-            1 + r.nextInt(50))
+            1 + r.nextInt(50), name, retail)
         }
-      }.toDF("p_partkey", "p_brand", "p_type", "p_size")
+      }.toDF("p_partkey", "p_brand", "p_type", "p_size", "p_name", "p_retailprice")
       part.write.mode("overwrite").parquet(s"$outDir/part.parquet")
 
+      // v8: s_acctbal (the measured [-999, 10000] 2-dp span) for q2_min_cost
       val supplier = spark.range(nSupp).as[Long].mapPartitions { ids =>
-        ids.map { id => (id, mix(0x50BBL ^ id).nextInt(25), s"Supplier#$id") }
-      }.toDF("s_suppkey", "s_nationkey", "s_name")
+        ids.map { id =>
+          val r = mix(0x50BBL ^ id)
+          val natKey = r.nextInt(25)
+          val bal = math.rint((-999.0 + r.nextDouble() * 10999.0) * 100) / 100
+          (id, natKey, s"Supplier#$id", bal)
+        }
+      }.toDF("s_suppkey", "s_nationkey", "s_name", "s_acctbal")
       supplier.write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
 
       val nation = (0 until 25).map(i => (i, s"NATION_$i", i % 5))

@@ -191,4 +191,32 @@ class CorpusSpec extends SparkSpec {
     }
     assert(got.keys.map(_._2).toSet.size > 1, "multiple occupied buckets at gate SF")
   }
+
+  test("noveltyCurve matches a local first-contributor replay over the shingle universe") {
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = Corpus.noveltyCurve(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // the hash expression itself is bit-verified by FunctionsSpec and the
+    // DuckDB oracle; this replay independently re-derives the ACCOUNTING
+    // (first contributor, totals, rate, cumulative) from the raw universe
+    val universe = Tables.documents(spark, sf0001)
+      .select(col("source"), explode(graft.functions.VectorExpressions
+        .shingleHashes(col("text"), 8, md5Based = true).getField("hv")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = universe.groupBy(_._1)
+    val first = universe.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val novel = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val want = bySource.keys.toSeq.sorted.map { s =>
+      val tot = bySource(s).length.toLong
+      val nv = novel.getOrElse(s, 0L)
+      cum += nv
+      (s, tot, nv, r6(nv.toDouble / tot), cum)
+    }
+    assert(got.toSeq === want, "per-source novelty accounting must replay exactly")
+    assert(got.head._4 === 1.0, "the first source is all-novel by definition")
+    assert(got.map(_._3).sum === first.size.toLong, "novel counts partition the universe")
+    assert(got.last._5 === first.size.toLong, "the curve saturates at the universe size")
+  }
 }

@@ -672,4 +672,132 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(got(n)._2 - bal) < 1e-6, s"nation $n balance")
     }
   }
+
+  test("q2MinCost: IEEE unit-cost quotient keeps min ties, plans TakeOrdered, matches a replay") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val q = Analytics.q2MinCost(spark, sf0001)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must plan a bounded heap, not a global sort")
+    val got = q.collect().map(r =>
+      (r.getDouble(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty, "slice non-vacuous at gate SF")
+    val sliceParts = Tables.part(spark, sf0001)
+      .where(col("p_type") === "ECONOMY" && col("p_size") <= 10)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    // per (part, supp): IEEE quotient of exact decimal sums — the same
+    // double both engines derive, so min/equality replay bit-exactly
+    val costs = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), d2(r.getDouble(2)), d2(r.getDouble(3))))
+      .filter(r => sliceParts(r._1))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(xs => xs.map(_._3).sum.toDouble / xs.map(_._4).sum.toDouble).toMap
+    val minCost = costs.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val nat = Tables.nation(spark, sf0001).select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supp = Tables.supplier(spark, sf0001)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), nat(r.getInt(2)), r.getDouble(3))).toMap
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = costs.collect { case ((pk, sk), c) if c == minCost(pk) =>
+      val (sn, nn, bal) = supp(sk); (bal, sn, nn, pk, r6(c))
+    }.toSeq.sortBy(t => (-t._1, t._2, t._4)).take(100)
+    assert(got.toSeq === want, "min-cost join-back must keep exactly the per-part minima")
+  }
+
+  test("q11Important: scale-invariant mean-relative threshold matches an exact-decimal replay") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = Analytics.q11Important(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty, "above-threshold parts exist at gate SF")
+    val retail = Tables.part(spark, sf0001).select("p_partkey", "p_retailprice")
+      .collect().map(r => r.getLong(0) -> d2(r.getDouble(1))).toMap
+    val values = Tables.lineitem(spark, sf0001).select("l_partkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), d2(r.getDouble(1))))
+      .groupBy(_._1).view
+      .mapValues(xs => xs.map { case (pk, q) => q * retail(pk) }.sum).toMap
+    val total = values.values.sum
+    val n = values.size
+    val want = values.toSeq
+      .filter { case (_, v) => v * n * 10 > total * 13 }
+      .map { case (pk, v) => (pk, v.toDouble) }
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq === want, "threshold survivors and order must replay exactly")
+  }
+
+  test("q16Variety: distinct-supplier grid matches a replay and excludes the brand") {
+    val got = Analytics.q16Variety(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty, "attribute grid non-vacuous at gate SF")
+    assert(!got.keySet.exists(_._1 == "Brand#1"), "excluded brand must not appear")
+    val attrs = Tables.part(spark, sf0001)
+      .where(col("p_brand") =!= "Brand#1")
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    val want = Tables.lineitem(spark, sf0001).select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (pk, sk) => attrs.get(pk).map(a => (a, sk)) }
+      .distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got === want, "per-cell distinct supplier counts must replay")
+  }
+
+  test("q20Excess: conditional-sum surge test matches an exact-decimal replay") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = Analytics.q20Excess(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(got.nonEmpty, "surging suppliers exist at gate SF")
+    val widget = Tables.part(spark, sf0001)
+      .where(col("p_name").like("%widget%")).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val y0 = java.time.LocalDate.parse("2000-01-01").toEpochDay
+    val y1 = java.time.LocalDate.parse("2001-01-01").toEpochDay
+    val pairs = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_partkey", "l_suppkey", "l_quantity",
+        "cast(l_shipdate as timestamp) as sd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), d2(r.getDouble(2)),
+        r.getTimestamp(3).toInstant.getEpochSecond / 86400))
+      .filter(r => widget(r._1))
+      .groupBy(r => (r._2, r._1)).view
+      .mapValues { xs =>
+        val qy = xs.filter(x => x._4 >= y0 && x._4 < y1).map(_._3).sum
+        (qy, xs.map(_._3).sum)
+      }.toMap
+    val want = pairs.collect { case ((sk, _), (qy, qt)) if qy * 2 > qt => sk }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === want.keySet, "qualifying supplier set must replay")
+    for ((sk, n) <- want) assert(got(sk)._3 === n, s"supplier $sk surging-part count")
+    // every row qualifies: at least one part shipped most of its volume in-year
+    assert(got.values.forall(_._3 >= 1L))
+  }
+
+  test("q21Waiting: sole-late-supplier charge matches a replay; no lineitem self-join planned") {
+    val q = Analytics.q21Waiting(spark, sf0001)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must plan a bounded heap")
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty, "sole-late suppliers exist at gate SF")
+    val ord = Tables.orders(spark, sf0001).where(col("o_orderstatus") === "F")
+      .selectExpr("o_orderkey", "cast(o_orderdate as timestamp) as od").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toInstant.getEpochSecond).toMap
+    val perSupp = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey", "l_suppkey", "cast(l_shipdate as timestamp) as sd").collect()
+      .flatMap { r =>
+        ord.get(r.getLong(0)).map { od =>
+          ((r.getLong(0), r.getLong(1)),
+            if (r.getTimestamp(2).toInstant.getEpochSecond > od + 60L * 86400) 1 else 0)
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val byOrder = perSupp.groupBy(_._1._1)
+    val waits = byOrder.collect {
+      case (_, supps) if supps.size > 1 && supps.values.sum == 1 =>
+        supps.find(_._2 == 1).get._1._2
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val names = Tables.supplier(spark, sf0001).select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = waits.toSeq.map { case (sk, n) => (sk, names(sk), n) }
+      .sortBy(t => (-t._3, t._1)).take(100)
+    assert(got.toSeq === want, "numwait ranking must replay exactly")
+  }
 }

@@ -58,7 +58,8 @@ class PlanGuardSpec extends SparkSpec {
                           // against the corpus; ann_lsh/ann_ivf are the
                           // scale paths and stay equi-join-only
     "q22_dormant",        // broadcast 1-row (Σbal, n) average-balance scalar
-    "q15_top_supplier"    // broadcast 1-row max-revenue scalar
+    "q15_top_supplier",   // broadcast 1-row max-revenue scalar
+    "q11_important"       // broadcast 1-row (Σvalue, n_parts) stock-value scalar
   )
 
   test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {
@@ -87,7 +88,8 @@ class PlanGuardSpec extends SparkSpec {
   private val globalWindowOk = Map(
     "daily_trend" -> "trailing RANGE frame over the per-day aggregate (calendar cardinality)",
     "training_order" -> ("prefix-sum over the ≤2^shardBits-row shard table (the constant " +
-      "partition key folds away; the CORPUS-width window stays sharded)")
+      "partition key folds away; the CORPUS-width window stays sharded)"),
+    "novelty_curve" -> "cumulative sum over the per-source aggregate (source cardinality)"
   )
 
   test("no registered query plans a global (un-partitioned) window over an unbounded input") {
