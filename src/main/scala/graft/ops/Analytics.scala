@@ -1224,12 +1224,15 @@ object Analytics {
     *
     * Scale shape: the slice filter pushes to the part scan and restricts
     * lineitem FIRST via a keyed join; the per-(part, supplier) aggregate
-    * collapses map-side; the per-part min reuses that aggregate's exchange
-    * (same key prefix). The unit cost is one IEEE double quotient of two
-    * exact decimal sums — division is bit-specified in IEEE 754, so both
-    * engines derive the identical double from identical decimals and the
-    * min-equality join-back cannot be split by rounding (the q15 tie
-    * discipline, applied per group). Top-k is TakeOrderedAndProject.
+    * collapses map-side; the per-part min is a window PARTITIONED on the
+    * part key over that aggregate — one subtree, one extra part-keyed
+    * exchange, where the textbook `= (SELECT min …)` join-back re-plans
+    * (and re-scans) the whole aggregate as a second input. The unit cost
+    * is one IEEE double quotient of two exact decimal sums — division is
+    * bit-specified in IEEE 754, so both engines derive the identical
+    * double from identical decimals and the min-equality cut cannot be
+    * split by rounding (the q15 tie discipline, applied per group). Top-k
+    * is TakeOrderedAndProject.
     */
   def q2MinCost(spark: SparkSession, dir: String, ptype: String = "ECONOMY",
                 maxSize: Int = 10, k: Int = 100): DataFrame = {
@@ -1242,10 +1245,9 @@ object Analytics {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((sum(dec("l_extendedprice")).cast("double") /
         sum(dec("l_quantity")).cast("double")).as("unit_cost"))
-    val minc = ps.groupBy(col("l_partkey").as("mc_partkey"))
-      .agg(min(col("unit_cost")).as("min_cost"))
-    ps.join(minc, col("l_partkey") === col("mc_partkey") &&
-        col("unit_cost") === col("min_cost"))
+    ps.withColumn("min_cost",
+        min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("unit_cost") === col("min_cost"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
