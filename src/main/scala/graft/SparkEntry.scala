@@ -146,6 +146,7 @@ object SparkEntry {
     "topk_per_group"       -> ((s, d) => Analytics.topkPerGroup(s, d)),
     "corpus_rollup"        -> ((s, d) => Analytics.corpusRollup(s, d)),
     "events_cube"          -> ((s, d) => Analytics.eventsCube(s, d)),
+    "daily_type_matrix"    -> ((s, d) => Analytics.dailyTypeMatrix(s, d)),
     "retention_cohorts"    -> ((s, d) => Analytics.retentionCohorts(s, d)),
     "funnel_counts"        -> ((s, d) => Analytics.funnelCounts(s, d)),
     "distinct_users"       -> ((s, d) => Analytics.distinctUsers(s, d)),
@@ -1834,6 +1835,19 @@ object SparkEntry {
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM e GROUP BY CUBE (event_type, dow)
          |ORDER BY gid, event_type, dow""".stripMargin,
+
+    "daily_type_matrix" ->
+      s"""WITH $evCte,
+         |e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type FROM ev)
+         |SELECT day,
+         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |       CAST(sum(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "retention_cohorts" ->
       s"""WITH $evCte,

@@ -192,6 +192,37 @@ object Analytics {
         col("gid"), col("n_events"), col("sum_value"))
       .orderBy("gid", "event_type", "dow")
 
+  /** C51 — daily event-type matrix (PIVOT shape): per day, one column per
+    * event type — the wide dashboard/export form of the long (day, type)
+    * aggregate, the shape BI tools and spreadsheet handoffs consume
+    * without a client-side reshape. The board's one relational PIVOT
+    * (cube/rollup emit long-form subtotals; this emits wide-form columns).
+    *
+    * Scale shape: `pivot` is called with the EXPLICIT type inventory —
+    * value-less pivot pays an extra distinct-collect job over the fact
+    * table just to discover column names, and its output schema becomes
+    * data-dependent (a schema decided by a scan is an operational hazard
+    * at 100 TB: a corrupt row mints a column). With explicit values Spark
+    * compiles the pivot to ONE two-level aggregate whose shuffle carries
+    * |days| × (|types|+1) counters — no second pass. The row total sums
+    * the pivoted columns (NOT count(*)): with a fixed inventory they are
+    * equal, and if an unknown type ever appears the pivot drops it while
+    * count(*) would silently include it — summing columns keeps the row
+    * internally consistent in both engines.
+    */
+  def dailyTypeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, dir)
+      .withColumn("day", expr(epochFloorDiv(86400)))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    types.foldLeft(wide)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+      .withColumn("n_total", types.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy("day")
+  }
+
   /** C13 — cohort retention: users grouped by first-activity week, counted
     * in each subsequent week they return. ONE full-data shuffle: the
     * per-user week set aggregates directly on the user key (set partials

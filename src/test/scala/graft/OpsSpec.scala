@@ -673,6 +673,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dailyTypeMatrix: explicit-values pivot plans one scan and matches a long-form replay") {
+    val q = Analytics.dailyTypeMatrix(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length === 1,
+      s"explicit-values pivot must not add a distinct-discovery scan:\n$plan")
+    val got = q.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val long = Tables.events(spark, sf0001)
+      .selectExpr("cast(cast(ts as timestamp) as long) div 86400 as day", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet === long.keySet)
+    for ((day, evs) <- long) {
+      val w = got(day)
+      val c = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => evs.count(_ == t).toLong)
+      assert(Seq(w._1, w._2, w._3, w._4, w._5) === c, s"day $day pivot cells")
+      assert(w._6 === c.sum, s"day $day row total consistent with its cells")
+    }
+  }
+
   test("q2MinCost: IEEE unit-cost quotient keeps min ties, plans TakeOrdered, matches a replay") {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val q = Analytics.q2MinCost(spark, sf0001)
