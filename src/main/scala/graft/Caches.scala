@@ -35,7 +35,10 @@ object Caches {
     graft.ops.Similarity.invalidateCentroidCache()
     graft.ops.Versioned.invalidateEpochCache()
     // QualityModel's weight memo deliberately survives: it caches a
-    // deterministic computation result (48 bytes), not data blocks — see
-    // its scaladoc; mutating writers call invalidateWeightCache directly.
+    // deterministic computation result (48 bytes), not data blocks, and its
+    // key embeds a file-metadata fingerprint of the documents table, so a
+    // rewritten corpus misses the memo with no invalidation call needed —
+    // see its scaladoc. QualityModel.invalidateWeightCache (public) exists
+    // only to force a re-train cost measurement (bench's quality_train).
   }
 }

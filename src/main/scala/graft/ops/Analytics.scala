@@ -1064,21 +1064,6 @@ object Analytics {
       .limit(k)
   }
 
-  /** C40 — dormant high-balance customers (TPC-H Q22 shape): customers
-    * with above-average positive account balance and NO order since a
-    * cutoff, by nation — the win-back list with the budget to come back.
-    * The board's scalar-subquery + anti-join composition (C17's anti-join
-    * has no scalar gate; rfm's scalars have no anti-join).
-    *
-    * Scale shape: the average is a 1-row (sum, count) scalar broadcast
-    * onto the customer scan (whitelisted 1-row attach, PlanGuardSpec);
-    * the above-average test multiplies through instead of dividing —
-    * `bal·n > Σbal` over exact decimals, so no engine-dependent double
-    * division sits in a FILTER (a row on the boundary must fall the same
-    * side in both engines). The recency test is a LEFT ANTI join against
-    * the cutoff-filtered orders scan — each customer emits at most once
-    * however many orders they placed, no distinct pass needed.
-    */
   /** C41 — shipping-latency SLA breakdown (TPC-H Q12 spirit, latency
     * buckets instead of the ship-mode column this corpus lacks): per order
     * priority, how many lineitems shipped within 30/60/90/90+ days of the
@@ -1226,6 +1211,21 @@ object Analytics {
       .orderBy("supp_nation", "o_year")
   }
 
+  /** C40 — dormant high-balance customers (TPC-H Q22 shape): customers
+    * with above-average positive account balance and NO order since a
+    * cutoff, by nation — the win-back list with the budget to come back.
+    * The board's scalar-subquery + anti-join composition (C17's anti-join
+    * has no scalar gate; rfm's scalars have no anti-join).
+    *
+    * Scale shape: the average is a 1-row (sum, count) scalar broadcast
+    * onto the customer scan (whitelisted 1-row attach, PlanGuardSpec);
+    * the above-average test multiplies through instead of dividing —
+    * `bal·n > Σbal` over exact decimals, so no engine-dependent double
+    * division sits in a FILTER (a row on the boundary must fall the same
+    * side in both engines). The recency test is a LEFT ANTI join against
+    * the cutoff-filtered orders scan — each customer emits at most once
+    * however many orders they placed, no distinct pass needed.
+    */
   def q22Dormant(spark: SparkSession, dir: String,
                  since: String = "2001-01-01"): DataFrame = {
     val cust = Tables.customer(spark, dir)

@@ -147,13 +147,37 @@ object QualityModel {
     * passes per sweep sample is precisely the duplicate work the memo
     * exists to remove (and what a real curation run would never repeat —
     * it trains once, then sweeps/score-filters against the fitted model).
-    * Callers that mutate the documents under `dir` in-session invalidate
-    * with [[invalidateWeightCache]].
+    * Staleness is impossible by construction: the key includes a metadata
+    * FINGERPRINT of the documents table's data files (sorted name:length:
+    * mtime, hashed — [[docsFingerprint]]), so ANY rewrite of the corpus
+    * under `dir` misses the memo on the next call with no writer-side
+    * invalidation contract to forget (the r13 ADVICE gap: the old key was
+    * dir+hyperparams only and no mutating path called the invalidator).
+    * [[invalidateWeightCache]] remains public for callers that want to
+    * force a re-train cost measurement (the `quality_train` bench extra).
     */
   private val weightCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
-  private[graft] def invalidateWeightCache(): Unit = weightCache.clear()
+  def invalidateWeightCache(): Unit = weightCache.clear()
+
+  /** Metadata fingerprint of the documents table under `dir`. One
+    * driver-side file listing — the cost class query planning already pays
+    * per scan — bounded by file count, never data size.
+    */
+  private def docsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing =
+      if (!fs.exists(p)) "absent"
+      else
+        fs.listStatus(p).iterator
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .toSeq.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Count of actual GD training runs (memo misses) — the spec's observable
     * for "the sweep must not retrain"; not part of the public surface.
@@ -208,7 +232,8 @@ object QualityModel {
       .select(Seq(col("doc_id"), (p1 && p2 && p3).cast("double").as("label")) ++
         featureCols.map { case (n, c) => c.as(n) }: _*)
     val d = featureCols.length + 1 // + bias
-    val w = weightCache.computeIfAbsent(s"$dir|$iters|$step|$l2", _ =>
+    val w = weightCache.computeIfAbsent(
+      s"$dir|${docsFingerprint(spark, dir)}|$iters|$step|$l2", _ =>
       train(spark, feats, d, iters, step, l2))
     val wx = (lit(w(0)) +: featureCols.zipWithIndex.map { case ((name, _), i) =>
       col(name) * lit(w(i + 1))

@@ -71,9 +71,14 @@ object StreamingHeavyHitters {
         case None =>
           if (counters.size < k) counters(key) = offset + 1
           else {
+            // Textbook MG miss-on-full: the logical decrement-all is one
+            // offset bump + dead-key sweep, and the triggering arrival is
+            // absorbed UNSTORED — identical to B54 (Corpus.scala). Re-adding
+            // it post-sweep would seat singletons at effective count 1 that
+            // die together on the next bump, firing a bump every ~k-1 misses
+            // instead of every k+1 and voiding the total/(k+1) presence bar.
             offset += 1
             counters.filterInPlace { case (_, c) => c > offset }
-            if (counters.size < k) counters(key) = offset + 1
           }
       }
     }

@@ -167,4 +167,30 @@ class QualityModelSpec extends SparkSpec {
       "sweep re-ran training despite a memoized weight vector for the same " +
         "(dir, hyperparams)")
   }
+
+  test("weight memo misses when the documents table is rewritten (fingerprint key)") {
+    // r13 ADVICE: the old memo key was dir+hyperparams only, so an
+    // in-session corpus rewrite silently scored fresh data with stale
+    // weights. The key now embeds a file-metadata fingerprint: same files →
+    // memo hit, rewritten files → retrain, no invalidation call involved.
+    val dir = tempDir("qm_fp")
+    val src = spark.read.parquet(s"$sf0001/documents.parquet").limit(100).persist()
+    src.write.parquet(s"$dir/documents.parquet")
+    def score() = graft.ops.QualityModel.qualityClassifier(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val t0 = graft.ops.QualityModel.trainRuns.get()
+    score()
+    assert(graft.ops.QualityModel.trainRuns.get() === t0 + 1, "first call trains")
+    score()
+    assert(graft.ops.QualityModel.trainRuns.get() === t0 + 1,
+      "unchanged files must hit the memo")
+    // rewrite the table under the same dir (different row count → different
+    // file lengths, so mtime granularity cannot mask the change)
+    src.limit(80).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.Tables.invalidateSpread(s"$dir/documents.parquet")
+    src.unpersist()
+    score()
+    assert(graft.ops.QualityModel.trainRuns.get() === t0 + 2,
+      "a rewritten corpus must miss the memo and retrain")
+  }
 }

@@ -31,6 +31,24 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(est >= 60L - s.total / (k + 1), "undercount beyond the MG bound")
   }
 
+  test("MG update: k=2 tight-bound adversary — post-sweep re-admission would evict the heavy item") {
+    // The r13 ADVICE counter-example: k=2, heavy freq 10 interleaved with 15
+    // distinct singletons (total 25). Textbook MG guarantees presence for
+    // freq > total/(k+1) = 8.33; the old post-sweep re-admission fired a
+    // bump every ~k-1 misses and evicted the heavy item here.
+    val k = 2
+    val heavy = 999L
+    val stream = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to 15).foreach { i => if (i <= 10) stream += heavy; stream += i.toLong }
+    val s = StreamingHeavyHitters.update(HHState(Map.empty, 0L, 0L), stream.iterator, k)
+    assert(s.total === 25L)
+    assert(s.counters.size <= k)
+    assert(s.counters.contains(heavy.toString),
+      s"heavy item (freq 10 > total/(k+1) = ${s.total / (k + 1)}) must be present: $s")
+    val est = s.counters(heavy.toString) - s.offset
+    assert(est <= 10L && est >= 10L - s.total / (k + 1))
+  }
+
   test("streamed summaries find the per-type heavy users and state stays bounded") {
     val (src, out, ckpt) = (tempDir("hh_src"), tempDir("hh_out") + "/s", tempDir("hh_ckpt"))
     // user 1 dominates clicks, user 2 dominates views; 30 distinct light
