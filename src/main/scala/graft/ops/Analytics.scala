@@ -607,7 +607,7 @@ object Analytics {
     * not a prose promise).
     */
   def purchaseIntervals(spark: SparkSession, dir: String): DataFrame =
-    purchaseIntervalsWith(spark, dir, p => s"percentile(gap_s, $p)")
+    purchaseIntervalsWith(spark, dir, "percentile(gap_s, array(0.5D, 0.9D))")
 
   /** C32b — the one-pass 100 TB variant of [[purchaseIntervals]]:
     * `percentile_approx` (mergeable Greenwald-Khanna sketches) for the
@@ -620,30 +620,52 @@ object Analytics {
     * returns an engine-specific order statistic, no bit-exact cross-engine
     * oracle); RelevanceSpec bounds the approx quantiles' RANK among the
     * true gap population within the published n/accuracy error.
+    *
+    * Sketch-cost discipline (measured at 50× in CROSSOVER.json): ONE
+    * array-percentile sketch serves both quantiles (two scalar calls build
+    * two sketches and pay per-row GK compression twice), and the summary
+    * aggregate contains NO distinct aggregate — `count_distinct` would
+    * trigger Catalyst's distinct rewrite, which partial-aggregates the
+    * sketch PER USER and then merges one sketch per repeat buyer (~5×
+    * slower than the exact buffer at 50×, the opposite of the swap's
+    * point). repeat_users instead counts first-intervals: a second `lag`
+    * on the window the gap already pays for marks the row where
+    * `lag(s,2)` is null — exactly one such row per repeat buyer.
     */
   def purchaseIntervalsApprox(spark: SparkSession, dir: String,
                               accuracy: Int = 10000): DataFrame =
-    purchaseIntervalsWith(spark, dir, p => s"percentile_approx(gap_s, $p, $accuracy)")
+    purchaseIntervalsWith(spark, dir,
+      s"percentile_approx(gap_s, array(0.5D, 0.9D), $accuracy)")
 
   /** Shared scaffold for the exact and sketch interval variants: only the
-    * quantile aggregate expression differs, so only it varies — the
+    * quantile aggregate expression (an ARRAY percentile over [0.5, 0.9] —
+    * one buffer serves both cuts) differs, so only it varies — the
     * purchase filter, lag window, and summary columns can't drift between
-    * the two (the percentilesByLang discipline).
+    * the two (the percentilesByLang discipline). repeat_users counts
+    * first-intervals (`lag(s,2)` null on a surviving gap row) instead of
+    * `count_distinct(user_id)`: same value — each repeat buyer has exactly
+    * one first interval — but it keeps the one-row collapse free of the
+    * distinct-aggregate rewrite, which would partial-aggregate the
+    * percentile buffer per user and merge one buffer per repeat buyer
+    * (measured 6-9× on the sketch variant at 50×; see C32b's scaladoc).
     */
   private def purchaseIntervalsWith(spark: SparkSession, dir: String,
-                                    pct: Double => String): DataFrame = {
+                                    quantiles: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"))
       .withColumn("gap_s", col("s") - lag(col("s"), 1).over(byUser))
+      .withColumn("first_gap", lag(col("s"), 2).over(byUser).isNull)
       .where(col("gap_s").isNotNull)
       .agg(
-        count_distinct(col("user_id")).as("repeat_users"),
+        count(when(col("first_gap"), lit(1))).as("repeat_users"),
         count(lit(1)).as("n_intervals"),
         round(sum(col("gap_s")).cast("double") / count(lit(1)) / 3600.0, 6).as("mean_hours"),
-        round(expr(pct(0.5)) / 3600.0, 6).as("p50_hours"),
-        round(expr(pct(0.9)) / 3600.0, 6).as("p90_hours"))
+        expr(quantiles).as("qs"))
+      .select(col("repeat_users"), col("n_intervals"), col("mean_hours"),
+        round(col("qs").getItem(0) / 3600.0, 6).as("p50_hours"),
+        round(col("qs").getItem(1) / 3600.0, 6).as("p90_hours"))
   }
 
   /** C31 — new vs returning daily actives: per day, distinct active users
