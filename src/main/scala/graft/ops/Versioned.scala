@@ -23,12 +23,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    construction because references, not directory listings, define the
   *    table.
   *
-  * Layout: `dir/data/v<N>-<i>.parquet` (files never mutated after commit),
-  * `dir/manifest-v<N>.json` (version, file names, file count). Single-writer
-  * (like the reference's one-connector-per-collection model): commits from
-  * one process at a time; readers are unrestricted.
+  * Layout: `dir/data/v<N>-<token>-<i>.parquet` (files never mutated after
+  * commit; names are OPAQUE — only the manifest's reference list defines a
+  * snapshot), `dir/manifest-v<N>.json` (version, file names, file count).
+  *
+  * Concurrency (the Delta protocol in miniature): version `N` belongs to
+  * whoever PUBLISHES `manifest-v<N>.json` first — publication is an atomic
+  * create-if-absent (temp write + no-overwrite rename via `FileContext`,
+  * the HDFS put-if-absent primitive; plus a per-dir JVM monitor that closes
+  * the local-filesystem exists/rename TOCTOU window for same-process
+  * writers). A committer that loses the race RE-RESOLVES the log and
+  * - **rebases appends**: re-reads the new latest manifest and republishes
+  *   (its files ++ own staged files) at the next version — appends commute,
+  *   so both writers' rows land, serialized, no lost files;
+  * - **fails replaces** with [[Versioned.ConcurrentWriteException]]: a
+  *   replace that raced would clobber a snapshot it never saw — the caller
+  *   must decide, not the library. The winner's snapshot is untouched and
+  *   the loser's staged files are unreferenced debris vacuum reclaims.
+  * Staging dirs, manifest temps, and data-file names all carry a per-commit
+  * random token, so concurrent attempts never collide on intermediate
+  * paths either. Readers are unrestricted throughout. (On stores whose
+  * rename cannot fail-if-present — e.g. S3 without a coordination layer —
+  * cross-PROCESS publication needs an external lock, same as Delta's
+  * LogStore contract; same-JVM writers are always safe via the monitor.)
   */
 object Versioned {
+
+  /** A REPLACE commit lost the publish race to a concurrent committer (see
+    * the object doc): the table moved under it, and replacing a snapshot
+    * the caller never observed is not safe to retry blindly.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -48,24 +73,65 @@ object Versioned {
       }.sorted.toSeq
   }
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  private def manifestNode(spark: SparkSession, dir: String,
+                           v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = fsOf(spark, new Path(dir))
     val in = fs.open(manifestPath(dir, v))
-    val node = try mapper.readTree(in) finally in.close()
+    try mapper.readTree(in) finally in.close()
+  }
+
+  private def filesOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     val files = node.path("files")
     (0 until files.size()).map(files.get(_).asText())
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, v: Long,
-                            files: Seq[String], epoch: Long = -1L): Unit = {
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    filesOf(manifestNode(spark, dir, v))
+
+  /** Per-commit random token: staging dirs, manifest temps, and data-file
+    * names all embed one, so concurrent commit ATTEMPTS never collide on
+    * intermediate paths (only the manifest publish itself is contended,
+    * and that is the atomic create-if-absent).
+    */
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+
+  /** Per-dir JVM monitor serializing resolve→publish for same-process
+    * writers — closes the exists/rename TOCTOU window local filesystems
+    * leave open. Cross-process safety rides on the store's no-overwrite
+    * rename (HDFS FileContext contract).
+    */
+  private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** The max streaming epoch as of manifest `prior` — a FRESH read of that
+    * manifest (never the driver cache, which a concurrent writer in
+    * another process can leave stale-low), falling back to the legacy
+    * all-manifests scan for pre-max_epoch tables. −1 for an empty log.
+    */
+  private def priorMaxEpoch(spark: SparkSession, dir: String,
+                            prior: Option[Long]): Long = prior match {
+    case None => -1L
+    case Some(p) =>
+      val node = manifestNode(spark, dir, p)
+      if (node.has("max_epoch")) node.get("max_epoch").asLong(-1L)
+      else versions(spark, dir).map(epochOf(spark, dir, _)).foldLeft(-1L)(math.max)
+  }
+
+  /** Atomically publish `manifest-v<v>.json`, claiming version `v`: temp
+    * write + no-overwrite rename (`FileContext` + `Options.Rename.NONE`,
+    * the HDFS put-if-absent primitive). Returns false — and removes the
+    * temp — when some other committer already owns `v`. The epoch carry
+    * (see [[maxEpoch]]) derives from the PRIOR manifest read fresh, so a
+    * concurrent writer's higher epoch is never laundered away by a stale
+    * driver cache.
+    */
+  private def publishManifest(spark: SparkSession, dir: String, v: Long,
+                              files: Seq[String], epoch: Long,
+                              prevMax: Long): Boolean = {
     val fs = fsOf(spark, new Path(dir))
-    // Carry the table's max streaming epoch forward into EVERY manifest
-    // (commit, append, and rollback alike), so the replay guard reads ONE
-    // field from ONE manifest — O(1) per micro-batch — and survives vacuum
-    // dropping the manifest that originally recorded the max (ADVICE r12:
-    // the guard used to re-parse every retained manifest per batch, and a
-    // vacuum could still erase the max it was scanning for).
-    val carried = math.max(epoch, maxEpoch(spark, dir))
+    val carried = math.max(epoch, prevMax)
     val node = mapper.createObjectNode()
     node.put("version", v)
     node.put("epoch", epoch)
@@ -76,21 +142,32 @@ object Versioned {
     // temp + rename: the manifest appears atomically or not at all — a
     // crash mid-commit leaves data files with NO manifest, which vacuum
     // reclaims and readers never see
-    val tmp = new Path(dir, s"_manifest-v$v.json.tmp")
+    val tmp = new Path(dir, s"_manifest-v$v-${newToken()}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     finally out.close()
-    if (!fs.rename(tmp, manifestPath(dir, v)))
-      sys.error(s"could not publish manifest v$v under $dir")
-    maxEpochCache.put(dir, java.lang.Long.valueOf(carried))
-    ()
+    val target = fs.makeQualified(manifestPath(dir, v))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    val won =
+      try { fc.rename(fs.makeQualified(tmp), target,
+        org.apache.hadoop.fs.Options.Rename.NONE); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: java.nio.file.FileAlreadyExistsException |
+                   _: org.apache.hadoop.fs.PathExistsException => false }
+    if (won) maxEpochCache.put(dir, java.lang.Long.valueOf(carried))
+    else fs.delete(tmp, false)
+    won
   }
 
   /** Driver-side running max epoch per table dir — saves even the one
     * small manifest read per skipped replay batch. Write-through from
-    * [[writeManifest]]; a fresh JVM faults it in from the latest manifest.
-    * Single-writer contract (object doc) makes the cache sound: no other
-    * process advances the epoch behind this driver's back.
+    * [[publishManifest]]; a fresh JVM faults it in from the latest
+    * manifest. Sound for [[epochWriter]]'s guard because ONE streaming
+    * query owns a table's epochs (its doc) — concurrent batch committers
+    * in other processes can make the cache stale-LOW, which only ever
+    * makes the guard stricter here, and the COMMIT path never trusts it
+    * (the epoch carry reads the prior manifest fresh, [[priorMaxEpoch]]).
     */
   private val maxEpochCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -134,8 +211,9 @@ object Versioned {
     * (the checkpoint advances only after foreachBatch returns), so a replay
     * of an epoch the table already holds must be a no-op — otherwise the
     * restart double-publishes. The guard is the manifest's own epoch field:
-    * strictly-greater epochs commit, replays skip. Same single-writer
-    * contract as [[commit]]; one streaming query per table dir.
+    * strictly-greater epochs commit, replays skip. ONE streaming query per
+    * table dir owns its epochs; interleaved batch committers are safe
+    * (they publish epoch −1 and the max carries forward).
     */
   def epochWriter(dir: String): (DataFrame, Long) => Unit = (df, epoch) => {
     val s = df.sparkSession
@@ -151,27 +229,59 @@ object Versioned {
     if (epoch > maxEpoch(s, dir)) { commit(s, df, dir, epoch); () }
   }
 
-  /** Commit `df` as the next version: stage the parquet write, move the
-    * part files to immutable names under data/, publish the manifest LAST.
-    * Returns the new version number. `epoch` tags streaming commits for
-    * [[epochWriter]]'s replay guard.
+  /** Stage `df`'s parquet parts into immutable token-unique names under
+    * data/, returning the placed file names. Runs OUTSIDE any lock — the
+    * expensive part of a commit is parallel across writers by design; only
+    * the manifest publish is contended.
     */
-  def commit(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
+  private def stage(spark: SparkSession, df: DataFrame, dir: String,
+                    attempt: Long): Seq[String] = {
     val base = new Path(dir)
     val fs = fsOf(spark, base)
     fs.mkdirs(new Path(base, "data"))
-    val v = versions(spark, dir).lastOption.getOrElse(0L) + 1
-    val staging = new Path(base, s"_staging-v$v")
+    val tok = newToken()
+    val staging = new Path(base, s"_staging-v$attempt-$tok")
     df.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging)
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val target = new Path(base, f"data/v$v%d-$i%05d.parquet")
-      if (!fs.rename(p, target)) sys.error(s"could not place ${p.getName} for v$v")
+      val target = new Path(base, f"data/v$attempt%d-$tok-$i%05d.parquet")
+      if (!fs.rename(p, target)) sys.error(s"could not place ${p.getName} for v$attempt")
       target.getName
     }
     fs.delete(staging, true)
-    writeManifest(spark, dir, v, named.toSeq, epoch)
+    named.toSeq
+  }
+
+  /** Commit `df` as the next version (REPLACE semantics): stage the parquet
+    * write, move the part files to immutable names under data/, publish the
+    * manifest LAST. Returns the new version number. `epoch` tags streaming
+    * commits for [[epochWriter]]'s replay guard.
+    *
+    * Concurrency: the log head is snapshotted BEFORE staging; if any other
+    * committer advances the table before this one publishes — or wins the
+    * atomic publish itself — the commit throws
+    * [[Versioned.ConcurrentWriteException]] rather than replace a snapshot
+    * it never observed (see the object doc). The staged files become
+    * unreferenced debris that [[vacuum]] reclaims; the winner is untouched.
+    */
+  def commit(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
+    val basis = versions(spark, dir).lastOption
+    val v = basis.getOrElse(0L) + 1
+    val named = stage(spark, df, dir, v)
+    lockFor(dir).synchronized {
+      val head = versions(spark, dir).lastOption
+      if (head != basis)
+        throw new ConcurrentWriteException(
+          s"replace of $dir based on v${basis.getOrElse(0L)} lost to a concurrent " +
+            s"commit (head is now v${head.getOrElse(0L)}); staged files are " +
+            "unreferenced and vacuumable")
+      if (!publishManifest(spark, dir, v, named, epoch,
+        priorMaxEpoch(spark, dir, basis)))
+        throw new ConcurrentWriteException(
+          s"replace of $dir lost the v$v manifest publish to a concurrent " +
+            "committer in another process; staged files are unreferenced and vacuumable")
+    }
     graft.Tables.invalidateSpread(dir)
     v
   }
@@ -182,27 +292,33 @@ object Versioned {
     * table already is, and the file-level delta between two append
     * versions is recoverable from the manifests alone ([[newFiles]]),
     * which is what incremental downstream maintenance consumes.
+    *
+    * Concurrency: appends commute, so a lost publish race REBASES — the
+    * loser re-reads the new latest manifest and republishes (its files ++
+    * own staged files) at the next version. Both writers' rows land, in
+    * serialized versions, no lost files, no data rewrite on retry (the
+    * staged files are version-agnostic; only the manifest is re-derived).
     */
   def append(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
-    val base = new Path(dir)
-    val fs = fsOf(spark, base)
-    fs.mkdirs(new Path(base, "data"))
-    val prior = versions(spark, dir).lastOption
-    val prevFiles = prior.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
-    val v = prior.getOrElse(0L) + 1
-    val staging = new Path(base, s"_staging-v$v")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val parts = fs.listStatus(staging)
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val named = parts.zipWithIndex.map { case (p, i) =>
-      val target = new Path(base, f"data/v$v%d-$i%05d.parquet")
-      if (!fs.rename(p, target)) sys.error(s"could not place ${p.getName} for v$v")
-      target.getName
+    val named = stage(spark, df, dir,
+      versions(spark, dir).lastOption.getOrElse(0L) + 1)
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val published = lockFor(dir).synchronized {
+        val prior = versions(spark, dir).lastOption
+        val v = prior.getOrElse(0L) + 1
+        val prevFiles = prior.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+        if (publishManifest(spark, dir, v, prevFiles ++ named, epoch,
+          priorMaxEpoch(spark, dir, prior))) Some(v) else None
+      }
+      published match {
+        case Some(v) => graft.Tables.invalidateSpread(dir); return v
+        case None => // another PROCESS claimed the version mid-window; re-resolve
+      }
     }
-    fs.delete(staging, true)
-    writeManifest(spark, dir, v, prevFiles ++ named.toSeq, epoch)
-    graft.Tables.invalidateSpread(dir)
-    v
+    sys.error(s"append to $dir could not publish after $attempts attempts " +
+      "(pathological cross-process contention)")
   }
 
   /** The data files version `to` references that version `since` does not
@@ -251,13 +367,27 @@ object Versioned {
     */
   def rollback(spark: SparkSession, dir: String, to: Long): Long = {
     val files = readManifest(spark, dir, to) // throws if `to` was never committed
-    val v = versions(spark, dir).last + 1
     // propagate the rolled-to snapshot's epoch so the rollback manifest
     // never weakens epochWriter's replay guard (belt to the max-across-
-    // manifests suspenders above — and vacuum can drop old manifests)
-    writeManifest(spark, dir, v, files, epochOf(spark, dir, to))
-    graft.Tables.invalidateSpread(dir)
-    v
+    // manifests suspenders above — and vacuum can drop old manifests).
+    // Concurrency: metadata-only and intent-preserving ("make the latest
+    // snapshot be `to`'s"), so a lost publish race re-resolves and retries
+    // at the next version — last-writer-wins serialization, like append.
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val published = lockFor(dir).synchronized {
+        val prior = versions(spark, dir).lastOption
+        val v = prior.getOrElse(0L) + 1
+        if (publishManifest(spark, dir, v, files, epochOf(spark, dir, to),
+          priorMaxEpoch(spark, dir, prior))) Some(v) else None
+      }
+      published match {
+        case Some(v) => graft.Tables.invalidateSpread(dir); return v
+        case None =>
+      }
+    }
+    sys.error(s"rollback of $dir could not publish after $attempts attempts")
   }
 
   /** Drop all but the newest `keepLast` manifests and delete every data
