@@ -51,6 +51,14 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
+  /** Vocab size up to which [[learnFrom]] runs its merge rounds on the
+    * driver — the same bounded-collect budget as the dup-cluster
+    * union-find's 64k edge cap (ops/Dedup.scala): ≤64k word types is a
+    * few MB of symbol arrays, and the local loop replaces one distributed
+    * job per merge round with microseconds of hashing.
+    */
+  val LocalVocabCap = 65536L
+
   val mergesSchema: StructType = StructType(Seq(
     StructField("rank", LongType, nullable = false),
     StructField("left", StringType, nullable = true),
@@ -93,8 +101,12 @@ object Bpe {
     * `takeOrdered(1)` argmax and a narrow rewrite map, constant cost per
     * round (16 merges ≈ 3 s). This is the "genuine per-partition iterative
     * logic" case the RDD escape hatch exists for.
+    *
+    * `localVocabCap` exists for the spec that pins local ≡ distributed
+    * (pass 0 to force the RDD loop); production callers take the default.
     */
-  def learnFrom(texts: DataFrame, merges: Int, minPairFreq: Long): DataFrame = {
+  def learnFrom(texts: DataFrame, merges: Int, minPairFreq: Long,
+                localVocabCap: Long = LocalVocabCap): DataFrame = {
     val spark = texts.sparkSession
     import spark.implicits._
     val wordFreq = texts
@@ -107,6 +119,50 @@ object Bpe {
         .map { case (w, f) => (w.map(_.toString).toList :+ EndOfWord: Seq[String], f) }
         .persist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // The loop state is one row per word TYPE — vocabulary-sized, not
+    // corpus-sized. When the vocab fits the same 64k driver bound the
+    // dup-cluster union-find uses (Dedup.scala), run the merge rounds
+    // LOCALLY: each distributed round costs one 2-stage job (~45 ms of
+    // pure scheduling at bench SF — profiled as ~60% of the whole
+    // bpe_learn wall, and the r13 0.76→1.25 s drift was this per-job floor
+    // riding the host's latency band), while the local loop over a ≤64k
+    // table costs microseconds and computes the IDENTICAL argmax (same
+    // (-freq, l, r) ordering, same minPairFreq stop — BpeSpec pins
+    // equality against an independent implementation). Above the bound the
+    // distributed loop stands: a 100 TB corpus's vocab is exactly what
+    // must not be collected. The count doubles as the cache-materializing
+    // action either way.
+    val vocabN = words.count()
+    if (vocabN <= localVocabCap) {
+      var local = words.collect()
+      words.unpersist()
+      var rankL = 1L
+      var doneL = false
+      while (rankL <= merges && !doneL) {
+        val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        local.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            stats.update(k, stats.getOrElse(k, 0L) + f)
+            i += 1
+          }
+        }
+        val best = stats.toSeq
+          .sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+        best match {
+          case Some(((l, r), f)) if f >= minPairFreq =>
+            learned += ((rankL, l, r, l + r, f))
+            local = local.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }
+            rankL += 1
+          case _ => doneL = true
+        }
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(learned.toSeq.map {
+          case (rk, l, r, m, f) => org.apache.spark.sql.Row(rk, l, r, m, f)
+        }, numSlices = 1), mergesSchema)
+    }
     // the round-(t-1) RDD stays cached until round t's stats action has
     // MATERIALIZED the round-t RDD from it (this round's rewrite reads the
     // cache, not the re-derived chain back to the corpus); released one

@@ -54,6 +54,23 @@ class BpeSpec extends SparkSpec {
     assert(got.length === 12, "the sf0.001 corpus supports at least 12 merges")
   }
 
+  test("local merge loop (vocab under the driver cap) equals the distributed RDD loop exactly") {
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf0001).select(col("text"))
+    // localVocabCap = 0 forces the distributed path on the same corpus the
+    // default (local, vocab ~31 << 64k) path serves — the two must learn
+    // the identical merge sequence, tie-breaks and stop condition included
+    val localRows = Bpe.learnFrom(texts, merges = 12, minPairFreq = 2L).collect()
+    val distRows = Bpe.learnFrom(texts, merges = 12, minPairFreq = 2L,
+      localVocabCap = 0L).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rank"), r.getString(1), r.getString(2), r.getString(3),
+        r.getAs[Long]("freq"))
+    assert(localRows.map(key).toSeq === distRows.map(key).toSeq,
+      "driver-local and RDD merge loops diverged")
+    assert(localRows.length === 12)
+  }
+
   test("hand corpus: ties break lexicographically, full merge then stop") {
     val s = spark
     import s.implicits._
