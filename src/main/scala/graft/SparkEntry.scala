@@ -107,6 +107,8 @@ object SparkEntry {
     "cluster_keep_best"    -> ((s, d) => Dedup.clusterKeepBest(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
     "dup_span_trim"        -> ((s, d) => Dedup.dupSpanTrim(s, d)),
+    "exact_substr_spans"   -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
+    "exact_substr_trim"    -> ((s, d) => Dedup.exactSubstrTrim(s, d)),
     "sparse_sim_pairs"     -> ((s, d) => graft.ops.Relevance.sparseCosinePairs(s, d)),
     "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -2002,6 +2004,49 @@ object SparkEntry {
         |       FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id AND tk.pos = ds.pos),
         |mk AS (SELECT *, max(d) OVER (PARTITION BY doc_id ORDER BY pos
         |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered FROM fl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(covered) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' ' ORDER BY pos), '')
+        |         AS trimmed_text
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // B67: maximal variable-length repeated spans — dup 20-gram start
+    // positions chained gaps-and-islands style (pos - row_number). Docs
+    // shorter than 20 tokens are excluded (a >=20-token repeat cannot
+    // exist in them), so generate_series' upper bound is always positive.
+    "exact_substr_spans" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |fil AS (SELECT * FROM arr WHERE len(t) >= 20),
+        |st AS (SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT AS h
+        |       FROM fil, unnest(generate_series(1, len(t) - 19)) AS g(i)),
+        |dup AS (SELECT h FROM st GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT st.doc_id, st.pos FROM st JOIN dup USING (h)),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |         FROM ds),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |              CAST(max(pos) + 19 AS BIGINT) AS span_end
+        |       FROM runs GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_len
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // B67b: the dup_span_trim replay at k = 20 (see exactSubstrTrim's
+    // equivalence note) — clamped slices keep short docs in, like B34.
+    "exact_substr_trim" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+19], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 19, 1))) AS g(i)),
+        |dup AS (SELECT h FROM st GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT st.doc_id, st.pos, CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS d
+        |       FROM st LEFT JOIN dup USING (h)),
+        |tk AS (SELECT doc_id, i AS pos, t[i] AS token
+        |       FROM arr, unnest(generate_series(1, len(t))) AS g(i)),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.token, coalesce(ds.d, 0) AS d
+        |       FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id AND tk.pos = ds.pos),
+        |mk AS (SELECT *, max(d) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS covered FROM fl)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       CAST(sum(covered) AS BIGINT) AS n_removed,
         |       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' ' ORDER BY pos), '')

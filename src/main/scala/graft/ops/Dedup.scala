@@ -229,6 +229,91 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B67 — variable-length exact-substring spans (the Lee et al.
+    * ExactSubstr granularity): every MAXIMAL corpus-repeated substring of
+    * ≥ `minLen` tokens, of ANY length — the templated span that straddles
+    * fixed-k-gram bookkeeping ([[dupSpanTrim]] reports coverage, not the
+    * repeat's true extent). One row per maximal span: (doc_id, span_start,
+    * span_end, span_len), 1-based inclusive token positions.
+    *
+    * The reduction that makes one pass suffice: a substring of length
+    * m ≥ L repeats corpus-wide ⟺ a duplicated L-gram STARTS at every one
+    * of positions s..s+m−L — so maximal repeats of ANY length are exactly
+    * the maximal CONSECUTIVE RUNS of duplicated-L-gram start positions
+    * (run [s, e] ⇒ span [s, e+L−1], length e−s+L: a planted 73-token
+    * repeat at L=20 surfaces as one 54-long run ⇒ exactly 73, no rounding
+    * to k-multiples). The published suffix-array pass is a single-machine
+    * construction; this run-chaining is its shuffle-native equivalent.
+    *
+    * Why direct L-gram hashing and not iterated doubling (dup k-grams →
+    * pair into 2k → re-group, log₂(L/k) rounds): doubling pays an EXTRA
+    * corpus-position-sized shuffle per round; hashing L tokens per
+    * position is an O(L)-bytes CPU constant inside the one expression
+    * pass the fixed-k operator already pays. At fact scale, shuffle bytes
+    * dominate codegen'd CPU — this plan keeps exactly one corpus-sized
+    * shuffle (the dup-gram groupBy, map-side combined) plus the per-doc
+    * window exchange, same as [[dupSpanTrim]].
+    *
+    * Docs shorter than `minLen` are excluded up front: a ≥L-token repeat
+    * cannot exist in them (a fully-duplicated short doc is B1's job), and
+    * their clamped whole-text gram would otherwise mint a phantom span.
+    * The run grouping key (pos − row_number) rides the SAME doc_id
+    * exchange as the window (hash partitioning on doc_id satisfies the
+    * (doc_id, grp) clustering), so spans add no shuffle of their own.
+    */
+  def exactSubstrSpans(spark: SparkSession, dir: String,
+                       minLen: Int = 20, minDup: Long = 2): DataFrame = {
+    val st = dupGramStarts(spark, dir, minLen, minDup)
+    val rn = Window.partitionBy("doc_id").orderBy("pos")
+    st.withColumn("grp", col("pos") - row_number().over(rn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(minLen) - 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The duplicated-L-gram start positions feeding [[exactSubstrSpans]] and
+    * [[exactSubstrTrim]]: (doc_id, pos) where a corpus-duplicated
+    * `minLen`-gram begins, over docs of ≥ `minLen` tokens.
+    */
+  private def dupGramStarts(spark: SparkSession, dir: String,
+                            minLen: Int, minDup: Long): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= minLen)
+      .select(col("doc_id"),
+        VectorExpressions.positionalShingleHashes(col("text"), minLen,
+          md5Based = true).as("ph"))
+    val st = base
+      .select(col("doc_id"), posexplode(col("ph")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = st.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minDup).select(col("h"))
+    st.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+  }
+
+  /** B67b — trim every maximal ≥`minLen`-token corpus-repeated substring
+    * from every document (all occurrences — the same curation-filter
+    * semantics as [[dupSpanTrim]]). Output shape matches B34: (doc_id,
+    * n_tokens, n_removed, trimmed_text) over the full corpus — short docs
+    * participate through their clamped whole-text gram (B34's existing
+    * semantics: a byte-identical short doc repeated corpus-wide is still
+    * duplicate material), which is also why this and the spans report
+    * differ on sub-L docs by design.
+    *
+    * For docs of ≥ minLen tokens this IS [[dupSpanTrim]] at k = minLen —
+    * provably: token p is inside some maximal ≥L repeat ⟺ a duplicated
+    * L-gram starts in [p−L+1, p] ⟺ B34's coverage window flags p. The
+    * delegation is the point, not a shortcut: the spans report
+    * ([[exactSubstrSpans]]) is what fixed-k machinery cannot express; the
+    * removal SET at k = L is identical, so re-deriving it would be a
+    * second code path to drift.
+    */
+  def exactSubstrTrim(spark: SparkSession, dir: String,
+                      minLen: Int = 20, minDup: Long = 2): DataFrame =
+    dupSpanTrim(spark, dir, k = minLen, minDup = minDup)
+
   /** B1b — dedup group stats: copies per distinct content. */
   def exactStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -164,6 +164,74 @@ class DedupSpec extends SparkSpec {
     assert(m(4L).getAs[Long]("n_removed") === 10L)
   }
 
+  test("exactSubstr: a planted 73-token shared span (non-multiple of L) is found at its exact length and trimmed from both docs") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("exactsubstr")
+    // 73 distinct tokens — 73 is not a multiple of L=20, so any fixed-k
+    // accounting would round it; the run-chaining must report exactly 73
+    val span = (1 to 73).map(i => s"sp$i").mkString(" ")
+    val fillA1 = (1 to 30).map(i => s"a$i").mkString(" ")  // span at pos 31
+    val fillA2 = (1 to 25).map(i => s"z$i").mkString(" ")
+    val fillB1 = (1 to 40).map(i => s"b$i").mkString(" ")  // span at pos 41
+    val fillB2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    // a 19-token shared run sits BELOW minLen=20: must produce no span
+    val sub = (1 to 19).map(i => s"sub$i").mkString(" ")
+    Seq(
+      (1L, s"$fillA1 $span $fillA2"),
+      (2L, s"$fillB1 $span $fillB2"),
+      (3L, s"$sub ${(1 to 30).map(i => s"c$i").mkString(" ")}"),
+      (4L, s"${(1 to 30).map(i => s"d$i").mkString(" ")} $sub")
+    ).map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val spans = Dedup.exactSubstrSpans(spark, dir, minLen = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
+    // exactly one maximal span per sharing doc, at the true 73-token extent
+    assert(spans.toSeq.sorted === Seq((1L, 31L, 103L, 73L), (2L, 41L, 113L, 73L)),
+      s"got ${spans.toSeq.sorted}")
+
+    val m = Dedup.exactSubstrTrim(spark, dir, minLen = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // both docs lose exactly the 73 span tokens; the unique context survives
+    assert(m(1L).getAs[Long]("n_removed") === 73L)
+    assert(m(2L).getAs[Long]("n_removed") === 73L)
+    assert(m(1L).getAs[String]("trimmed_text") === s"$fillA1 $fillA2")
+    assert(m(2L).getAs[String]("trimmed_text") === s"$fillB1 $fillB2")
+    // the 19-token shared run is under the length bar on BOTH surfaces
+    assert(m(3L).getAs[Long]("n_removed") === 0L)
+    assert(m(4L).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("exactSubstrSpans on the corpus: spans are disjoint maximal runs, all >= minLen, consistent with the trim count") {
+    val spans = Dedup.exactSubstrSpans(spark, sf0001, minLen = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
+    assert(spans.nonEmpty, "the corpus must contain >=20-token repeats at this SF")
+    assert(spans.forall { case (_, s, e, l) => l >= 20 && l === e - s + 1 })
+    // maximality: per doc, spans are disjoint AND non-adjacent (an
+    // adjacent/overlapping pair would have been one longer run)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc: spans [$e1] and [$s2] should have merged")
+        case _ =>
+      }
+    }
+    // coverage consistency vs the trim surface: for docs >= minLen tokens,
+    // n_removed equals the total span length (spans tile the removed set)
+    val trimmed = Dedup.exactSubstrTrim(spark, sf0001, minLen = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed")))
+    val spanTotal = spans.groupBy(_._1).map { case (d, ss) => d -> ss.map(_._4).sum }
+    trimmed.filter(_._2 >= 20).foreach { case (d, _, rem) =>
+      assert(rem === spanTotal.getOrElse(d, 0L),
+        s"doc $d: trim removed $rem but spans total ${spanTotal.getOrElse(d, 0L)}")
+    }
+  }
+
   test("lshPrecision counts exactly the registered verify's candidates and acceptances") {
     val r = graft.ops.Dedup.lshPrecision(spark, sf0001).collect().head
     val (cands, acc, prec) = (r.getAs[Long]("candidates"), r.getAs[Long]("accepted"),
