@@ -115,13 +115,14 @@ object StreamingHeavyHitters {
     * and checkpoint commit replays the epoch into the same partition).
     */
   def start(spark: SparkSession, sourceDir: String, outDir: String,
-            checkpointDir: String, k: Int = 8, nShards: Int = 4): StreamingQuery = {
+            checkpointDir: String, k: Int = 8, nShards: Int = 4,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val events = spark.readStream
       .schema(ChangeStreamJob.eventSchema)
       .json(sourceDir)
     summaries(events, k, nShards)
       .writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[HHRow], epochId: Long) =>
@@ -162,4 +163,36 @@ object StreamingHeavyHitters {
       .where(col("rn") <= m)
       .drop("rn")
       .orderBy(col("event_type"), col("est_count").desc, col("user_id"))
+
+  /** The sketch under the reference's supervision posture (every stream
+    * supervised + metered, mrcond/src/server.rs:174-252 — not started
+    * bare): model the heavy-hitters query as one analytics "collection"
+    * and run it under [[Supervisor]] with a [[MetricsRegistry]]. The
+    * supervisor then does for the sketch exactly what it does for the
+    * connector streams: startAll() launches it and sets the
+    * collection/server gauges, a failure is classified into the task-
+    * failure counters, and an in-budget superviseOnce() restart relaunches
+    * FROM THE CHECKPOINT — flatMapGroupsWithState reloads the MG summaries
+    * from the state store, so the restarted query resumes counting where
+    * the dead one stopped (the spec kills a query mid-feed and checks the
+    * final merged top-k equals an unfailed run's). A daemon deployment
+    * plugs the returned supervisor into the same poll loop and /metrics
+    * endpoint GraftDaemon uses for connectors.
+    */
+  def supervised(spark: SparkSession, metrics: MetricsRegistry,
+                 sourceDir: String, outDir: String, checkpointDir: String,
+                 k: Int = 8, nShards: Int = 4,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 maxRestarts: Int = 3): Supervisor = {
+    import graft.config.{CollectionConfig, Connections, QueueSink, ResumeTokensDb, Settings, WatchedDb}
+    val cfg = CollectionConfig(
+      WatchedDb("analytics", "heavy_hitters"),
+      ResumeTokensDb("analytics", "heavy_hitters_ckpt"),
+      QueueSink("heavy-hitter-summaries"))
+    val settings = Settings.create(Connections(sourceDir, outDir), Seq(cfg))
+      .fold(e => sys.error(e), identity)
+    new Supervisor(spark, settings, metrics,
+      (s, _) => start(s, sourceDir, outDir, checkpointDir, k, nShards, trigger),
+      maxRestarts = maxRestarts)
+  }
 }

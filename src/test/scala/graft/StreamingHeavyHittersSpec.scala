@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingHeavyHitters
+import graft.streaming.{MetricsRegistry, StreamingHeavyHitters}
 import graft.streaming.StreamingHeavyHitters.HHState
 
 import java.nio.file.{Files, Paths}
@@ -105,5 +105,48 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("user_id") === 7L)
       .collect().map(_.getAs[Long]("count_min")).max
     assert(t2 === 15L, "the second run must continue from state, not restart the count")
+  }
+
+  test("supervised: a failed sketch query is classified, restarted from checkpoint, and metered") {
+    val (src, ckpt) = (tempDir("hhsup_src"), tempDir("hhsup_ckpt"))
+    val outBase = tempDir("hhsup_out")
+    val out = s"$outBase/queue_hh/s" // "queue" in the sink path routes classification
+    var id = 0L
+    def next = { id += 1; id }
+    Files.write(Paths.get(src, "a.json"),
+      (1 to 10).map(_ => line(next, 7, "click")).mkString("\n").getBytes)
+    // poison: a FILE where the sink's parent directory must go — the first
+    // epoch's parquet publish throws and kills the query mid-feed
+    Files.write(Paths.get(outBase, "queue_hh"), "poison".getBytes)
+
+    val metrics = new MetricsRegistry
+    val sup = StreamingHeavyHitters.supervised(spark, metrics, src, out, ckpt,
+      k = 4, nShards = 2)
+    sup.startAll()
+    assert(metrics.value(MetricsRegistry.TasksStarted) === 1)
+    assert(metrics.export().contains("heavy_hitters"),
+      "the sketch collection must be visible in the /metrics exposition")
+    sup.awaitAll(120000)
+
+    // clear the poison; one supervision pass classifies the failure,
+    // records it, and relaunches from the checkpoint
+    Files.delete(Paths.get(outBase, "queue_hh"))
+    assert(sup.superviseOnce() === 1, "the dead sketch query must be restarted")
+    assert(metrics.value(MetricsRegistry.TaskFailures,
+      "collection" -> "heavy_hitters", "database" -> "analytics",
+      "error_type" -> "sink_error") === 1)
+    assert(metrics.value(MetricsRegistry.TaskRestarts,
+      "collection" -> "heavy_hitters", "database" -> "analytics",
+      "reason" -> "sink_connection_failed") === 1)
+    sup.awaitAll(120000)
+    sup.superviseOnce() // reap the clean finish — no further restart
+
+    // the failed epoch never committed, so the restart replayed it: the
+    // sketch output is complete despite the mid-feed death
+    val t = StreamingHeavyHitters.latestSummaries(spark, out)
+      .where(org.apache.spark.sql.functions.col("user_id") === 7L)
+      .collect().map(_.getAs[Long]("count_min")).max
+    assert(t === 10L, "restart-from-checkpoint must not lose or double-count the feed")
+    sup.stopAll()
   }
 }
