@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling join utilities (SURVEY.md §4: "skewed keys → salting or AQE
@@ -35,6 +35,61 @@ object Skew {
     val smallExploded = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     bigSalted.join(smallExploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Per-task load report for the heaviest shuffle-read stage of one job:
+    * the direct observable for "did the skew mitigation actually spread
+    * the hot key", where wall clock alone can hide a straggler behind
+    * parallel slack.
+    */
+  final case class StageLoad(stageId: Int, nTasks: Int, maxRecords: Long,
+                             meanRecords: Double, wallSec: Double) {
+    /** max/mean per-task shuffle-read records — 1.0 is perfectly even;
+      * an unmitigated 90%-one-key join reads ≥ 10×.
+      */
+    def imbalance: Double = if (meanRecords > 0) maxRecords / meanRecords else 1.0
+  }
+
+  /** Run `job` and report the per-task shuffle-read distribution of its
+    * heaviest stage (by total records read — for an equi-join that is the
+    * join stage reading both shuffled sides). Measurement harness for the
+    * skew evidence in ScaleSpec / CROSSOVER.json; diagnostic-grade like
+    * [[keySkew]], not a hot-path helper. Listener delivery is async, so
+    * after the job returns we wait for the bus to go quiet (300 ms, 10 s
+    * cap) before reading the counters.
+    */
+  def stageLoadOf(spark: SparkSession)(job: => Unit): StageLoad = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val byStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    @volatile var lastEventAt = System.nanoTime()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          byStage.computeIfAbsent(t.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(m.shuffleReadMetrics.recordsRead)
+          lastEventAt = System.nanoTime()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      job
+      val wall = (System.nanoTime() - t0) / 1e9
+      val deadline = System.nanoTime() + 10000000000L
+      while (System.nanoTime() < deadline &&
+        System.nanoTime() - lastEventAt < 300000000L) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val stages = byStage.asScala.map { case (sid, q) =>
+        (sid, q.asScala.toSeq)
+      }
+      require(stages.nonEmpty, "no task metrics observed — job ran no stages")
+      val (sid, xs) = stages.maxBy(_._2.sum)
+      StageLoad(sid, xs.size, xs.max, xs.sum.toDouble / xs.size, wall)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   /** Skew diagnosis: per-key row share of the top keys — the check that

@@ -51,6 +51,63 @@ class ScaleSpec extends SparkSpec {
     assert(top.getAs[Long]("key") === 999L && top.getAs[Double]("share") > 0.5)
   }
 
+  test("90%-one-key fact-fact join: AQE skew split and salting both hold per-task reads within 2x mean") {
+    val s = spark
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> scala.util.Try(Option(s.conf.get(k))).toOption.flatten)
+    try {
+      // the suite session runs 4 shuffle partitions; the skew observable
+      // needs a realistic fan-out for max/mean to mean anything
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // production defaults split 256 MB granules; act at suite scale
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val nKeys = 100000L
+      // 32 map partitions on the skewed side: AQE splits a skewed reduce
+      // partition at MAP-BLOCK granularity, so the suite session's default
+      // parallelism (4) would cap the hot key at a 4-way split
+      def a = s.range(0L, 2000000L, 1L, 32).select(
+        when(col("id") % 10 < 9, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(nKeys)).cast("long") + 1L).as("key"),
+        col("id").as("pa"))
+      def b = s.range(0L, 200000L, 1L, 32).select(
+        (col("id") % (nKeys + 1L)).as("key"), col("id").as("pb"))
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("pa")), sum(col("pb"))).collect().head
+
+      var unsplitRow: org.apache.spark.sql.Row = null
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val unsplit = Skew.stageLoadOf(s) { unsplitRow = agg(a.join(b, "key")) }
+      assert(unsplit.imbalance > 5.0,
+        s"the baseline must exhibit real skew (one task reads the hot 90%): $unsplit")
+
+      var aqeRow: org.apache.spark.sql.Row = null
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val aqe = Skew.stageLoadOf(s) { aqeRow = agg(a.join(b, "key")) }
+      assert(aqe.imbalance <= 2.0, s"AQE skew split must spread the hot key: $aqe")
+
+      var saltRow: org.apache.spark.sql.Row = null
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val salted = Skew.stageLoadOf(s) { saltRow = agg(Skew.saltedJoin(a, b, "key", 32)) }
+      assert(salted.imbalance <= 2.0, s"salting must spread the hot key: $salted")
+
+      // all three strategies compute the identical join
+      assert(unsplitRow === aqeRow && aqeRow === saltRow,
+        s"strategies disagree: $unsplitRow / $aqeRow / $saltRow")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
