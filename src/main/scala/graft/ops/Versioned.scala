@@ -127,9 +127,9 @@ object Versioned {
     * concurrent writer's higher epoch is never laundered away by a stale
     * driver cache.
     */
-  private def publishManifest(spark: SparkSession, dir: String, v: Long,
-                              files: Seq[String], epoch: Long,
-                              prevMax: Long): Boolean = {
+  private[graft] def publishManifest(spark: SparkSession, dir: String, v: Long,
+                                     files: Seq[String], epoch: Long,
+                                     prevMax: Long): Boolean = {
     val fs = fsOf(spark, new Path(dir))
     val carried = math.max(epoch, prevMax)
     val node = mapper.createObjectNode()
@@ -395,32 +395,49 @@ object Versioned {
     * retained snapshot — e.g. via rollback — survive). Returns the deleted
     * file names. Also reclaims crash debris: staging dirs and data files
     * no manifest ever published.
+    *
+    * `graceMs` (Delta's retention-check idea, sized down): an unreferenced
+    * data file or staging/temp path modified within the last `graceMs` is
+    * SPARED — under multi-writer commits (object doc) a concurrent
+    * committer's staged-but-not-yet-published files look exactly like
+    * crash debris, and deleting them would let the commit publish a
+    * manifest referencing vanished files. The default (10 min) dwarfs any
+    * stage-to-publish window; pass 0 only for a table known quiescent
+    * (tests, decommissioning). Published manifests are never in-flight,
+    * so manifest retention ignores the grace.
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2,
+             graceMs: Long = 600000L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest version")
     val base = new Path(dir)
     val fs = fsOf(spark, base)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
     val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     // data/ may not exist yet: vacuum on a table with no commits (or one
     // whose every commit crashed pre-rename) is a legal no-op, not a
     // FileNotFoundException (ADVICE r11)
     val dataDir = new Path(base, "data")
     val deletedData =
       (if (fs.exists(dataDir)) fs.listStatus(dataDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
-        .map(_.getPath).filter(p => !live(p.getName))
-        .map { p => fs.delete(p, false); s"data/${p.getName}" }
+        .filter(st => !live(st.getPath.getName) && st.getModificationTime <= cutoff)
+        .map { st => fs.delete(st.getPath, false); s"data/${st.getPath.getName}" }
     val deletedManifests = drop.map { v =>
       fs.delete(manifestPath(dir, v), false); s"manifest-v$v.json"
     }
     // crash debris: unpublished staging dirs AND half-written manifest
     // temps (a writeManifest crash between create and rename leaves
-    // _manifest-v*.json.tmp, which nothing else reclaims — ADVICE r11)
-    val debris = fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.startsWith("_staging-") ||
-        (p.getName.startsWith("_manifest-") && p.getName.endsWith(".tmp")))
-      .map { p => fs.delete(p, true); p.getName }
+    // _manifest-v*.json.tmp, which nothing else reclaims — ADVICE r11),
+    // both behind the same in-flight grace as unreferenced data
+    val debris = fs.listStatus(base)
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith("_staging-") ||
+          (n.startsWith("_manifest-") && n.endsWith(".tmp"))) &&
+          st.getModificationTime <= cutoff
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     graft.Tables.invalidateSpread(dir)
     (deletedData ++ deletedManifests ++ debris).toSeq
   }

@@ -45,14 +45,14 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(spark, rows(500, 80), dir)  // v2
     Versioned.rollback(spark, dir, to = 1)       // v3 references v1's FILES
     // keepLast=2 retains v2+v3; v1's manifest goes but its files are v3's
-    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2, graceMs = 0L)
     assert(deleted.contains("manifest-v1.json"))
     assert(!deleted.exists(_.startsWith("data/v1-")),
       s"v1 files are referenced by the rollback manifest: $deleted")
     assert(Versioned.read(spark, dir).count() === 50, "latest still reads after vacuum")
     assert(Versioned.read(spark, dir, 2).count() === 80)
     // keepLast=1 retains only v3 -> v2's data files must actually go
-    val deleted2 = Versioned.vacuum(spark, dir, keepLast = 1)
+    val deleted2 = Versioned.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
     assert(deleted2.exists(_.startsWith("data/v2-")), s"expected v2 data gone: $deleted2")
     assert(Versioned.read(spark, dir).count() === 50)
     intercept[IllegalArgumentException](Versioned.read(spark, dir, 2))
@@ -128,7 +128,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(spark, rows(0, 5), dir)
     val tmp = new java.io.File(dir, "_manifest-v9.json.tmp")
     java.nio.file.Files.writeString(tmp.toPath, "{\"half\":")
-    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2, graceMs = 0L)
     assert(deleted.contains("_manifest-v9.json.tmp"), s"manifest temp reclaimed: $deleted")
     assert(Versioned.read(spark, dir).count() === 5)
   }
@@ -141,7 +141,7 @@ class VersionedSpec extends SparkSpec {
     rows(900, 10).write.mode("overwrite").parquet(s"$dir/_staging-v2")
     assert(Versioned.versions(spark, dir) === Seq(1L), "no manifest, no version")
     assert(Versioned.read(spark, dir).count() === 30, "readers see the last commit only")
-    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2, graceMs = 0L)
     assert(deleted.contains("_staging-v2"), s"staging debris reclaimed: $deleted")
     // the next commit proceeds normally
     assert(Versioned.commit(spark, rows(100, 5), dir) === 2L)
@@ -283,12 +283,55 @@ class VersionedSpec extends SparkSpec {
     // the loser's staged-and-placed files are unreferenced debris: vacuum
     // reclaims them while every referenced file survives
     val before = new java.io.File(s"$dir/data").list().toSet
-    Versioned.vacuum(spark, dir, keepLast = 2)
+    Versioned.vacuum(spark, dir, keepLast = 2, graceMs = 0L)
     val after = new java.io.File(s"$dir/data").list().toSet
     assert(after.subsetOf(before) && after.size < before.size,
       s"loser debris reclaimed: before=$before after=$after")
     assert(Versioned.read(spark, dir).count() === 20, "winner unaffected by vacuum")
     assert(Versioned.read(spark, dir, 1).count() === 10)
+  }
+
+  test("the manifest publish is genuinely create-if-absent: an existing version is never overwritten") {
+    // The cross-process safety claim rests on this primitive (the in-JVM
+    // races above are serialized by the per-dir monitor, so they never
+    // exercise rename-onto-existing): publishing a version some other
+    // process already owns must return false and leave the winner's
+    // manifest byte-identical.
+    val dir = tempDir("versioned-cas") + "/table"
+    Versioned.commit(spark, rows(0, 10), dir) // owns manifest-v1.json
+    val winner = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest-v1.json"))
+    val won = Versioned.publishManifest(spark, dir, v = 1L,
+      files = Seq("data/impostor-00000.parquet"), epoch = -1L, prevMax = -1L)
+    assert(!won, "publishing an already-claimed version must lose")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest-v1.json")) === winner,
+      "the losing publish must not touch the winner's manifest")
+    assert(Versioned.read(spark, dir).count() === 10)
+    // the loser's temp was cleaned up — nothing for vacuum to find
+    assert(!new java.io.File(dir).list().exists(_.endsWith(".json.tmp")))
+  }
+
+  test("vacuum's in-flight grace spares a concurrent committer's staged files; graceMs=0 reclaims them") {
+    val dir = tempDir("versioned-grace") + "/table"
+    Versioned.commit(spark, rows(0, 10), dir)
+    // simulate a commit caught between staging and publish: placed data
+    // files with no manifest yet, plus a staging dir — to a graceless
+    // vacuum both look exactly like crash debris
+    rows(900, 5).write.mode("overwrite").parquet(s"$dir/_staging-v2-abc123")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/v2-abc123-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val spared = Versioned.vacuum(spark, dir, keepLast = 2) // default grace
+    assert(!spared.exists(_.contains("abc123")),
+      s"fresh in-flight paths must survive the default grace: $spared")
+    assert(new java.io.File(s"$dir/data/v2-abc123-00000.parquet").exists())
+    assert(new java.io.File(s"$dir/_staging-v2-abc123").exists())
+    // a quiescent-table vacuum (grace 0) reclaims the same paths
+    val reclaimed = Versioned.vacuum(spark, dir, keepLast = 2, graceMs = 0L)
+    assert(reclaimed.contains("data/v2-abc123-00000.parquet") &&
+      reclaimed.contains("_staging-v2-abc123"), s"got $reclaimed")
+    assert(Versioned.read(spark, dir).count() === 10, "the committed snapshot is untouched")
   }
 
   test("mixed race: a replace losing to an append fails; an append losing to a replace rebases on top of it") {
