@@ -148,17 +148,22 @@ object Analytics {
   }
 
   /** C8 — hierarchical rollup: per-(lang, source) corpus volumes with
-    * per-lang subtotals and a grand total in one pass (`ROLLUP`). One
-    * aggregation, three grouping sets — Spark expands the sets map-side, so
-    * the shuffle still carries only partial aggregates. Null group keys
-    * surface as '<all>' so both engines order subtotal rows identically.
+    * per-lang subtotals and a grand total in one pass (`ROLLUP`). Null
+    * group keys surface as '<all>' so both engines order subtotal rows
+    * identically. Two-phase like [[eventsCube]]: the fact scan collapses
+    * to the detail (lang, source) grouping first (one map-side-combined
+    * shuffle), and the ROLLUP's ×3 Expand runs over the ~|langs×sources|
+    * aggregate instead of every document — exact for these algebraic
+    * aggregates (counts and sums re-combine as sums).
     */
   def corpusRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"))
       .rollup(col("lang"), col("source"))
       .agg(grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"))
+        sum(col("n")).as("n_docs"),
+        sum(col("c")).as("n_chars"))
       .select(
         coalesce(col("lang"), lit("<all>")).as("lang"),
         coalesce(col("source"), lit("<all>")).as("source"),
@@ -175,22 +180,38 @@ object Analytics {
     * keys surface as sentinels ('<all>' / -1) and an explicit grouping id
     * keeps cross-engine ordering deterministic.
     */
-  def eventsCube(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def eventsCube(spark: SparkSession, dir: String): DataFrame = {
+    // TWO-PHASE cube: collapse the fact table to the detail grouping
+    // (event_type, dow) FIRST, then cube the tiny aggregate re-combining
+    // with sum()s — exact for these algebraic aggregates (a cube cell is
+    // the sum of its detail cells; count re-enters as sum of counts, the
+    // decimal sums add losslessly). Cubing the raw scan instead would run
+    // its Expand ×4 over every fact row BEFORE partial aggregation — the
+    // shuffle stays small either way, but the map-side hash does 4× the
+    // fact volume in CPU (measured 2× the whole wall at 50×); here the
+    // Expand touches |types|×|dows| rows. The detail pre-aggregate is the
+    // same one-shuffle map-side-combined groupBy every scan-shaped
+    // aggregate here pays, and the cube's second exchange moves ~35 rows.
+    val detail = Tables.events(spark, dir)
       // pmod keeps dow in 0..6 even for pre-1970 timestamps (plain % would
       // emit -6..0 there and a real dow=-1 would collide with the cube's
       // subtotal sentinel below); identical to % for all non-negative
       // epochs, so the oracle hash is unchanged on real data
       .withColumn("dow", expr(s"pmod(${epochFloorDiv(86400)} + 4, 7)"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+    detail
       .cube(col("event_type"), col("dow"))
       .agg((grouping(col("event_type")) * 2 + grouping(col("dow"))).cast("long").as("gid"),
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
       .select(
         coalesce(col("event_type"), lit("<all>")).as("event_type"),
         coalesce(col("dow"), lit(-1L)).as("dow"),
         col("gid"), col("n_events"), col("sum_value"))
       .orderBy("gid", "event_type", "dow")
+  }
 
   /** C51 — daily event-type matrix (PIVOT shape): per day, one column per
     * event type — the wide dashboard/export form of the long (day, type)
