@@ -109,6 +109,8 @@ object SparkEntry {
     "dup_span_trim"        -> ((s, d) => Dedup.dupSpanTrim(s, d)),
     "exact_substr_spans"   -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
     "exact_substr_trim"    -> ((s, d) => Dedup.exactSubstrTrim(s, d)),
+    "cdc_chunks"           -> ((s, d) => graft.ops.Corpus.cdcChunk(s, d)),
+    "cdc_dedup"            -> ((s, d) => Dedup.cdcPassageDedup(s, d)),
     "sparse_sim_pairs"     -> ((s, d) => graft.ops.Relevance.sparseCosinePairs(s, d)),
     "collocations"         -> ((s, d) => graft.ops.Relevance.collocations(s, d)),
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
@@ -2009,6 +2011,54 @@ object SparkEntry {
         |       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' ' ORDER BY pos), '')
         |         AS trimmed_text
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // B68: content-defined chunking — a cut lands AFTER token p (p in
+    // [k, n-1], k=3) when the 3-gram ending at p (60-bit md5 form, i.e.
+    // the gram STARTING at p-2) is 0 mod 16; chunk ids are 1 + the count
+    // of cuts at earlier positions, the exact window-sum replay of the
+    // Spark side's array formulation.
+    "cdc_chunks" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cut AS (SELECT a.doc_id, i + 2 AS cutpos
+        |        FROM arr a, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+        |        WHERE i + 2 <= len(a.t) - 1
+        |          AND ('0x' || substr(md5(array_to_string(a.t[i:i+2], ' ')), 1, 15))::BIGINT % 16 = 0),
+        |tk AS (SELECT doc_id, i AS pos, t[i] AS token
+        |       FROM arr, unnest(generate_series(1, len(t))) AS g(i)),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.token,
+        |              CASE WHEN cut.cutpos IS NULL THEN 0 ELSE 1 END AS c
+        |       FROM tk LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.pos = cut.cutpos),
+        |ck AS (SELECT *, 1 + coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM fl)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(min(pos) AS BIGINT) AS first_pos,
+        |       CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+        |       string_agg(token, ' ' ORDER BY pos) AS chunk_text
+        |FROM ck GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // B68b: keep-first passage dedup over the CDC chunks above (the
+    // passage_dedup replay with content-defined boundaries)
+    "cdc_dedup" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cut AS (SELECT a.doc_id, i + 2 AS cutpos
+        |        FROM arr a, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+        |        WHERE i + 2 <= len(a.t) - 1
+        |          AND ('0x' || substr(md5(array_to_string(a.t[i:i+2], ' ')), 1, 15))::BIGINT % 16 = 0),
+        |tk AS (SELECT doc_id, i AS pos, t[i] AS token
+        |       FROM arr, unnest(generate_series(1, len(t))) AS g(i)),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.token,
+        |              CASE WHEN cut.cutpos IS NULL THEN 0 ELSE 1 END AS c
+        |       FROM tk LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.pos = cut.cutpos),
+        |ck AS (SELECT *, 1 + coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM fl),
+        |ch AS (SELECT doc_id, chunk_id, string_agg(token, ' ' ORDER BY pos) AS chunk_text
+        |       FROM ck GROUP BY doc_id, chunk_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |      FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id), '') AS kept_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // B67: maximal variable-length repeated spans — dup 20-gram start
     // positions chained gaps-and-islands style (pos - row_number). Docs

@@ -293,6 +293,64 @@ object Corpus {
           .as("chunk_text"))
   }
 
+  /** B68 — content-defined chunking (token-level Rabin/Gear style): split
+    * each document at positions where the hash of the trailing `k`-gram ≡
+    * 0 (mod `divisor`) — boundaries decided by CONTENT, not offsets, so an
+    * edit re-synchronizes at the next boundary instead of shifting every
+    * following window. This is what fixed-stride chunking (B24) cannot
+    * give: insert one token near the front of a near-duplicate and every
+    * B24 window after it changes, hiding the shared tail from passage
+    * dedup; CDC boundaries downstream of the edit land on the same grams,
+    * so the shared chunks stay byte-identical ([[graft.ops.Dedup
+    * .cdcPassageDedup]] exploits exactly that). Expected chunk length ≈
+    * `divisor` tokens; a cut after the LAST token is vacuous and excluded
+    * (no empty chunks), and docs of ≤ k tokens are one whole-doc chunk.
+    *
+    * Scale shape: boundaries, starts, and slices are all array functions
+    * over the one positional-hash pass B34/B67 already price — a pure
+    * per-row widening at scan speed, NO shuffle at any corpus size (the
+    * registered query's orderBy is presentation only). The 60-bit
+    * md5-prefix gram hash is the oracle-portable family, so DuckDB replays
+    * boundary decisions bit-for-bit.
+    */
+  def cdcChunk(spark: SparkSession, dir: String,
+               k: Int = 3, divisor: Int = 16): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir), k, divisor)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Frame-level CDC body shared by [[cdcChunk]] and
+    * [[graft.ops.Dedup.cdcPassageDedup]]. Unordered: callers sort or
+    * aggregate.
+    */
+  def cdcChunksOf(docs: DataFrame, k: Int, divisor: Int): DataFrame = {
+    require(k >= 1, "gram width must be positive")
+    require(divisor >= 2, "divisor must be at least 2 (1 cuts after every token)")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"),
+        VectorExpressions.positionalShingleHashes(col("text"), k, md5Based = true).as("ph"))
+      .withColumn("n", size(col("tok")).cast("long"))
+      // cut after token p (1-based) ⇔ the k-gram ENDING at p (= ph index
+      // p−k+1) hashes to 0 mod divisor, for p in [k, n−1]. The n > k guard
+      // keeps the sequence ascending AND the ph index in range (a sub-k
+      // doc carries one clamped whole-text gram that must not cut).
+      .withColumn("cuts", when(col("n") > k,
+        filter(sequence(lit(k.toLong), col("n") - 1L), p =>
+          pmod(element_at(col("ph"), (p - k + 1).cast("int")), lit(divisor.toLong)) === 0L))
+        .otherwise(expr("CAST(array() AS array<bigint>)")))
+      .withColumn("starts", concat(array(lit(1L)), transform(col("cuts"), _ + 1L)))
+      .withColumn("ends", concat(col("cuts"), array(col("n"))))
+      .select(col("doc_id"), col("tok"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col.s").as("first_pos"),
+        (col("col.e") - col("col.s") + 1L).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("tok"), col("col.s").cast("int"),
+          (col("col.e") - col("col.s") + 1L).cast("int"))).as("chunk_text"))
+  }
+
   /** B30 — document packing (GPT-style concat-and-cut): assign each doc a
     * position in a fixed-token-budget training pack. Docs concatenate in
     * deterministic (shard, doc_id) order; a doc's pack is the budget

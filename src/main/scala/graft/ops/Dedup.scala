@@ -115,6 +115,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B68b — passage dedup over CONTENT-DEFINED chunks: [[passageDedup]]'s
+    * keep-first-occurrence semantics on [[graft.ops.Corpus.cdcChunksOf]]
+    * boundaries instead of fixed 32-token windows. The reason this exists:
+    * fixed windows dedup shared passages only when they stay ALIGNED — one
+    * token inserted near the front of a near-duplicate shifts every
+    * following window and the shared tail stops matching; CDC boundaries
+    * re-synchronize at the next content cut, so the tail's chunks remain
+    * byte-identical and dedup (DedupSpec pins exactly this fixture: the
+    * fixed-window pass finds zero duplicate chunks on the shifted pair,
+    * this finds the shared tail). Same scale shape as B26: chunking is a
+    * narrow per-row pass, firsts are a map-side-combined min-struct
+    * groupBy on the chunk hash, reassembly is per-doc bounded.
+    */
+  def cdcPassageDedup(spark: SparkSession, dir: String,
+                      k: Int = 3, divisor: Int = 16): DataFrame = {
+    val ch = Corpus.cdcChunksOf(Tables.documents(spark, dir), k, divisor)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("h"))
+    val firsts = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+    ch.join(firsts, Seq("h"))
+      .withColumn("is_first",
+        col("m.doc_id") === col("doc_id") && col("m.chunk_id") === col("chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("is_first"),
+              struct(col("chunk_id"), col("chunk_text"))))),
+            x => x.getField("chunk_text")),
+          " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** B49 — cross-snapshot corpus diff: classify every document of a NEW
     * crawl against the PREVIOUS snapshot — `exact_dup` (byte-identical text
     * to some previous doc), `near_dup` (MinHash-estimated Jaccard ≥

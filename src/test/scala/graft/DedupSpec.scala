@@ -232,6 +232,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunks tile every document exactly: reassembly is the identity, boundaries content-decided") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val ch = graft.ops.Corpus.cdcChunksOf(docs, k = 3, divisor = 16)
+    val reassembled = ch.groupBy("doc_id")
+      .agg(
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.array_sort(
+              org.apache.spark.sql.functions.collect_list(
+                org.apache.spark.sql.functions.struct(col("chunk_id"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ").as("glued"),
+        org.apache.spark.sql.functions.sum(col("n_chunk_tokens")).as("tok_sum"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val joined = docs.select(col("doc_id"), col("text")).join(reassembled, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("glued") === r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")}: CDC chunks must reassemble to the original text")
+      assert(r.getAs[Long]("tok_sum") === r.getAs[String]("text").split(" ", -1).length.toLong)
+    }
+    // content-defined means multiple chunks somewhere: the corpus is not one-chunk-per-doc
+    assert(joined.map(_.getAs[Long]("n")).max > 1, "divisor=16 must cut real documents")
+  }
+
+  test("CDC dedup survives an insertion that defeats fixed-window passage dedup") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("cdcshift")
+    // two docs share a 64-token tail; doc 2 has ONE extra token inserted
+    // after the (distinct) preamble, shifting every fixed window after it
+    val tail = (1 to 64).map(i => s"t$i").mkString(" ")
+    val d1 = s"${(1 to 8).map(i => s"a$i").mkString(" ")} $tail"
+    val d2 = s"${(1 to 8).map(i => s"b$i").mkString(" ")} INSERTED $tail"
+    Seq((1L, d1), (2L, d2))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // fixed 32-token windows: the 1-token shift misaligns every window —
+    // zero duplicate passages found
+    val fixed = Dedup.passageDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fixed(1L).getAs[Long]("n_kept") === fixed(1L).getAs[Long]("n_chunks"))
+    assert(fixed(2L).getAs[Long]("n_kept") === fixed(2L).getAs[Long]("n_chunks"),
+      "fixed windows must NOT find the shifted shared tail (that is the point)")
+
+    // CDC boundaries re-synchronize inside the shared tail: doc 2 loses
+    // its duplicated tail chunks
+    val cdc = Dedup.cdcPassageDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(cdc(1L).getAs[Long]("n_kept") === cdc(1L).getAs[Long]("n_chunks"),
+      "the first occurrence keeps everything")
+    assert(cdc(2L).getAs[Long]("n_kept") < cdc(2L).getAs[Long]("n_chunks"),
+      s"CDC must refind the shared tail after the insertion: ${cdc(2L)}")
+    // and what it kept is exactly doc 2's text minus the duplicated chunks
+    assert(cdc(2L).getAs[String]("kept_text").contains("INSERTED"))
+    assert(!cdc(2L).getAs[String]("kept_text").endsWith("t64"),
+      "the tail's duplicated chunks must be gone from doc 2")
+  }
+
   test("lshPrecision counts exactly the registered verify's candidates and acceptances") {
     val r = graft.ops.Dedup.lshPrecision(spark, sf0001).collect().head
     val (cands, acc, prec) = (r.getAs[Long]("candidates"), r.getAs[Long]("accepted"),
