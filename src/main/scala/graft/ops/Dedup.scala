@@ -321,9 +321,14 @@ object Dedup {
       .select(col("doc_id"),
         VectorExpressions.positionalShingleHashes(col("text"), minLen,
           md5Based = true).as("ph"))
+    // persisted for the same reason as dupSpanTrim's exploded frame: the
+    // start positions feed BOTH the dup-set groupBy and the probe join,
+    // and at L=20 the positional hashing is O(L) bytes of md5 per token —
+    // the one pass worth sharing. Released by graft.Caches.clear.
     val st = base
       .select(col("doc_id"), posexplode(col("ph")).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .persist()
     val dup = st.groupBy("h").agg(count(lit(1)).as("c"))
       .where(col("c") >= minDup).select(col("h"))
     st.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
