@@ -75,6 +75,7 @@ object SparkEntry {
     "split_divergence"     -> ((s, d) => graft.ops.Corpus.splitDivergence(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
+    "contamination_spans"  -> ((s, d) => graft.ops.Corpus.contaminationSpans(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
     "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
     "novelty_curve"        -> ((s, d) => graft.ops.Corpus.noveltyCurve(s, d)),
@@ -974,6 +975,28 @@ object SparkEntry {
         |      FROM h e JOIN h c ON e.doc_id % 50 = 0 AND c.doc_id % 50 <> 0)
         |SELECT eval_id, corpus_id, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY eval_id, corpus_id""".stripMargin,
+
+    // B13c: maximal leaked token intervals — matched eval 8-gram starts
+    // merge while their coverage overlaps (break on a gap > 8 between
+    // consecutive starts); the islands window replays the Spark side.
+    "contamination_spans" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        |       WHERE len(t) >= 8),
+        |ev AS (SELECT DISTINCT h FROM st WHERE doc_id % 50 = 0),
+        |m AS (SELECT st.doc_id, st.pos FROM st JOIN ev USING (h) WHERE st.doc_id % 50 <> 0),
+        |fl AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |              THEN 1 ELSE 0 END AS brk FROM m),
+        |gr AS (SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len,
+        |       count(*) AS n_grams
+        |FROM gr GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     "decontaminated" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

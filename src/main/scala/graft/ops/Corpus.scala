@@ -416,6 +416,60 @@ object Corpus {
       .orderBy("eval_id", "corpus_id")
   }
 
+  /** B13c — contamination SPAN report: for every corpus document, the
+    * maximal token intervals covered by 8-grams that also occur in the
+    * eval split — [[contamination]] says WHICH (eval, corpus) pairs share
+    * content and how many grams; this says exactly WHERE in the training
+    * doc the leak sits and how long it is, the artifact a decontamination
+    * audit actually reviews (and what [[graft.ops.Dedup.dupSpanTrim]]-style
+    * surgical removal would consume, vs B13b's whole-doc drop).
+    *
+    * Span semantics: matched gram STARTS merge while their k-token
+    * coverage overlaps (a break needs a gap > k between consecutive
+    * starts), so spans are precisely the maximal leaked token intervals —
+    * disjoint, each separated by ≥ 1 clean token. Same islands shape as
+    * B67 with a distance threshold instead of strict consecutiveness
+    * (repeats need every L-gram dup; coverage only needs SOME leaked gram
+    * per window). Eval docs shorter than k carry no full k-gram and are
+    * excluded (B13's deduped clamped shingle for them has no position to
+    * report).
+    *
+    * Scale shape: one positional-hash pass persisted for its two
+    * consumers (eval-set build + corpus probe — the B34/B67 discipline);
+    * the eval set is a distinct-collapsed hash join (eval splits are
+    * small relative to the corpus — AQE broadcasts); runs are one per-doc
+    * window over MATCHED positions only (leak-cardinality, not corpus-
+    * cardinality).
+    */
+  def contaminationSpans(spark: SparkSession, dir: String,
+                         shingleK: Int = 8): DataFrame = {
+    val k = shingleK
+    val st = Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode(VectorExpressions.positionalShingleHashes(col("text"), k,
+          md5Based = true)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .persist()
+    val eval_ = st.where(col("doc_id") % 50 === 0).select("h").distinct()
+    val matched = st.where(col("doc_id") % 50 =!= 0)
+      .join(eval_, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    matched
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** B51 — cross-source overlap matrix: for every source pair, how many
     * distinct 8-gram shingles they share, plus the Jaccard of their shingle
     * sets — the "is src7 a mirror of src3 / how much boilerplate do my

@@ -43,6 +43,41 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
   }
 
+  test("contaminationSpans pins planted leaks at their exact token intervals") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("contamspans")
+    // eval doc 50 holds two phrases; corpus doc 51 embeds both, separated
+    // by >8 unique tokens (two spans); corpus doc 52 is leak-free
+    val phraseA = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens -> 3 matched 8-gram starts
+    val phraseB = (1 to 9).map(i => s"q$i").mkString(" ")  //  9 tokens -> 2 matched starts
+    val evalDoc = s"${(1 to 8).map(i => s"e$i").mkString(" ")} $phraseA ${(1 to 8).map(i => s"f$i").mkString(" ")} $phraseB"
+    val corpusDoc = s"${(1 to 12).map(i => s"x$i").mkString(" ")} $phraseA ${(1 to 20).map(i => s"y$i").mkString(" ")} $phraseB ${(1 to 5).map(i => s"z$i").mkString(" ")}"
+    Seq((50L, evalDoc), (51L, corpusDoc),
+      (52L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.contaminationSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"), r.getAs[Long]("n_grams")))
+    // phrase A occupies corpus positions 13..22; B occupies 43..51
+    assert(got.toSeq.sorted === Seq((51L, 13L, 22L, 10L, 3L), (51L, 43L, 51L, 9L, 2L)),
+      s"got ${got.toSeq.sorted}")
+  }
+
+  test("contaminationSpans is consistent with the pair report on the real corpus") {
+    // every (eval, corpus) pair contamination flags at minOverlap=3 shares
+    // >=3 full 8-grams, so the span report must locate leaked intervals in
+    // that corpus doc (the reverse need not hold: spans exist from 1 gram)
+    val flagged = Corpus.contamination(spark, sf0001, minOverlap = 3).collect()
+      .map(_.getAs[Long]("corpus_id")).toSet
+    val spanDocs = Corpus.contaminationSpans(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.subsetOf(spanDocs),
+      s"pair-flagged docs without located spans: ${flagged -- spanDocs}")
+  }
+
   test("splitDivergence matches a local smoothed-KL replay over the same hash split") {
     val got = Corpus.splitDivergence(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
