@@ -76,6 +76,7 @@ object SparkEntry {
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
     "contamination_spans"  -> ((s, d) => graft.ops.Corpus.contaminationSpans(s, d)),
+    "decontaminated_spans" -> ((s, d) => graft.ops.Corpus.decontaminatedSpans(s, d)),
     "decontaminated"       -> ((s, d) => graft.ops.Corpus.decontaminated(s, d)),
     "source_overlap"       -> ((s, d) => graft.ops.Corpus.sourceOverlap(s, d)),
     "novelty_curve"        -> ((s, d) => graft.ops.Corpus.noveltyCurve(s, d)),
@@ -997,6 +998,33 @@ object SparkEntry {
         |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len,
         |       count(*) AS n_grams
         |FROM gr GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // B13d: surgical span removal — B34's coverage window with the dup
+    // set swapped for the eval 8-gram set; n_removed tiles exactly the
+    // contamination_spans report above.
+    "decontaminated_spans" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ev AS (SELECT DISTINCT ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        |       WHERE doc_id % 50 = 0 AND len(t) >= 8),
+        |st AS (SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+        |       WHERE doc_id % 50 <> 0 AND len(t) >= 8),
+        |ds AS (SELECT st.doc_id, st.pos, CASE WHEN ev.h IS NULL THEN 0 ELSE 1 END AS d
+        |       FROM st LEFT JOIN ev USING (h)),
+        |tk AS (SELECT doc_id, i AS pos, t[i] AS token
+        |       FROM arr, unnest(generate_series(1, len(t))) AS g(i)
+        |       WHERE doc_id % 50 <> 0),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.token, coalesce(ds.d, 0) AS d
+        |       FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id AND tk.pos = ds.pos),
+        |mk AS (SELECT *, max(d) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered FROM fl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(covered) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' ' ORDER BY pos), '')
+        |         AS clean_text
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "decontaminated" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -470,6 +470,60 @@ object Corpus {
       .orderBy("doc_id", "span_start")
   }
 
+  /** B13d — SURGICAL decontamination: remove from every corpus document
+    * exactly the tokens covered by a leaked eval 8-gram — the act that
+    * consumes [[contaminationSpans]]' report ([[decontaminated]] is the
+    * blunt instrument: it drops the WHOLE doc once ≥N grams match, paying
+    * all its clean tokens; this keeps them). n_removed per doc equals the
+    * summed span lengths of the report by construction — the spec pins
+    * that equality on the real corpus.
+    *
+    * Shapes: B34's coverage machinery with the dup set swapped for the
+    * eval-gram set — token p is covered ⟺ a leaked gram starts in
+    * [p−L+1, p] (one per-doc dense-position ROWS window), reassembly a
+    * per-doc ordered collect. The doc-level (tok, ph) frame persists for
+    * its two consumers (eval-set build + corpus flag join). Sub-k docs
+    * pass through untrimmed on the corpus side and contribute no grams on
+    * the eval side (consistent with [[contaminationSpans]]); eval rows are
+    * not corpus members and do not appear in the output (B13b's rule).
+    */
+  def decontaminatedSpans(spark: SparkSession, dir: String,
+                          shingleK: Int = 8): DataFrame = {
+    val k = shingleK
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"),
+        VectorExpressions.positionalShingleHashes(col("text"), k,
+          md5Based = true).as("ph"))
+      .withColumn("n", size(col("tok")))
+      .persist()
+    val ev = base.where(col("doc_id") % 50 === 0 && col("n") >= k)
+      .select(explode(col("ph")).as("h")).distinct()
+      .withColumn("is_leak", lit(1))
+    // arrays_zip pads the shorter hash array with nulls (tail positions
+    // where no gram starts); a sub-k doc's clamped whole-text gram is
+    // nulled out too — it is not a full k-gram and must not match
+    val corpusTok = base.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(arrays_zip(col("tok"), col("ph"))).as(Seq("p0", "z")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("z.tok").as("token"),
+        when(col("n") >= k, col("z.ph")).otherwise(lit(null)).as("h"))
+    val flagged = corpusTok.join(ev, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(col("is_leak"), lit(0)).as("d"))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    val full = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flagged
+      .withColumn("covered", max(col("d")).over(w))
+      .withColumn("n_tokens", count(lit(1)).over(full))
+      .withColumn("n_removed", sum(col("covered")).over(full).cast("long"))
+      .withColumn("clean_text", concat_ws(" ",
+        collect_list(when(col("covered") === 0, col("token"))).over(full)))
+      .where(col("pos") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** B51 — cross-source overlap matrix: for every source pair, how many
     * distinct 8-gram shingles they share, plus the Jaccard of their shingle
     * sets — the "is src7 a mirror of src3 / how much boilerplate do my

@@ -78,6 +78,46 @@ class CorpusSpec extends SparkSpec {
       s"pair-flagged docs without located spans: ${flagged -- spanDocs}")
   }
 
+  test("decontaminatedSpans removes exactly the planted leaks and keeps the clean context") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("decontamspans")
+    val phraseA = (1 to 10).map(i => s"p$i").mkString(" ")
+    val phraseB = (1 to 9).map(i => s"q$i").mkString(" ")
+    val fx = (1 to 12).map(i => s"x$i").mkString(" ")
+    val fy = (1 to 20).map(i => s"y$i").mkString(" ")
+    val fz = (1 to 5).map(i => s"z$i").mkString(" ")
+    Seq(
+      (50L, s"${(1 to 8).map(i => s"e$i").mkString(" ")} $phraseA ${(1 to 8).map(i => s"f$i").mkString(" ")} $phraseB"),
+      (51L, s"$fx $phraseA $fy $phraseB $fz"),
+      (52L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Corpus.decontaminatedSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!m.contains(50L), "eval rows are not corpus members")
+    assert(m(51L).getAs[Long]("n_removed") === 19L, s"both phrases go: ${m(51L)}")
+    assert(m(51L).getAs[String]("clean_text") === s"$fx $fy $fz",
+      "every clean token survives, in order")
+    assert(m(52L).getAs[Long]("n_removed") === 0L)
+    assert(m(52L).getAs[String]("clean_text").startsWith("c1 c2"))
+  }
+
+  test("decontaminatedSpans' removal tiles the span report exactly on the real corpus") {
+    val spanTotal = Corpus.contaminationSpans(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("span_len")).sum }
+    val dec = Corpus.decontaminatedSpans(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed")))
+    dec.filter(_._2 >= 8).foreach { case (d, _, rem) =>
+      assert(rem === spanTotal.getOrElse(d, 0L),
+        s"doc $d: removed $rem tokens but the span report totals ${spanTotal.getOrElse(d, 0L)}")
+    }
+    assert(dec.map(_._3).sum === spanTotal.values.sum,
+      "corpus-wide removal equals the report's total leaked footprint")
+  }
+
   test("splitDivergence matches a local smoothed-KL replay over the same hash split") {
     val got = Corpus.splitDivergence(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
