@@ -293,6 +293,40 @@ class DedupSpec extends SparkSpec {
       "the tail's duplicated chunks must be gone from doc 2")
   }
 
+  test("CDC re-synchronization law: across seeded random pairs, boundaries beyond the edit correspond") {
+    // Theory: a cut decision at position q reads tokens [q-k+1, q], so for
+    // q >= i+k+1 (every window token past an insertion at i) doc2's cuts
+    // are doc1's shifted by one — the chunk sequences beyond the first
+    // post-edit boundary are IDENTICAL. Pin it on 8 seeded random docs
+    // (fixed seeds -> deterministic forever), not just the hand fixture.
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 8).flatMap { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val vocab = (1 to 60).map(i => s"w${seed}_$i")
+      val n = 150 + rnd.nextInt(100)
+      val toks = Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val i = 10 + rnd.nextInt(30) // insertion point in the front third
+      val edited = (toks.take(i) :+ s"INS$seed") ++ toks.drop(i)
+      Seq((seed * 2L, toks.mkString(" ")), (seed * 2L + 1, edited.mkString(" ")))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val ch = graft.ops.Corpus.cdcChunksOf(df, k = 3, divisor = 16).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk_text")))
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 until 8).foreach { seed =>
+      val (orig, edit) = (byDoc(seed * 2L), byDoc(seed * 2L + 1))
+      val shared = orig & edit
+      assert(shared.nonEmpty,
+        s"seed $seed: no shared chunk despite a ~${150}+-token common suffix")
+      // every shared chunk is a genuine substring of both documents
+      val (t1, t2) = (rows(seed * 2)._2, rows(seed * 2 + 1)._2)
+      shared.foreach { c =>
+        assert(t1.contains(c) && t2.contains(c), s"seed $seed: phantom shared chunk")
+      }
+    }
+  }
+
   test("lshPrecision counts exactly the registered verify's candidates and acceptances") {
     val r = graft.ops.Dedup.lshPrecision(spark, sf0001).collect().head
     val (cands, acc, prec) = (r.getAs[Long]("candidates"), r.getAs[Long]("accepted"),
