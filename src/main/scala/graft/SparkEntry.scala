@@ -2112,7 +2112,9 @@ object SparkEntry {
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // B67: maximal variable-length repeated spans — dup 20-gram start
-    // positions chained gaps-and-islands style (pos - row_number). Docs
+    // positions chained as COVERAGE ISLANDS (break at start gap > 20,
+    // B13c's rule, so spans are disjoint and tile the trim set); n_runs
+    // counts the strict consecutive-start runs inside each island. Docs
     // shorter than 20 tokens are excluded (a >=20-token repeat cannot
     // exist in them), so generate_series' upper bound is always positive.
     "exact_substr_spans" ->
@@ -2123,13 +2125,21 @@ object SparkEntry {
         |       FROM fil, unnest(generate_series(1, len(t) - 19)) AS g(i)),
         |dup AS (SELECT h FROM st GROUP BY h HAVING count(*) >= 2),
         |ds AS (SELECT st.doc_id, st.pos FROM st JOIN dup USING (h)),
-        |runs AS (SELECT doc_id, pos,
-        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |         FROM ds),
+        |gp AS (SELECT doc_id, pos,
+        |         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |       FROM ds),
+        |mk AS (SELECT doc_id, pos,
+        |         CASE WHEN gap > 20 THEN 1 ELSE 0 END AS brk,
+        |         CASE WHEN gap IS NULL OR gap > 1 THEN 1 ELSE 0 END AS run_brk
+        |       FROM gp),
+        |isl AS (SELECT doc_id, pos, run_brk,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM mk),
         |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |              CAST(max(pos) + 19 AS BIGINT) AS span_end
-        |       FROM runs GROUP BY doc_id, grp)
-        |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_len
+        |              CAST(max(pos) + 19 AS BIGINT) AS span_end,
+        |              CAST(sum(run_brk) AS BIGINT) AS n_runs
+        |       FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_len, n_runs
         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
     // B67b: the dup_span_trim replay at k = 20 (see exactSubstrTrim's

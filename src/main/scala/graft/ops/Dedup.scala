@@ -266,20 +266,36 @@ object Dedup {
   }
 
   /** B67 — variable-length exact-substring spans (the Lee et al.
-    * ExactSubstr granularity): every MAXIMAL corpus-repeated substring of
-    * ≥ `minLen` tokens, of ANY length — the templated span that straddles
+    * ExactSubstr granularity): every MAXIMAL corpus-repeated token
+    * interval of ≥ `minLen` tokens — the templated span that straddles
     * fixed-k-gram bookkeeping ([[dupSpanTrim]] reports coverage, not the
-    * repeat's true extent). One row per maximal span: (doc_id, span_start,
-    * span_end, span_len), 1-based inclusive token positions.
+    * repeat's extent). One row per maximal span: (doc_id, span_start,
+    * span_end, span_len, n_runs), 1-based inclusive token positions.
     *
     * The reduction that makes one pass suffice: a substring of length
     * m ≥ L repeats corpus-wide ⟺ a duplicated L-gram STARTS at every one
-    * of positions s..s+m−L — so maximal repeats of ANY length are exactly
-    * the maximal CONSECUTIVE RUNS of duplicated-L-gram start positions
-    * (run [s, e] ⇒ span [s, e+L−1], length e−s+L: a planted 73-token
-    * repeat at L=20 surfaces as one 54-long run ⇒ exactly 73, no rounding
-    * to k-multiples). The published suffix-array pass is a single-machine
-    * construction; this run-chaining is its shuffle-native equivalent.
+    * of positions s..s+m−L — a maximal single repeat is a maximal
+    * CONSECUTIVE RUN of duplicated-L-gram starts (run [s, e] ⇒ coverage
+    * [s, e+L−1], length e−s+L: a planted 73-token repeat at L=20 surfaces
+    * as one 54-long run ⇒ exactly 73, no rounding to k-multiples). The
+    * published suffix-array pass is a single-machine construction; this
+    * run-chaining is its shuffle-native equivalent.
+    *
+    * Span = COVERAGE ISLAND, not strict run: islands break only at a
+    * start-position gap > L (B13c's rule), because two runs whose starts
+    * sit ≤ L apart have overlapping-or-abutting L-token coverage — two
+    * different templated fragments abutting (dup starts at p and p+g,
+    * none between, 1 < g ≤ L) are ONE leaked interval, and reporting the
+    * strict runs separately would emit OVERLAPPING spans whose lengths
+    * double-count the shared tokens (the r14 `weak` mark). With the gap>L
+    * break, spans are disjoint-by-construction (≥ 1 clean token between
+    * consecutive spans) and Σ span_len per doc provably tiles
+    * [[exactSubstrTrim]]'s removal set: token p is removed ⟺ a dup
+    * L-gram starts in [p−L+1, p] ⟺ p lies in some island's coverage.
+    * The strict-run view survives as `n_runs` — the count of maximal
+    * consecutive-start runs chained into the island (1 = the span is one
+    * literal repeat; >1 = a union of ≥L repeats, possibly with different
+    * partners, welded by overlapping coverage).
     *
     * Why direct L-gram hashing and not iterated doubling (dup k-grams →
     * pair into 2k → re-group, log₂(L/k) rounds): doubling pays an EXTRA
@@ -300,13 +316,23 @@ object Dedup {
   def exactSubstrSpans(spark: SparkSession, dir: String,
                        minLen: Int = 20, minDup: Long = 2): DataFrame = {
     val st = dupGramStarts(spark, dir, minLen, minDup)
-    val rn = Window.partitionBy("doc_id").orderBy("pos")
-    st.withColumn("grp", col("pos") - row_number().over(rn))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // brk: coverage island break (gap > L ⟹ ≥1 clean token between);
+    // runBrk: strict-run break (any gap, incl. the island boundary) —
+    // both lags ride the ONE (doc_id, pos) window sort, and the groupBy
+    // below rides the same doc_id exchange (no shuffle of its own).
+    st.withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("brk", when(col("gap") > minLen, 1).otherwise(0))
+      .withColumn("runBrk",
+        when(col("gap").isNull || col("gap") > 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + lit(minLen) - 1).cast("long").as("span_end"))
+        (max(col("pos")) + lit(minLen) - 1).cast("long").as("span_end"),
+        sum(col("runBrk")).cast("long").as("n_runs"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_len"))
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_runs"))
       .orderBy("doc_id", "span_start")
   }
 

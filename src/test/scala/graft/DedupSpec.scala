@@ -188,9 +188,10 @@ class DedupSpec extends SparkSpec {
 
     val spans = Dedup.exactSubstrSpans(spark, dir, minLen = 20).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
-        r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
-    // exactly one maximal span per sharing doc, at the true 73-token extent
-    assert(spans.toSeq.sorted === Seq((1L, 31L, 103L, 73L), (2L, 41L, 113L, 73L)),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"), r.getAs[Long]("n_runs")))
+    // exactly one maximal span per sharing doc, at the true 73-token
+    // extent, and each is ONE strict consecutive-start run (n_runs = 1)
+    assert(spans.toSeq.sorted === Seq((1L, 31L, 103L, 73L, 1L), (2L, 41L, 113L, 73L, 1L)),
       s"got ${spans.toSeq.sorted}")
 
     val m = Dedup.exactSubstrTrim(spark, dir, minLen = 20).collect()
@@ -205,7 +206,51 @@ class DedupSpec extends SparkSpec {
     assert(m(4L).getAs[Long]("n_removed") === 0L)
   }
 
-  test("exactSubstrSpans on the corpus: spans are disjoint maximal runs, all >= minLen, consistent with the trim count") {
+  test("exactSubstr: two abutting templated fragments (dup-start gap in (1, minLen)) weld into ONE disjoint coverage span that tiles the trim") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("exactsubstr_weld")
+    // Fragment X = x1..x20 repeats in doc 2; fragment Y = x6..x20 y1..y5
+    // (X's last 15 tokens + 5 new) repeats in doc 3. Doc 1 carries both
+    // OVERLAPPED: ... x1..x20 y1..y5 ... — its duplicated 20-gram starts
+    // are p (X, partner doc 2) and p+5 (Y, partner doc 3), with NO dup
+    // start at p+1..p+4 (those grams cross into unique context on every
+    // partner). Start gap 5 ∈ (1, 20): the r14 code emitted two spans
+    // whose token coverage overlapped by 15 tokens (the weak mark); the
+    // island rule must weld them into ONE [p, p+24] span with n_runs = 2.
+    val xs = (1 to 20).map(i => s"x$i")
+    val ys = (1 to 5).map(i => s"y$i")
+    val fillA = (1 to 30).map(i => s"a$i").mkString(" ") // weld at pos 31
+    val fillA2 = (1 to 10).map(i => s"q$i").mkString(" ")
+    val fillB = (1 to 12).map(i => s"b$i").mkString(" ") // X in doc2 at pos 13
+    val fillC = (1 to 7).map(i => s"c$i").mkString(" ")  // Y in doc3 at pos 8
+    Seq(
+      (1L, s"$fillA ${(xs ++ ys).mkString(" ")} $fillA2"),
+      (2L, s"$fillB ${xs.mkString(" ")} ${(1 to 25).map(i => s"u$i").mkString(" ")}"),
+      (3L, s"$fillC ${(xs.drop(5) ++ ys).mkString(" ")} ${(1 to 25).map(i => s"v$i").mkString(" ")}")
+    ).map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val spans = Dedup.exactSubstrSpans(spark, dir, minLen = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"), r.getAs[Long]("n_runs")))
+      .sorted
+    // doc 1: ONE welded span covering x1..x20 y1..y5 (25 tokens, 2 runs);
+    // docs 2/3 each report their single 20-token fragment (1 run)
+    assert(spans.toSeq === Seq(
+      (1L, 31L, 55L, 25L, 2L),
+      (2L, 13L, 32L, 20L, 1L),
+      (3L, 8L, 27L, 20L, 1L)), s"got ${spans.toSeq}")
+    // disjointness + tiling vs the trim surface on the same fixture
+    val m = Dedup.exactSubstrTrim(spark, dir, minLen = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(m(1L) === 25L)
+    assert(m(2L) === 20L)
+    assert(m(3L) === 20L)
+  }
+
+  test("exactSubstrSpans on the corpus: spans are disjoint coverage islands, all >= minLen, consistent with the trim count") {
     val spans = Dedup.exactSubstrSpans(spark, sf0001, minLen = 20).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
         r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
