@@ -246,11 +246,16 @@ object CrossoverGen {
             // v6: quantity/returnflag for q18/q19/q10 (measured marginals)
             val qty = (1 + r.nextInt(50)).toDouble
             val rf = returnFlags(r.nextInt(returnFlags.length))
-            (oid, part, supp, price, disc, shipDay, qty, rf)
+            // v9: linestatus for q1 — the testdata's marginal is a 50/50
+            // coin flip UNCORRELATED with shipdate (measured: 300129 F /
+            // 299871 O, date ranges identical). Drawn LAST so every
+            // pre-v9 column keeps its exact value from the same stream.
+            val ls = if (r.nextInt(2) == 0) "F" else "O"
+            (oid, part, supp, price, disc, shipDay, qty, rf, ls)
           }
         }
       }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-        "l_discount", "ship_day", "l_quantity", "l_returnflag")
+        "l_discount", "ship_day", "l_quantity", "l_returnflag", "l_linestatus")
         .withColumn("l_shipdate",
           timestamp_micros(col("ship_day") * 86400L * 1000000L).cast("timestamp_ntz"))
         .drop("ship_day")

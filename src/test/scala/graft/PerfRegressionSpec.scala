@@ -74,6 +74,50 @@ class PerfRegressionSpec extends AnyFunSuite {
     assert(problems.isEmpty, "\n" + problems.mkString("\n"))
   }
 
+  // ---- the >10x crossover evidence gate (r15, VERDICT r14 #2) ------------
+
+  /** Families allowed above the bar WITHOUT a CROSSOVER.json measured
+    * entry — each waiver names, in one line, where its evidence lives
+    * instead. Empty today: every family (including the cdc pair, which
+    * lives in `spark_sec`/`spark_only_sec` with the oracle-OOM story in
+    * `cdc_note`) is measured. A stale waiver — one whose family is no
+    * longer above the bar OR now has a measured entry — fails the gate,
+    * so the list is self-pruning like PlanGuard's whitelists. */
+  private val crossoverWaivers: Map[String, String] = Map.empty
+
+  test("every >10x sf0.1 family carries crossover evidence: a CROSSOVER.json entry or a named waiver") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("bench_latest.json")),
+      "no local bench artifact — run `make bench` first")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("CROSSOVER.json")),
+      "no CROSSOVER.json committed at the repo root")
+    val (curRatio, _, _) = maps("bench_latest.json")
+    assume(curRatio.nonEmpty, "bench_latest.json has no spark_over_duckdb map")
+    val cj = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("CROSSOVER.json")))
+    import scala.jdk.CollectionConverters._
+    def keys(field: String) = cj.path(field).fieldNames().asScala.toSet
+    val measured = keys("spark_sec") ++ keys("spark_only_sec")
+    // The repo's own evidence bar (SURVEY §6 / VERDICT r13+): an sf0.1
+    // ratio above 10x is either a sub-second job floor or a real plan
+    // defect, and only a 50x measurement distinguishes them — so every
+    // such family must carry one. Measured preemptively down to ~5x in
+    // tools/crossover.py so host drift between rounds cannot push an
+    // unmeasured family over the bar.
+    val over = curRatio.filter(_._2 > 10.0).keySet
+    val missing = (over -- measured -- crossoverWaivers.keySet).toSeq.sorted
+    val stale = crossoverWaivers.keySet.filter(w =>
+      !over.contains(w) || measured.contains(w)).toSeq.sorted
+    val problems =
+      (if (missing.isEmpty) Nil
+       else Seq(s"families over the 10x bar with no crossover evidence " +
+         s"(add to tools/crossover.py's lists and re-measure, or waive " +
+         s"with a one-line reason): $missing")) ++
+      (if (stale.isEmpty) Nil
+       else Seq(s"stale crossover waivers (family no longer >10x or now " +
+         s"measured — delete the waiver): $stale"))
+    assert(problems.isEmpty, "\n" + problems.mkString("\n"))
+  }
+
   // ---- the gate itself, pinned case by case ------------------------------
 
   test("anchored queries (≥50ms) trip on ratio alone") {
