@@ -124,6 +124,30 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(2).mkString("\n"))
   }
 
+  test("TokenCounts == split-size and regexp_extract_all-size, adversarial strings included") {
+    val s = spark
+    import s.implicits._
+    // the regex form it replaces, verbatim from the pre-r15 operator —
+    // uppercase (outside [a-z]), unicode, a supplementary (astral) char
+    // that a UTF-16-unit scan would double-count, empty string, and
+    // leading/trailing/double spaces (empty split tokens)
+    val adversarial = Seq(
+      (1L, ""), (2L, " "), (3L, "  "), (4L, "a"), (5L, "A"),
+      (6L, "abc123 x,y;z"), (7L, " lead trail "), (8L, "a  b"),
+      (9L, "héllo wörld straße"), (10L, "emoji 😀 end"),
+      (11L, "punct!!!only???"), (12L, "1a2b3c"), (13L, "mixed CASE Words"))
+      .toDF("doc_id", "text")
+    val df = corpus().select("doc_id", "text").union(adversarial)
+      .select(
+        VectorExpressions.tokenCounts(col("text")).as("tc"),
+        size(split(col("text"), " ")).cast("long").as("exp_ws"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("exp_bpeish"))
+    val bad = df.where(col("tc.ws_tokens") =!= col("exp_ws") ||
+      col("tc.bpeish_tokens") =!= col("exp_bpeish"))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("TokenHashes == the per-token transform lambdas, duplicates kept") {
     val tokens = split(col("text"), " ")
     val df = corpus().select(
