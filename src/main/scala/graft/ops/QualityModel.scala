@@ -148,8 +148,9 @@ object QualityModel {
     * exists to remove (and what a real curation run would never repeat —
     * it trains once, then sweeps/score-filters against the fitted model).
     * Staleness is impossible by construction: the key includes a metadata
-    * FINGERPRINT of the documents table's data files (sorted name:length:
-    * mtime, hashed — [[docsFingerprint]]), so ANY rewrite of the corpus
+    * FINGERPRINT of the documents table's data files (recursive leaf
+    * listing, sorted relative-path:length:mtime, hashed —
+    * [[docsFingerprint]]), so ANY rewrite of the corpus
     * under `dir` misses the memo on the next call with no writer-side
     * invalidation contract to forget (the r13 ADVICE gap: the old key was
     * dir+hyperparams only and no mutating path called the invalidator).
@@ -162,19 +163,35 @@ object QualityModel {
   def invalidateWeightCache(): Unit = weightCache.clear()
 
   /** Metadata fingerprint of the documents table under `dir`. One
-    * driver-side file listing — the cost class query planning already pays
-    * per scan — bounded by file count, never data size.
+    * driver-side RECURSIVE leaf-file listing (r15, ADVICE r14: a flat
+    * listStatus fingerprinted the directory entries of a partitioned/
+    * nested layout, and a partition rewrite could keep the top-level
+    * names/mtimes stable) — the cost class query planning already pays
+    * per scan, bounded by file count, never data size. Each leaf
+    * contributes its dir-relative path, length, and mtime. Known limit,
+    * inherent to metadata fingerprints: a rewrite that preserves every
+    * leaf path AND byte length within the store's mtime granularity
+    * (1 s on some local filesystems) is indistinguishable — real writers
+    * (Spark jobs, [[Versioned]] commits) mint fresh part names/tokens,
+    * so the practical hole is an artificial in-place byte-swap.
     */
   private def docsFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val listing =
       if (!fs.exists(p)) "absent"
-      else
-        fs.listStatus(p).iterator
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          .toSeq.sorted.mkString("\n")
+      else {
+        val base = fs.makeQualified(p).toString
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toString.stripPrefix(base)
+          if (!f.getPath.getName.startsWith("_"))
+            b += s"$rel:${f.getLen}:${f.getModificationTime}"
+        }
+        b.result().sorted.mkString("\n")
+      }
     java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -57,16 +57,36 @@ object Skew {
     * [[keySkew]], not a hot-path helper. Listener delivery is async, so
     * after the job returns we wait for the bus to go quiet (300 ms, 10 s
     * cap) before reading the counters.
+    *
+    * The measurement is scoped to `job`'s OWN jobs (r15, ADVICE r14): the
+    * block runs under a unique job group, and only task metrics from
+    * stages submitted by that group's jobs are counted — a concurrent job
+    * on the same session (a streaming trigger, another thread's query)
+    * can no longer pollute the heaviest-stage pick. A stage RETRY within
+    * the measured job still merges its attempts into one stageId entry;
+    * retried tasks inflate nTasks/mean slightly, which is the
+    * conservative direction for an imbalance read (documented, not
+    * filtered — a diagnostic should not hide that a stage retried).
     */
   def stageLoadOf(spark: SparkSession)(job: => Unit): StageLoad = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val groupId = s"graft-stageload-${java.util.UUID.randomUUID()}"
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val byStage =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     @volatile var lastEventAt = System.nanoTime()
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (g.contains(groupId)) {
+          j.stageIds.foreach(sid => { myStages.add(sid); () })
+          lastEventAt = System.nanoTime()
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) {
+        if (m != null && myStages.contains(t.stageId)) {
           byStage.computeIfAbsent(t.stageId,
             _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
             .add(m.shuffleReadMetrics.recordsRead)
@@ -76,8 +96,10 @@ object Skew {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      spark.sparkContext.setJobGroup(groupId,
+        "graft.ops.Skew.stageLoadOf measurement", interruptOnCancel = false)
       val t0 = System.nanoTime()
-      job
+      try job finally spark.sparkContext.clearJobGroup()
       val wall = (System.nanoTime() - t0) / 1e9
       val deadline = System.nanoTime() + 10000000000L
       while (System.nanoTime() < deadline &&

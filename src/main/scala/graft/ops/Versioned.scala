@@ -163,11 +163,16 @@ object Versioned {
   /** Driver-side running max epoch per table dir — saves even the one
     * small manifest read per skipped replay batch. Write-through from
     * [[publishManifest]]; a fresh JVM faults it in from the latest
-    * manifest. Sound for [[epochWriter]]'s guard because ONE streaming
-    * query owns a table's epochs (its doc) — concurrent batch committers
-    * in other processes can make the cache stale-LOW, which only ever
-    * makes the guard stricter here, and the COMMIT path never trusts it
-    * (the epoch carry reads the prior manifest fresh, [[priorMaxEpoch]]).
+    * manifest. Soundness of [[epochWriter]]'s replay guard rests on ONE
+    * streaming query per table dir owning its epochs (the epochWriter
+    * contract): that query's own commits write through, so the cache
+    * always holds the true max of the epochs that matter for its guard.
+    * It does NOT rest on staleness being conservative — a foreign writer
+    * leaving the cache stale-LOW would make `epoch > cachedMax` pass MORE
+    * often, weakening the guard — which is why the COMMIT path never
+    * trusts the cache (the epoch carry reads the prior manifest fresh,
+    * [[priorMaxEpoch]]), and why foreign batch commits carry epoch −1
+    * (they can never lower the carried max).
     */
   private val maxEpochCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
