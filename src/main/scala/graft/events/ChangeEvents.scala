@@ -169,19 +169,33 @@ object ChangeEvents {
     * the natural high-cardinality key; at warehouse scale this is the
     * incremental MERGE INTO pattern.
     */
-  def applyChanges(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def applyChanges(spark: SparkSession, dir: String): DataFrame =
+    applyChangesOf(Tables.events(spark, dir))
+
+  /** [[applyChanges]] over an explicit event frame — the overload that lets
+    * a caller fold a feed SLICE (e.g. VersionedSpec seeds a table from a
+    * prefix and MERGEs the remainder; the two paths must agree on the same
+    * fold, so they share this one definition).
+    */
+  def applyChangesOf(ev: DataFrame): DataFrame = {
     val byKeyDesc = Window.partitionBy(col("document_key")).orderBy(col("event_id").desc)
-    ev.select(
-        col("user_id").as("document_key"),
-        col("event_id"),
-        operationType(col("event_type")).as("operation_type"),
-        fullDocumentJson.as("full_document"))
+    changeSet(ev)
       .withColumn("rn", row_number().over(byKeyDesc))
       .where(col("rn") === 1 && col("operation_type") =!= "delete")
       .select(col("document_key"), col("event_id").as("last_event_id"), col("full_document"))
       .orderBy("document_key")
   }
+
+  /** The per-event change envelope (document_key, event_id, operation_type,
+    * full_document) — the shape both [[applyChangesOf]] and
+    * [[graft.ops.Versioned.merge]] consume.
+    */
+  def changeSet(ev: DataFrame): DataFrame =
+    ev.select(
+      col("user_id").as("document_key"),
+      col("event_id"),
+      operationType(col("event_type")).as("operation_type"),
+      fullDocumentJson.as("full_document"))
 
   /** C25 — SCD Type 2 history build: fold the change feed into the full
     * VERSIONED dimension — every insert/update becomes a version row with

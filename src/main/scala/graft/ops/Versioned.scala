@@ -217,8 +217,14 @@ object Versioned {
     * of an epoch the table already holds must be a no-op — otherwise the
     * restart double-publishes. The guard is the manifest's own epoch field:
     * strictly-greater epochs commit, replays skip. ONE streaming query per
-    * table dir owns its epochs; interleaved batch committers are safe
-    * (they publish epoch −1 and the max carries forward).
+    * table dir owns its epochs; interleaved batch committers are safe in
+    * BOTH directions (r15, ADVICE r14): they publish epoch −1 so the
+    * carried max never regresses, and when a batch commit wins the publish
+    * race against an epoch (the underlying [[commit]] is replace-flavored
+    * and throws), the writer RE-RESOLVES and retries — the epoch guard
+    * re-checks against the fresh max each attempt, so the retry is
+    * idempotent and the streaming query no longer dies on an interleaved
+    * batch write.
     */
   def epochWriter(dir: String): (DataFrame, Long) => Unit = (df, epoch) => {
     val s = df.sparkSession
@@ -231,7 +237,23 @@ object Versioned {
     // max forward (`max_epoch`), the read is O(1) — the driver cache, or
     // one field of one manifest on a fresh JVM — and vacuum cannot erase
     // it (ADVICE r12).
-    if (epoch > maxEpoch(s, dir)) { commit(s, df, dir, epoch); () }
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 50) {
+      attempts += 1
+      if (epoch <= maxEpoch(s, dir)) done = true
+      else
+        try { commit(s, df, dir, epoch); done = true }
+        catch {
+          case _: ConcurrentWriteException =>
+          // a batch committer won the race mid-epoch: re-resolve (the
+          // guard re-reads the fresh max) and retry; the lost attempt's
+          // staged files are vacuum debris
+        }
+    }
+    if (!done) sys.error(
+      s"epoch $epoch could not publish to $dir after $attempts attempts " +
+        "(pathological contention with batch committers)")
   }
 
   /** Stage `df`'s parquet parts into immutable token-unique names under
@@ -270,8 +292,18 @@ object Versioned {
     * it never observed (see the object doc). The staged files become
     * unreferenced debris that [[vacuum]] reclaims; the winner is untouched.
     */
-  def commit(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
-    val basis = versions(spark, dir).lastOption
+  def commit(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long =
+    commitAt(spark, df, dir, epoch, versions(spark, dir).lastOption)
+
+  /** [[commit]] against an EXPLICIT observed basis — the seam
+    * [[commitWithRetry]] needs: its `derive` reads the snapshot BEFORE the
+    * commit call, so the conflict check must be anchored at that read, not
+    * re-snapshotted at commit entry (a foreign commit landing between the
+    * two would otherwise slip a stale derivation through as a clean
+    * replace — the classic lost-update TOCTOU).
+    */
+  private def commitAt(spark: SparkSession, df: DataFrame, dir: String,
+                       epoch: Long, basis: Option[Long]): Long = {
     val v = basis.getOrElse(0L) + 1
     val named = stage(spark, df, dir, v)
     lockFor(dir).synchronized {
@@ -393,6 +425,190 @@ object Versioned {
       }
     }
     sys.error(s"rollback of $dir could not publish after $attempts attempts")
+  }
+
+  /** D22c — keyed MERGE: apply a change set (upserts + deletes by key) to
+    * the latest snapshot, rewriting ONLY the files that contain matched
+    * keys, published as ONE OCC commit. This is the lakehouse primitive
+    * that turns a CDC feed ([[graft.events.ChangeEvents.changeSet]]) from
+    * a full-table query into incremental table maintenance — what a CDC
+    * consumer at 100 TB actually runs per batch (Delta/Iceberg MERGE INTO
+    * in miniature).
+    *
+    * `changes` carries the table's columns plus `opCol` (rows whose op
+    * equals `deleteOp` remove their key; every other op upserts the row)
+    * and is collapsed to ONE net action per key first — highest `orderCol`
+    * wins, the same last-op-wins fold as A5d's cdc_apply, so merging a
+    * feed slice commutes with folding it (spec-pinned equality).
+    *
+    * Scale shape: the touched-file discovery scans ONLY (file, key) — a
+    * column-pruned pass over the snapshot joined against the delta's key
+    * set (Delta's own find-touched-files join; a D13/D21 key-clustered
+    * layout lets parquet skip most row groups in that scan). The rewrite
+    * then reads ONLY the affected files: survivors = affected-file rows
+    * anti-joined on matched keys, plus the net upserts — unaffected files
+    * ride into the new manifest BY NAME, zero bytes rewritten. The delta
+    * key set persists for its two consumers (§4); the affected-file NAME
+    * list is a driver-bounded collect (manifest-cardinality, the same
+    * bound every commit's file list already has).
+    *
+    * Concurrency: replace-flavored (the rewrite invalidates under ANY
+    * concurrent commit — an append may add rows for matched keys, so
+    * rebasing blindly would resurrect deleted keys): the head observed at
+    * entry must still be the head at publish, else
+    * [[ConcurrentWriteException]] — and RETRYING the merge is always
+    * safe, because merge re-derives everything from the new head (its
+    * intent "apply this change set" is head-independent); staged files
+    * from the lost attempt are vacuum debris. The raced-retry recipe is
+    * spec-demonstrated; [[commitWithRetry]] is the same idiom for plain
+    * replaces.
+    */
+  def merge(spark: SparkSession, changes: DataFrame, dir: String,
+            keyCol: String, orderCol: String,
+            opCol: String = "operation_type",
+            deleteOp: String = "delete"): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val basis = versions(spark, dir).lastOption
+    require(basis.nonEmpty, s"merge requires an existing table under $dir")
+    val snap = read(spark, dir, basis.get)
+    val cols = snap.schema.fieldNames.toSeq
+    require(!cols.contains(opCol),
+      s"table schema already has '$opCol' — pass a distinct opCol")
+    // net action per key: last op in orderCol wins (ties broken by the
+    // caller's orderCol being unique per key, as event ids are)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+    val net = changes
+      .withColumn("_rn", row_number().over(byKey))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .persist() // two consumers: touched-file scan + survivor anti-join/upserts
+    try {
+      val keys = net.select(col(keyCol)).distinct()
+      val touched = snap
+        .select(input_file_name().as("_file"), col(keyCol))
+        .join(keys, Seq(keyCol))
+        .select("_file").distinct()
+        .collect().map(_.getString(0))
+      val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      val survivors =
+        if (touched.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
+        else spark.read.parquet(touched.toIndexedSeq: _*)
+          .join(keys, Seq(keyCol), "left_anti")
+      val upserts = net.where(col(opCol) =!= deleteOp)
+        .select(cols.map(col): _*)
+      val rewritten = survivors.unionByName(upserts)
+      val v = basis.get + 1
+      val staged = stage(spark, rewritten, dir, v)
+      lockFor(dir).synchronized {
+        val head = versions(spark, dir).lastOption
+        if (head != basis)
+          throw new ConcurrentWriteException(
+            s"merge into $dir based on v${basis.get} lost to a concurrent commit " +
+              s"(head is now v${head.getOrElse(0L)}); staged files are vacuumable — " +
+              "retry the merge: it re-derives from the new head")
+        val prevFiles = readManifest(spark, dir, basis.get)
+        if (!publishManifest(spark, dir, v,
+          prevFiles.filterNot(touchedNames) ++ staged, -1L,
+          priorMaxEpoch(spark, dir, basis)))
+          throw new ConcurrentWriteException(
+            s"merge into $dir lost the v$v manifest publish to a concurrent " +
+              "committer in another process; retry the merge")
+      }
+      graft.Tables.invalidateSpread(dir)
+      v
+    } finally { net.unpersist(); () }
+  }
+
+  /** D22d — OPTIMIZE: rewrite the CURRENT snapshot's small files into
+    * size-targeted ones and commit the result as a files-replaced version.
+    * [[graft.ops.IncrementalAgg]]-style append chains accumulate one file
+    * set per micro-batch/commit forever, and D11's directory compaction
+    * would break the manifest log (it swaps the directory under the
+    * manifests' feet) — this is the in-history rewrite path: history and
+    * time travel stay intact (old manifests still reference the old
+    * files), and the superseded small files are reclaimed by [[vacuum]]
+    * once their manifests age out of retention.
+    *
+    * Only files under `targetBytes` are rewritten (coalesced to
+    * ceil(total/target) files via a shuffle-boundary repartition); files
+    * already at size ride into the new manifest by name, zero bytes
+    * moved. Needs ≥ 2 small files to act — otherwise returns the current
+    * version with NO new commit. The compaction read reconciles schema
+    * across the small files (`mergeSchema`) so an evolved append chain
+    * compacts to the union schema instead of a random file's.
+    *
+    * Concurrency: replace-flavored OCC like [[merge]] (the rewrite is
+    * invalid under any concurrent commit); [[newFiles]] across an
+    * optimize correctly reports None (not a pure append), forcing
+    * incremental consumers to their full-recompute fallback.
+    */
+  def optimize(spark: SparkSession, dir: String,
+               targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val basis = versions(spark, dir).lastOption
+    require(basis.nonEmpty, s"optimize requires an existing table under $dir")
+    val fs = fsOf(spark, new Path(dir))
+    val prevFiles = readManifest(spark, dir, basis.get)
+    val sized = prevFiles.map { n =>
+      n -> fs.getFileStatus(new Path(dir, s"data/$n")).getLen
+    }
+    val (small, big) = sized.partition(_._2 < targetBytes)
+    if (small.size < 2) return basis.get
+    val totalSmall = small.map(_._2).sum
+    val n = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    val compacted = spark.read.option("mergeSchema", "true")
+      .parquet(small.map { case (name, _) => s"$dir/data/$name" }: _*)
+      .repartition(n)
+    val v = basis.get + 1
+    val staged = stage(spark, compacted, dir, v)
+    lockFor(dir).synchronized {
+      val head = versions(spark, dir).lastOption
+      if (head != basis)
+        throw new ConcurrentWriteException(
+          s"optimize of $dir based on v${basis.get} lost to a concurrent commit; " +
+            "staged files are vacuumable — retry")
+      if (!publishManifest(spark, dir, v, big.map(_._1) ++ staged, -1L,
+        priorMaxEpoch(spark, dir, basis)))
+        throw new ConcurrentWriteException(
+          s"optimize of $dir lost the v$v manifest publish; retry")
+    }
+    graft.Tables.invalidateSpread(dir)
+    v
+  }
+
+  /** The user-facing retry recipe for replace-flavored commits (r15,
+    * VERDICT r14 #7): a REPLACE that loses an OCC race must re-read the
+    * new head and RE-DERIVE its result — a blind resubmit would clobber a
+    * snapshot it never saw, which is exactly why [[commit]] throws. This
+    * wraps that loop: `derive` receives the current snapshot (None for an
+    * empty table) and returns the replacement; on
+    * [[ConcurrentWriteException]] the loop re-reads and re-derives
+    * against the new head. Appends never need this (they rebase
+    * internally); use it for read-modify-write replaces and [[merge]]/
+    * [[optimize]]-class rewrites built on [[commit]].
+    */
+  def commitWithRetry(spark: SparkSession, dir: String, maxAttempts: Int = 5)
+                     (derive: Option[DataFrame] => DataFrame): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      // the basis is captured HERE — derive's read and the commit's
+      // conflict check anchor to the same observed head (commitAt), so a
+      // foreign commit landing anywhere between read and publish is
+      // detected and re-derived, never silently overwritten
+      val basis = versions(spark, dir).lastOption
+      val current = basis.map(v => read(spark, dir, v))
+      try return commitAt(spark, derive(current), dir, -1L, basis)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempts >= maxAttempts)
+            throw new ConcurrentWriteException(
+              s"replace of $dir still losing after $attempts derive-and-commit " +
+                s"attempts: ${e.getMessage}")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Drop all but the newest `keepLast` manifests and delete every data

@@ -367,4 +367,164 @@ class VersionedSpec extends SparkSpec {
     Versioned.versions(spark, dir).foreach(v =>
       Versioned.read(spark, dir, v).count())
   }
+
+  // ---- r15: keyed MERGE, OPTIMIZE, and the replace-retry recipe ----------
+
+  test("MERGE ≡ cdc_apply: folding a feed prefix then merging the remainder equals folding the whole feed") {
+    import org.apache.spark.sql.functions._
+    import graft.events.ChangeEvents
+    val dir = tempDir("versioned-merge-cdc") + "/table"
+    val ev = Tables.events(spark, sf0001)
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    Versioned.commit(spark,
+      ChangeEvents.applyChangesOf(ev.where(col("event_id") <= cut)).repartition(8), dir)
+    val changes = ChangeEvents.changeSet(ev.where(col("event_id") > cut))
+      .withColumn("last_event_id", col("event_id"))
+    val v = Versioned.merge(spark, changes, dir,
+      keyCol = "document_key", orderCol = "event_id")
+    assert(v === 2L)
+    val got = Versioned.read(spark, dir)
+      .orderBy("document_key")
+      .select("document_key", "last_event_id", "full_document")
+      .collect().toSeq
+    val expected = ChangeEvents.applyChangesOf(ev)
+      .select("document_key", "last_event_id", "full_document")
+      .collect().toSeq
+    assert(got.size === expected.size, s"${got.size} vs ${expected.size}")
+    assert(got === expected, "merge-onto-prefix must equal the one-shot fold")
+  }
+
+  test("MERGE rewrites ONLY the files containing matched keys; inserts/updates/deletes land; untouched files ride by name") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-merge-files") + "/table"
+    // 100 keys range-partitioned into 10 files: each file owns a key range
+    val seed = (0 until 100).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+    Versioned.commit(spark, seed, dir)
+    val before = Versioned.newFiles(spark, dir, -1L, 1L).get
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(before.size === 10, s"expected 10 seed files, got ${before.size}")
+    // two upserts for key 5 (order wins), a delete of 17, an insert of 1000
+    val changes = Seq(
+      (5L, "stale", "update", 1L),
+      (5L, "fresh", "update", 2L),
+      (17L, "whatever", "delete", 3L),
+      (1000L, "new", "insert", 4L)
+    ).toDF("id", "payload", "operation_type", "seq")
+    val v = Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq")
+    assert(v === 2L)
+    val after = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest-v2.json")))
+      val fl = node.path("files")
+      (0 until fl.size()).map(fl.get(_).asText()).toSet
+    }
+    // keys 5 and 17 live in different range files; 1000 matches nothing —
+    // exactly the two touched files are replaced, the other eight ride
+    val kept = before & after
+    assert(kept.size === 8, s"exactly 2 of 10 files rewritten: kept=${kept.size}")
+    val m = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(5L) === "fresh", "last-op-wins within the change set")
+    assert(!m.contains(17L), "deleted key gone")
+    assert(m(1000L) === "new", "unmatched upsert inserts")
+    assert(m.size === 100, "99 survivors + 1 insert")
+    assert(m(4L) === "payload4" && m(99L) === "payload99", "untouched rows intact")
+    // time travel to the pre-merge snapshot still reads the old state
+    assert(Versioned.read(spark, dir, 1).count() === 100)
+  }
+
+  test("MERGE racing an append: the append never fails; a lost merge throws and its RETRY applies cleanly to the new head") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("versioned-merge-race") + "/table"
+    val seed = (0 until 50).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+    Versioned.commit(spark, seed, dir)
+    val changes = Seq((7L, "merged", "update", 1L), (11L, "x", "delete", 2L))
+      .toDF("id", "payload", "operation_type", "seq")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Either[Throwable, Long])]()
+    val appendRows = (9000 until 9005).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+    val t1 = new Thread(() => {
+      try { gate.await(); results.add("append" -> Right(Versioned.append(spark, appendRows, dir))) }
+      catch { case t: Throwable => results.add("append" -> Left(t)) }
+    })
+    val t2 = new Thread(() => {
+      try {
+        gate.await()
+        results.add("merge" -> Right(
+          Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq")))
+      } catch { case t: Throwable => results.add("merge" -> Left(t)) }
+    })
+    Seq(t1, t2).foreach(_.start()); Seq(t1, t2).foreach(_.join(120000))
+    val m = results.toArray(Array.empty[(String, Either[Throwable, Long])]).toMap
+    assert(m("append").isRight, s"append rebases, never fails: ${m("append")}")
+    m("merge") match {
+      case Right(_) => // merge won the publish (or ran clean) — both landed
+      case Left(t) =>
+        assert(t.isInstanceOf[Versioned.ConcurrentWriteException],
+          s"a raced merge fails with ConcurrentWriteException, got $t")
+        // the documented recipe: retrying re-derives from the new head
+        Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq")
+    }
+    val finalMap = Versioned.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(finalMap(7L) === "merged", "merge effect present")
+    assert(!finalMap.contains(11L), "delete effect present")
+    assert(finalMap.contains(9000L) && finalMap.contains(9004L), "append rows present")
+    assert(finalMap.size === 50 - 1 + 5, s"49 survivors + 5 appended: ${finalMap.size}")
+  }
+
+  test("OPTIMIZE compacts an append chain's small files: identical rows, fewer files, history intact, non-append reported") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("versioned-optimize") + "/table"
+    Versioned.commit(spark, rows(0, 20), dir)
+    (1 to 4).foreach(i => Versioned.append(spark, rows(i * 1000, 20), dir))
+    val preV = Versioned.versions(spark, dir).last
+    val preFiles = Versioned.newFiles(spark, dir, -1L, preV).get
+    val preRows = Versioned.read(spark, dir).collect().map(_.toString).sorted
+    val v = Versioned.optimize(spark, dir) // everything is tiny → one file
+    assert(v === preV + 1)
+    val postFiles = Versioned.newFiles(spark, dir, -1L, v).get
+    assert(postFiles.size < preFiles.size,
+      s"file count must drop: ${preFiles.size} -> ${postFiles.size}")
+    val postRows = Versioned.read(spark, dir).collect().map(_.toString).sorted
+    assert(postRows.toSeq === preRows.toSeq, "optimize must not change a single row")
+    // time travel to every pre-optimize version still reads (files retained
+    // until vacuum ages their manifests out)
+    Versioned.versions(spark, dir).foreach(pv =>
+      assert(Versioned.read(spark, dir, pv).count() > 0))
+    // an optimize is NOT a pure append: incremental consumers must fall back
+    assert(Versioned.newFiles(spark, dir, preV, v).isEmpty,
+      "newFiles across an optimize reports None")
+    // idempotence-ish: a second optimize on the already-compact table is a
+    // no-op (returns the current version, no new commit)
+    assert(Versioned.optimize(spark, dir) === v)
+    assert(Versioned.versions(spark, dir).last === v)
+  }
+
+  test("commitWithRetry: a replace that loses to a foreign commit re-derives against the new head and wins") {
+    val dir = tempDir("versioned-retry") + "/table"
+    Versioned.commit(spark, rows(0, 10), dir) // v1
+    var calls = 0
+    val v = Versioned.commitWithRetry(spark, dir) { current =>
+      calls += 1
+      // first attempt: a foreign replace lands AFTER this derive read its
+      // snapshot — the deterministic TOCTOU (commitAt anchors the conflict
+      // check at the derive's basis, so this MUST trip a retry)
+      if (calls == 1) Versioned.commit(spark, rows(500, 5), dir)
+      val n = current.map(_.count()).getOrElse(0L)
+      rows(2000, n.toInt) // derived FROM the observed head
+    }
+    assert(calls === 2, "the raced first attempt must have been retried")
+    assert(v === 3L, "v2 = the foreign commit, v3 = the successful retry")
+    // the retry derived from the FOREIGN head (5 rows), not the stale v1
+    // read (10 rows) — the lost update the basis anchoring prevents
+    val fin = Versioned.read(spark, dir)
+    assert(fin.count() === 5L)
+    assert(fin.agg(org.apache.spark.sql.functions.min("id")).head().getLong(0) === 2000L)
+  }
 }
