@@ -452,8 +452,50 @@ object Corpus {
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
       .persist()
     val eval_ = st.where(col("doc_id") % 50 === 0).select("h").distinct()
-    val matched = st.where(col("doc_id") % 50 =!= 0)
-      .join(eval_, Seq("h"))
+    spansOver(st.where(col("doc_id") % 50 =!= 0), eval_, k)
+  }
+
+  /** B13c against a REAL benchmark table (r15, VERDICT r14 #6): the
+    * registered query's `doc_id % 50` eval stand-in keeps the oracle
+    * deterministic, but a production decontamination run screens the
+    * corpus against an EXTERNAL eval set — `evalDocs` is any frame with a
+    * `text` column (a loaded benchmark file, a curated prompt table).
+    * Every corpus document is scored (no parity-slice exclusion); eval
+    * rows shorter than k carry no full k-gram and contribute nothing,
+    * same rule as the registered query. Same island construction, same
+    * scale shape — the eval gram set is benchmark-sized and its join
+    * side AQE-broadcasts.
+    */
+  def contaminationSpansAgainst(spark: SparkSession, dir: String,
+                                evalDocs: DataFrame,
+                                shingleK: Int = 8): DataFrame = {
+    val k = shingleK
+    val st = Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode(VectorExpressions.positionalShingleHashes(col("text"), k,
+          md5Based = true)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    spansOver(st, evalGramSet(evalDocs, k), k)
+  }
+
+  /** The distinct k-gram hash set of an external eval table (`text`
+    * column; sub-k rows excluded — no full k-gram exists in them).
+    */
+  private def evalGramSet(evalDocs: DataFrame, k: Int): DataFrame =
+    evalDocs
+      .where(size(split(col("text"), " ")) >= k)
+      .select(explode(VectorExpressions.positionalShingleHashes(col("text"), k,
+        md5Based = true)).as("h"))
+      .distinct()
+
+  /** The shared B13c island pass: corpus positional-gram starts joined
+    * against an eval gram set, merged into maximal leaked token intervals
+    * (break at start gap > k — disjoint spans, ≥ 1 clean token between).
+    */
+  private def spansOver(corpusSt: DataFrame, evalHashes: DataFrame,
+                        k: Int): DataFrame = {
+    val matched = corpusSt.join(evalHashes, Seq("h"))
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     matched
@@ -498,11 +540,38 @@ object Corpus {
       .persist()
     val ev = base.where(col("doc_id") % 50 === 0 && col("n") >= k)
       .select(explode(col("ph")).as("h")).distinct()
-      .withColumn("is_leak", lit(1))
+    trimOver(base.where(col("doc_id") % 50 =!= 0), ev, k)
+  }
+
+  /** B13d against a REAL benchmark table (r15, VERDICT r14 #6) — the
+    * production seam matching [[contaminationSpansAgainst]]: surgically
+    * trim from EVERY corpus document the tokens covered by a k-gram of
+    * the external `evalDocs` (`text` column). Same coverage window, same
+    * tiling guarantee vs the spans report.
+    */
+  def decontaminatedSpansAgainst(spark: SparkSession, dir: String,
+                                 evalDocs: DataFrame,
+                                 shingleK: Int = 8): DataFrame = {
+    val k = shingleK
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"),
+        VectorExpressions.positionalShingleHashes(col("text"), k,
+          md5Based = true).as("ph"))
+      .withColumn("n", size(col("tok")))
+    trimOver(base, evalGramSet(evalDocs, k), k)
+  }
+
+  /** The shared B13d trim pass over a (doc_id, tok, ph, n) corpus frame
+    * and an eval gram-hash set: B34's coverage window with the dup set
+    * swapped for the leaked set; sub-k docs pass through untrimmed.
+    */
+  private def trimOver(base: DataFrame, evalHashes: DataFrame,
+                       k: Int): DataFrame = {
+    val ev = evalHashes.withColumn("is_leak", lit(1))
     // arrays_zip pads the shorter hash array with nulls (tail positions
     // where no gram starts); a sub-k doc's clamped whole-text gram is
     // nulled out too — it is not a full k-gram and must not match
-    val corpusTok = base.where(col("doc_id") % 50 =!= 0)
+    val corpusTok = base
       .select(col("doc_id"), col("n"),
         posexplode(arrays_zip(col("tok"), col("ph"))).as(Seq("p0", "z")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("z.tok").as("token"),

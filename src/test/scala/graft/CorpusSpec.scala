@@ -104,6 +104,53 @@ class CorpusSpec extends SparkSpec {
     assert(m(52L).getAs[String]("clean_text").startsWith("c1 c2"))
   }
 
+  test("the external-benchmark seam: spans and trim against a fixture eval FILE, every corpus doc screened") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("contamseam")
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens -> 3 matched 8-gram starts
+    val fx = (1 to 12).map(i => s"x$i").mkString(" ")
+    val fz = (1 to 9).map(i => s"z$i").mkString(" ")
+    // doc 50 would be the %-50 eval slice in the REGISTERED query — here it
+    // is corpus like everything else and must be screened too
+    Seq(
+      (50L, s"$fx $phrase $fz"),
+      (51L, s"${(1 to 6).map(i => s"w$i").mkString(" ")} $phrase"),
+      (52L, (1 to 30).map(i => s"c$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the benchmark ships as a FILE, like a real eval set — load and pass
+    // it through the seam; the short second row carries no full 8-gram
+    Seq((1L, s"benchmark context ${phrase} trailing words here"),
+      (2L, "too short"))
+      .toDF("eval_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/benchmark.parquet")
+    val bench = spark.read.parquet(s"$dir/benchmark.parquet")
+
+    val spans = Corpus.contaminationSpansAgainst(spark, dir, bench).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
+      .sorted
+    // doc 50: phrase at 13..22; doc 51: phrase at 7..16; doc 52 clean
+    assert(spans.toSeq === Seq((50L, 13L, 22L, 10L), (51L, 7L, 16L, 10L)),
+      s"got ${spans.toSeq}")
+
+    val m = Corpus.decontaminatedSpansAgainst(spark, dir, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.keySet === Set(50L, 51L, 52L), "EVERY corpus doc is screened and kept")
+    assert(m(50L).getAs[Long]("n_removed") === 10L)
+    assert(m(50L).getAs[String]("clean_text") === s"$fx $fz")
+    assert(m(51L).getAs[Long]("n_removed") === 10L)
+    assert(m(52L).getAs[Long]("n_removed") === 0L)
+    // the registered %-50 stand-in and the seam agree where they overlap:
+    // tiling (n_removed == sum of span lengths) holds per doc here too
+    val tiled = spans.groupBy(_._1).map { case (d, ss) => d -> ss.map(_._4).sum }
+    m.foreach { case (d, r) =>
+      assert(r.getAs[Long]("n_removed") === tiled.getOrElse(d, 0L))
+    }
+  }
+
   test("decontaminatedSpans' removal tiles the span report exactly on the real corpus") {
     val spanTotal = Corpus.contaminationSpans(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("doc_id"))
