@@ -88,6 +88,7 @@ object SparkEntry {
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
+    "packing_efficiency"   -> ((s, d) => graft.ops.Corpus.packingEfficiency(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "label_prototypes"     -> ((s, d) => graft.ops.Embeddings.labelPrototypes(s, d)),
     "prototype_assign"     -> ((s, d) => graft.ops.Embeddings.prototypeAssign(s, d)),
     "dup_clusters"         -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dup_cluster_sizes"    -> ((s, d) => Dedup.dupClusterSizes(s, d)),
     "cluster_keep_best"    -> ((s, d) => Dedup.clusterKeepBest(s, d)),
     "passage_dedup"        -> ((s, d) => Dedup.passageDedup(s, d)),
     "dup_span_trim"        -> ((s, d) => Dedup.dupSpanTrim(s, d)),
@@ -917,6 +919,30 @@ object SparkEntry {
         |       CAST(start_off % 2048 AS BIGINT) AS pack_off
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    // B30b: per-shard packing report over the identical doc_packing CTE;
+    // n_packs = ceil(total/budget) (contiguous layout), fill and crossing
+    // fractions are integer-ratio rounded divides (engine-exact).
+    "packing_efficiency" ->
+      """WITH d AS (SELECT doc_id,
+        |             ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |o AS (SELECT doc_id, shard, ntok,
+        |             sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - ntok AS start_off
+        |      FROM d),
+        |p AS (SELECT shard, ntok, start_off % 2048 AS pack_off FROM o),
+        |s AS (SELECT shard, count(*) AS n_docs, sum(ntok) AS total_tokens,
+        |             sum(CASE WHEN pack_off + ntok > 2048 THEN 1 ELSE 0 END) AS crossing_docs
+        |      FROM p GROUP BY shard)
+        |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(total_tokens AS BIGINT) AS total_tokens,
+        |       CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_packs,
+        |       round(CAST(total_tokens AS DOUBLE) / (((total_tokens + 2047) // 2048) * 2048), 6) AS fill_ratio,
+        |       CAST(crossing_docs AS BIGINT) AS crossing_docs,
+        |       round(CAST(crossing_docs AS DOUBLE) / n_docs, 6) AS crossing_frac
+        |FROM s ORDER BY shard""".stripMargin,
+
     "train_split" -> {
       val trainCut = (0.9 * (1 << 24)).toLong
       val valCut = (0.95 * (1 << 24)).toLong
@@ -1353,6 +1379,27 @@ object SparkEntry {
          |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // B19c: the size histogram over the identical recursive-CTE clusters
+    "dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand),
+         |d AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |ed AS (SELECT id_a AS a, id_b AS b FROM d UNION ALL SELECT id_b AS a, id_a AS b FROM d),
+         |nd AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nd
+         |  UNION
+         |  SELECT ed.a, r.lbl FROM ed JOIN reach r ON ed.b = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT doc_id, cluster_id,
+         |              count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cl)
+         |SELECT cluster_size, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // dup_clusters' recursive-CTE components + the B8 quality score,
     // argmax per cluster by (quality DESC, doc_id) — same tie rule as the

@@ -383,6 +383,36 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** B30b — packing-efficiency report (r15): per shard, the numbers a
+    * training run reads before committing to a packing configuration —
+    * docs, tokens, sequence (pack) count, fill ratio (the concat-and-cut
+    * layout fills every pack to `budget` except each shard's open tail,
+    * so fill = total/(n_packs·budget) and the headroom is the tail), and
+    * the BOUNDARY-CROSSING doc count/fraction: docs whose tokens straddle
+    * a pack cut get split across training sequences, the fragmentation a
+    * larger budget or document-aware packing trades against. Composes the
+    * registered [[docPacking]] layout (same budget/shard math — one
+    * definition, no drift) and collapses to `shards` rows map-side; all
+    * integer math plus two integer-ratio rounded divides, engine-exact.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String,
+                        budget: Long = 2048, shards: Int = 8): DataFrame =
+    docPacking(spark, dir, budget, shards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        sum(when(col("pack_off") + col("ntok") > budget, 1L).otherwise(0L))
+          .as("crossing_docs"))
+      .withColumn("n_packs", expr(s"(total_tokens + ${budget - 1}L) div ${budget}L"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") / (col("n_packs") * budget), 6))
+      .withColumn("crossing_frac",
+        round(col("crossing_docs").cast("double") / col("n_docs"), 6))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_packs"),
+        col("fill_ratio"), col("crossing_docs"), col("crossing_frac"))
+      .orderBy("shard")
+
   /** B13 — benchmark-contamination check: which corpus docs share at least
     * `minOverlap` distinct 8-gram shingles with an eval-set doc (the
     * standard n-gram-overlap decontamination test). The eval set here is a

@@ -863,6 +863,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B19c — duplicate-cluster size histogram (r15): cluster_size →
+    * (n_clusters, n_docs) over the B19 cluster table — the one-page "how
+    * duplicated is this corpus" summary a dedup run reports before anyone
+    * reads per-doc rows (mass in large clusters = viral boilerplate; a
+    * long singleton-pair tail = near-dup noise at the threshold). Rides
+    * the ENTIRE registered cluster machinery (banded LSH → guarded pairs
+    * → hybrid components), then collapses to a histogram bounded by the
+    * largest cluster — a two-column partial-agg groupBy over the cluster
+    * table, which is already tiny relative to the corpus.
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("cluster_size", LongType, nullable = true),
+      StructField("n_clusters", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false)))
+    graft.plans.DeferredFrame(spark, schema)(() =>
+      eagerDupClusters(spark, dir, threshold = 0.5, maxIter = 50,
+        localEdgeCap = 1 << 16)
+        .groupBy("cluster_size")
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("cluster_size"))
+  }
+
   /** B19b — keep-best-per-cluster: the decision step after cluster
     * assembly. Real pipelines keep each duplicate cluster's HIGHEST-QUALITY
     * member, not its lowest id (the first crawl of a page is often the

@@ -121,6 +121,29 @@ class CurationSpec extends SparkSpec {
     assert(secs < 120, s"degenerate input must stay bounded, took $secs s")
   }
 
+  test("dupClusterSizes histogram replays exactly from the cluster table and conserves the population") {
+    val got = Dedup.dupClusterSizes(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.nonEmpty, "the corpus must contain near-dup clusters at this SF")
+    val clusters = Dedup.dupClusters(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    val expected = clusters.groupBy(_._1).toSeq
+      .map { case (cid, rs) => (cid, rs.head._2, rs.length.toLong) }
+    // every cluster's window size agrees with its actual membership count
+    expected.foreach { case (cid, sz, n) =>
+      assert(sz === n, s"cluster $cid: window size $sz vs member count $n")
+    }
+    val hist = expected.groupBy(_._2).map { case (sz, cs) =>
+      sz -> (cs.length.toLong, cs.map(_._3).sum)
+    }
+    assert(got === hist, s"histogram mismatch: got $got expected $hist")
+    // conservation: histogram docs sum to the clustered population, and
+    // n_docs = cluster_size * n_clusters within each bucket
+    assert(got.values.map(_._2).sum === clusters.length.toLong)
+    got.foreach { case (sz, (nc, nd)) => assert(nd === sz * nc) }
+  }
+
   test("tokenBudgetMix admits a greedy hash-order prefix per language") {
     val dir = docsDir(Seq(
       1L -> Seq.fill(10)("alpha beta").mkString(" "),   // 20 tokens

@@ -297,6 +297,35 @@ class RelevanceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("shard")).distinct.length === 4)
   }
 
+  test("packingEfficiency: per-shard report replays exactly from the packing layout") {
+    val budget = 100L
+    val layout = graft.ops.Corpus.docPacking(spark, sf0001, budget = budget, shards = 4)
+      .collect()
+    val got = graft.ops.Corpus.packingEfficiency(spark, sf0001, budget = budget, shards = 4)
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(got.nonEmpty)
+    layout.groupBy(_.getAs[Long]("shard")).foreach { case (shard, docs) =>
+      val r = got(shard)
+      val total = docs.map(_.getAs[Long]("ntok")).sum
+      val nPacks = (total + budget - 1) / budget
+      val crossing = docs.count(d =>
+        d.getAs[Long]("pack_off") + d.getAs[Long]("ntok") > budget)
+      assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+      assert(r.getAs[Long]("total_tokens") === total)
+      assert(r.getAs[Long]("n_packs") === nPacks)
+      assert(r.getAs[Long]("crossing_docs") === crossing.toLong)
+      assert(math.abs(r.getAs[Double]("fill_ratio") -
+        total.toDouble / (nPacks * budget)) < 1e-6)
+      assert(r.getAs[Double]("fill_ratio") <= 1.0 &&
+        r.getAs[Double]("fill_ratio") > 0.0)
+      assert(math.abs(r.getAs[Double]("crossing_frac") -
+        crossing.toDouble / docs.length) < 1e-6)
+    }
+    assert(got.keySet === layout.map(_.getAs[Long]("shard")).toSet,
+      "one report row per populated shard")
+  }
+
   test("rollingActiveUsers: trailing-7d distinct, windows anchored to real days") {
     val s = spark
     import s.implicits._
