@@ -89,6 +89,7 @@ object SparkEntry {
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
     "packing_efficiency"   -> ((s, d) => graft.ops.Corpus.packingEfficiency(s, d)),
+    "harmonic_packing"     -> ((s, d) => graft.ops.Corpus.harmonicPacking(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -942,6 +943,35 @@ object SparkEntry {
         |       CAST(crossing_docs AS BIGINT) AS crossing_docs,
         |       round(CAST(crossing_docs AS DOUBLE) / n_docs, 6) AS crossing_frac
         |FROM s ORDER BY shard""".stripMargin,
+
+    // B30c: harmonic no-split packing — pieces (budget 64), class m =
+    // 64 div size, m consecutive pieces per pack; all integer math.
+    "harmonic_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |             ('0x' || substr(md5('hpack:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dtok
+        |           FROM documents),
+        |pc AS (SELECT doc_id, shard, dtok,
+        |         unnest(generate_series(0, CAST(dtok // 64 + CASE WHEN dtok % 64 > 0 THEN 1 ELSE 0 END - 1 AS BIGINT))) AS piece
+        |       FROM d),
+        |p AS (SELECT doc_id, shard, piece,
+        |        CASE WHEN piece < dtok // 64 THEN 64 ELSE dtok % 64 END AS ntok
+        |      FROM pc),
+        |c AS (SELECT doc_id, shard, piece, ntok, 64 // ntok AS class_m,
+        |        row_number() OVER (PARTITION BY shard, 64 // ntok
+        |                           ORDER BY doc_id, piece) AS rn
+        |      FROM p),
+        |a AS (SELECT doc_id, shard, piece, ntok, class_m, rn,
+        |        (rn - 1) // class_m AS pack_seq FROM c),
+        |o AS (SELECT doc_id, shard, piece, ntok, class_m, pack_seq,
+        |        sum(ntok) OVER (PARTITION BY shard, class_m, pack_seq
+        |                        ORDER BY doc_id, piece
+        |                        ROWS UNBOUNDED PRECEDING) - ntok AS pack_off
+        |      FROM a)
+        |SELECT doc_id, CAST(piece AS BIGINT) AS piece, shard,
+        |       CAST(ntok AS BIGINT) AS ntok, CAST(class_m AS BIGINT) AS class_m,
+        |       CAST(pack_seq AS BIGINT) AS pack_seq, CAST(pack_off AS BIGINT) AS pack_off
+        |FROM o ORDER BY doc_id, piece""".stripMargin,
 
     "train_split" -> {
       val trainCut = (0.9 * (1 << 24)).toLong

@@ -413,6 +413,59 @@ object Corpus {
         col("fill_ratio"), col("crossing_docs"), col("crossing_frac"))
       .orderBy("shard")
 
+  /** B30c — document-aware (no-split) packing via harmonic size classes
+    * (r15): the alternative [[packingEfficiency]]'s crossing fraction prices
+    * — concat-and-cut fills every sequence but splits the docs that straddle
+    * a cut; this layout never splits a piece across sequences, trading a
+    * bounded amount of tail headroom for intact documents. The algorithm is
+    * the classic harmonic bin-packing scheme chosen because it is CLOSED
+    * FORM — no first-fit scan state, so it distributes: a piece of size s
+    * joins class m = budget div s (the count of that size that fits in one
+    * pack), and each class-m pack takes m consecutive pieces. No-crossing is
+    * then an arithmetic invariant (m pieces of size ≤ budget/m sum ≤
+    * budget), and every FULL pack is provably > budget·m/(m+1) filled
+    * (class-m sizes exceed budget/(m+1)); only the last pack per
+    * (shard, class) is open. Docs longer than the budget split into
+    * full-budget pieces (each lands in class 1 and fills its pack exactly —
+    * the unavoidable split) plus one remainder piece that re-enters its own
+    * class; within a doc, pieces tile 0..n-1 with the remainder last.
+    *
+    * Plan shape: one documents scan → piece explode (usually 1 row out per
+    * row in) → a row_number window per (shard, class) → a running-sum
+    * window per (shard, class, pack). Two fine-grained exchanges of the
+    * pieces table, both keyed well below shard granularity; `shards` is the
+    * parallelism knob exactly as in [[docPacking]], and no window ever
+    * holds more than one (shard, class) slice. All integer math
+    * (content-free md5 shard, integer division classes), engine-exact.
+    */
+  def harmonicPacking(spark: SparkSession, dir: String,
+                      budget: Long = 64, shards: Int = 8): DataFrame = {
+    val b = budget
+    val pieces = Tables.documents(spark, dir)
+      .select(col("doc_id"), (DocHash.hash24("hpack:") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("dtok"))
+      // piece count = full budget-size pieces + one remainder piece if any;
+      // dtok ≥ 1 always (split of "" is a 1-element array) so ≥ 1 piece
+      .withColumn("piece", explode(expr(
+        s"sequence(0L, dtok div ${b}L + (CASE WHEN dtok % ${b}L > 0 THEN 1L ELSE 0L END) - 1L)")))
+      .withColumn("ntok",
+        when(col("piece") < expr(s"dtok div ${b}L"), lit(b))
+          .otherwise(expr(s"dtok % ${b}L")))
+      .withColumn("class_m", expr(s"${b}L div ntok"))
+    val wRank = Window.partitionBy(col("shard"), col("class_m"))
+      .orderBy(col("doc_id"), col("piece"))
+    val wPack = Window.partitionBy(col("shard"), col("class_m"), col("pack_seq"))
+      .orderBy(col("doc_id"), col("piece"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pieces
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("pack_seq", expr("(rn - 1L) div class_m"))
+      .withColumn("pack_off", sum(col("ntok")).over(wPack) - col("ntok"))
+      .select(col("doc_id"), col("piece"), col("shard"), col("ntok"),
+        col("class_m"), col("pack_seq"), col("pack_off"))
+      .orderBy("doc_id", "piece")
+  }
+
   /** B13 — benchmark-contamination check: which corpus docs share at least
     * `minOverlap` distinct 8-gram shingles with an eval-set doc (the
     * standard n-gram-overlap decontamination test). The eval set here is a

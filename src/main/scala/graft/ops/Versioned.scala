@@ -375,6 +375,94 @@ object Versioned {
     else Some(toF.filterNot(sinceF).map(n => s"$dir/data/$n"))
   }
 
+  /** D22e — row-level CHANGE FEED between two committed versions: what a
+    * downstream consumer must apply to move its copy of the table from
+    * `from` to `to`, emitted as the table's columns plus `_change_type`.
+    * The read-side complement of [[merge]]: merge folds a change set INTO
+    * the table; this recovers the net change set OUT of the history.
+    *
+    * File-level pruning is the scale argument: file names are immutable
+    * once committed, so only the files the two manifests DISAGREE on are
+    * read — an append's feed reads just the appended files, and a 100 TB
+    * table whose commit touched 3 files diffs 3 files' rows, never the
+    * table. An [[optimize]] (pure rewrite) reads its rewritten files and
+    * correctly nets to an EMPTY feed — which is exactly what [[newFiles]]
+    * cannot express (it reports None on any non-append), and why
+    * incremental consumers that fall back to full recompute today can use
+    * the feed instead.
+    *
+    * Without `keyCol` the feed is the MULTISET diff (hash-aggregate
+    * `exceptAll` both ways over the changed-file rows): `insert` rows in
+    * `to` but not `from`, `delete` rows gone. With `keyCol` the feed is
+    * keyed like a CDC stream: `insert` (key only in `to`), `delete` (key
+    * only in `from`), and a changed key emits `update_preimage` +
+    * `update_postimage` — defined for key-unique snapshots, the same
+    * contract [[merge]] maintains. Schema evolution across the span is
+    * reconciled per side (`mergeSchema`) and the sides aligned on the
+    * union of columns, missing ones null.
+    *
+    * `from` ≤ 0 means "from nothing": every row of `to` as `insert`.
+    */
+  def changeFeed(spark: SparkSession, dir: String, from: Long, to: Long,
+                 keyCol: String = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(spark, dir)
+    require(vs.contains(to), s"version $to not present under $dir (have $vs)")
+    require(from <= 0 || vs.contains(from),
+      s"version $from not present under $dir (have $vs)")
+    val toF = readManifest(spark, dir, to)
+    val fromF = if (from <= 0) Seq.empty[String] else readManifest(spark, dir, from)
+    val added = toF.filterNot(fromF.toSet)
+    val removed = fromF.filterNot(toF.toSet)
+    def readNames(names: Seq[String]): Option[DataFrame] =
+      if (names.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(names.map(n => s"$dir/data/$n"): _*))
+    val (aOpt, rOpt) = (readNames(added), readNames(removed))
+    // union of columns, to-side order first; a side missing a column
+    // (evolution across the span) surfaces null for it
+    val fields = {
+      val changedSides = (aOpt.toSeq ++ rOpt.toSeq).flatMap(_.schema.fields)
+      val fs = if (changedSides.nonEmpty) changedSides
+               else read(spark, dir, to).schema.fields.toSeq // identical manifests
+      fs.foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    }
+    def align(df: DataFrame) = df.select(fields.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    val outCols = fields.map(f => col(f.name)) :+ col("_change_type")
+    def typed(df: DataFrame, t: String) =
+      df.withColumn("_change_type", lit(t)).select(outCols: _*)
+    (aOpt.map(align), rOpt.map(align)) match {
+      case (Some(a), None) => typed(a, "insert")
+      case (None, Some(r)) => typed(r, "delete")
+      case (None, None) => // identical manifests: a typed empty frame
+        typed(spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(fields)), "insert").limit(0)
+      case (Some(a), Some(r)) if keyCol == null =>
+        typed(a.exceptAll(r), "insert").unionByName(typed(r.exceptAll(a), "delete"))
+      case (Some(a), Some(r)) =>
+        val dataCols = fields.map(f => col(f.name))
+        val pre = r.select(col(keyCol).as("_k"), struct(dataCols: _*).as("_pre"))
+        val post = a.select(col(keyCol).as("_k"), struct(dataCols: _*).as("_post"))
+        val j = pre.join(post, Seq("_k"), "full_outer")
+        val inserts = typed(j.where(col("_pre").isNull)
+          .select(fields.map(f => col("_post." + f.name).as(f.name)): _*), "insert")
+        val deletes = typed(j.where(col("_post").isNull)
+          .select(fields.map(f => col("_pre." + f.name).as(f.name)): _*), "delete")
+        val changed = j.where(col("_pre").isNotNull && col("_post").isNotNull &&
+          col("_pre") =!= col("_post"))
+        val preRows = typed(changed
+          .select(fields.map(f => col("_pre." + f.name).as(f.name)): _*), "update_preimage")
+        val postRows = typed(changed
+          .select(fields.map(f => col("_post." + f.name).as(f.name)): _*), "update_postimage")
+        inserts.unionByName(deletes).unionByName(preRows).unionByName(postRows)
+    }
+  }
+
   /** Read a snapshot: the pinned `version`, or the latest when ≤ 0. Reads
     * exactly the manifest's files — concurrent commits and un-vacuumed
     * stale files are invisible by construction.

@@ -326,6 +326,52 @@ class RelevanceSpec extends SparkSpec {
       "one report row per populated shard")
   }
 
+  test("harmonicPacking: pieces tile docs, no piece crosses a pack boundary, full packs meet the harmonic fill bound") {
+    val budget = 64L
+    val rows = graft.ops.Corpus.harmonicPacking(spark, sf0001, budget = budget, shards = 4)
+      .collect()
+    assert(rows.nonEmpty)
+    // piece tiling: contiguous 0..n-1 per doc, sizes sum to the doc length,
+    // remainder piece (if any) strictly last and the only sub-budget one
+    // among a split doc's pieces
+    val docLens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS dtok")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dtok")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("piece"))
+      assert(sorted.map(_.getAs[Long]("piece")).toSeq === (0L until ps.length.toLong),
+        s"doc $id pieces not contiguous")
+      assert(sorted.map(_.getAs[Long]("ntok")).sum === docLens(id), s"doc $id tiling")
+      sorted.init.foreach(p => assert(p.getAs[Long]("ntok") === budget,
+        s"doc $id: only the LAST piece may be sub-budget"))
+    }
+    // at this budget the corpus must actually exercise the split path
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1),
+      "fixture must contain a doc longer than the budget")
+    // the two structural invariants the scaladoc claims by construction
+    rows.foreach { r =>
+      val (m, n) = (r.getAs[Long]("class_m"), r.getAs[Long]("ntok"))
+      assert(m === budget / n, s"class assignment for size $n")
+      assert(r.getAs[Long]("pack_off") + n <= budget,
+        s"piece crosses the pack boundary: off=${r.getAs[Long]("pack_off")} size=$n")
+    }
+    // pack population: every pack except the last per (shard, class) holds
+    // exactly class_m pieces, and those FULL packs beat the harmonic bound
+    rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("class_m")))
+      .foreach { case ((_, m), ps) =>
+        val byPack = ps.groupBy(_.getAs[Long]("pack_seq"))
+        val last = byPack.keys.max
+        byPack.foreach { case (seq, members) =>
+          if (seq < last) {
+            assert(members.length.toLong === m, s"non-final pack $seq in class $m")
+            val fill = members.map(_.getAs[Long]("ntok")).sum
+            assert(fill.toDouble > budget.toDouble * m / (m + 1),
+              s"full class-$m pack filled $fill / $budget under the harmonic bound")
+          } else assert(members.length.toLong <= m)
+        }
+      }
+  }
+
   test("rollingActiveUsers: trailing-7d distinct, windows anchored to real days") {
     val s = spark
     import s.implicits._

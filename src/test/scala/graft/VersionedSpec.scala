@@ -436,6 +436,79 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir, 1).count() === 100)
   }
 
+  test("changeFeed: append feeds read only the appended files; a keyed merge classifies insert/delete/update; optimize nets to empty") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-feed") + "/table"
+    val seed = (0 until 100).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+    Versioned.commit(spark, seed, dir)                       // v1
+    Versioned.append(spark, Seq((100L, "p100"), (101L, "p101")).toDF("id", "payload"), dir) // v2
+    // from <= 0: the whole snapshot as inserts
+    val fromNothing = Versioned.changeFeed(spark, dir, 0L, 1L).collect()
+    assert(fromNothing.length === 100)
+    assert(fromNothing.forall(_.getAs[String]("_change_type") === "insert"))
+    // append span: exactly the two appended rows, and the PLAN only reads
+    // the appended files — the v1 files never enter the scan
+    val appendFeed = Versioned.changeFeed(spark, dir, 1L, 2L)
+    val v1Files = Versioned.newFiles(spark, dir, -1L, 1L).get.toSet
+    assert(appendFeed.inputFiles.toSet.intersect(v1Files).isEmpty,
+      "an append's feed must not read the base snapshot's files")
+    val appended = appendFeed.collect()
+    assert(appended.map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+      .sorted.toSeq === Seq((100L, "insert"), (101L, "insert")))
+    // a keyed merge: update 5, delete 17, insert 1000
+    val changes = Seq(
+      (5L, "fresh", "update", 1L), (17L, "x", "delete", 2L),
+      (1000L, "new", "insert", 3L)
+    ).toDF("id", "payload", "operation_type", "seq")
+    Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq") // v3
+    val keyed = Versioned.changeFeed(spark, dir, 2L, 3L, keyCol = "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"))).sortBy(t => (t._1, t._3))
+    assert(keyed.toSeq === Seq(
+      (5L, "fresh", "update_postimage"), (5L, "payload5", "update_preimage"),
+      (17L, "payload17", "delete"), (1000L, "new", "insert")),
+      s"keyed feed misclassified: ${keyed.toSeq}")
+    // the multiset (no-key) feed across the same span agrees row-wise
+    val multiset = Versioned.changeFeed(spark, dir, 2L, 3L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"))).sortBy(t => (t._1, t._3))
+    assert(multiset.toSeq === Seq(
+      (5L, "payload5", "delete"), (5L, "fresh", "insert"),
+      (17L, "payload17", "delete"), (1000L, "new", "insert")))
+    // optimize rewrites files but changes no rows: the feed nets to EMPTY
+    // even though newFiles reports a non-append (None)
+    val v4 = Versioned.optimize(spark, dir, targetBytes = 1L << 30)
+    assert(v4 === 4L, "optimize must have compacted the append-chain files")
+    assert(Versioned.newFiles(spark, dir, 3L, 4L).isEmpty,
+      "optimize is not a pure append")
+    assert(Versioned.changeFeed(spark, dir, 3L, 4L).count() === 0L)
+    assert(Versioned.changeFeed(spark, dir, 3L, 4L, keyCol = "id").count() === 0L)
+    // identical manifests (self-span): typed empty frame, schema intact
+    val self = Versioned.changeFeed(spark, dir, 4L, 4L)
+    assert(self.count() === 0L)
+    assert(self.columns.toSeq === Seq("id", "payload", "_change_type"))
+    // composition across the whole history: applying the keyed 1->4 feed to
+    // snapshot v1 reproduces snapshot v4
+    val feed14 = Versioned.changeFeed(spark, dir, 1L, 4L, keyCol = "id")
+    val v1Rows = Versioned.read(spark, dir, 1L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val applied = collection.mutable.Map(v1Rows.toSeq: _*)
+    feed14.collect().foreach { r =>
+      (r.getAs[String]("_change_type"): @unchecked) match {
+        case "insert" | "update_postimage" =>
+          applied(r.getAs[Long]("id")) = r.getAs[String]("payload")
+        case "delete" => applied.remove(r.getAs[Long]("id")); ()
+        case "update_preimage" => ()
+      }
+    }
+    val v4Rows = Versioned.read(spark, dir, 4L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied.toMap === v4Rows, "feed(1->4) applied to v1 must equal v4")
+  }
+
   test("MERGE racing an append: the append never fails; a lost merge throws and its RETRY applies cleanly to the new head") {
     val s = spark
     import s.implicits._
