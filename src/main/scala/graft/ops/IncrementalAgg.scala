@@ -52,22 +52,50 @@ object IncrementalAgg {
   /** Bring the state up to the base table's latest version. Returns
     * (newBaseVersionCovered, usedIncrementalPath); covering an
     * already-covered version is a no-op (replay-safe).
+    *
+    * Three paths, cheapest applicable wins:
+    *  1. pure-append history → aggregate ONLY the new files
+    *     ([[Versioned.newFiles]]) and merge into state;
+    *  2. rewritten history that still SHARES files with the covered
+    *     version (a keyed [[Versioned.merge]], an [[Versioned.optimize]])
+    *     → apply the row-level [[Versioned.changeFeed]] as SIGNED deltas:
+    *     count/sum are invertible, so inserts weigh +1 and deletes −1 and
+    *     the feed's file pruning keeps the read at O(changed files) — the
+    *     r14 "fall back to full recompute" gap, closed by composition
+    *     (keys whose count reaches 0 drop out of the state);
+    *  3. first build, a FULL replace (no shared files — the feed would
+    *     read old+new, strictly worse than recomputing new), or a covered
+    *     version whose manifest was vacuumed → full recompute, always
+    *     correct.
     */
   def refresh(spark: SparkSession, tableDir: String, stateDir: String): (Long, Boolean) = {
     val cur = Versioned.versions(spark, tableDir).last
     val cov = covered(spark, stateDir)
     if (cur == cov) return (cov, true)
     val incremental = if (cov <= 0) None else Versioned.newFiles(spark, tableDir, cov, cur)
+    val feedApplicable = cov > 0 && incremental.isEmpty &&
+      Versioned.versions(spark, tableDir).contains(cov) && {
+        val curF = Versioned.newFiles(spark, tableDir, -1L, cur).get.toSet
+        Versioned.newFiles(spark, tableDir, -1L, cov).get.exists(curF)
+      }
     val next = incremental match {
       case Some(delta) =>
         val deltaAgg = aggregate(
           if (delta.isEmpty) Versioned.read(spark, tableDir, cur).limit(0)
           else spark.read.parquet(delta: _*))
         mergeStates(Versioned.read(spark, stateDir), deltaAgg)
-      case None => // first build, or history rewritten — full recompute
+      case None if feedApplicable =>
+        val signed = Versioned.changeFeed(spark, tableDir, cov, cur)
+          .withColumn("_w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        val deltaAgg = signed.groupBy("lang").agg(
+          sum(col("_w")).as("n_docs"),
+          sum(col("_w") * col("n_chars")).as("n_chars"))
+        mergeStates(Versioned.read(spark, stateDir), deltaAgg)
+          .where(col("n_docs") > 0)
+      case None => // first build, full replace, or vacuumed basis — recompute
         aggregate(Versioned.read(spark, tableDir, cur))
     }
     Versioned.commit(spark, next.orderBy("lang"), stateDir, epoch = cur)
-    (cur, incremental.isDefined && cov > 0)
+    (cur, cov > 0 && (incremental.isDefined || feedApplicable))
   }
 }

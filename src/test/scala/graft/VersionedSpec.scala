@@ -220,6 +220,66 @@ class VersionedSpec extends SparkSpec {
     assert(stateMap() === Map("zh" -> ((2L, 10L))))
   }
 
+  test("incremental aggregate maintenance rides the change feed across MERGE and OPTIMIZE; a full replace still recomputes") {
+    import graft.ops.{IncrementalAgg, Versioned}
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = tempDir("incr-feed-base") + "/table"
+    val state = tempDir("incr-feed-state") + "/agg"
+    def stateMap() = Versioned.read(spark, state).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"))).toMap
+    def fullMap() = Versioned.read(spark, base).groupBy("lang")
+      .agg(count(lit(1)).as("d"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"))).toMap
+
+    // keyed base so MERGE applies; range-partitioned so the merge touches
+    // only some files and the feed path stays cheaper than a recompute
+    val seed = Seq((1L, "en", 10L), (2L, "en", 30L), (3L, "fr", 20L), (4L, "de", 7L))
+      .toDF("id", "lang", "n_chars").repartitionByRange(4, col("id"))
+    Versioned.commit(spark, seed, base)                                     // v1
+    assert(IncrementalAgg.refresh(spark, base, state) === ((1L, false)))
+    assert(stateMap() === fullMap())
+
+    // MERGE: grow doc 2, delete the only fr doc, insert a new de doc —
+    // newFiles says None, but the commit shares files: the FEED path runs
+    val changes = Seq(
+      (2L, "en", 35L, "update", 1L), (3L, "fr", 0L, "delete", 2L),
+      (9L, "de", 100L, "insert", 3L)
+    ).toDF("id", "lang", "n_chars", "operation_type", "seq")
+    Versioned.merge(spark, changes, base, keyCol = "id", orderCol = "seq")  // v2
+    assert(Versioned.newFiles(spark, base, 1L, 2L).isEmpty, "merge is not a pure append")
+    assert(IncrementalAgg.refresh(spark, base, state) === ((2L, true)),
+      "a files-shared rewrite must refresh via the change feed, not a full pass")
+    assert(stateMap() === fullMap())
+    assert(!stateMap().contains("fr"), "a lang whose last doc was deleted drops out")
+    assert(stateMap()("en") === ((2L, 45L)) && stateMap()("de") === ((2L, 107L)))
+
+    // one LARGE append file so the next optimize is partial (it rides by
+    // name while the small files compact — shared files keep the feed
+    // path applicable); the append itself refreshes incrementally
+    val bulk = (100L until 5100L).map(i => (i, "pt", 3L)).toDF("id", "lang", "n_chars")
+      .coalesce(1)
+    Versioned.append(spark, bulk, base)                                     // v3
+    assert(IncrementalAgg.refresh(spark, base, state) === ((3L, true)))
+    assert(stateMap() === fullMap())
+
+    // partial OPTIMIZE rewrites the small files but no rows: feed path,
+    // state row-identical
+    val v4 = Versioned.optimize(spark, base, targetBytes = 2000L)
+    assert(v4 === 4L, "optimize must have found >= 2 sub-target files")
+    assert(Versioned.newFiles(spark, base, 3L, 4L).isEmpty, "optimize is not a pure append")
+    assert(IncrementalAgg.refresh(spark, base, state) === ((4L, true)),
+      "a partial optimize must refresh via the (empty) change feed")
+    assert(stateMap() === fullMap())
+
+    // a FULL replace shares no files — the feed would read old+new, so
+    // refresh recomputes instead
+    Versioned.commit(spark, Seq((50L, "zh", 9L)).toDF("id", "lang", "n_chars"), base) // v5
+    assert(IncrementalAgg.refresh(spark, base, state) === ((5L, false)))
+    assert(stateMap() === Map("zh" -> ((1L, 9L))))
+  }
+
   test("concurrent appends all succeed with serialized versions and no lost rows or files") {
     val dir = tempDir("versioned-mw-append") + "/table"
     Versioned.commit(spark, rows(0, 10), dir) // v1 baseline
