@@ -90,6 +90,7 @@ object SparkEntry {
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
     "packing_efficiency"   -> ((s, d) => graft.ops.Corpus.packingEfficiency(s, d)),
     "harmonic_packing"     -> ((s, d) => graft.ops.Corpus.harmonicPacking(s, d)),
+    "split_leakage"        -> ((s, d) => graft.ops.Corpus.splitLeakage(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -972,6 +973,37 @@ object SparkEntry {
         |       CAST(ntok AS BIGINT) AS ntok, CAST(class_m AS BIGINT) AS class_m,
         |       CAST(pack_seq AS BIGINT) AS pack_seq, CAST(pack_off AS BIGINT) AS pack_off
         |FROM o ORDER BY doc_id, piece""".stripMargin,
+
+    // B11b: train->holdout shingle-overlap pairs under the SAME hash split
+    // as train_split; shingles in > 50 docs are df-capped out first.
+    "split_leakage" -> {
+      val trainCut = (0.9 * (1 << 24)).toLong
+      val valCut = ((0.9 + 0.05) * (1 << 24)).toLong
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |s AS (SELECT doc_id,
+         |        list_distinct([array_to_string(tok[i:i+7], ' ')
+         |                       for i in generate_series(1, greatest(len(tok)-7, 1))]) AS sh
+         |      FROM t),
+         |h AS (SELECT doc_id, unnest([('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh]) AS h
+         |      FROM s),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < $trainCut THEN 'train'
+         |              WHEN u < $valCut THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+         |             FROM documents)),
+         |hs AS (SELECT h.doc_id, h.h, sp.split FROM h JOIN sp USING (doc_id)),
+         |ok AS (SELECT * FROM hs
+         |       WHERE h NOT IN (SELECT h FROM hs GROUP BY h HAVING count(*) > 50)),
+         |p AS (SELECT tr.doc_id AS train_id, ho.doc_id AS holdout_id,
+         |        ho.split AS holdout_split, count(*) AS n_shared
+         |      FROM ok tr JOIN ok ho ON tr.h = ho.h
+         |      WHERE tr.split = 'train' AND ho.split <> 'train'
+         |      GROUP BY 1, 2, 3)
+         |SELECT train_id, holdout_id, holdout_split, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 3
+         |ORDER BY train_id, holdout_id""".stripMargin
+    },
 
     "train_split" -> {
       val trainCut = (0.9 * (1 << 24)).toLong

@@ -466,6 +466,47 @@ object Corpus {
       .orderBy("doc_id", "piece")
   }
 
+  /** B11b — cross-SPLIT leakage check (r15): which (train, holdout) doc
+    * pairs share at least `minOverlap` distinct k-gram shingles under
+    * [[trainSplit]]'s assignment — the audit run between splitting and
+    * training, because a near-duplicate that lands in train AND val/test
+    * inflates every eval number it touches. B13 screens against an
+    * external benchmark; this screens the corpus against its own holdout,
+    * and shares [[splitCol]] with the splitter so it audits EXACTLY the
+    * split that ships (the B39 discipline).
+    *
+    * The holdout is a constant FRACTION of the corpus, so unlike B13's
+    * eval side neither join input is small — what bounds the shingle join
+    * is the document-frequency cap: shingles in more than `maxDf` docs are
+    * boilerplate, not leakage signal (the standard decontamination move),
+    * and dropping them caps any shingle's contribution at maxDf² pairs.
+    * The viral set itself is tiny (only shingles OVER the cap), so the
+    * filter is a left-anti join against a broadcast-sized frame. One
+    * shingle-explode pass persisted for its three consumers (df count +
+    * both sides — the B34/B67 discipline, released by graft.Caches.clear).
+    */
+  def splitLeakage(spark: SparkSession, dir: String, shingleK: Int = 8,
+                   minOverlap: Int = 3, maxDf: Int = 50,
+                   trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitCol(trainFrac, valFrac).as("split"),
+        explode(VectorExpressions.shingleHashes(col("text"), shingleK, md5Based = true)
+          .getField("hv")).as("h"))
+      .persist()
+    val viral = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val ok = sh.join(viral, Seq("h"), "left_anti")
+    val train = ok.where(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("h"))
+    val holdout = ok.where(col("split") =!= "train")
+      .select(col("doc_id").as("holdout_id"), col("split").as("holdout_split"), col("h"))
+    train.join(holdout, Seq("h"))
+      .groupBy("train_id", "holdout_id", "holdout_split")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+      .orderBy("train_id", "holdout_id")
+  }
+
   /** B13 — benchmark-contamination check: which corpus docs share at least
     * `minOverlap` distinct 8-gram shingles with an eval-set doc (the
     * standard n-gram-overlap decontamination test). The eval set here is a

@@ -144,6 +144,47 @@ class CurationSpec extends SparkSpec {
     got.foreach { case (sz, (nc, nd)) => assert(nd === sz * nc) }
   }
 
+  test("splitLeakage reports a planted cross-split near-dup at its exact shingle overlap; df-capped boilerplate is not leakage") {
+    import graft.ops.Corpus
+    // discover each candidate id's hash-split so the plant is deterministic
+    val probeDir = docsDir((1L to 60L).map(i => i -> s"probe text $i"))
+    val splits = Corpus.trainSplit(spark, probeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainIds = splits.collect { case (id, "train") => id }.toSeq.sorted
+    val holdIds = splits.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    assert(trainIds.nonEmpty && holdIds.nonEmpty, s"probe split degenerate: $splits")
+    val (tid, hid) = (trainIds.head, holdIds.head)
+    val leaked = (1 to 12).map(i => s"leak$i").mkString(" ") // 12 tokens = 5 distinct 8-grams
+    val boiler = (1 to 9).map(i => s"boiler$i").mkString(" ") // 9 tokens = 2 8-grams, everywhere
+    val filler = (id: Long) => (1 to 20).map(i => s"u${id}w$i").mkString(" ")
+    val dir = docsDir(
+      Seq(tid -> s"$leaked ${filler(tid)} $boiler",
+          hid -> s"$leaked ${filler(hid)} $boiler") ++
+        (trainIds.tail ++ holdIds.tail).map(id => id -> s"${filler(id)} $boiler"))
+    // maxDf=5: the boilerplate tail (in every doc) is capped out; the leak
+    // (df=2) survives. minOverlap=3 < 5 shared leak-grams.
+    val got = Corpus.splitLeakage(spark, dir, minOverlap = 3, maxDf = 5).collect()
+    assert(got.length === 1, s"exactly the planted pair: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("train_id") === tid)
+    assert(r.getAs[Long]("holdout_id") === hid)
+    assert(r.getAs[String]("holdout_split") === splits(hid))
+    // the 12 shared leading tokens contribute exactly 12-8+1=5 shingles;
+    // the junction 8-grams differ (filler is id-unique) and boiler is capped
+    assert(r.getAs[Long]("n_shared") === 5L, s"overlap count: ${r.getAs[Long]("n_shared")}")
+    // sanity on real data: the registered query returns leakage pairs whose
+    // sides really do sit in different splits
+    val real = Corpus.splitLeakage(spark, "/root/testdata/sf0.01").collect()
+    val realSplits = Corpus.trainSplit(spark, "/root/testdata/sf0.01").collect()
+      .map(r2 => r2.getAs[Long]("doc_id") -> r2.getAs[String]("split")).toMap
+    real.foreach { p =>
+      assert(realSplits(p.getAs[Long]("train_id")) === "train")
+      assert(realSplits(p.getAs[Long]("holdout_id")) === p.getAs[String]("holdout_split"))
+      assert(p.getAs[String]("holdout_split") !== "train")
+      assert(p.getAs[Long]("n_shared") >= 3L)
+    }
+  }
+
   test("tokenBudgetMix admits a greedy hash-order prefix per language") {
     val dir = docsDir(Seq(
       1L -> Seq.fill(10)("alpha beta").mkString(" "),   // 20 tokens
