@@ -91,6 +91,7 @@ object SparkEntry {
     "packing_efficiency"   -> ((s, d) => graft.ops.Corpus.packingEfficiency(s, d)),
     "harmonic_packing"     -> ((s, d) => graft.ops.Corpus.harmonicPacking(s, d)),
     "split_leakage"        -> ((s, d) => graft.ops.Corpus.splitLeakage(s, d)),
+    "token_entropy"        -> ((s, d) => graft.ops.TextAnalysis.tokenEntropy(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -973,6 +974,22 @@ object SparkEntry {
         |       CAST(ntok AS BIGINT) AS ntok, CAST(class_m AS BIGINT) AS class_m,
         |       CAST(pack_seq AS BIGINT) AS pack_seq, CAST(pack_off AS BIGINT) AS pack_off
         |FROM o ORDER BY doc_id, piece""".stripMargin,
+
+    // B8b: per-doc unigram Shannon entropy in the portable form
+    // ln(n) - sum(c*ln c)/n (exact integer ln arguments, 6dp round).
+    "token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        sum(c * ln(c)) AS s
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+        |       CASE WHEN n_distinct > 1
+        |            THEN round((ln(n_tokens) - s / n_tokens) / ln(n_distinct), 6)
+        |            ELSE 0.0 END AS norm_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // B11b: train->holdout shingle-overlap pairs under the SAME hash split
     // as train_split; shingles in > 50 docs are df-capped out first.

@@ -164,6 +164,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** B8b — token-diversity entropy (r15): per-doc Shannon entropy of the
+    * unigram distribution, the information-theoretic repetition signal that
+    * complements B14's fraction heuristics (a doc cycling ten tokens
+    * evades top-token and dup-gram thresholds but its entropy pins it at
+    * ln 10). Computed in the numerically PORTABLE form
+    * `H = ln(n) − (Σ c·ln c)/n` — every `ln` argument is an exact integer
+    * on both engines (the lm_perplexity float budget), rounded at 6 dp;
+    * `norm_entropy` = H/ln(n_distinct) ∈ [0,1] rescales away length so one
+    * threshold works across short and long docs (0 for single-token docs,
+    * where the ratio is 0/0).
+    *
+    * Scale shape: explode → two-level partial-aggregated groupBy — the
+    * (doc, token) level collapses map-side exactly like B22's vocab pass,
+    * the per-doc level carries ≤ distinct-tokens rows; no windows, no
+    * joins, nothing post-scan holds state beyond a doc's vocabulary.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .withColumn("raw", log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("raw"), 6).as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("raw") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** B55 — language-ID confusion matrix: B7's prediction against the
     * corpus' declared label, aggregated to (declared, predicted) cells with
     * each cell's share of its declared language — the "is my language

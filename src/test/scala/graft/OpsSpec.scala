@@ -148,6 +148,44 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("tokenEntropy: closed-form fixtures pin the entropy law; corpus rows match a local replay") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("entropy")
+    Seq(
+      (1L, "solo", "en", "src0", 4L),                                  // 1 token
+      (2L, Seq.fill(30)("spam").mkString(" "), "en", "src0", 149L),    // 30x one token
+      (3L, (1 to 16).map(i => s"w$i").mkString(" "), "en", "src0", 60L), // all distinct
+      (4L, Seq.fill(5)("a b c d").mkString(" "), "en", "src0", 39L)    // 4 tokens x5, uniform
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.tokenEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))).toMap
+    assert(m(1L) === ((1L, 1L, 0.0, 0.0)), "single token: zero entropy, zero norm")
+    assert(m(2L) === ((30L, 1L, 0.0, 0.0)), "pure repetition: zero entropy")
+    assert(m(3L)._3 === BigDecimal(math.log(16)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m(3L)._4 === 1.0, "all-distinct uniform: norm entropy exactly 1")
+    assert(m(4L)._3 === BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "uniform over 4 tokens: ln 4 regardless of length")
+    assert(m(4L)._4 === 1.0)
+    // corpus: exact local replay of the two-level count + entropy form
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+    val got = TextAnalysis.tokenEntropy(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    docs.foreach { r =>
+      val counts = r.getAs[String]("text").split(" ", -1)
+        .groupBy(identity).map(_._2.length)
+      val n = counts.sum.toDouble
+      val raw = math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      val exp = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(r.getAs[Long]("doc_id")) - exp) <= 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: ${got(r.getAs[Long]("doc_id"))} vs $exp")
+    }
+  }
+
   test("labelPrototypes: one row per (label, component), mean verified independently") {
     val emb = Tables.embeddings(spark, sf0001)
     val labels = emb.select("label").distinct().count()
