@@ -411,8 +411,8 @@ object Dedup {
   /** (doc_id, sig): MinHash signature per doc — shingling, base-hashing and
     * the k-min family each run once per row (ShingleHashes + MinHashFamily).
     */
-  private def signatures(docs: DataFrame, md5Based: Boolean,
-                         numHashes: Int, shingleK: Int): DataFrame =
+  private[graft] def signatures(docs: DataFrame, md5Based: Boolean,
+                                numHashes: Int, shingleK: Int): DataFrame =
     docs.select(col("doc_id"),
       VectorExpressions.minhashFamily(
         VectorExpressions.shingleHashes(col("text"), shingleK, md5Based).getField("h24"),
@@ -423,7 +423,7 @@ object Dedup {
     * md5(array_to_string(sig[i:j],'|'))); the production key packs band +
     * slice through xxhash64.
     */
-  private def explodedBands(signed: DataFrame, bands: Int, r: Int, portable: Boolean): DataFrame = {
+  private[graft] def explodedBands(signed: DataFrame, bands: Int, r: Int, portable: Boolean): DataFrame = {
     val e = signed.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
     val bandSlice = concat_ws("|", slice(col("sig"), col("band") * r + 1, lit(r)))
     val key = if (portable) md5(bandSlice) else xxhash64(col("band"), bandSlice)
