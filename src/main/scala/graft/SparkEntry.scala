@@ -92,6 +92,7 @@ object SparkEntry {
     "harmonic_packing"     -> ((s, d) => graft.ops.Corpus.harmonicPacking(s, d)),
     "split_leakage"        -> ((s, d) => graft.ops.Corpus.splitLeakage(s, d)),
     "token_entropy"        -> ((s, d) => graft.ops.TextAnalysis.tokenEntropy(s, d)),
+    "winnow_fingerprint"   -> ((s, d) => graft.ops.TextAnalysis.winnowFingerprint(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -974,6 +975,26 @@ object SparkEntry {
         |       CAST(ntok AS BIGINT) AS ntok, CAST(class_m AS BIGINT) AS class_m,
         |       CAST(pack_seq AS BIGINT) AS pack_seq, CAST(pack_off AS BIGINT) AS pack_off
         |FROM o ORDER BY doc_id, piece""".stripMargin,
+
+    // B10b: winnowing fingerprints — rightmost-min-per-w-window over
+    // positional 5-gram hashes via the sortable (hash, 999999-pos) key;
+    // full windows only, docs with >= k+w-1 tokens.
+    "winnow_fingerprint" ->
+      """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, i AS pos,
+        |         printf('%015x', ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT)
+        |           || printf('%06d', 999999 - i) AS key
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g(i)
+        |       WHERE len(t) >= 8),
+        |w AS (SELECT doc_id, pos,
+        |        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |      FROM st),
+        |s AS (SELECT DISTINCT doc_id, sel FROM w WHERE pos >= 4)
+        |SELECT doc_id,
+        |       CAST(999999 - substr(sel, 16, 6)::BIGINT AS BIGINT) AS pos,
+        |       ('0x' || substr(sel, 1, 15))::BIGINT AS fp_hash
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
 
     // B8b: per-doc unigram Shannon entropy in the portable form
     // ln(n) - sum(c*ln c)/n (exact integer ln arguments, 6dp round).

@@ -164,6 +164,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** B10b — full WINNOWING fingerprints (r15): the Schleimer-Wilkerson-
+    * Aiken scheme B10's single min-hash summarizes — per doc, the selected
+    * (position, k-gram hash) set where each window of `w` consecutive gram
+    * positions contributes its minimum hash, ties to the RIGHTMOST
+    * occurrence. The guarantee that makes it the standard local
+    * fingerprint: any shared run of ≥ w+k−1 tokens between two documents
+    * shares at least one selected fingerprint, at an expected density of
+    * only 2/(w+1) of positions — the index a plagiarism/overlap system
+    * stores instead of every gram. Defaults k=5, w=4 ⇒ guarantee threshold
+    * 8 tokens, aligned with the corpus' 8-gram decontamination convention.
+    *
+    * The rightmost-min-per-window selection is ONE window pass in both
+    * engines: each position's (hash, position) is encoded as a fixed-width
+    * sortable string — 15 lowercase hex chars of the 60-bit hash, then
+    * 999999−pos zero-padded — whose lexicographic min IS (smallest hash,
+    * rightmost position); a sliding ROWS frame takes the min per window,
+    * full windows only (docs shorter than k+w−1 tokens carry no full
+    * window and are excluded, B13c's sub-k rule), distinct collapses
+    * repeated picks. Positions are 1-based gram starts; the 999999 pad
+    * bounds docs at ~1M grams — far beyond any chunked training doc.
+    *
+    * Scale shape: positional-hash explode (the B13c pass), one per-doc
+    * ordered window (w-row frame, streams), one distinct — partial-
+    * aggregated, selection-cardinality ≈ 2n/(w+1).
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+                        k: Int = 5, w: Int = 4): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= k + w - 1)
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions.positionalShingleHashes(
+          col("text"), k, md5Based = true)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val key = concat(lower(lpad(hex(col("h")), 15, "0")),
+      format_string("%06d", lit(999999) - col("pos")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    st.withColumn("sel", min(key).over(win))
+      .where(col("pos") >= w) // full windows only
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        (lit(999999L) - substring(col("sel"), 16, 6).cast("long")).as("pos"),
+        conv(substring(col("sel"), 1, 15), 16, 10).cast("long").as("fp_hash"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** B8b — token-diversity entropy (r15): per-doc Shannon entropy of the
     * unigram distribution, the information-theoretic repetition signal that
     * complements B14's fraction heuristics (a doc cycling ten tokens

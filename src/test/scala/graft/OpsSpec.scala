@@ -148,6 +148,53 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("winnowFingerprint: every window is covered, shared runs share a fingerprint, ties go rightmost") {
+    val s = spark
+    import s.implicits._
+    val k = 5; val w = 4
+    // corpus-wide winnowing guarantee: every full window of w consecutive
+    // gram positions contains at least one selected position
+    val sel = TextAnalysis.winnowFingerprint(spark, sf0001, k, w).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("pos")).toSet }
+    val lens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(sel.nonEmpty)
+    sel.foreach { case (id, ps) =>
+      val nGrams = lens(id) - k + 1
+      (1 to nGrams - w + 1).foreach { a =>
+        assert((a until a + w).exists(p => ps.contains(p.toLong)),
+          s"doc $id: window [$a, ${a + w - 1}] selected nothing")
+      }
+      // density: selections can't exceed one per window-start plus the tail
+      assert(ps.size <= nGrams, s"doc $id over-selected")
+    }
+    // two docs sharing a run of w+k-1 = 8 tokens share >= 1 fingerprint HASH
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val dir = tempDir("winnow")
+    Seq((1L, s"${(1 to 10).map(i => s"a$i").mkString(" ")} $shared", "en", "s", 1L),
+        (2L, s"$shared ${(1 to 10).map(i => s"b$i").mkString(" ")}", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = TextAnalysis.winnowFingerprint(spark, dir, k, w).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp_hash")).toSet }
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "the SWA guarantee: a shared 8-token run must share a selected gram")
+    // rightmost tie-break: a constant doc's identical hashes select the
+    // window's RIGHT edge each time — picks advance with the window
+    val cdir = tempDir("winnow-const")
+    Seq((1L, Seq.fill(12)("same").mkString(" "), "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    val cp = TextAnalysis.winnowFingerprint(spark, cdir, k, w).collect()
+      .map(_.getAs[Long]("pos")).sorted.toSeq
+    // 8 gram positions, full windows end at 4..8: rightmost min of window
+    // ending at e IS e, so picks are exactly 4..8
+    assert(cp === (4L to 8L), s"rightmost ties must select window ends: $cp")
+  }
+
   test("tokenEntropy: closed-form fixtures pin the entropy law; corpus rows match a local replay") {
     val s = spark
     import s.implicits._
