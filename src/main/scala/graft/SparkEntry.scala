@@ -93,6 +93,9 @@ object SparkEntry {
     "split_leakage"        -> ((s, d) => graft.ops.Corpus.splitLeakage(s, d)),
     "token_entropy"        -> ((s, d) => graft.ops.TextAnalysis.tokenEntropy(s, d)),
     "winnow_fingerprint"   -> ((s, d) => graft.ops.TextAnalysis.winnowFingerprint(s, d)),
+    // rows-only: zlib output is JVM-deterministic, not a cross-engine
+    // constant — OpsSpec replays the exact Deflater in-JVM.
+    "compression_ratio"    -> ((s, d) => graft.ops.TextAnalysis.compressionRatio(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),

@@ -77,6 +77,12 @@ object VectorExpressions {
   def tokenHashes(text: Column, md5Based: Boolean): Column =
     sqlshim.column(TokenHashes(sqlshim.expression(text), md5Based))
 
+  /** Raw-deflate compressed byte length at a fixed zlib level.
+    * See DeflatedSize.
+    */
+  def deflatedSize(text: Column, level: Int): Column =
+    sqlshim.column(DeflatedSize(sqlshim.expression(text), level))
+
   /** Whitespace + BPE-ish token counts in one code-point scan:
     * struct(ws_tokens, bpeish_tokens). See TokenCounts.
     */
@@ -1030,5 +1036,45 @@ case class PositionalShingleHashes(child: Expression, k: Int, md5Based: Boolean)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+/** Raw-deflate compressed byte length of a string's UTF-8 bytes at a fixed
+  * zlib level — the compressibility quality signal (repetitive/templated
+  * text deflates far below natural prose). Runs the whole Deflater
+  * lifecycle inside one eval (no per-row allocation escapes); `nowrap`
+  * raw-deflate output, so the count is pure compressed payload with no
+  * zlib header/checksum framing. Deterministic for a given level and
+  * input on a given JVM's zlib — which is why the consuming operator is
+  * registered rows-only with an in-JVM replay spec, not a cross-engine
+  * oracle.
+  */
+case class DeflatedSize(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflated_size expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflatedSize =
     copy(child = newChild)
 }

@@ -164,6 +164,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** B8c — compression-ratio quality scoring (r15): per-doc
+    * `octet_length / deflate_size` at zlib level 6 — the compressibility
+    * filter production curation stacks run alongside the heuristic and
+    * model scores: repetitive/templated text deflates far below natural
+    * prose (ratio ≫), while high-entropy noise barely deflates (ratio ≈ 1),
+    * so BOTH tails are suspect and `keep` brackets the ratio. Catches what
+    * token-level heuristics miss — sub-token repetition ("ababab…"),
+    * long-range template structure beyond any n-gram window — and needs no
+    * vocabulary or training.
+    *
+    * The deflate runs in a custom expression (one Deflater lifecycle per
+    * row, CodegenFallback — the deflate itself dwarfs the interpreted-eval
+    * overhead); pure per-row projection, zero shuffle, scan-speed at any
+    * scale. zlib output is JVM-library-deterministic, not a cross-engine
+    * constant — registered ROWS-ONLY with an exact in-JVM Deflater replay
+    * spec (the B37/B61 evidence pattern).
+    */
+  def compressionRatio(spark: SparkSession, dir: String, level: Int = 6,
+                       minRatio: Double = 1.5, maxRatio: Double = 4.0): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        graft.functions.VectorExpressions.deflatedSize(col("text"), level)
+          .as("n_deflate"))
+      .withColumn("ratio",
+        round(col("n_bytes").cast("double") / col("n_deflate"), 6))
+      .withColumn("keep", col("ratio") >= minRatio && col("ratio") <= maxRatio)
+      .orderBy("doc_id")
+
   /** B10b — full WINNOWING fingerprints (r15): the Schleimer-Wilkerson-
     * Aiken scheme B10's single min-hash summarizes — per doc, the selected
     * (position, k-gram hash) set where each window of `w` consecutive gram

@@ -148,6 +148,60 @@ class OpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("compressionRatio: exact in-JVM Deflater replay; both suspect tails flagged") {
+    val s = spark
+    import s.implicits._
+    // corpus: every row replays bit-exactly against a local Deflater
+    val got = TextAnalysis.compressionRatio(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def deflateLen(text: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+      val dz = deflateLen(t)
+      assert(r.getAs[Long]("n_bytes") === bytes)
+      assert(r.getAs[Long]("n_deflate") === dz,
+        s"doc ${r.getAs[Long]("doc_id")}: deflate ${r.getAs[Long]("n_deflate")} vs local $dz")
+      val ratio = BigDecimal(bytes.toDouble / dz)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("ratio") === ratio)
+      assert(r.getAs[Boolean]("keep") === (ratio >= 1.5 && ratio <= 4.0))
+    }
+    // fixture tails: sub-token repetition compresses far past the bracket;
+    // high-entropy noise barely compresses — both rejected, prose kept
+    val rng = new scala.util.Random(7)
+    val dir = tempDir("compress")
+    Seq((1L, "ab" * 600, "en", "s", 1L),
+        (2L, Seq.fill(150)(Seq.fill(10)((33 + rng.nextInt(94)).toChar)
+          .mkString.replace(' '.toString, "!")).mkString(" "), "en", "s", 2L),
+        (3L, "the quick brown fox jumps over a lazy dog while seventeen other " +
+          "animals watch from tall grass near an old stone bridge spanning the " +
+          "river whose banks flood each spring when mountain snow melts into " +
+          "countless small streams carrying silt toward distant coastal plains " +
+          "where farmers plant wheat barley and oats before summer heat arrives",
+          "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = TextAnalysis.compressionRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Double]("ratio"), r.getAs[Boolean]("keep"))).toMap
+    assert(fx(1L)._1 > 4.0 && !fx(1L)._2, s"sub-token repetition must over-compress: ${fx(1L)}")
+    assert(fx(2L)._1 < 1.5 && !fx(2L)._2, s"high-entropy noise must under-compress: ${fx(2L)}")
+    assert(fx(3L)._2, s"repeated prose sits inside the bracket: ${fx(3L)}")
+  }
+
   test("winnowFingerprint: every window is covered, shared runs share a fingerprint, ties go rightmost") {
     val s = spark
     import s.implicits._
