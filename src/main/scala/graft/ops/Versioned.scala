@@ -77,7 +77,168 @@ object Versioned {
                            v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = fsOf(spark, new Path(dir))
     val in = fs.open(manifestPath(dir, v))
-    try mapper.readTree(in) finally in.close()
+    val node = try mapper.readTree(in) finally in.close()
+    harvestStats(dir, node)
+    node
+  }
+
+  // ---- D22f: per-file column min/max (data skipping) ----------------------
+
+  /** Per-file column stats are IMMUTABLE (file names are never reused), so
+    * one driver cache serves every manifest: seeded by every manifest read
+    * ([[manifestNode]] harvests), filled from parquet FOOTERS (metadata-
+    * only, no row reads) for files no manifest has described yet — newly
+    * staged commits, or a legacy/foreign manifest without a stats block.
+    */
+  private val fileStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, com.fasterxml.jackson.databind.JsonNode]()
+
+  private def harvestStats(dir: String,
+                           node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val st = node.path("stats")
+    if (st.isObject) {
+      val it = st.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        fileStatsCache.putIfAbsent(s"$dir#${e.getKey}", e.getValue)
+      }
+    }
+  }
+
+  /** Min/max per top-level primitive column of one data file, read from the
+    * parquet footer on the driver: `{col: {"t": "l|d|s", "min": …,
+    * "max": …}}`. A column qualifies only when every row group recorded
+    * usable stats (an all-null group contributes nothing and is fine; a
+    * group with stats MISSING disqualifies — pruning must never guess).
+    * Unsupported types and unreadable files yield no entry — data skipping
+    * degrades to reading the file, never to wrong answers.
+    */
+  private def footerStats(spark: SparkSession, dir: String,
+                          name: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(dir, s"data/$name"), spark.sparkContext.hadoopConfiguration))
+      try {
+        val mins = scala.collection.mutable.LinkedHashMap[String, (String, Any, Any)]()
+        val bad = scala.collection.mutable.Set[String]()
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            if (cc.getPath.size == 1) {
+              val colName = cc.getPath.toDotString
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) { bad += colName; () }
+              else if (!st.hasNonNullValue) () // all-null group: bounds unchanged
+              else {
+                val tpe = cc.getPrimitiveType.getPrimitiveTypeName
+                val parsed: Option[(String, Any, Any)] = tpe match {
+                  case PrimitiveTypeName.INT64 => Some(("l",
+                    st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+                  case PrimitiveTypeName.INT32 => Some(("l",
+                    st.genericGetMin.asInstanceOf[java.lang.Integer].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()))
+                  case PrimitiveTypeName.DOUBLE => Some(("d",
+                    st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()))
+                  case PrimitiveTypeName.FLOAT => Some(("d",
+                    st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue()))
+                  case PrimitiveTypeName.BINARY
+                    if cc.getPrimitiveType.getLogicalTypeAnnotation ==
+                      org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                    Some(("s",
+                      st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                      st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+                  case _ => None
+                }
+                parsed match {
+                  case None => bad += colName; ()
+                  case Some((t, mn, mx)) =>
+                    val merged = mins.get(colName) match {
+                      case Some((t0, m0, x0)) if t0 == t =>
+                        val lo = (t, m0, mn) match {
+                          case ("l", a: Long, b: Long) => math.min(a, b): Any
+                          case ("d", a: Double, b: Double) => math.min(a, b): Any
+                          case (_, a: String, b: String) => (if (a <= b) a else b): Any
+                          case _ => m0
+                        }
+                        val hiV = (t, x0, mx) match {
+                          case ("l", a: Long, b: Long) => math.max(a, b): Any
+                          case ("d", a: Double, b: Double) => math.max(a, b): Any
+                          case (_, a: String, b: String) => (if (a >= b) a else b): Any
+                          case _ => x0
+                        }
+                        (t, lo, hiV)
+                      case _ => (t, mn, mx)
+                    }
+                    mins.put(colName, merged); ()
+                }
+              }
+            }
+          }
+        }
+        bad.foreach(mins.remove)
+        if (mins.isEmpty) None
+        else {
+          val obj = mapper.createObjectNode()
+          mins.foreach { case (c, (t, mn, mx)) =>
+            val cn = obj.putObject(c)
+            cn.put("t", t)
+            (t, mn, mx) match {
+              case ("l", a: Long, b: Long) => cn.put("min", a); cn.put("max", b); ()
+              case ("d", a: Double, b: Double) => cn.put("min", a); cn.put("max", b); ()
+              case (_, a: String, b: String) => cn.put("min", a); cn.put("max", b); ()
+              case _ => ()
+            }
+          }
+          Some(obj)
+        }
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resolve stats for `name`: the immutable cache, else one footer read.
+    * None (and no cache entry) when the file has no usable stats.
+    */
+  private def resolveStats(spark: SparkSession, dir: String,
+                           name: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val k = s"$dir#$name"
+    Option(fileStatsCache.get(k)).orElse {
+      val computed = footerStats(spark, dir, name)
+      computed.foreach(fileStatsCache.put(k, _))
+      computed
+    }
+  }
+
+  /** The committed stats block of one version: file name → column →
+    * (type, min, max). Files without usable stats are absent — every
+    * consumer must treat absence as "cannot prune". Exposed for specs and
+    * external planners; [[prunedRead]] and [[merge]] consume it internally.
+    */
+  def fileStats(spark: SparkSession, dir: String,
+                version: Long = -1L): Map[String, Map[String, (String, Any, Any)]] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = if (version > 0) version else vs.last
+    val node = manifestNode(spark, dir, v)
+    val st = node.path("stats")
+    if (!st.isObject) return Map.empty
+    val out = scala.collection.mutable.Map[String, Map[String, (String, Any, Any)]]()
+    st.fields().forEachRemaining { e =>
+      val cols = scala.collection.mutable.Map[String, (String, Any, Any)]()
+      e.getValue.fields().forEachRemaining { ce =>
+        val t = ce.getValue.get("t").asText()
+        val (mn, mx): (Any, Any) = t match {
+          case "l" => (ce.getValue.get("min").asLong(), ce.getValue.get("max").asLong())
+          case "d" => (ce.getValue.get("min").asDouble(), ce.getValue.get("max").asDouble())
+          case _ => (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
+        }
+        cols.put(ce.getKey, (t, mn, mx)); ()
+      }
+      out.put(e.getKey, cols.toMap); ()
+    }
+    out.toMap
   }
 
   private def filesOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
@@ -139,6 +300,18 @@ object Versioned {
     node.put("n_files", files.size)
     val arr = node.putArray("files")
     files.foreach(arr.add)
+    // D22f: per-file column min/max for data skipping. Old files resolve
+    // from the immutable cache (seeded by the manifest reads every commit
+    // path already performs); only newly staged files pay a footer read —
+    // metadata-only, driver-side, manifest-cardinality bounded. A file
+    // with no usable stats is simply absent: readers then cannot prune it,
+    // never misread it.
+    val statsNode = node.putObject("stats")
+    files.foreach { n =>
+      resolveStats(spark, dir, n).foreach { s =>
+        statsNode.set[com.fasterxml.jackson.databind.JsonNode](n, s); ()
+      }
+    }
     // temp + rename: the manifest appears atomically or not at all — a
     // crash mid-commit leaves data files with NO manifest, which vacuum
     // reclaims and readers never see
@@ -486,6 +659,49 @@ object Versioned {
     reader.parquet(files: _*)
   }
 
+  /** D22f — stats-pruned range read: rows of a snapshot where `colName` ∈
+    * [lo, hi], reading ONLY the files whose committed min/max overlap the
+    * range — Delta-style data skipping from the manifest, no footer or
+    * data I/O for skipped files. On a D13 range-clustered or D21-bucketed
+    * layout this turns a point/range lookup on a 100 TB table into a
+    * few-file read; on an unclustered layout every file overlaps and the
+    * read degrades to the plain scan + filter, never to a wrong answer
+    * (files without stats are always read). The predicate is applied on
+    * top, so the result provably equals `read(...).where(between)`.
+    */
+  def prunedRead(spark: SparkSession, dir: String, colName: String,
+                 lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    val v = if (version > 0) version else vs.last
+    val stats = fileStats(spark, dir, v)
+    def overlaps(t: String, mn: Any, mx: Any): Boolean = t match {
+      case "l" => toL(mx) >= toL(lo) && toL(mn) <= toL(hi)
+      case "d" => toD(mx) >= toD(lo) && toD(mn) <= toD(hi)
+      case _ => mx.toString >= lo.toString && mn.toString <= hi.toString
+    }
+    val files = readManifest(spark, dir, v)
+    val keep = files.filter { n =>
+      stats.get(n).flatMap(_.get(colName)) match {
+        case Some((t, mn, mx)) => overlaps(t, mn, mx)
+        case None => true
+      }
+    }
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    if (keep.isEmpty) read(spark, dir, v).where(pred).limit(0)
+    else spark.read.parquet(keep.map(n => s"$dir/data/$n"): _*).where(pred)
+  }
+
+  private def toL(a: Any): Long = a match {
+    case n: Number => n.longValue()
+    case s => s.toString.toLong
+  }
+  private def toD(a: Any): Double = a match {
+    case n: Number => n.doubleValue()
+    case s => s.toString.toDouble
+  }
+
   /** Roll the table back to `to`: a NEW manifest (next version) referencing
     * the old snapshot's files — metadata-only, no data rewrite, and the
     * bad intermediate versions stay readable until vacuumed.
@@ -573,11 +789,36 @@ object Versioned {
       .persist() // two consumers: touched-file scan + survivor anti-join/upserts
     try {
       val keys = net.select(col(keyCol)).distinct()
-      val touched = snap
-        .select(input_file_name().as("_file"), col(keyCol))
-        .join(keys, Seq(keyCol))
-        .select("_file").distinct()
-        .collect().map(_.getString(0))
+      // D22f pruning: files whose committed key min/max cannot contain any
+      // change key never enter the touched-file scan — on a range-clustered
+      // layout the (file, key) pass reads a handful of files instead of the
+      // snapshot. Files without long-typed key stats stay candidates.
+      val basisFiles = readManifest(spark, dir, basis.get)
+      val stats = fileStats(spark, dir, basis.get)
+      val bounded = basisFiles.flatMap(n =>
+        stats.get(n).flatMap(_.get(keyCol)).collect {
+          case ("l", mn: Long, mx: Long) => (n, mn, mx)
+        })
+      val candidatePaths: Seq[String] =
+        if (bounded.isEmpty) basisFiles.map(n => s"$dir/data/$n")
+        else {
+          val sess = spark
+          import sess.implicits._
+          val rdf = bounded.toDF("_f", "_mn", "_mx")
+          val hit = keys.join(broadcast(rdf),
+            col(keyCol).cast("long") >= col("_mn") &&
+              col(keyCol).cast("long") <= col("_mx"))
+            .select("_f").distinct().collect().map(_.getString(0))
+          val unbounded = basisFiles.filterNot(bounded.map(_._1).toSet)
+          (hit.toSeq ++ unbounded).map(n => s"$dir/data/$n")
+        }
+      val touched =
+        if (candidatePaths.isEmpty) Array.empty[String]
+        else spark.read.parquet(candidatePaths: _*)
+          .select(input_file_name().as("_file"), col(keyCol))
+          .join(keys, Seq(keyCol))
+          .select("_file").distinct()
+          .collect().map(_.getString(0))
       val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
       val survivors =
         if (touched.isEmpty) spark.createDataFrame(

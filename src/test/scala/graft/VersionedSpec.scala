@@ -220,6 +220,77 @@ class VersionedSpec extends SparkSpec {
     assert(stateMap() === Map("zh" -> ((2L, 10L))))
   }
 
+  test("data skipping: commits record per-file min/max, prunedRead reads only overlapping files, merge prunes its key scan") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-stats") + "/table"
+    val seed = (0 until 100).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+    Versioned.commit(spark, seed, dir)                                      // v1
+    // every file carries long id bounds and string payload bounds, and the
+    // recorded bounds are exactly the file's actual min/max
+    val st = Versioned.fileStats(spark, dir)
+    val files = Versioned.newFiles(spark, dir, -1L, 1L).get
+    assert(st.size === 10, s"stats for all 10 files: ${st.keySet}")
+    files.foreach { path =>
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val actual = spark.read.parquet(path).agg(min("id"), max("id")).head()
+      val (t, mn, mx) = st(name)("id")
+      assert(t === "l")
+      assert(mn === actual.getLong(0) && mx === actual.getLong(1),
+        s"$name: recorded ($mn,$mx) vs actual (${actual.getLong(0)},${actual.getLong(1)})")
+      assert(st(name)("payload")._1 === "s", "string column stats recorded")
+    }
+    // pruned range read: only overlapping files enter the scan; result
+    // identical to the full-scan filter
+    val pr = Versioned.prunedRead(spark, dir, "id", 5L, 7L)
+    assert(pr.inputFiles.length < files.size,
+      s"a 3-key range on a 10-file range layout must skip files (read ${pr.inputFiles.length})")
+    val overlapping = files.filter { path =>
+      val (_, mn, mx) = st(path.substring(path.lastIndexOf('/') + 1))("id")
+      mx.asInstanceOf[Long] >= 5L && mn.asInstanceOf[Long] <= 7L
+    }
+    def names(ps: Iterable[String]) = ps.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(names(pr.inputFiles) === names(overlapping))
+    assert(pr.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 6L, 7L))
+    // an empty range types an empty frame instead of scanning anything
+    assert(Versioned.prunedRead(spark, dir, "id", 5000L, 6000L).count() === 0L)
+    // string-typed pruning answers correctly through the lexicographic path
+    val byPayload = Versioned.prunedRead(spark, dir, "payload", "payload5", "payload5")
+    assert(byPayload.collect().map(_.getLong(0)).toSeq === Seq(5L))
+
+    // append: new manifest carries stats for prior AND appended files
+    Versioned.append(spark, Seq((200L, "p200")).toDF("id", "payload"), dir)  // v2
+    val st2 = Versioned.fileStats(spark, dir)
+    assert(st2.size === 11)
+    assert(st2.exists(_._2("id") == (("l", 200L, 200L))), "appended file bounds recorded")
+    // pruning after append finds the new key in one file
+    val pr200 = Versioned.prunedRead(spark, dir, "id", 200L, 200L)
+    assert(pr200.inputFiles.length === 1)
+    assert(pr200.head().getString(1) === "p200")
+
+    // merge: version 3's manifest re-records stats for the rewritten file
+    // and carries ridden files' stats; the rewritten bounds reflect the
+    // upserted key
+    val changes = Seq((5L, "fresh", "update", 1L), (1000L, "new", "insert", 2L))
+      .toDF("id", "payload", "operation_type", "seq")
+    Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq")    // v3
+    val st3 = Versioned.fileStats(spark, dir)
+    assert(st3.values.exists(c => c("id")._3.asInstanceOf[Long] === 1000L),
+      "the merged file's recorded max covers the inserted key")
+    assert(Versioned.prunedRead(spark, dir, "id", 1000L, 1000L)
+      .head().getString(1) === "new")
+    assert(Versioned.read(spark, dir).count() === 102, "101 survivors + insert")
+
+    // rollback: the metadata-only manifest still carries the stats block
+    Versioned.rollback(spark, dir, to = 1L)                                  // v4
+    val st4 = Versioned.fileStats(spark, dir)
+    assert(st4.size === 10, "rolled-back manifest re-records v1 stats")
+    assert(Versioned.prunedRead(spark, dir, "id", 5L, 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 6L, 7L))
+  }
+
   test("incremental aggregate maintenance rides the change feed across MERGE and OPTIMIZE; a full replace still recomputes") {
     import graft.ops.{IncrementalAgg, Versioned}
     val s = spark
