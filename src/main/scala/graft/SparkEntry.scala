@@ -96,6 +96,8 @@ object SparkEntry {
     // rows-only: zlib output is JVM-deterministic, not a cross-engine
     // constant — OpsSpec replays the exact Deflater in-JVM.
     "compression_ratio"    -> ((s, d) => graft.ops.TextAnalysis.compressionRatio(s, d)),
+    "ngram_diversity"      -> ((s, d) => graft.ops.Corpus.ngramDiversity(s, d)),
+    "oov_rate"             -> ((s, d) => graft.ops.Corpus.oovRate(s, d)),
     "repetition_metrics"   -> ((s, d) => graft.ops.Curation.repetitionMetrics(s, d)),
     "corpus_pipeline"      -> ((s, d) => graft.ops.Curation.curatedCorpus(s, d)),
     "boilerplate_ngrams"   -> ((s, d) => graft.ops.Curation.boilerplateNgrams(s, d)),
@@ -2110,6 +2112,34 @@ object SparkEntry {
          |      FROM g JOIN days d ON d.day BETWEEN g.day AND g.day + 6)
          |SELECT day, count(DISTINCT user_id) AS active_7d
          |FROM x GROUP BY day ORDER BY day""".stripMargin,
+
+    // B22b: type-token curve for n=1..4 — positional gram occurrences vs
+    // corpus-wide distinct md5-prefix hashes, sub-n docs excluded per n.
+    "ngram_diversity" ->
+      (1 to 4).map { n =>
+        s"""SELECT $n AS n, CAST(count(*) AS BIGINT) AS total_ngrams,
+           |       CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+           |       round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS diversity
+           |FROM (SELECT ('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS h
+           |      FROM (SELECT string_split(text, ' ') AS t FROM documents) arr,
+           |           unnest(generate_series(1, greatest(len(t) - ${n - 1}, 1))) AS g(i)
+           |      WHERE len(t) >= $n)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY n"),
+
+    // B22c: per-doc OOV fraction against vocab_top's exact top-16 (same
+    // tf DESC, token tie rule).
+    "oov_rate" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS cnt FROM e GROUP BY doc_id, token),
+        |v AS (SELECT token FROM (
+        |        SELECT token, sum(cnt) AS tf FROM c GROUP BY token
+        |        ORDER BY tf DESC, token LIMIT 16)),
+        |j AS (SELECT e.doc_id, e.token, (v.token IS NOT NULL) AS invocab
+        |      FROM e LEFT JOIN v ON e.token = v.token)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN invocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN invocab THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "vocab_top" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -170,6 +170,58 @@ object Corpus {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** B22b — corpus n-gram diversity curve (r15): for n = 1..4, total gram
+    * occurrences, corpus-wide distinct grams, and their ratio — the
+    * type-token curve that reads corpus health in four numbers: unigram
+    * diversity is vocabulary richness, and how fast the ratio falls with n
+    * separates template-heavy corpora (4-gram diversity stays low — the
+    * same phrases everywhere, self-BLEU's warning) from naturally varied
+    * text. The per-n gram pass is the codegen'd positional-hash scan (no
+    * per-gram lambda — this repo's measured 20× trap), occurrences counted
+    * positionally (NOT per-doc-distinct), distincts as one corpus-wide
+    * count over the 60-bit hashes (collision odds ~|grams|²/2⁶¹ ≈ 0, the
+    * ngramJaccard argument; the oracle replays the identical md5 prefix).
+    * Four scans, each a partial-aggregated count + distinct on a narrow
+    * hash column; sub-n docs are excluded per n (they carry no full gram).
+    */
+  def ngramDiversity(spark: SparkSession, dir: String, maxN: Int = 4): DataFrame =
+    (1 to maxN).map { n =>
+      Tables.documents(spark, dir)
+        .where(size(split(col("text"), " ")) >= n)
+        .select(explode(VectorExpressions.positionalShingleHashes(col("text"), n,
+          md5Based = true)).as("h"))
+        .groupBy(lit(n).as("n"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("h")).as("distinct_ngrams"))
+        .withColumn("diversity",
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6))
+    }.reduce(_.unionByName(_)).orderBy("n")
+
+  /** B22c — out-of-vocabulary rate (r15): per doc, the fraction of tokens
+    * outside the corpus' top-`vocabSize` vocabulary (composing [[vocabTop]]
+    * with its exact tie rule, so the rate audits the SAME vocabulary the
+    * tokenizer pass reports) — the coverage question a fixed-vocab
+    * tokenizer asks of new data: a doc mostly OOV is foreign to the
+    * vocabulary (wrong language, encoding junk, domain shift) and a rising
+    * corpus-level OOV rate is drift. The vocabulary is top-K (KBs at any
+    * corpus size) and broadcasts; the token explode partial-aggregates
+    * per doc map-side. Registered at vocabSize=16 so the stand-in corpus
+    * (~31 types) yields a real fraction spread.
+    */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val vocab = vocabTop(spark, dir, vocabSize)
+      .select(col("token"), lit(1).as("_in"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** B54 — heavy hitters under fixed memory (Misra-Gries, the mergeable
     * frequent-items summary): top-k tokens by estimated count where no
     * executor ever holds more than `m` counters — the sketch that answers

@@ -282,6 +282,63 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("top1_share") <= r.getAs[Double]("topk_share"))
   }
 
+  test("ngramDiversity matches a local sliding-window replay and orders template vs varied corpora correctly") {
+    val s = spark
+    import s.implicits._
+    // local replay on the real corpus: occurrences and distinct STRINGS
+    // (hash collisions are the oracle's own negligible-odds argument)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val got = graft.ops.Corpus.ngramDiversity(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("n") ->
+        (r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"))).toMap
+    (1 to 4).foreach { n =>
+      val grams = docs.map(_.split(" ", -1)).filter(_.length >= n)
+        .flatMap(_.sliding(n).map(_.mkString(" ")).toSeq)
+      assert(got(n)._1 === grams.length.toLong, s"n=$n occurrences")
+      assert(got(n)._2 === grams.distinct.length.toLong, s"n=$n distinct")
+    }
+    // a one-template corpus shows collapsed 4-gram diversity; a varied one
+    // stays high — the read the operator exists for
+    def mk(texts: Seq[String]): String = {
+      val dir = tempDir("ngd")
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val template = mk(Seq.fill(40)("click here to claim your free prize now"))
+    val varied = mk((0 until 40).map(i => (0 until 8).map(j => s"t${i}w$j").mkString(" ")))
+    def div4(dir: String) = graft.ops.Corpus.ngramDiversity(spark, dir).collect()
+      .find(_.getAs[Int]("n") === 4).get.getAs[Double]("diversity")
+    assert(div4(template) < 0.05, "a one-template corpus collapses")
+    assert(div4(varied) === 1.0, "all-unique text maxes the curve")
+  }
+
+  test("oovRate matches a local replay against the exact top-16 vocabulary") {
+    val got = graft.ops.Corpus.oovRate(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("oov_frac"))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val tf = docs.flatMap(_._2.split(" ", -1)).groupBy(identity).view.mapValues(_.length.toLong)
+    val vocab = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    assert(vocab.size === 16, "the corpus must have more types than the vocab cap")
+    var anyOov = false
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val oov = toks.count(!vocab.contains(_)).toLong
+      val (n, o, f) = got(id)
+      assert(n === toks.length.toLong && o === oov, s"doc $id: ($n,$o) vs (${toks.length},$oov)")
+      val exp = BigDecimal(oov.toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f === exp)
+      anyOov ||= oov > 0
+    }
+    assert(anyOov, "a 16-type vocab on a ~31-type corpus must leave real OOV mass")
+  }
+
   test("heavy hitters below capacity degrade to exact counts (the registered-oracle condition)") {
     val got = Corpus.heavyHitters(spark, sf0001, m = 256, k = 50).collect()
       .map(r => r.getAs[String]("w") -> r.getAs[Long]("est"))
