@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairsPortable(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ngram_jaccard_lsh"    -> ((s, d) => Dedup.ngramJaccardLshPortable(s, d)),
+    "jaccard_prefix_pairs" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
     "lsh_precision"        -> ((s, d) => Dedup.lshPrecision(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
+    "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
     "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
@@ -106,6 +108,7 @@ object SparkEntry {
     "temperature_sample"   -> ((s, d) => graft.ops.Curation.temperatureSample(s, d)),
     "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
     "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
+    "priority_sample"      -> ((s, d) => graft.ops.Curation.prioritySample(s, d)),
     "training_order"       -> ((s, d) => graft.ops.Curation.trainingOrder(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
@@ -185,6 +188,7 @@ object SparkEntry {
     "ppl_buckets"          -> ((s, d) => graft.ops.Relevance.pplBuckets(s, d)),
     "embedding_pca"        -> ((s, d) => graft.ops.Embeddings.embeddingPca(s, d)),
     "corpus_diff"          -> ((s, d) => Dedup.corpusDiff(s, d)),
+    "snapshot_novelty"     -> ((s, d) => Dedup.bloomNovelty(s, d)),
     "event_transitions"    -> ((s, d) => Analytics.eventTransitions(s, d)),
     "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d)),
     "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
@@ -798,6 +802,28 @@ object SparkEntry {
          |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
          |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact prefix-filtered similarity join: the oracle is SEMANTIC (every
+    // pair sharing >= 1 shingle, exact-verified) — the Spark side's prefix
+    // filter must lose no qualifying pair, which is exactly what hash
+    // parity against this construction-free spec proves.
+    "jaccard_prefix_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
+        |         list_distinct([array_to_string(tok[i:i+4], ' ')
+        |                        for i in generate_series(1, greatest(len(tok)-4, 1))])] AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |        CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) AS szsum
+        |      FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
+        |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1565,6 +1591,25 @@ object SparkEntry {
         |SELECT doc_id, lang, source, rank_in_source FROM r
         |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
 
+    // Priority sampling: q = w/u is one IEEE division (correctly rounded,
+    // bit-identical cross-engine), so selection, threshold tau, and the
+    // unbiased est_weight replay exactly — no pow/ln in the rank key.
+    "priority_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |             CAST(n_chars AS DOUBLE) /
+        |             CAST(('0x' || substr(md5('priority:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1 AS DOUBLE) AS q
+        |           FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, source, n_chars, q,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+        |      FROM d),
+        |t AS (SELECT source, q AS tau FROM r WHERE rnk = 11)
+        |SELECT r.source, r.doc_id, r.n_chars, round(r.q, 6) AS priority,
+        |       round(CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
+        |                  ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END, 6) AS est_weight
+        |FROM r LEFT JOIN t ON r.source = t.source
+        |WHERE r.rnk <= 10
+        |ORDER BY r.source, r.doc_id""".stripMargin,
+
     // global row_number over the decorrelated 'shuffle:' hash order; the
     // engine computes it two-level (sharded prefix), the oracle in one sort
     "training_order" ->
@@ -2157,6 +2202,27 @@ object SparkEntry {
         |SELECT w, count(*) AS est FROM t
         |GROUP BY w ORDER BY est DESC, w LIMIT 50""".stripMargin,
 
+    // Count-Min is deterministic md5-row hashing, so the oracle replays the
+    // FULL approximation — estimates must be identical, not merely bounded.
+    // The sketch is linear, so building it from grouped counts (here) and
+    // from raw instances (the Spark side) is the same sketch.
+    "count_min_freq" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |inst AS (SELECT token, count(*) AS n FROM tk WHERE len(token) > 0 GROUP BY token),
+        |r AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |sk AS (SELECT i,
+        |         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket,
+        |         CAST(sum(n) AS BIGINT) AS cnt
+        |       FROM inst, r GROUP BY 1, 2),
+        |probe AS (SELECT token, n AS exact_n, i,
+        |            ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket
+        |          FROM inst, r)
+        |SELECT p.token, p.exact_n, min(sk.cnt) AS cm_est,
+        |       min(sk.cnt) - p.exact_n AS overestimate
+        |FROM probe p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        |GROUP BY p.token, p.exact_n
+        |ORDER BY p.token""".stripMargin,
+
     // The arithmetic tree mirrors Relevance.bm25Search token for token:
     // constants compose IN-ENGINE ((1.2 + 1.0), never a 2.2 literal — the
     // Scala-side sum is a different double), inputs are exact integers, and
@@ -2704,6 +2770,18 @@ object SparkEntry {
          |LEFT JOIN near n ON d.doc_id = n.nid
          |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Bloom-screened novelty: the oracle is the SEMANTIC spec (plain hash
+    // semi/anti classification) — the Spark side's Bloom screen must change
+    // the plan, never the answer.
+    "snapshot_novelty" ->
+      """WITH prevh AS (SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 2 = 0)
+        |SELECT d.doc_id, d.source,
+        |       CASE WHEN p.th IS NOT NULL THEN 'dup_prev' ELSE 'new' END AS status
+        |FROM documents d
+        |LEFT JOIN prevh p ON md5(d.text) = p.th
+        |WHERE d.doc_id % 2 = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "event_transitions" ->
       s"""WITH $evCte,

@@ -283,6 +283,52 @@ object Corpus {
       .limit(k)
   }
 
+  /** B54b — Count-Min sketch point-frequency estimation, the mergeable
+    * complement to [[heavyHitters]]: Misra-Gries answers "what dominates"
+    * with k counters; Count-Min answers "how often is THIS key" for EVERY
+    * key, in `d·w` counters with one-sided error (never under, over by at
+    * most ε·N with probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉ — Cormode &
+    * Muthukrishnan '05). The sketch is LINEAR — CM(A⊎B) = CM(A)+CM(B)
+    * cell-wise — so partitions sketch independently and merge by summing,
+    * which here is literally one `groupBy(row, bucket).count` whose
+    * map-side partials ARE the per-partition sketches; at 100 TB the
+    * shuffle is d·w rows per mapper regardless of key cardinality (the
+    * exact vocab groupBy shuffles the vocabulary). Hashes are md5-prefix
+    * rows (engine-portable, deterministic), so unlike the HLL/GK sketch
+    * siblings the WHOLE approximation replays bit-exact in DuckDB — the
+    * oracle builds the same sketch from grouped counts (linearity again)
+    * and must land on identical estimates, not just bounded ones.
+    *
+    * The registered report probes the full (bounded) stand-in vocabulary:
+    * per token, its exact count, the CM estimate, and the one-sided
+    * overestimate. In production the probe set is whatever keys the
+    * consumer asks about; exactness of `exact_n` is affordable only
+    * because the probe vocabulary is bounded — the SKETCH never needs it.
+    */
+  def countMinFreq(spark: SparkSession, dir: String,
+                   d: Int = 4, w: Int = 256): DataFrame = {
+    def buckets = array((0 until d).map { i =>
+      conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 15), 16, 10)
+        .cast("long") % w
+    }: _*)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    // one pass: every instance lands in d cells; partial-agg collapses each
+    // partition to <= d*w rows before the (tiny) shuffle
+    val sketch = toks
+      .select(posexplode(buckets).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .select(col("token"), col("exact_n"), posexplode(buckets).as(Seq("i", "bucket")))
+    probes.join(sketch, Seq("i", "bucket"))
+      .groupBy("token", "exact_n")
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("token"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overestimate"))
+      .orderBy("token")
+  }
+
   /** B23 — per-document salient terms: top-k tokens by a rarity-weighted
     * score, `cnt · N / df` — tf·idf with a LINEAR idf. The linear form is
     * deliberate: it is integer-ratio double math, IEEE-exact on every

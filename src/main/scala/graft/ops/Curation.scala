@@ -390,6 +390,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B16b — weighted sampling without replacement per source: PRIORITY
+    * SAMPLING (Duffield-Lund-Thorup, JACM '07). Each doc draws priority
+    * q = w/u with w its weight (n_chars — sample long docs ∝ their token
+    * mass) and u a content-free uniform from the shared 24-bit md5 order;
+    * the k highest-priority docs per source are the sample, and
+    * est_weight = max(w, τ) with τ the (k+1)-th priority makes
+    * Σ est_weight an UNBIASED estimator of the source's total weight —
+    * the sketch that answers "sample k docs per source, weight-
+    * proportionally, and still estimate source mass from the sample
+    * alone". Chosen over the classic A-ES exponential-key scheme
+    * DELIBERATELY: A-ES keys need pow/ln, which are library-dependent in
+    * the last ulp (selection could flip cross-engine at a rank boundary),
+    * while q = w/u is ONE IEEE division — correctly rounded, bit-identical
+    * in any engine — so the sample, the threshold, and the estimator all
+    * replay exactly in DuckDB. Ties (identical q) break by doc_id.
+    *
+    * Scale shape: one projection computes q at scan speed; the per-source
+    * top-(k+1) is a ranked window bounded by the source partition (the
+    * hot-source two-level scaffold of [[sourceCapSample]] applies verbatim
+    * if a source dominates); τ re-attaches by one broadcast-sized join
+    * (one row per source). Nothing corpus-wide ever sorts.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("n_chars") > 0)
+    val u = (DocHash.hash24("priority:") + 1L).cast("double") // (0, 2^24]
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      (col("n_chars").cast("double") / u).as("q"))
+    val win = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    val ranked = base.withColumn("rnk", row_number().over(win))
+    val taus = ranked.where(col("rnk") === k + 1)
+      .select(col("source"), col("q").as("tau"))
+    ranked.where(col("rnk") <= k)
+      .join(broadcast(taus), Seq("source"), "left_outer")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("q"), 6).as("priority"),
+        round(when(col("tau").isNull, col("n_chars").cast("double"))
+          .otherwise(greatest(col("n_chars").cast("double"), col("tau"))), 6)
+          .as("est_weight"))
+      .orderBy("source", "doc_id")
+  }
+
   /** B41 — training-order shuffle + shard assignment: the step between a
     * curated corpus and a training run. Each document gets `pos`, its
     * 1-based position in a deterministic pseudo-random global order (the

@@ -190,6 +190,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B49b — Bloom-SCREENED snapshot novelty: the exact `new` vs `dup_prev`
+    * classification of a new crawl against the previous snapshot, but with
+    * the previous snapshot's hash set compressed into a Bloom filter so the
+    * overwhelmingly-common case (a genuinely new document) is decided
+    * MAP-SIDE with no join at all. This is the plan shape [[corpusDiff]]'s
+    * exact arm cannot have: its hash join shuffles (or at best broadcasts)
+    * the previous snapshot's full distinct-hash set, which at 100 TB is
+    * billions of rows — while a Bloom sized for it is `n·ln(1/fpp)/ln²2`
+    * BITS (~1.2 GB per 10⁹ hashes at 1% fpp), build it in one
+    * tree-aggregated pass, and every new-crawl row probes it at scan speed.
+    * Only the bloom HITS — true duplicates plus an fpp-bounded sliver of
+    * false positives — pay the exact semi-join that makes the final answer
+    * EXACT (a Bloom has no false negatives, so `might_contain = false` ⇒
+    * provably absent from the previous snapshot). The machinery is Spark's
+    * own runtime-filter pair (`BloomFilterAggregate` build over
+    * `xxhash64(md5(text))`, `BloomFilterMightContain` probe — the identical
+    * expressions `InjectRuntimeFilter` plants under AQE), used explicitly
+    * because the screened side must SKIP the join, not merely pre-filter
+    * its input. Snapshots are the [[corpusDiff]] doc_id-parity stand-ins
+    * (even = previous, odd = new). Size the filter from the previous
+    * snapshot's manifest row count (D12 records it); `fpp` only moves the
+    * exact-join sliver, never correctness. The driver-held state is the
+    * serialized filter itself (`numBits/8` bytes — the documented,
+    * operator-chosen bound), not data rows.
+    *
+    * Output: one row per new-crawl doc — (doc_id, source, status) with
+    * status ∈ {new, dup_prev}. The DuckDB oracle is the SEMANTIC spec (a
+    * plain hash anti/semi classification), not a construction replay, so
+    * parity proves the screen changes the plan and nothing else.
+    */
+  def bloomNovelty(spark: SparkSession, dir: String,
+                   expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame =
+    bloomNoveltyOf(Tables.documents(spark, dir), expectedItems, fpp)
+
+  /** [[bloomNovelty]] over an explicit documents frame (doc_id, text,
+    * source) — the seam the planted-fixture specs use.
+    */
+  def bloomNoveltyOf(docs: DataFrame,
+                     expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.{shim => sqlshim}
+    import org.apache.spark.sql.types.BinaryType
+
+    val prev = docs.where(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("th"))
+    val numBits = math.min(
+      math.ceil(expectedItems * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong,
+      1L << 30)
+    val bloomAgg = sqlshim.column(new BloomFilterAggregate(
+      sqlshim.expression(xxhash64(col("th"))),
+      sqlshim.expression(lit(expectedItems)),
+      sqlshim.expression(lit(numBits))).toAggregateExpression())
+    val bloomBytes = prev.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    val fresh = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+    // Empty previous snapshot → null filter → everything is new.
+    val classified = if (bloomBytes == null) {
+      fresh.withColumn("status", lit("new"))
+    } else {
+      val mightContain = sqlshim.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        sqlshim.expression(xxhash64(col("th")))))
+      val probed = fresh.withColumn("maybe", mightContain)
+      // Definitely-new rows never reach a join; bloom hits resolve exactly.
+      val definiteNew = probed.where(!col("maybe"))
+        .select(col("doc_id"), col("source"), lit("new").as("status"))
+      val resolved = probed.where(col("maybe"))
+        .join(prev.distinct().withColumn("hit", lit(1L)), Seq("th"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          when(col("hit").isNotNull, "dup_prev").otherwise("new").as("status"))
+      definiteNew.unionByName(resolved)
+    }
+    classified.select("doc_id", "source", "status").orderBy("doc_id")
+  }
+
   /** B34 — duplicate-SPAN trimming (the Lee et al. "Deduplicating Training
     * Data" granularity, between B26's passage keep-one and B1's doc drop):
     * remove every token covered by a k-gram whose occurrence count reaches
@@ -703,6 +780,71 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
       .where(col("jaccard") >= 0.05)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** B4c — EXACT Jaccard similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family: Bayardo et al. WWW'07, Chaudhuri et al.
+    * ICDE'06) — every pair with n-gram Jaccard ≥ `minJaccard`, with NO
+    * false negatives. The LSH path (B4/B2) trades recall for linearity;
+    * the blocked path (B4 `ngram_jaccard`) only compares within
+    * (source, length) blocks. This is the third point on that design
+    * surface: exact global semantics with sub-quadratic candidates, the
+    * right tool when a compliance run must PROVE no near-duplicate above
+    * threshold survived.
+    *
+    * The filter: order every document's shingle set by ascending document
+    * frequency (rarest first, ties by hash — one GLOBAL total order), and
+    * keep only the first `n − ⌈t·n⌉ + 1` elements as its prefix. If
+    * J(a,b) ≥ t then |a∩b| ≥ ⌈t·n_a⌉ and ≥ ⌈t·n_b⌉, so the smallest
+    * common element under the global order provably falls inside BOTH
+    * prefixes — an equi-join on prefix elements finds every qualifying
+    * pair. Rarest-first makes prefix elements the LOW-df hashes, so
+    * candidate fan-out is Σ df² over each doc's rarest grams, not its
+    * boilerplate; a size gate (t·max(n_a,n_b) ≤ min(n_a,n_b), necessary
+    * for J ≥ t) prunes cross-length pairs before the verify. All
+    * threshold arithmetic runs in DECIMAL so the prefix length and size
+    * gate are integer-exact — a float ⌈t·n⌉ rounding up by 1 ulp would
+    * silently DROP qualifying pairs, the one failure mode an exact
+    * operator cannot have.
+    *
+    * Scale shape: df is a map-side-combined groupBy on the hash; the
+    * prefix rank is a per-doc window (bounded by doc length); candidates
+    * shuffle on single hash keys (narrow rows, no arrays); the verify
+    * re-attaches the two shingle arrays by id — the LSH verify's exact
+    * shape. Worst case is inherent to the exact problem (a corpus of n
+    * identical docs HAS n² qualifying pairs); for that regime the
+    * LSH+cluster path (B2/B19) is the registered alternative. The DuckDB
+    * oracle is SEMANTIC — pairs sharing ≥1 shingle, exact-verified — not a
+    * prefix-construction replay, so parity proves the filter loses
+    * nothing.
+    */
+  def jaccardPrefixPairs(spark: SparkSession, dir: String, shingleK: Int = 5,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val t = lit(minJaccard).cast("decimal(9,6)")
+    val hashed = hashedDocs(Tables.documents(spark, dir), shingleK, md5Based = true)
+      .select(col("doc_id"), col("hs.hv").as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val ex = hashed.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    val dfTbl = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfTbl, Seq("h"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .where(col("rnk") <= col("n") - ceil(t * col("n")) + 1)
+    val cands = prefix.select(col("doc_id").as("id_a"), col("h"), col("n").as("n_a"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("h"), col("n").as("n_b")), Seq("h"))
+      .where(col("id_a") < col("id_b") &&
+        t * greatest(col("n_a"), col("n_b")) <= least(col("n_a"), col("n_b")))
+      .select("id_a", "id_b").distinct()
+    val a = hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - inter
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
       .orderBy("id_a", "id_b")
   }
 

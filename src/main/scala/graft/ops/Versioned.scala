@@ -429,6 +429,57 @@ object Versioned {
         "(pathological contention with batch committers)")
   }
 
+  /** A5d×D22 (r15) — streaming CDC MERGE sink: a `foreachBatch` writer that
+    * applies each micro-batch of change events to a Versioned table as ONE
+    * keyed [[merge]] commit, epoch-guarded for crash replay exactly like
+    * [[epochWriter]]. This is what turns the connector's change feed into
+    * INCREMENTAL table maintenance at 100 TB: `epochWriter` republishes the
+    * whole materialization every epoch (replace semantics — O(table)),
+    * while this rewrites only the files containing the epoch's touched
+    * keys (O(delta) with D22f min/max pruning on a clustered layout). The
+    * first epoch against a non-existent table bootstraps it: the batch is
+    * folded per key (last op by `orderCol` wins, trailing deletes drop)
+    * and committed as v1.
+    *
+    * Replay/idempotence: the epoch rides the merge commit's manifest, so a
+    * crash-replayed epoch sees `epoch <= max_epoch` and no-ops; a batch
+    * committer racing mid-epoch surfaces as [[ConcurrentWriteException]]
+    * and the merge RETRIES against the new head (merge re-derives from the
+    * head, so the retry is always well-defined — the object doc's rule).
+    */
+  def epochMergeWriter(dir: String, keyCol: String, orderCol: String,
+                       opCol: String = "operation_type",
+                       deleteOp: String = "delete"): (DataFrame, Long) => Unit =
+    (df, epoch) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val s = df.sparkSession
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 50) {
+        attempts += 1
+        if (epoch <= maxEpoch(s, dir)) done = true
+        else try {
+          if (versions(s, dir).isEmpty) {
+            val byKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+            val folded = df
+              .withColumn("_rn", row_number().over(byKey))
+              .where(col("_rn") === 1 && col(opCol) =!= deleteOp)
+              .drop("_rn", opCol)
+            commit(s, folded, dir, epoch)
+          } else merge(s, df, dir, keyCol, orderCol, opCol, deleteOp, epoch)
+          done = true
+        } catch {
+          case _: ConcurrentWriteException =>
+          // a batch committer won mid-epoch: re-resolve against the new
+          // head (the guard re-reads max_epoch; merge re-derives) and retry
+        }
+      }
+      if (!done) sys.error(
+        s"epoch $epoch merge could not publish to $dir after $attempts attempts " +
+          "(pathological contention with batch committers)")
+    }
+
   /** Stage `df`'s parquet parts into immutable token-unique names under
     * data/, returning the placed file names. Runs OUTSIDE any lock — the
     * expensive part of a commit is parallel across writers by design; only
@@ -512,6 +563,14 @@ object Versioned {
   def append(spark: SparkSession, df: DataFrame, dir: String, epoch: Long = -1L): Long = {
     val named = stage(spark, df, dir,
       versions(spark, dir).lastOption.getOrElse(0L) + 1)
+    publishAppendNamed(spark, dir, named, epoch)
+  }
+
+  /** The append publish loop over already-staged file names (shared by
+    * [[append]] and [[appendChecked]]).
+    */
+  private def publishAppendNamed(spark: SparkSession, dir: String,
+                                 named: Seq[String], epoch: Long): Long = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
@@ -529,6 +588,79 @@ object Versioned {
     }
     sys.error(s"append to $dir could not publish after $attempts attempts " +
       "(pathological cross-process contention)")
+  }
+
+  /** A data-quality contract rejected a staged write; nothing was
+    * published and the staged files were removed. `failures` holds the
+    * failing (check, metric) rows.
+    */
+  final class ContractViolationException(msg: String,
+      val failures: Seq[(String, Double)]) extends RuntimeException(msg)
+
+  /** D23×D22 — WRITE-AUDIT-PUBLISH: stage the parquet files, audit the
+    * STAGED BYTES with a [[Contracts]] check list, and publish the manifest
+    * only if every check passes. Auditing the staged files (not the input
+    * plan) means the contract certifies exactly what a reader of the new
+    * version will see — re-running the input query could legally produce
+    * different rows (non-deterministic sources), and a writer-side bug that
+    * corrupts the parquet encoding is caught too. On violation the staged
+    * files are deleted and [[ContractViolationException]] carries the
+    * failing metrics; the table head never moves — the fail-closed posture
+    * a production lakehouse ingest runs (Delta's CHECK constraints, the WAP
+    * pattern). Cost at 100 TB: one extra columnar scan of the NEW files
+    * only (appends never re-audit history); the check list itself folds to
+    * one aggregation pass ([[Contracts.run]]).
+    */
+  def appendChecked(spark: SparkSession, df: DataFrame, dir: String,
+                    checks: Seq[Contracts.Check], epoch: Long = -1L): Long = {
+    val named = stage(spark, df, dir,
+      versions(spark, dir).lastOption.getOrElse(0L) + 1)
+    auditOrAbort(spark, dir, named, checks, "append")
+    publishAppendNamed(spark, dir, named, epoch)
+  }
+
+  /** [[commit]] (REPLACE semantics) behind the same write-audit-publish
+    * gate as [[appendChecked]]: the staged snapshot is audited before the
+    * conflict-checked publish; a violation aborts with the head untouched.
+    */
+  def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
+                    checks: Seq[Contracts.Check], epoch: Long = -1L): Long = {
+    val basis = versions(spark, dir).lastOption
+    val v = basis.getOrElse(0L) + 1
+    val named = stage(spark, df, dir, v)
+    auditOrAbort(spark, dir, named, checks, "replace")
+    lockFor(dir).synchronized {
+      val head = versions(spark, dir).lastOption
+      if (head != basis)
+        throw new ConcurrentWriteException(
+          s"checked replace of $dir based on v${basis.getOrElse(0L)} lost to a " +
+            s"concurrent commit (head is now v${head.getOrElse(0L)}); staged files " +
+            "are unreferenced and vacuumable")
+      if (!publishManifest(spark, dir, v, named, epoch, priorMaxEpoch(spark, dir, basis)))
+        throw new ConcurrentWriteException(
+          s"checked replace of $dir lost the v$v manifest publish to a concurrent " +
+            "committer in another process; staged files are unreferenced and vacuumable")
+    }
+    graft.Tables.invalidateSpread(dir)
+    v
+  }
+
+  /** Audit staged files; on any failing check delete them and throw. */
+  private def auditOrAbort(spark: SparkSession, dir: String, named: Seq[String],
+                           checks: Seq[Contracts.Check], kind: String): Unit = {
+    val staged = spark.read.parquet(named.map(n => s"$dir/data/$n"): _*)
+    // bounded collect: one row per check
+    val failed = Contracts.run(staged, checks).collect()
+      .filter(!_.getAs[Boolean]("pass"))
+      .map(r => (r.getAs[String]("check"), r.getAs[Double]("metric")))
+    if (failed.nonEmpty) {
+      val base = new Path(dir)
+      val fs = fsOf(spark, base)
+      named.foreach(n => fs.delete(new Path(base, s"data/$n"), false))
+      throw new ContractViolationException(
+        s"$kind to $dir rejected by contract: " +
+          failed.map { case (c, m) => s"$c=$m" }.mkString(", "), failed.toSeq)
+    }
   }
 
   /** The data files version `to` references that version `since` does not
@@ -770,7 +902,8 @@ object Versioned {
   def merge(spark: SparkSession, changes: DataFrame, dir: String,
             keyCol: String, orderCol: String,
             opCol: String = "operation_type",
-            deleteOp: String = "delete"): Long = {
+            deleteOp: String = "delete",
+            epoch: Long = -1L): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val basis = versions(spark, dir).lastOption
@@ -839,7 +972,7 @@ object Versioned {
               "retry the merge: it re-derives from the new head")
         val prevFiles = readManifest(spark, dir, basis.get)
         if (!publishManifest(spark, dir, v,
-          prevFiles.filterNot(touchedNames) ++ staged, -1L,
+          prevFiles.filterNot(touchedNames) ++ staged, epoch,
           priorMaxEpoch(spark, dir, basis)))
           throw new ConcurrentWriteException(
             s"merge into $dir lost the v$v manifest publish to a concurrent " +

@@ -351,6 +351,43 @@ class CorpusSpec extends SparkSpec {
     assert(got.toSeq === want, "below capacity the sketch IS the exact top-k")
   }
 
+  test("countMinFreq matches a local sketch replay and never underestimates") {
+    // independent replay: build the d x w sketch locally from exact counts
+    // (the sketch is linear, so grouped-count construction is identical)
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf0001).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => exact(w) = exact.getOrElse(w, 0L) + 1)
+    }
+    def bucket(i: Int, tok: String, w: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % w
+    }
+    def replay(d: Int, w: Int): Map[String, Long] = {
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      for ((tok, n) <- exact; i <- 0 until d)
+        cells((i, bucket(i, tok, w))) = cells.getOrElse((i, bucket(i, tok, w)), 0L) + n
+      exact.keys.map(tok => tok -> (0 until d).map(i => cells((i, bucket(i, tok, w)))).min).toMap
+    }
+    for (w <- Seq(8, 256)) {
+      val got = Corpus.countMinFreq(spark, sf0001, d = 4, w = w).collect()
+        .map(r => (r.getAs[String]("token"),
+          r.getAs[Long]("exact_n"), r.getAs[Long]("cm_est"))).toSeq
+      val want = replay(4, w)
+      assert(got.map(_._1).toSet === exact.keySet)
+      got.foreach { case (tok, n, est) =>
+        assert(n === exact(tok), s"$tok exact")
+        assert(est === want(tok), s"$tok estimate at w=$w")
+        assert(est >= n, s"$tok underestimated — impossible for Count-Min")
+      }
+      if (w == 8)
+        assert(got.exists { case (_, n, est) => est > n },
+          "w=8 on a ~31-type vocab must force at least one collision")
+    }
+  }
+
   test("lengthHistogram matches a local bucket replay and shares sum to 1 per language") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val got = Corpus.lengthHistogram(spark, sf0001).collect()

@@ -233,6 +233,38 @@ class CurationSpec extends SparkSpec {
     assert(k2 === kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap)
   }
 
+  test("prioritySample matches a local priority-sampling replay and estimates are max(w, tau)") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 10
+    // local replay: q = w/u with the same md5-derived u, top-k per source,
+    // tau = (k+1)-th priority, est = max(w, tau)
+    val rows = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"priority:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 6), 16) + 1L).toDouble
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      val ranked = g.map { case (id, _, w) => (id, w, w.toDouble / u(id)) }
+        .sortBy { case (id, _, q) => (-q, id) }
+      val tau = ranked.lift(k).map(_._3)
+      ranked.take(k).map { case (id, w, q) =>
+        (src, id) -> (r6(q), r6(tau.fold(w.toDouble)(t => math.max(w.toDouble, t))))
+      }
+    }.toMap
+    val got = Curation.prioritySample(spark, sf0001, k = k).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Double]("priority"), r.getAs[Double]("est_weight"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every sampled doc's estimate is >= its own weight (max(w, tau) >= w)
+    val weights = rows.map(t => (t._2, t._1) -> t._3).toMap
+    got.foreach { case (key, (_, est)) => assert(est >= weights(key).toDouble) }
+  }
+
   test("trainingOrder is a permutation in hash order, round-robin sharded, shard-count invariant") {
     val dir = docsDir((1L to 37L).map(i => i -> varied)) // non-multiple of nShards
     val got = Curation.trainingOrder(spark, dir, nShards = 8).collect()

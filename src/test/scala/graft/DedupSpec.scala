@@ -372,6 +372,92 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomNovelty matches the independent exact classification on the driver corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val expected = docs.where(col("doc_id") % 2 === 1)
+      .withColumn("th", md5(col("text")))
+      .join(docs.where(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("th")).distinct().withColumn("hit", lit(1)),
+        Seq("th"), "left_outer")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, "dup_prev").otherwise("new").as("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Dedup.bloomNovelty(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === expected)
+    assert(got.values.exists(_ == "new"), "vacuous: no new docs")
+  }
+
+  test("bloomNovelty plans the bloom screen and survives an empty previous snapshot") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "only odd ids so the previous snapshot is empty", "src"),
+      (3L, "every document here must classify as new", "src"))
+      .toDF("doc_id", "text", "source")
+    val allNew = Dedup.bloomNoveltyOf(docs).collect()
+    assert(allNew.length === 2 && allNew.forall(_.getAs[String]("status") === "new"))
+    // with a non-empty previous snapshot the probe expression must be in
+    // the plan: the definitely-new fast path exists only behind the screen
+    val mixed = Seq(
+      (0L, "previous snapshot document body", "src"),
+      (1L, "previous snapshot document body", "src"),
+      (3L, "a genuinely new document body", "src"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.bloomNoveltyOf(mixed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(m === Map(1L -> "dup_prev", 3L -> "new"))
+    // on parquet-backed data (not constant-foldable to a LocalRelation) the
+    // probe expression must survive into the physical plan
+    val plan = Dedup.bloomNovelty(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from the physical plan")
+  }
+
+  test("jaccardPrefixPairs equals the brute-force exact pair set (no false negatives)") {
+    import org.apache.spark.sql.functions._
+    // Independent semantic replay on the driver corpus: every pair sharing
+    // >= 1 shingle, exact-verified — computed WITHOUT the prefix filter.
+    val hashed = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .shingleHashes(col("text"), 5, md5Based = true).getField("hv").as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = hashed.select(col("doc_id"), explode(col("sh")).as("h"))
+    val cands = ex.select(col("doc_id").as("id_a"), col("h"))
+      .join(ex.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - inter
+    val expected = cands
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.jaccardPrefixPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "vacuous: no qualifying pairs at sf0.001")
+  }
+
+  test("jaccardPrefixPairs prefix is integer-exact at float-hostile thresholds") {
+    val s = spark
+    import s.implicits._
+    // Ten identical 10-shingle docs at t where ceil(t*n) is float-fragile:
+    // 0.6 * 10 -> prefix length must be exactly 10 - 6 + 1 = 5, and every
+    // pair (45 of them) must surface at jaccard 1.0.
+    val body = "a b c d e f g h i j k l m n"
+    val dir = tempDir("ppjoin")
+    (0L until 10L).map(i => (i, body, "en", "src", body.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = Dedup.jaccardPrefixPairs(spark, dir, shingleK = 5, minJaccard = 0.6)
+      .collect()
+    assert(got.length === 45, s"expected all 45 identical-doc pairs, got ${got.length}")
+    assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("lshPrecision counts exactly the registered verify's candidates and acceptances") {
     val r = graft.ops.Dedup.lshPrecision(spark, sf0001).collect().head
     val (cands, acc, prec) = (r.getAs[Long]("candidates"), r.getAs[Long]("accepted"),

@@ -731,4 +731,70 @@ class VersionedSpec extends SparkSpec {
     assert(fin.count() === 5L)
     assert(fin.agg(org.apache.spark.sql.functions.min("id")).head().getLong(0) === 2000L)
   }
+
+  test("epochMergeWriter: bootstrap, incremental epochs, replay no-op, equals the full-feed fold") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val dir = tempDir("epochmerge")
+    def feed(rows: (Long, Long, String, String)*) =
+      rows.toSeq.toDF("k", "seq", "operation_type", "payload")
+    val w = Versioned.epochMergeWriter(dir, keyCol = "k", orderCol = "seq")
+    // epoch 0 bootstraps: k1,k2 inserted, k2 immediately updated in-batch
+    w(feed((1L, 1L, "insert", "a"), (2L, 2L, "insert", "b"), (2L, 3L, "update", "b2")), 0L)
+    val afterBoot = Versioned.read(spark, dir)
+      .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterBoot === Map(1L -> "a", 2L -> "b2"))
+    // epoch 1: update k1, delete k2, insert k3 — ONE merge commit
+    val ep1 = feed((1L, 4L, "update", "a2"), (2L, 5L, "delete", "x"), (3L, 6L, "insert", "c"))
+    w(ep1, 1L)
+    val v = Versioned.versions(spark, dir)
+    assert(v === Seq(1L, 2L), s"one commit per epoch, got $v")
+    def state() = Versioned.read(spark, dir)
+      .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() === Map(1L -> "a2", 3L -> "c"))
+    // crash replay of epoch 1 is a no-op (no new version, same rows)
+    w(ep1, 1L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L))
+    assert(state() === Map(1L -> "a2", 3L -> "c"))
+    // and the incremental result equals folding the WHOLE feed at once
+    val whole = feed((1L, 1L, "insert", "a"), (2L, 2L, "insert", "b"), (2L, 3L, "update", "b2"),
+      (1L, 4L, "update", "a2"), (2L, 5L, "delete", "x"), (3L, 6L, "insert", "c"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("seq").desc)
+    val folded = whole.withColumn("_rn", row_number().over(byKey))
+      .where(col("_rn") === 1 && col("operation_type") =!= "delete")
+      .select("k", "payload").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() === folded)
+  }
+
+  test("write-audit-publish: a contract violation aborts with the head untouched and no debris") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Contracts
+    val dir = tempDir("wap")
+    val idPositive = Seq(
+      Contracts.Check("id_min", min(col("id")), _ >= 0.0),
+      Contracts.Check("row_count", count(lit(1)).cast("double"), _ >= 1.0))
+    // good batch publishes
+    val v1 = Versioned.appendChecked(spark, rows(0, 5), dir, idPositive)
+    assert(v1 === 1L && Versioned.read(spark, dir).count() === 5L)
+    // bad batch (negative id) is rejected: head unchanged, staged files gone
+    val s = spark; import s.implicits._
+    val bad = Seq((-1L, "poison"), (6L, "ok")).toDF("id", "payload")
+    val ex = intercept[Versioned.ContractViolationException] {
+      Versioned.appendChecked(spark, bad, dir, idPositive)
+    }
+    assert(ex.failures.map(_._1) === Seq("id_min"))
+    assert(Versioned.versions(spark, dir) === Seq(1L))
+    assert(Versioned.read(spark, dir).count() === 5L)
+    val dataFiles = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS .crc shadows
+    assert(dataFiles.forall(_.startsWith("v1-")),
+      s"rejected staged files must be deleted eagerly, found: ${dataFiles.mkString(",")}")
+    // checked REPLACE: violation keeps v1 readable, success replaces
+    intercept[Versioned.ContractViolationException] {
+      Versioned.commitChecked(spark, bad, dir, idPositive)
+    }
+    assert(Versioned.read(spark, dir).count() === 5L)
+    val v2 = Versioned.commitChecked(spark, rows(100, 3), dir, idPositive)
+    assert(v2 === 2L && Versioned.read(spark, dir).count() === 3L)
+  }
 }
