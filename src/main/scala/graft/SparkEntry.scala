@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_minhash"        -> ((s, d) => Dedup.minhashSignature(s, d)),
     "dedup_minhash_pairs"  -> ((s, d) => Dedup.minhashPairsPortable(s, d)),
     "dedup_minhash_keep"   -> ((s, d) => Dedup.minhashDedupPortable(s, d)),
+    "dedup_minhash_bbit"   -> ((s, d) => Dedup.minhashBbitPairs(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashPortable(s, d)),
     "dedup_simhash_pairs"  -> ((s, d) => Dedup.simhashPairsPortable(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
     "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
     "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
+    "phrase_search"        -> ((s, d) => graft.ops.Relevance.phraseSearch(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
@@ -709,6 +711,20 @@ object SparkEntry {
          |                       for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
          |      FROM cand)
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // b-bit minhash: same banded candidates; the oracle estimates from the
+    // UNPACKED signatures' low 2 bits (semantic form) — parity proves the
+    // Spark side's packed-long XOR/popcount path is lossless.
+    "dedup_minhash_bbit" ->
+      s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)}
+         |SELECT id_a, id_b, est_j_bbit
+         |FROM (SELECT id_a, id_b,
+         |        round(greatest(
+         |          (CAST(list_sum([CASE WHEN (sig_a[i] & 3) = (sig_b[i] & 3) THEN 1 ELSE 0 END
+         |                          for i in generate_series(1, 32)]) AS DOUBLE) / 32.0
+         |           - 0.25) / 0.75, 0.0), 6) AS est_j_bbit
+         |      FROM cand)
+         |WHERE est_j_bbit >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // Same banded candidates + exact verify as ngram_jaccard_lsh, without
     // the threshold filter, collapsed to the one-row precision report.
@@ -2222,6 +2238,18 @@ object SparkEntry {
         |FROM probe p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
         |GROUP BY p.token, p.exact_n
         |ORDER BY p.token""".stripMargin,
+
+    // Phrase search: the probe phrase is derived in-corpus (dominant k-gram
+    // by count desc, hash asc) so the query is non-vacuous at every SF.
+    "phrase_search" ->
+      """WITH arr AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, source, i AS pos,
+        |         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS h
+        |       FROM arr, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g(i)),
+        |top AS (SELECT h, CAST(count(*) AS BIGINT) AS n_occurrences FROM st GROUP BY h
+        |        ORDER BY n_occurrences DESC, h LIMIT 1)
+        |SELECT st.doc_id, CAST(st.pos AS BIGINT) AS pos, st.source, top.n_occurrences
+        |FROM st JOIN top USING (h) ORDER BY st.doc_id, st.pos""".stripMargin,
 
     // The arithmetic tree mirrors Relevance.bm25Search token for token:
     // constants compose IN-ENGINE ((1.2 + 1.0), never a 2.2 literal — the

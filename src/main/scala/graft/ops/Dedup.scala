@@ -221,14 +221,23 @@ object Dedup {
     * parity proves the screen changes the plan and nothing else.
     */
   def bloomNovelty(spark: SparkSession, dir: String,
-                   expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame =
+                   expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame =
     bloomNoveltyOf(Tables.documents(spark, dir), expectedItems, fpp)
 
   /** [[bloomNovelty]] over an explicit documents frame (doc_id, text,
     * source) — the seam the planted-fixture specs use.
+    *
+    * `expectedItems <= 0` derives the size from a count of the previous
+    * snapshot (one narrow scan; in production the D12/D22 manifest row
+    * count replaces it for free). Sizing MATTERS at both ends: numBits
+    * scales the per-partition aggregation partial, so a filter sized for
+    * 2²² items against a 25k-row snapshot ships a 5 MB partial from every
+    * partition into the merge — measured 6.4 s of pure overhead at sf0.1 —
+    * while an undersized filter degrades fpp and sends everything through
+    * the exact join (correct, just slower).
     */
   def bloomNoveltyOf(docs: DataFrame,
-                     expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+                     expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.{shim => sqlshim}
@@ -236,12 +245,15 @@ object Dedup {
 
     val prev = docs.where(col("doc_id") % 2 === 0)
       .select(md5(col("text")).as("th"))
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(prev.count(), 1024L)
     val numBits = math.min(
-      math.ceil(expectedItems * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong,
+      math.ceil(items * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong,
       1L << 30)
     val bloomAgg = sqlshim.column(new BloomFilterAggregate(
       sqlshim.expression(xxhash64(col("th"))),
-      sqlshim.expression(lit(expectedItems)),
+      sqlshim.expression(lit(items)),
       sqlshim.expression(lit(numBits))).toAggregateExpression())
     val bloomBytes = prev.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
 
@@ -610,6 +622,54 @@ object Dedup {
                            maxBucket: Int = 256): DataFrame = {
     val signed = signatures(Tables.documents(spark, dir), md5Based = true, numHashes, shingleK)
     pairsFrom(signed, numHashes, bands, threshold, maxBucket, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** B2b — b-BIT MINHASH (Li & König, CACM '11): keep only the lowest `b`
+    * bits of every signature component, packed into ONE long per doc, and
+    * estimate Jaccard from the b-bit collision rate with the collision-
+    * floor correction Ĵ = (rate − C)/(1 − C), C = 2^−b. At b=2 a 32-hash
+    * signature is 8 BYTES per document instead of 256 — and the signature
+    * table is the asset that DOMINATES storage in petabyte-scale near-dup
+    * runs (B2 persists it precisely because it is worth more than the
+    * recompute). The variance cost is a known closed form (≈ the full
+    * estimator's at high similarity, where dedup thresholds live — the
+    * paper's regime); the candidate generation is UNCHANGED banded LSH on
+    * the full-width signature, so recall is B2's, only the verify estimate
+    * reads the compressed table. The packed-long XOR trick makes the
+    * estimate one codegen'd expression: x = psig_a ⊕ psig_b, a component
+    * collides iff its b-bit group in x is all-zero, so mismatches =
+    * popcount of the group-wise OR of x's bits folded onto each group's
+    * low bit — three bitwise ops + one `bit_count`, no array traversal.
+    * The DuckDB oracle computes the SAME estimate component-wise from the
+    * unpacked signatures (semantic form), so parity proves the packing is
+    * lossless for the estimator.
+    */
+  def minhashBbitPairs(spark: SparkSession, dir: String, numHashes: Int = 32,
+                       bands: Int = 16, shingleK: Int = 3, b: Int = 2,
+                       threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
+    require(numHashes * b <= 64, s"packed signature must fit one long: $numHashes*$b > 64")
+    val signed = signatures(Tables.documents(spark, dir), md5Based = true,
+      numHashes, shingleK).persist()
+    val cands = minhashCandidates(signed, numHashes, bands, maxBucket, portable = true)
+    val mask = (1L << b) - 1
+    val packExpr = (0 until numHashes).map { i =>
+      shiftleft(element_at(col("sig"), i + 1).bitwiseAND(lit(mask)), b * i)
+    }.reduce(_.bitwiseOR(_))
+    val packed = signed.select(col("doc_id"), packExpr.as("psig"))
+    val x = col("psig_a").bitwiseXOR(col("psig_b"))
+    // fold each b-bit group's bits onto its low bit, then popcount
+    val folded = (0 until b).map(j => shiftrightunsigned(x, j)).reduce(_.bitwiseOR(_))
+    val groupLowBits = (0 until numHashes).map(i => 1L << (b * i)).reduce(_ | _)
+    val mismatches = bit_count(folded.bitwiseAND(lit(groupLowBits))).cast("double")
+    val c = 1.0 / (1L << b)
+    val rate = (lit(numHashes.toDouble) - mismatches) / numHashes.toDouble
+    val est = round(greatest((rate - lit(c)) / lit(1.0 - c), lit(0.0)), 6)
+    cands
+      .join(packed.select(col("doc_id").as("id_a"), col("psig").as("psig_a")), Seq("id_a"))
+      .join(packed.select(col("doc_id").as("id_b"), col("psig").as("psig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_j_bbit"))
+      .where(col("est_j_bbit") >= threshold)
       .orderBy("id_a", "id_b")
   }
 

@@ -381,4 +381,57 @@ object Relevance {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** B53b — exact PHRASE-occurrence search: every (doc_id, pos) where a
+    * k-token phrase occurs, corpus-wide — B53's exact-match complement
+    * (BM25 ranks by bag-of-terms; this locates literal phrases) and the
+    * forensic primitive behind B13c/B34 ("where exactly does this leaked /
+    * boilerplate fragment appear?"). One codegen'd positional-hash pass
+    * (the SAME pass B34/B67/B68 price — position-aligned 60-bit md5-prefix
+    * k-gram hashes) feeds a hash-keyed probe: matching a phrase is an
+    * equi-join against ONE broadcast hash, at scan speed, never a string
+    * scan. 60-bit hashes make a false hit ~2⁻⁶⁰ per position; a paranoid
+    * caller re-verifies survivors with a substring compare (positions make
+    * it a per-row slice — noted, not paid by default).
+    *
+    * The REGISTERED query derives its probe phrase in-corpus — the
+    * dominant k-gram by (count desc, hash asc) — so the query is
+    * non-vacuous at every SF without a pinned literal that a testdata
+    * regen could orphan; [[phraseOccurrences]] is the explicit-phrase
+    * production seam. Scale shape: the dominant-gram derivation is a
+    * map-side-combined groupBy collapsed to ONE row (TakeOrdered of 1);
+    * the probe join broadcasts that row; the positional frame persists so
+    * derive + probe share a single hashing pass.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val pos = positionalFrame(Tables.documents(spark, dir), k).persist()
+    val top = pos.groupBy("h").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("h")).limit(1)
+    pos.join(broadcast(top), Seq("h"))
+      .select(col("doc_id"), col("pos"), col("source"), col("n_occurrences"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** [[phraseSearch]]'s production seam: occurrences of an EXPLICIT
+    * phrase (k = its token count), hashed driver-side with the same md5
+    * scheme the positional pass uses.
+    */
+  def phraseOccurrences(docs: DataFrame, phrase: String): DataFrame = {
+    val toks = phrase.split(" ").filter(_.nonEmpty)
+    require(toks.nonEmpty, "empty phrase")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    positionalFrame(docs, toks.length)
+      .where(col("h") === h)
+      .select(col("doc_id"), col("pos"), col("source"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** (doc_id, source, pos 1-based, h): position-aligned k-gram hashes. */
+  private def positionalFrame(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      posexplode(graft.functions.VectorExpressions
+        .positionalShingleHashes(col("text"), k, md5Based = true)).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).cast("long").as("pos"), col("h"))
 }

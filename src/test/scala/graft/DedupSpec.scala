@@ -372,6 +372,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("b-bit minhash: packed-long estimate equals a component-wise replay; planted dups near 1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val sigs = Dedup.signatures(docs, md5Based = true, numHashes = 32, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    def estLocal(a: Long, bId: Long): Double = {
+      val coll = sigs(a).zip(sigs(bId)).count { case (x, y) => (x & 3) == (y & 3) }
+      val rate = coll.toDouble / 32.0
+      BigDecimal(math.max((rate - 0.25) / 0.75, 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Dedup.minhashBbitPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_j_bbit")).toMap
+    assert(got.nonEmpty, "vacuous: no b-bit pairs at sf0.001")
+    got.foreach { case ((a, b), est) =>
+      assert(est === estLocal(a, b), s"pair ($a,$b) packed-long vs replay")
+    }
+    // identical planted texts share the full signature -> est exactly 1.0
+    val exactDups = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values.filter(_.length > 1)
+      .flatMap(g => { val ids = g.map(_.getLong(1)).sorted; Some((ids(0), ids(1))) })
+    exactDups.foreach { case (a, b) =>
+      if (got.contains((a, b))) assert(got((a, b)) === 1.0, s"identical pair ($a,$b)")
+    }
+    assert(got.values.exists(_ == 1.0), "at least one identical pair must estimate 1.0")
+  }
+
   test("bloomNovelty matches the independent exact classification on the driver corpus") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

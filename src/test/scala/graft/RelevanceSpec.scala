@@ -832,4 +832,43 @@ class RelevanceSpec extends SparkSpec {
       assert(math.abs(s1 - s2) < 2e-6, s"score drift: $s1 vs $s2")
     }
   }
+
+  test("phraseOccurrences pins exact positions of an explicit phrase") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x a b c y a b c", "s1"),
+      (2L, "a b c starts here and never repeats", "s1"),
+      (3L, "no match at all in this one", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Relevance.phraseOccurrences(docs, "a b c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (1L, 6L), (2L, 1L)))
+  }
+
+  test("phraseSearch finds every occurrence of the corpus-dominant 5-gram") {
+    val rows = Relevance.phraseSearch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getAs[Long]("n_occurrences")
+    assert(rows.length.toLong === n, "one row per occurrence of the dominant gram")
+    // local verification: the 5-gram at each reported position is the SAME
+    // string everywhere, and it is the most frequent 5-gram in the corpus
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val grams = rows.map { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val p = r.getAs[Long]("pos").toInt - 1
+      t.slice(p, p + 5).mkString(" ")
+    }
+    assert(grams.toSet.size === 1, s"all occurrences must be one literal gram: ${grams.toSet}")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.values.foreach { t =>
+      val upper = math.max(t.length - 4, 1)
+      (0 until upper).foreach { i =>
+        val g = t.slice(i, i + 5).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0L) + 1
+      }
+    }
+    assert(counts.values.max === n, "the reported gram is the most frequent")
+  }
 }
