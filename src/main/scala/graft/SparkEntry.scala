@@ -47,6 +47,7 @@ object SparkEntry {
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "ngram_jaccard_lsh"    -> ((s, d) => Dedup.ngramJaccardLshPortable(s, d)),
     "jaccard_prefix_pairs" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
+    "containment_pairs"    -> ((s, d) => Dedup.containmentPrefixPairs(s, d)),
     "lsh_precision"        -> ((s, d) => Dedup.lshPrecision(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -840,6 +841,25 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
         |FROM p WHERE round(inter / (szsum - inter), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Asymmetric containment: same semantic-oracle discipline as
+    // jaccard_prefix_pairs — share-a-shingle candidates, exact verify.
+    "containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT doc_id,
+        |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
+        |         list_distinct([array_to_string(tok[i:i+4], ' ')
+        |                        for i in generate_series(1, greatest(len(tok)-4, 1))])] AS sh
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b,
+        |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |              CAST(len(a.sh) AS DOUBLE), 6) AS containment
+        |      FROM cand c JOIN s a ON c.id_a = a.doc_id JOIN s b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, containment FROM p
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -908,6 +908,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** B4d — exact n-gram CONTAINMENT join: all ordered pairs with
+    * C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ t — "most of a's shingles occur
+    * in b" — the ASYMMETRIC relation [[jaccardPrefixPairs]] cannot see:
+    * a document quoted or embedded whole inside a much longer one has
+    * containment ≈ 1 while its Jaccard drowns in the length mismatch
+    * (J = |a|/|b| for a ⊂ b). This is the quote/boilerplate-embedding
+    * detector: near-dup dedup keeps one of a MUTUAL pair, while a
+    * one-directional hit marks a SUBSUMED doc (drop a, keep b) or a
+    * template wrapper.
+    *
+    * Same prefix-filter theorem, asymmetric form: C(a→b) ≥ t ⇒
+    * |a∩b| ≥ ⌈t·n_a⌉ ⇒ a's rarest-first prefix of length n_a − ⌈t·n_a⌉ + 1
+    * must hit b SOMEWHERE — so candidates are a-prefix × b-FULL-index
+    * (the probe side cannot prefix-prune; that asymmetry is inherent to
+    * the predicate, and the rarest-first ordering keeps the exploded side
+    * on low-df grams). Decimal threshold math and the size gate
+    * t·n_a ≤ n_b (|a∩b| ≤ n_b) follow B4c exactly. Oracle is semantic
+    * (pairs sharing ≥1 shingle, exact-verified), so parity proves no
+    * qualifying pair is lost.
+    */
+  def containmentPrefixPairs(spark: SparkSession, dir: String, shingleK: Int = 5,
+                             minContain: Double = 0.9): DataFrame = {
+    val t = lit(minContain).cast("decimal(9,6)")
+    val hashed = hashedDocs(Tables.documents(spark, dir), shingleK, md5Based = true)
+      .select(col("doc_id"), col("hs.hv").as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    val ex = hashed.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h"))
+    val dfTbl = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefixA = ex.join(dfTbl, Seq("h"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .where(col("rnk") <= col("n") - ceil(t * col("n")) + 1)
+      .select(col("doc_id").as("id_a"), col("n").as("n_a"), col("h"))
+    val cands = prefixA
+      .join(ex.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("h")), Seq("h"))
+      .where(col("id_a") =!= col("id_b") && t * col("n_a") <= col("n_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cands
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(inter / size(col("sh_a")).cast("double"), 6).as("containment"))
+      .where(col("containment") >= minContain)
+      .orderBy("id_a", "id_b")
+  }
+
   /** B4 (scale path) — exact n-gram Jaccard verify fed by MinHash-LSH
     * candidates: the banded equi-join proposes pairs, the exact intersect
     * confirms them. Linear in data size for bounded buckets — the composed

@@ -468,6 +468,47 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "vacuous: no qualifying pairs at sf0.001")
   }
 
+  test("containmentPrefixPairs: a doc embedded whole inside a longer one is caught one-way") {
+    val s = spark
+    import s.implicits._
+    val inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val outer = s"intro words before the quote $inner and a long tail of trailing commentary after it ends"
+    val dir = tempDir("containment")
+    Seq((1L, inner), (2L, outer),
+      (3L, "a completely different document about something else entirely here"))
+      .zipWithIndex.map { case ((id, t), _) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = Dedup.containmentPrefixPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    assert(got.keySet === Set((1L, 2L)), s"exactly the one-way subset pair: $got")
+    assert(got((1L, 2L)) === 1.0, "every inner shingle occurs in the outer doc")
+  }
+
+  test("containmentPrefixPairs equals the brute-force exact containment set on the corpus") {
+    import org.apache.spark.sql.functions._
+    val hashed = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .shingleHashes(col("text"), 5, md5Based = true).getField("hv").as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = hashed.select(col("doc_id"), explode(col("sh")).as("h"))
+    val cands = ex.select(col("doc_id").as("id_a"), col("h"))
+      .join(ex.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") =!= col("id_b")).select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val expected = cands
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(inter / size(col("sh_a")).cast("double"), 6).as("c"))
+      .where(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.containmentPrefixPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "vacuous at sf0.001 — planted dups must contain both ways")
+  }
+
   test("jaccardPrefixPairs prefix is integer-exact at float-hostile thresholds") {
     val s = spark
     import s.implicits._
