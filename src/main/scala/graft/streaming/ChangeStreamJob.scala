@@ -692,6 +692,38 @@ object ChangeStreamJob {
       .start()
   }
 
+  /** A5d×D22g — the MATERIALIZING runner: instead of publishing the change
+    * feed to a queue, maintain a [[graft.ops.Versioned]] table of the
+    * current per-document state — what every CDC consumer ultimately
+    * builds, run INSIDE the connector as one stream. Each micro-batch
+    * applies as ONE keyed merge commit via
+    * [[graft.ops.Versioned.epochMergeWriter]] (O(delta) file rewrites;
+    * epoch-guarded so checkpoint replays after a crash are no-ops), keyed
+    * by `document_key`, ordered by `resume_token` (the feed's total
+    * order), deletes dropping the key. Readers time-travel the
+    * materialization like any Versioned table; downstream incremental
+    * consumers (D24/D27) ride its change feed.
+    */
+  def startMaterialized(spark: SparkSession, source: EventSource, tableDir: String,
+                        checkpointDir: String, db: String = "test",
+                        coll: String = "testcoll",
+                        queryName: String = "connector-materialize",
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val envelope = toChangeEvents(source.load(spark), db, coll)
+    val write = graft.ops.Versioned.epochMergeWriter(
+      tableDir, keyCol = "document_key", orderCol = "resume_token")
+    envelope
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        write(batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Sandbox binding: watch `sourceDir` (json files), publish change-event
     * JSON to a per-epoch parquet `queueDir`, checkpoint in `checkpointDir`.
     */

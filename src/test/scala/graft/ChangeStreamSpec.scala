@@ -405,4 +405,39 @@ class ChangeStreamSpec extends SparkSpec {
     assert(q2.exception.isEmpty)
     assert(queueIds(queue).size === 10)
   }
+
+  test("materializing runner: the stream maintains a Versioned table, O(delta) per epoch") {
+    import graft.ops.Versioned
+    val (src, table, ckpt) = (tempDir("src"), tempDir("mat") + "/t", tempDir("ckpt"))
+    writeEvents(src, "batch0.json", 0 until 50)
+    val q = ChangeStreamJob.startMaterialized(spark, JsonDirSource(src), table, ckpt)
+    q.awaitTermination(60000)
+
+    // expected fold: per user (document_key = i % 7), last event by id wins;
+    // a trailing delete ("error" type) drops the key
+    def fold(ids: Range): Map[Long, Long] =
+      ids.groupBy(_ % 7).flatMap { case (u, is) =>
+        val last = is.max
+        val op = Seq("signup", "click", "purchase", "view", "error")(last % 5)
+        if (op == "error") None else Some(u.toLong -> last.toLong)
+      }
+    def state(): Map[Long, Long] = Versioned.read(spark, table)
+      .select("document_key", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() === fold(0 until 50))
+    assert(Versioned.versions(spark, table) === Seq(1L), "one bootstrap commit")
+
+    // a second delivery merges incrementally from the SAME checkpoint
+    writeEvents(src, "batch1.json", 50 until 60)
+    val q2 = ChangeStreamJob.startMaterialized(spark, JsonDirSource(src), table, ckpt)
+    q2.awaitTermination(60000)
+    assert(state() === fold(0 until 60))
+    assert(Versioned.versions(spark, table) === Seq(1L, 2L), "one merge commit per new epoch")
+
+    // replaying the whole feed against a FRESH checkpoint is a no-op: the
+    // epoch guard sees epoch 0 <= max_epoch and the table does not move
+    val q3 = ChangeStreamJob.startMaterialized(spark, JsonDirSource(src), table, tempDir("ckpt3"))
+    q3.awaitTermination(60000)
+    assert(state() === fold(0 until 60))
+  }
 }
