@@ -268,10 +268,20 @@ object Dedup {
         sqlshim.expression(xxhash64(col("th")))))
       val probed = fresh.withColumn("maybe", mightContain)
       // Definitely-new rows never reach a join; bloom hits resolve exactly.
+      // The PREV side never shuffles whole either: it is semi-joined
+      // against the fpp-bounded hit-key sliver FIRST (AQE broadcasts the
+      // sliver, so the snapshot streams past it map-side), and only the
+      // surviving dup keys — at most |hits| rows — meet the hits in the
+      // outer join. Size fpp so the sliver stays broadcastable (1e-4 on
+      // 10^9 new docs is ~10^5 hashes ≈ 3 MB); the bloom itself grows with
+      // the PREVIOUS snapshot, the sliver with fpp·|new| + |dups|.
       val definiteNew = probed.where(!col("maybe"))
         .select(col("doc_id"), col("source"), lit("new").as("status"))
-      val resolved = probed.where(col("maybe"))
-        .join(prev.distinct().withColumn("hit", lit(1L)), Seq("th"), "left_outer")
+      val hits = probed.where(col("maybe"))
+      val dupKeys = prev.join(hits.select("th").distinct(), Seq("th"), "left_semi")
+        .distinct().withColumn("hit", lit(1L))
+      val resolved = hits
+        .join(dupKeys, Seq("th"), "left_outer")
         .select(col("doc_id"), col("source"),
           when(col("hit").isNotNull, "dup_prev").otherwise("new").as("status"))
       definiteNew.unionByName(resolved)
