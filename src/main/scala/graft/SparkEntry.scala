@@ -88,6 +88,7 @@ object SparkEntry {
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
     "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
+    "zipf_fit"             -> ((s, d) => graft.ops.Corpus.zipfFit(s, d)),
     "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
     "phrase_search"        -> ((s, d) => graft.ops.Relevance.phraseSearch(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
@@ -2237,6 +2238,24 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |SELECT w, count(*) AS est FROM t
         |GROUP BY w ORDER BY est DESC, w LIMIT 50""".stripMargin,
+
+    // ln composition follows the BM25 precedent (integer-argument logs,
+    // 6-dp round); rank ties break by token so the ranking is total.
+    "zipf_fit" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk WHERE len(token) > 0 GROUP BY token),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             sum(ln(CAST(rank AS DOUBLE))) AS sx,
+        |             sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+        |             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy,
+        |             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |       round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6)
+        |         AS intercept
+        |FROM m""".stripMargin,
 
     // Count-Min is deterministic md5-row hashing, so the oracle replays the
     // FULL approximation — estimates must be identical, not merely bounded.

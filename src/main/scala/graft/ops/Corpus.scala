@@ -329,6 +329,46 @@ object Corpus {
       .orderBy("token")
   }
 
+  /** B22d — Zipf rank-frequency fit: the least-squares slope of
+    * ln(count) on ln(rank) over the token vocabulary — the one-number
+    * answer to "does this corpus have a natural-language frequency
+    * profile?" (clean text sits near −1; templated/synthetic corpora
+    * flatten toward 0, encoding junk steepens). A curation pipeline
+    * tracks the slope per source/snapshot as a cheap drift alarm beside
+    * B60's χ² and B12's composition stats.
+    *
+    * Scale shape: the vocab groupBy partial-aggregates map-side (token
+    * explode never shuffles raw text); the ranking window and the moment
+    * sums run over VOCAB-cardinality rows (the bounded-aggregate global
+    * window this board whitelists — same class as novelty_curve's
+    * cumulative sum); output is one row. `ln` composition follows the
+    * B53 BM25 precedent: both engines' libm agree through the 6-dp round
+    * on integer-argument logs.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val moments = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(log(col("rank").cast("double"))).as("sx"),
+      sum(log(col("cnt").cast("double"))).as("sy"),
+      sum(log(col("rank").cast("double")) * log(col("cnt").cast("double"))).as("sxy"),
+      sum(log(col("rank").cast("double")) * log(col("rank").cast("double"))).as("sxx"))
+    moments.select(
+      col("n").cast("long").as("n_types"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+      round((col("sy") - col("sx") *
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+        .as("intercept"))
+  }
+
   /** B23 — per-document salient terms: top-k tokens by a rarity-weighted
     * score, `cnt · N / df` — tf·idf with a LINEAR idf. The linear form is
     * deliberate: it is integer-ratio double math, IEEE-exact on every

@@ -388,6 +388,46 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit matches a local least-squares replay and a template corpus flattens the slope") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def localFit(counts: Seq[Long]): (Long, Double, Double) = {
+      val ranked = counts.sorted(Ordering[Long].reverse).zipWithIndex
+        .map { case (c, i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = ranked.length.toDouble
+      val sx = ranked.map(_._1).sum; val sy = ranked.map(_._2).sum
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val sxx = ranked.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (ranked.length.toLong, slope, (sy - sx * slope) / n)
+    }
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf0001).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => exact(w) = exact.getOrElse(w, 0L) + 1)
+    }
+    // ties in cnt make per-token rank assignment order-dependent, but the
+    // moment SUMS are tie-invariant: equal counts contribute the same ys
+    // over the same rank positions whatever the tiebreak. Compare sums.
+    val (n, slope, icept) = localFit(exact.values.toSeq)
+    val row = Corpus.zipfFit(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_types") === n)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - r6(slope)) <= 1e-6)
+    assert(math.abs(row.getAs[Double]("intercept") - r6(icept)) <= 1e-6)
+    assert(row.getAs[Double]("zipf_slope") < 0.0, "frequency must decay with rank")
+    // a one-token template corpus has a single type: the fit denominator
+    // degenerates -> slope is null/NaN-free guard not needed; instead
+    // check a flat synthetic corpus yields a slope nearer 0 than the real one
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("zipfflat")
+    (0L until 64L).map(i => (i, s"w${i % 16} w${(i + 1) % 16} w${(i + 2) % 16} w${(i + 3) % 16}", "en", "t", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val flat = Corpus.zipfFit(spark, dir).collect().head.getAs[Double]("zipf_slope")
+    assert(math.abs(flat) < math.abs(row.getAs[Double]("zipf_slope")),
+      s"uniform template corpus ($flat) must be flatter than the driver corpus")
+  }
+
   test("lengthHistogram matches a local bucket replay and shares sum to 1 per language") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val got = Corpus.lengthHistogram(spark, sf0001).collect()

@@ -89,7 +89,8 @@ class PlanGuardSpec extends SparkSpec {
     "daily_trend" -> "trailing RANGE frame over the per-day aggregate (calendar cardinality)",
     "training_order" -> ("prefix-sum over the ≤2^shardBits-row shard table (the constant " +
       "partition key folds away; the CORPUS-width window stays sharded)"),
-    "novelty_curve" -> "cumulative sum over the per-source aggregate (source cardinality)"
+    "novelty_curve" -> "cumulative sum over the per-source aggregate (source cardinality)",
+    "zipf_fit" -> "rank window over the token-vocab AGGREGATE (vocab cardinality, not corpus rows)"
   )
 
   test("no registered query plans a global (un-partitioned) window over an unbounded input") {
