@@ -306,7 +306,8 @@ object Corpus {
     * because the probe vocabulary is bounded — the SKETCH never needs it.
     */
   def countMinFreq(spark: SparkSession, dir: String,
-                   d: Int = 4, w: Int = 256): DataFrame = {
+                   d: Int = 4, w: Int = 256,
+                   fromInstances: Boolean = false): DataFrame = {
     def buckets = array((0 until d).map { i =>
       conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 15), 16, 10)
         .cast("long") % w
@@ -314,12 +315,24 @@ object Corpus {
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
-    // one pass: every instance lands in d cells; partial-agg collapses each
-    // partition to <= d*w rows before the (tiny) shuffle
-    val sketch = toks
-      .select(posexplode(buckets).as(Seq("i", "bucket")))
-      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
-    val probes = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val grouped = toks.groupBy("token").agg(count(lit(1)).as("exact_n")).persist()
+    // Two provably identical builds (linearity: CM(A⊎B) = CM(A)+CM(B)):
+    //  - fromInstances: every token instance lands in d cells, partial-agg
+    //    collapses each partition to <= d*w rows before the shuffle — the
+    //    UNBOUNDED-key-space path (shingles at 100 TB), where grouping the
+    //    keys first is exactly the shuffle CM exists to avoid;
+    //  - grouped (default): the registered report already pays the vocab
+    //    groupBy for its exact_n column, so the sketch sums the grouped
+    //    counts — d·|vocab| rows instead of d·N (measured 2.3s -> floor at
+    //    50x). Equality of the two builds is the linearity proof, spec-pinned.
+    val sketch =
+      if (fromInstances)
+        toks.select(posexplode(buckets).as(Seq("i", "bucket")))
+          .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+      else
+        grouped.select(col("exact_n"), posexplode(buckets).as(Seq("i", "bucket")))
+          .groupBy("i", "bucket").agg(sum(col("exact_n")).as("cnt"))
+    val probes = grouped
       .select(col("token"), col("exact_n"), posexplode(buckets).as(Seq("i", "bucket")))
     probes.join(sketch, Seq("i", "bucket"))
       .groupBy("token", "exact_n")

@@ -896,15 +896,27 @@ object Dedup {
       .select(col("doc_id"), col("hs.hv").as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
+    // Every join below meets two corpus-scale sides (the exploded shingle
+    // frame, the distinct-shingle df table, the array-carrying signature
+    // table). Catalyst's static estimates under explode/window/persist read
+    // small enough to pick BROADCAST builds that OOM at 50x (measured) —
+    // the merge hints pin them to sort-merge, the only strategy whose
+    // memory is bounded at any scale.
     val ex = hashed.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val dfTbl = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfTbl, Seq("h"))
+    val prefix = ex.hint("merge").join(dfTbl.hint("merge"), Seq("h"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
       .where(col("rnk") <= col("n") - ceil(t * col("n")) + 1)
+    // Both candidate-join sides are corpus-scale; Catalyst's static size
+    // estimate under the window filter reads small enough to BROADCAST
+    // one, which OOMs at 50x (measured) — the merge hint pins the join to
+    // sort-merge, the only strategy whose memory is bounded at any scale.
     val cands = prefix.select(col("doc_id").as("id_a"), col("h"), col("n").as("n_a"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("h"), col("n").as("n_b")), Seq("h"))
+      .hint("merge")
+      .join(prefix.select(col("doc_id").as("id_b"), col("h"), col("n").as("n_b"))
+        .hint("merge"), Seq("h"))
       .where(col("id_a") < col("id_b") &&
         t * greatest(col("n_a"), col("n_b")) <= least(col("n_a"), col("n_b")))
       .select("id_a", "id_b").distinct()
@@ -912,7 +924,7 @@ object Dedup {
     val b = hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - inter
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    cands.join(a.hint("merge"), Seq("id_a")).join(b.hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("id_a", "id_b")
@@ -945,22 +957,31 @@ object Dedup {
       .select(col("doc_id"), col("hs.hv").as("sh"))
       .where(size(col("sh")) > 0)
       .persist()
+    // merge hints throughout for the same measured reason as
+    // jaccardPrefixPairs: every join side here is corpus-scale and the
+    // static estimates invite broadcasts that OOM at 50x
     val ex = hashed.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val dfTbl = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefixA = ex.join(dfTbl, Seq("h"))
+    val prefixA = ex.hint("merge").join(dfTbl.hint("merge"), Seq("h"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
       .where(col("rnk") <= col("n") - ceil(t * col("n")) + 1)
       .select(col("doc_id").as("id_a"), col("n").as("n_a"), col("h"))
-    val cands = prefixA
-      .join(ex.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("h")), Seq("h"))
+    // corpus-scale x corpus-scale candidate join: pin to sort-merge (the
+    // static post-window estimate otherwise picks a broadcast that OOMs
+    // at 50x — same fix as jaccardPrefixPairs, measured there)
+    val cands = prefixA.hint("merge")
+      .join(ex.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("h"))
+        .hint("merge"), Seq("h"))
       .where(col("id_a") =!= col("id_b") && t * col("n_a") <= col("n_b"))
       .select("id_a", "id_b").distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cands
-      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .hint("merge"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(inter / size(col("sh_a")).cast("double"), 6).as("containment"))
       .where(col("containment") >= minContain)

@@ -386,6 +386,13 @@ class CorpusSpec extends SparkSpec {
         assert(got.exists { case (_, n, est) => est > n },
           "w=8 on a ~31-type vocab must force at least one collision")
     }
+    // linearity: the instance-built sketch and the grouped-count sketch are
+    // the SAME sketch, cell for cell — so the estimates agree exactly
+    val inst = Corpus.countMinFreq(spark, sf0001, d = 4, w = 8, fromInstances = true)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cm_est")).toMap
+    val grp = Corpus.countMinFreq(spark, sf0001, d = 4, w = 8)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cm_est")).toMap
+    assert(inst === grp, "linearity violated: instance build != grouped build")
   }
 
   test("zipfFit matches a local least-squares replay and a template corpus flattens the slope") {
