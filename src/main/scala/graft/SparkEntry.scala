@@ -172,7 +172,10 @@ object SparkEntry {
     "events_cube"          -> ((s, d) => Analytics.eventsCube(s, d)),
     "daily_type_matrix"    -> ((s, d) => Analytics.dailyTypeMatrix(s, d)),
     "retention_cohorts"    -> ((s, d) => Analytics.retentionCohorts(s, d)),
+    "ltv_cohorts"          -> ((s, d) => Analytics.ltvCohorts(s, d)),
     "funnel_counts"        -> ((s, d) => Analytics.funnelCounts(s, d)),
+    "funnel_windowed"      -> ((s, d) => Analytics.funnelWindowed(s, d)),
+    "source_dedup_rate"    -> ((s, d) => Dedup.sourceDedupRate(s, d)),
     "distinct_users"       -> ((s, d) => Analytics.distinctUsers(s, d)),
     "daily_trend"          -> ((s, d) => Analytics.dailyTrend(s, d)),
     "viewers_no_purchase"  -> ((s, d) => Analytics.viewersNoPurchase(s, d)),
@@ -2147,6 +2150,60 @@ object SparkEntry {
          |SELECT cohort_week, week - cohort_week AS weeks_since, count(*) AS n_users
          |FROM c GROUP BY cohort_week, weeks_since
          |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    // Revenue stays DECIMAL through the weekly aggregate AND the cumulative
+    // window (order-proof running sum); doubles only in display columns.
+    "ltv_cohorts" ->
+      s"""WITH $evCte,
+         |w AS (SELECT user_id, event_type, value,
+         |             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM ev),
+         |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+         |weekly AS (SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+         |             sum(CAST(w.value AS DECIMAL(18,2))) AS rev_dec
+         |           FROM w JOIN c ON w.user_id = c.user_id
+         |           WHERE w.event_type = 'purchase'
+         |           GROUP BY 1, 2),
+         |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM c GROUP BY 1),
+         |cum AS (SELECT cohort_week, weeks_since, rev_dec,
+         |          sum(rev_dec) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+         |        FROM weekly)
+         |SELECT m.cohort_week, m.weeks_since, s.cohort_users,
+         |       CAST(m.rev_dec AS DOUBLE) AS revenue,
+         |       CAST(m.cum_dec AS DOUBLE) AS cum_revenue,
+         |       round(CAST(m.cum_dec AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
+         |FROM cum m JOIN sizes s ON m.cohort_week = s.cohort_week
+         |ORDER BY m.cohort_week, m.weeks_since""".stripMargin,
+
+    // Same CTE chain as funnel_counts with the 3-day deadline on epoch
+    // seconds — integer comparisons, exact on both engines.
+    "funnel_windowed" ->
+      s"""WITH $evCte,
+         |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v1
+         |      FROM ev GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS c1 FROM ev e JOIN u ON e.user_id = u.user_id
+         |      WHERE e.event_type = 'click' AND e.ts >= u.v1
+         |        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= CAST(floor(epoch(u.v1)) AS BIGINT) + 259200
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS p1 FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts >= c.c1
+         |        AND CAST(floor(epoch(e.ts)) AS BIGINT) <= CAST(floor(epoch(c.c1)) AS BIGINT) + 259200
+         |      GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM u) AS n_users,
+         |       (SELECT count(*) FROM u WHERE v1 IS NOT NULL) AS n_viewed,
+         |       (SELECT count(*) FROM c) AS n_clicked_in_window,
+         |       (SELECT count(*) FROM p) AS n_purchased_in_window""".stripMargin,
+
+    "source_dedup_rate" ->
+      """WITH f AS (SELECT md5(text) AS th, min(doc_id) AS keep_id
+        |           FROM documents GROUP BY md5(text))
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN d.doc_id <> f.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       round(CAST(sum(CASE WHEN d.doc_id <> f.keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_rate
+        |FROM documents d JOIN f ON md5(d.text) = f.th
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "funnel_counts" ->
       s"""WITH $evCte,

@@ -293,6 +293,67 @@ object Analytics {
         count(col("p1")).as("n_purchased_after_click"))
   }
 
+  /** C13b — cohort LTV curve: per signup-week cohort, cumulative purchase
+    * revenue per user by cohort age — the growth-analytics companion to
+    * C13's retention (retention counts who came back; LTV prices what they
+    * did). Revenue stays decimal(18,2) through BOTH the weekly aggregate
+    * and the cumulative window, so the running sum is order-proof and
+    * engine-exact; doubles appear only in the final display columns. The
+    * cumulative window partitions by cohort over the (cohort, age)
+    * AGGREGATE — weeks-cardinality rows, never events.
+    */
+  def ltvCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr(epochFloorDiv(604800)).as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val weekly = ev.where(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev_dec"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val cum = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_dec", sum(col("rev_dec")).over(cum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("weeks_since"), col("cohort_users"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"),
+        round(col("cum_dec").cast("double") / col("cohort_users"), 6).as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** C14b — deadline funnel: C14's ordered view → click → purchase funnel
+    * with a CONVERSION WINDOW — each stage must complete within `windowSec`
+    * of the previous stage's first completion, the form growth teams
+    * actually report ("purchased within 3 days of clicking"). Identical
+    * stacked-window shape as C14 (three sequential min-windows on ONE
+    * user_id exchange, per-user constants collapsed by dropDuplicates on
+    * the same exchange, one global count row); the deadline is an
+    * integer-seconds comparison on the epoch, exact on both engines.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String,
+                     windowSec: Long = 259200L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    def within(stage: Column, prev: Column) =
+      col("ts") >= prev && col("ts").cast("long") <= prev.cast("long") + windowSec
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c1", min(when(col("event_type") === "click" &&
+        within(col("ts"), col("v1")), col("ts"))).over(byUser))
+      .withColumn("p1", min(when(col("event_type") === "purchase" &&
+        within(col("ts"), col("c1")), col("ts"))).over(byUser))
+      .select(col("user_id"), col("v1"), col("c1"), col("p1"))
+      .dropDuplicates("user_id")
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v1")).as("n_viewed"),
+        count(col("c1")).as("n_clicked_in_window"),
+        count(col("p1")).as("n_purchased_in_window"))
+  }
+
   /** C16 — trailing-window trend: daily event revenue with a TRUE 7-day
     * trailing average — a RANGE frame over integer epoch days, so gap days
     * shrink the window (a ROWS frame would silently average the last 7

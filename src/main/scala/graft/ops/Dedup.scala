@@ -190,6 +190,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** B1b — per-SOURCE exact-duplication rate: for each source, how many of
+    * its docs exact-dedup would DROP (non-survivors under [[exact]]'s
+    * min-doc_id-per-hash rule) and the resulting rate — the "which mirror
+    * is a copy farm" attribution that turns B1's corpus-wide answer into
+    * the per-acquisition decision (a source that is 90% drops is not worth
+    * re-crawling; B50 judges quality, this judges REDUNDANCY). Same
+    * survivor rule as the registered dedup, so the rates reconcile exactly
+    * with `dedup_exact`'s kept set. Shapes: hash groupBy (map-side
+    * combined) for survivors, hash-keyed re-join, per-source aggregate —
+    * narrow rows end to end, text never shuffles.
+    */
+  def sourceDedupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("th"))
+    val firsts = docs.groupBy("th").agg(min(col("doc_id")).as("keep_id"))
+    docs.join(firsts, Seq("th"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("keep_id")).cast("long")).as("n_dropped"))
+      .withColumn("dup_rate",
+        round(col("n_dropped").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** B49b — Bloom-SCREENED snapshot novelty: the exact `new` vs `dup_prev`
     * classification of a new crawl against the previous snapshot, but with
     * the previous snapshot's hash set compressed into a Bloom filter so the

@@ -218,6 +218,86 @@ class RelevanceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_purchased_after_click") === 1L)  // u1 only
   }
 
+  test("funnelWindowed: a stage completed after the deadline does not count") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("funnelw")
+    def ts(sec: Long) = sec * 1000000000L
+    val T = 259200L // 3 days
+    // u1: full funnel inside the deadline at every hop
+    // u2: clicks 1s AFTER the 3-day deadline -> stays at viewed
+    // u3: clicks in time, purchases after ITS deadline -> stays at clicked
+    Seq(
+      (1L, 10L, "view", ts(100)), (2L, 10L, "click", ts(100 + T)), (3L, 10L, "purchase", ts(100 + T + 50)),
+      (4L, 20L, "view", ts(100)), (5L, 20L, "click", ts(100 + T + 1)),
+      (6L, 30L, "view", ts(100)), (7L, 30L, "click", ts(200)), (8L, 30L, "purchase", ts(200 + T + 1))
+    ).map { case (e, u, t, tt) => (e, u, t, tt, 1.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.funnelWindowed(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") === 3L)
+    assert(r.getAs[Long]("n_viewed") === 3L)
+    assert(r.getAs[Long]("n_clicked_in_window") === 2L)   // u1, u3
+    assert(r.getAs[Long]("n_purchased_in_window") === 1L) // u1
+    // and the windowed funnel is never larger than the unconstrained one
+    val free = Analytics.funnelCounts(spark, dir).collect().head
+    assert(r.getAs[Long]("n_clicked_in_window") <= free.getAs[Long]("n_clicked_after_view"))
+  }
+
+  test("ltvCohorts: cumulative revenue per cohort matches a local fold") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("ltv")
+    val wk = 604800L
+    // cohort 0: u10 (purchases wk0: 10.0, wk1: 5.0), u20 (no purchases)
+    // cohort 1: u30 purchases 2.5 in its week 0
+    Seq(
+      (1L, 10L, "view", 5L, 0.0), (2L, 10L, "purchase", 10L, 10.0),
+      (3L, 10L, "purchase", wk + 10L, 5.0),
+      (4L, 20L, "view", 20L, 0.0),
+      (5L, 30L, "purchase", wk + 30L, 2.5)
+    ).map { case (e, u, t, sec, v) => (e, u, t, sec * 1000000000L, v, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.ltvCohorts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("weeks_since")) ->
+        (r.getAs[Long]("cohort_users"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("cum_revenue"), r.getAs[Double]("ltv_per_user"))).toMap
+    assert(got === Map(
+      (0L, 0L) -> (2L, 10.0, 10.0, 5.0),
+      (0L, 1L) -> (2L, 5.0, 15.0, 7.5),
+      (1L, 0L) -> (1L, 2.5, 2.5, 2.5)))
+  }
+
+  test("sourceDedupRate reconciles exactly with the registered exact dedup") {
+    val rates = Dedup.sourceDedupRate(spark, sf0001).collect()
+    val totalDropped = rates.map(_.getAs[Long]("n_dropped")).sum
+    val totalDocs = rates.map(_.getAs[Long]("n_docs")).sum
+    val kept = Dedup.exact(spark, sf0001).count()
+    assert(totalDocs - totalDropped === kept,
+      "per-source drops must sum to the corpus-wide dedup answer")
+    rates.foreach { r =>
+      val (n, d, rate) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+        r.getAs[Double]("dup_rate"))
+      assert(rate === BigDecimal(d.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // planted: src_a is a copy farm (3 identical of 4), src_b is clean
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("srcdup")
+    Seq((1L, "same text body", "src_a"), (2L, "same text body", "src_a"),
+      (3L, "same text body", "src_a"), (4L, "unique in a", "src_a"),
+      (5L, "clean one", "src_b"), (6L, "clean two", "src_b"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val planted = Dedup.sourceDedupRate(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_dropped"), r.getAs[Double]("dup_rate"))).toMap
+    assert(planted === Map("src_a" -> (2L, 0.5), "src_b" -> (0L, 0.0)))
+  }
+
   test("retentionCohorts: offsets measured from each user's first week") {
     val s = spark
     import s.implicits._
