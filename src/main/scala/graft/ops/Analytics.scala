@@ -336,15 +336,15 @@ object Analytics {
   def funnelWindowed(spark: SparkSession, dir: String,
                      windowSec: Long = 259200L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-    def within(stage: Column, prev: Column) =
+    def within(prev: Column) =
       col("ts") >= prev && col("ts").cast("long") <= prev.cast("long") + windowSec
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("v1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
       .withColumn("c1", min(when(col("event_type") === "click" &&
-        within(col("ts"), col("v1")), col("ts"))).over(byUser))
+        within(col("v1")), col("ts"))).over(byUser))
       .withColumn("p1", min(when(col("event_type") === "purchase" &&
-        within(col("ts"), col("c1")), col("ts"))).over(byUser))
+        within(col("c1")), col("ts"))).over(byUser))
       .select(col("user_id"), col("v1"), col("c1"), col("p1"))
       .dropDuplicates("user_id")
       .agg(
