@@ -50,6 +50,24 @@ final class Connector(spark: SparkSession, connections: Connections,
       ParquetQueuePublisher(s"${connections.sinkUri}/${settings.queue.streamName}"),
       streamName, trigger, beforeImageTtlMs)
 
+  /** A5d×D22g at the facade level: watch the configured collection and
+    * MAINTAIN its per-document materialization as a time-travelable
+    * [[graft.ops.Versioned]] table under the sink, instead of (or beside)
+    * publishing to a queue — one keyed merge commit per micro-batch
+    * ([[ChangeStreamJob.startMaterialized]]). The stream name defaults to
+    * `<queue>_table` so a queue stream and a materialization of the SAME
+    * collection keep independent checkpoints and can run side by side.
+    */
+  def materialize(streamName: String = settings.queue.streamName + "_table",
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    ChangeStreamJob.startMaterialized(spark,
+      JsonDirSource(s"${connections.sourceUri}/${settings.watched.collName}"),
+      tableDir = s"${connections.sinkUri}/$streamName",
+      checkpointDir = resumeTokensLocation(streamName),
+      db = settings.watched.dbName, coll = settings.watched.collName,
+      queryName = s"${settings.watched.dbName}.${settings.watched.collName}.materialize",
+      trigger = trigger)
+
   /** The `with_clients` analog at the binding level (connector.rs:74-90:
     * bring your own clients): run this collection's pipeline over
     * caller-supplied source/publisher bindings.

@@ -56,4 +56,38 @@ class ConnectorSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).sorted
     assert(ids === (0L until 15L).toArray, s"redelivery or loss: ${ids.mkString(",")}")
   }
+
+  test("materialize maintains the collection as a Versioned table beside the queue stream") {
+    import graft.ops.Versioned
+    val base = tempDir("connmat")
+    val connections = Connections(s"$base/source", s"$base/queues")
+    val cfg = CollectionConfig(WatchedDb("test", "matcoll"),
+      ResumeTokensDb("test", "tokens"), QueueSink("stream_matcoll"))
+    // event_type view -> update ops; all user_ids distinct mod 7
+    writeEvents(s"$base/source/matcoll", "first.json", 0 until 21)
+    val connector = Connector.fromCollection(spark, connections, cfg)
+
+    // queue stream and materialization run over the SAME source with
+    // independent checkpoints
+    connector.connect("stream_matcoll").awaitTermination(60000)
+    connector.materialize().awaitTermination(60000)
+    val table = s"$base/queues/stream_matcoll_table"
+    val state = Versioned.read(spark, table)
+      .select("document_key", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // last event per user (i % 7) wins; ids 0..20 -> last for user u is the
+    // max i = 14 + u
+    assert(state === (0L until 7L).map(u => u -> (14L + u)).toMap)
+    assert(spark.read.parquet(s"$base/queues/stream_matcoll").count() === 21,
+      "the queue stream is unaffected by the materialization")
+
+    // a second delivery advances the table incrementally from ITS checkpoint
+    writeEvents(s"$base/source/matcoll", "second.json", 21 until 28)
+    connector.materialize().awaitTermination(60000)
+    val v2 = Versioned.read(spark, table)
+      .select("document_key", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2 === (0L until 7L).map(u => u -> (21L + u)).toMap)
+    assert(Versioned.versions(spark, table) === Seq(1L, 2L))
+  }
 }
