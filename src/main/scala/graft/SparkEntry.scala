@@ -75,6 +75,7 @@ object SparkEntry {
     "ingest_csv"           -> ((s, d) => graft.sources.TextSources.csvRoundtrip(s, d)),
     "multimodal_decode"    -> ((s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)).orderBy("doc_id")),
     "train_split"          -> ((s, d) => graft.ops.Corpus.trainSplit(s, d)),
+    "cluster_split"        -> ((s, d) => graft.ops.Corpus.clusterSplit(s, d)),
     "split_divergence"     -> ((s, d) => graft.ops.Corpus.splitDivergence(s, d)),
     "corpus_stats"         -> ((s, d) => graft.ops.Corpus.corpusStats(s, d)),
     "contamination"        -> ((s, d) => graft.ops.Corpus.contamination(s, d)),
@@ -1124,6 +1125,37 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, source,
          |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
          |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Leakage-free split: dup_clusters' recursive-CTE components feed the
+    // SAME md5 cut as train_split, hashed on the cluster key.
+    "cluster_split" -> {
+      val trainCut = (0.9 * (1 << 24)).toLong
+      val valCut = (0.95 * (1 << 24)).toLong
+      s"""WITH RECURSIVE ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |est AS (SELECT id_a, id_b,
+         |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+         |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
+         |        FROM cand),
+         |dp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+         |ed AS (SELECT id_a AS a, id_b AS b FROM dp UNION ALL SELECT id_b AS a, id_a AS b FROM dp),
+         |nd AS (SELECT DISTINCT a AS id FROM ed),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nd
+         |  UNION
+         |  SELECT ed.a, r.lbl FROM ed JOIN reach r ON ed.b = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, d.lang, d.source,
+         |        coalesce(cl.cluster_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, lang, source, split_key,
+         |       CASE WHEN u < $trainCut THEN 'train'
+         |            WHEN u < $valCut THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT *,
+         |        ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 6))::BIGINT AS u
+         |      FROM k)
          |ORDER BY doc_id""".stripMargin
     },
 

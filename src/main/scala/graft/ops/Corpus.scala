@@ -40,6 +40,39 @@ object Corpus {
         splitCol(trainFrac, valFrac).as("split"))
       .orderBy("doc_id")
 
+  /** B11c — LEAKAGE-FREE train/val/test split: assign splits at DUPLICATE-
+    * CLUSTER granularity, not per document. B11's per-doc hash split puts
+    * two near-identical docs in different splits with probability
+    * 2·p·(1−p) each — exactly the cross-split leakage B11b
+    * ([[splitLeakage]]) measures and a held-out eval cannot survive (the
+    * model "generalizes" to a paraphrase of its own training data). Here
+    * every doc hashes on its near-dup CLUSTER id (B19's components;
+    * singletons on their own doc_id), so a whole duplicate family lands in
+    * ONE split BY CONSTRUCTION — near-dup leakage at the clustering
+    * threshold is structurally zero, and for singletons the assignment is
+    * bit-identical to [[trainSplit]] (same `split:` hash prefix), so
+    * adopting the fix reshuffles only the clustered minority.
+    *
+    * Scale shape: B19's machinery end to end (banded LSH pairs, bounded
+    * label propagation) + one hash-keyed left join to attach cluster ids +
+    * the same integer-exact 24-bit cut as B11. The DuckDB oracle replays
+    * the identical recursive-CTE clusters + md5 cut.
+    */
+  def clusterSplit(spark: SparkSession, dir: String,
+                   trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val clusters = Dedup.dupClusters(spark, dir).select("doc_id", "cluster_id")
+    val keyed = docs.join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val u = conv(substring(md5(concat(lit("split:"), col("split_key").cast("string"))),
+      1, 6), 16, 10).cast("long")
+    val trainCut = (trainFrac * (1 << 24)).toLong
+    val valCut = ((trainFrac + valFrac) * (1 << 24)).toLong
+    keyed.select(col("doc_id"), col("lang"), col("source"), col("split_key"),
+      when(u < trainCut, "train").when(u < valCut, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** B39 — split-distribution divergence: the KL divergence between every
     * ordered pair of train/val/test unigram distributions (add-k smoothed
     * over the JOINT vocabulary so every term is defined) — the QA number

@@ -395,6 +395,33 @@ class CorpusSpec extends SparkSpec {
     assert(inst === grp, "linearity violated: instance build != grouped build")
   }
 
+  test("clusterSplit: every near-dup pair lands in ONE split; singletons match trainSplit exactly") {
+    import graft.ops.Dedup
+    val split = Corpus.clusterSplit(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // structural zero-leakage at the clustering threshold: every pair the
+    // registered near-dup machinery emits is same-split by construction
+    val pairs = Dedup.minhashPairsPortable(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "the driver corpus plants near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dup pair ($a,$b) split apart")
+    }
+    // singletons (docs in no cluster) keep trainSplit's exact assignment —
+    // adopting the leakage fix reshuffles only the clustered minority
+    val clustered = Dedup.dupClusters(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val plain = Corpus.trainSplit(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    split.foreach { case (id, s) =>
+      if (!clustered.contains(id)) assert(s === plain(id), s"singleton $id moved")
+    }
+    // every doc assigned exactly once, all three splits present at 90/5/5
+    assert(split.size === plain.size)
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.values.count(_ == "train") > split.size / 2)
+  }
+
   test("zipfFit matches a local least-squares replay and a template corpus flattens the slope") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def localFit(counts: Seq[Long]): (Long, Double, Double) = {
