@@ -114,6 +114,7 @@ object SparkEntry {
     "token_budget_mix"     -> ((s, d) => graft.ops.Curation.tokenBudgetMix(s, d)),
     "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
     "priority_sample"      -> ((s, d) => graft.ops.Curation.prioritySample(s, d)),
+    "quality_ensemble"     -> ((s, d) => graft.ops.Curation.qualityEnsemble(s, d)),
     "training_order"       -> ((s, d) => graft.ops.Curation.trainingOrder(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
@@ -1717,6 +1718,71 @@ object SparkEntry {
     // engines (integer counts + 0.5 into correctly-rounded divides), so
     // disagreement is bounded by the math libraries' 1-ulp + summation
     // order (~1e-13 abs), invisible at round 6/4 — see Relevance.lmPerplexity.
+    // The three component scores replay their own oracles' formulas; the
+    // moments accumulate in DECIMAL so variance/std/z land on identical
+    // bits; null signals (no-bigram docs) drop out of that doc's mean.
+    "quality_ensemble" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |qs AS (SELECT doc_id,
+        |         round(least(1.0, CAST(len(tok) AS DOUBLE) / 200.0) *
+        |               (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE)), 6)
+        |           AS quality_score
+        |       FROM t),
+        |bg AS (SELECT doc_id, tok[i] || ' ' || tok[i + 1] AS bigram
+        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+        |pdc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        |cmn AS (SELECT bigram FROM pdc GROUP BY bigram HAVING sum(cnt) >= 5),
+        |cov AS (SELECT t.doc_id,
+        |          CASE WHEN a.n_bigrams IS NULL THEN NULL
+        |               ELSE round(a.n_common / CAST(a.n_bigrams AS DOUBLE), 6) END AS coverage
+        |        FROM t LEFT JOIN (
+        |          SELECT pdc.doc_id, CAST(sum(pdc.cnt) AS BIGINT) AS n_bigrams,
+        |            CAST(sum(CASE WHEN cmn.bigram IS NULL THEN 0 ELSE pdc.cnt END) AS BIGINT) AS n_common
+        |          FROM pdc LEFT JOIN cmn USING (bigram) GROUP BY pdc.doc_id) a USING (doc_id)),
+        |b2 AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+        |pd2 AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b2 GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd2 GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT unnest(tok) AS w FROM t)),
+        |lp AS (SELECT cb.w1, cb.w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp
+        |       FROM cb JOIN cu USING (w1) CROSS JOIN v),
+        |ced AS (SELECT pd2.doc_id, sum(pd2.cnt) AS nb, sum(pd2.cnt * lp.lp) AS s
+        |        FROM pd2 JOIN lp USING (w1, w2) GROUP BY 1),
+        |ce AS (SELECT t.doc_id, round(-ced.s / ced.nb, 6) AS cross_entropy
+        |       FROM t LEFT JOIN ced USING (doc_id)),
+        |j AS (SELECT qs.doc_id, qs.quality_score, cov.coverage, ce.cross_entropy
+        |      FROM qs JOIN cov USING (doc_id) JOIN ce USING (doc_id)),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CAST(quality_score AS DECIMAL(18,6))) AS s_q,
+        |        sum(CAST(quality_score AS DECIMAL(18,6)) * CAST(quality_score AS DECIMAL(18,6))) AS ss_q,
+        |        count(coverage) AS n_c,
+        |        sum(CAST(coverage AS DECIMAL(18,6))) AS s_c,
+        |        sum(CAST(coverage AS DECIMAL(18,6)) * CAST(coverage AS DECIMAL(18,6))) AS ss_c,
+        |        count(cross_entropy) AS n_p,
+        |        sum(CAST(cross_entropy AS DECIMAL(18,6))) AS s_p,
+        |        sum(CAST(cross_entropy AS DECIMAL(18,6)) * CAST(cross_entropy AS DECIMAL(18,6))) AS ss_p
+        |      FROM j),
+        |z AS (SELECT j.*,
+        |        CASE WHEN j.quality_score IS NOT NULL
+        |              AND sqrt(CAST(m.ss_q AS DOUBLE) / m.n - (CAST(m.s_q AS DOUBLE) / m.n) * (CAST(m.s_q AS DOUBLE) / m.n)) > 0
+        |             THEN (j.quality_score - CAST(m.s_q AS DOUBLE) / m.n) /
+        |                  sqrt(CAST(m.ss_q AS DOUBLE) / m.n - (CAST(m.s_q AS DOUBLE) / m.n) * (CAST(m.s_q AS DOUBLE) / m.n)) END AS z_q,
+        |        CASE WHEN j.coverage IS NOT NULL
+        |              AND sqrt(CAST(m.ss_c AS DOUBLE) / m.n_c - (CAST(m.s_c AS DOUBLE) / m.n_c) * (CAST(m.s_c AS DOUBLE) / m.n_c)) > 0
+        |             THEN (j.coverage - CAST(m.s_c AS DOUBLE) / m.n_c) /
+        |                  sqrt(CAST(m.ss_c AS DOUBLE) / m.n_c - (CAST(m.s_c AS DOUBLE) / m.n_c) * (CAST(m.s_c AS DOUBLE) / m.n_c)) END AS z_c,
+        |        CASE WHEN j.cross_entropy IS NOT NULL
+        |              AND sqrt(CAST(m.ss_p AS DOUBLE) / m.n_p - (CAST(m.s_p AS DOUBLE) / m.n_p) * (CAST(m.s_p AS DOUBLE) / m.n_p)) > 0
+        |             THEN -((j.cross_entropy - CAST(m.s_p AS DOUBLE) / m.n_p) /
+        |                  sqrt(CAST(m.ss_p AS DOUBLE) / m.n_p - (CAST(m.s_p AS DOUBLE) / m.n_p) * (CAST(m.s_p AS DOUBLE) / m.n_p))) END AS z_p
+        |      FROM j CROSS JOIN m)
+        |SELECT doc_id, quality_score, coverage, cross_entropy,
+        |       CAST((z_q IS NOT NULL)::int + (z_c IS NOT NULL)::int + (z_p IS NOT NULL)::int AS BIGINT) AS n_signals,
+        |       round((coalesce(z_q, 0.0) + coalesce(z_c, 0.0) + coalesce(z_p, 0.0)) /
+        |             ((z_q IS NOT NULL)::int + (z_c IS NOT NULL)::int + (z_p IS NOT NULL)::int), 6) AS ensemble
+        |FROM z ORDER BY doc_id""".stripMargin,
+
     "lm_perplexity" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
         |b AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2

@@ -431,6 +431,67 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** B8d — multi-signal QUALITY ENSEMBLE: one per-doc score combining the
+    * B8 heuristic quality score, the B33 bigram-coverage score, and the
+    * B35 LM cross-entropy (sign-inverted — lower entropy is better) as the
+    * mean of their per-signal z-scores. Single heuristics are gameable and
+    * scale-skewed (quality_score saturates at 200 tokens; coverage and
+    * perplexity move on different scales entirely); z-normalizing puts the
+    * three on one axis so the ensemble ranks by AGREEMENT — the
+    * FineWeb/DataComp-style multi-filter blend, as one engine-exact
+    * operator instead of a notebook.
+    *
+    * Float discipline: each input is already a 6-dp-rounded double; the
+    * corpus moments accumulate in DECIMAL (sum and sum-of-squares exact at
+    * any partition order), variance/std/z run in double from those exact
+    * sums (sqrt and division are IEEE-exact), so the DuckDB oracle lands
+    * on identical bits. Nullable signals (single-token docs have no
+    * bigrams) z-score over their non-null population and drop out of that
+    * doc's mean (`n_signals` says which); a zero-variance signal
+    * contributes nothing rather than dividing by zero.
+    *
+    * Scale shape: the three component pipelines (each already registered,
+    * plan-audited, and 50×-measured) + two doc_id-keyed joins + ONE
+    * broadcast scalar row of moments + a projection. Nothing new shuffles.
+    */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.ops.TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val c = graft.ops.Relevance.bigramCoverage(spark, dir)
+      .select(col("doc_id"), col("coverage"))
+    val p = graft.ops.Relevance.lmPerplexity(spark, dir)
+      .select(col("doc_id"), col("cross_entropy"))
+    val joined = q.join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+    def dec(x: Column) = x.cast("decimal(18,6)")
+    val stats = joined.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("quality_score"))).as("s_q"),
+      sum(dec(col("quality_score")) * dec(col("quality_score"))).as("ss_q"),
+      count(col("coverage")).as("n_c"),
+      sum(dec(col("coverage"))).as("s_c"),
+      sum(dec(col("coverage")) * dec(col("coverage"))).as("ss_c"),
+      count(col("cross_entropy")).as("n_p"),
+      sum(dec(col("cross_entropy"))).as("s_p"),
+      sum(dec(col("cross_entropy")) * dec(col("cross_entropy"))).as("ss_p"))
+    def zOf(x: Column, s: Column, ss: Column, n: Column): Column = {
+      val mean = s.cast("double") / n
+      val std = sqrt(ss.cast("double") / n - mean * mean)
+      when(x.isNotNull && std > 0, (x - mean) / std)
+    }
+    joined.crossJoin(broadcast(stats))
+      .withColumn("z_q", zOf(col("quality_score"), col("s_q"), col("ss_q"), col("n")))
+      .withColumn("z_c", zOf(col("coverage"), col("s_c"), col("ss_c"), col("n_c")))
+      .withColumn("z_p", -zOf(col("cross_entropy"), col("s_p"), col("ss_p"), col("n_p")))
+      .withColumn("n_signals",
+        (col("z_q").isNotNull.cast("long") + col("z_c").isNotNull.cast("long") +
+          col("z_p").isNotNull.cast("long")))
+      .select(col("doc_id"), col("quality_score"), col("coverage"), col("cross_entropy"),
+        col("n_signals"),
+        round((coalesce(col("z_q"), lit(0.0)) + coalesce(col("z_c"), lit(0.0)) +
+          coalesce(col("z_p"), lit(0.0))) / col("n_signals"), 6).as("ensemble"))
+      .orderBy("doc_id")
+  }
+
   /** B41 — training-order shuffle + shard assignment: the step between a
     * curated corpus and a training run. Each document gets `pos`, its
     * 1-based position in a deterministic pseudo-random global order (the

@@ -233,6 +233,33 @@ class CurationSpec extends SparkSpec {
     assert(k2 === kept.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_in_source")).toMap)
   }
 
+  test("qualityEnsemble: z-scores center, null signals drop out, agreement ranks high") {
+    val rows = Curation.qualityEnsemble(spark, sf0001).collect()
+    val full = rows.filter(_.getAs[Long]("n_signals") == 3L)
+    assert(full.nonEmpty, "multi-token docs carry all three signals")
+    rows.foreach { r =>
+      val expected = 1L +
+        (if (r.isNullAt(r.fieldIndex("coverage"))) 0L else 1L) +
+        (if (r.isNullAt(r.fieldIndex("cross_entropy"))) 0L else 1L)
+      assert(r.getAs[Long]("n_signals") === expected, s"doc ${r.getLong(0)} signal count")
+    }
+    // z-normalization centers each signal: the mean ensemble over docs with
+    // ALL signals present is near zero (not exactly — the per-doc mean of
+    // three centered signals is centered, rounding aside)
+    val meanFull = full.map(_.getAs[Double]("ensemble")).sum / full.length
+    assert(math.abs(meanFull) < 0.05, s"ensemble mean drifted: $meanFull")
+    // agreement ranks: a doc at the top of the ensemble is above the
+    // corpus median on at least two raw signals
+    val top = rows.filter(_.getAs[Long]("n_signals") == 3L)
+      .maxBy(_.getAs[Double]("ensemble"))
+    val med = {
+      val qs = full.map(_.getAs[Double]("quality_score")).sorted
+      qs(qs.length / 2)
+    }
+    assert(top.getAs[Double]("quality_score") >= med,
+      "the ensemble top doc is not below the quality median")
+  }
+
   test("prioritySample matches a local priority-sampling replay and estimates are max(w, tau)") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val k = 10
