@@ -59,7 +59,10 @@ class PlanGuardSpec extends SparkSpec {
                           // scale paths and stay equi-join-only
     "q22_dormant",        // broadcast 1-row (Σbal, n) average-balance scalar
     "q15_top_supplier",   // broadcast 1-row max-revenue scalar
-    "q11_important"       // broadcast 1-row (Σvalue, n_parts) stock-value scalar
+    "q11_important",      // broadcast 1-row (Σvalue, n_parts) stock-value scalar
+    "quality_ensemble"    // broadcast 1-row corpus-moments scalar (decimal
+                          // sums/sums-of-squares for the three z-scores);
+                          // inherits lm_perplexity's V scalar too
   )
 
   test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {
