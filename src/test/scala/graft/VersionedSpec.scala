@@ -766,6 +766,45 @@ class VersionedSpec extends SparkSpec {
     assert(state() === folded)
   }
 
+  test("write-audit-publish under concurrency: racing checked appends all land; a racing violation aborts cleanly") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Contracts
+    val dir = tempDir("wapmw") + "/table"
+    Versioned.commit(spark, rows(0, 5), dir)
+    val idPositive = Seq(Contracts.Check("id_min", min(col("id")), _ >= 0.0))
+    val writers = 4
+    val gate = new java.util.concurrent.CyclicBarrier(writers)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val s = spark; import s.implicits._
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          // writer 2 carries a poison batch: its audit must reject it
+          // WITHOUT disturbing the three healthy racers
+          val batch =
+            if (i == 2) Seq((-1L, "poison")).toDF("id", "payload")
+            else rows(100 * (i + 1), 3)
+          results.add(Right(Versioned.appendChecked(spark, batch, dir, idPositive)))
+        } catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val (errs, oks) = {
+      import scala.jdk.CollectionConverters._
+      val all = results.asScala.toSeq
+      (all.collect { case Left(t) => t }, all.collect { case Right(v) => v })
+    }
+    assert(oks.size === 3, s"three healthy appends must land, got $oks / $errs")
+    assert(errs.size === 1 && errs.head.isInstanceOf[Versioned.ContractViolationException])
+    // serialized versions, no lost rows, and no poison anywhere
+    assert(Versioned.versions(spark, dir) === (1L to 4L))
+    val ids = Versioned.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === ((0L until 5L) ++ Seq(100L, 101L, 102L, 200L, 201L, 202L,
+      400L, 401L, 402L)).toSet)
+    assert(!ids.contains(-1L), "the rejected batch must not leak rows")
+  }
+
   test("write-audit-publish: a contract violation aborts with the head untouched and no debris") {
     import org.apache.spark.sql.functions._
     import graft.ops.Contracts
