@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** D22 — snapshot-versioned parquet table ("Delta-lite"): commits publish an
   * immutable MANIFEST naming exactly the data files of one snapshot, and the
@@ -249,6 +249,89 @@ object Versioned {
   private def readManifest(spark: SparkSession, dir: String, v: Long): Seq[String] =
     filesOf(manifestNode(spark, dir, v))
 
+  /** D28 — the snapshot's deletion-vector pointers: data file name → dv
+    * sidecar name. Empty for dv-free snapshots and pre-D28 manifests.
+    */
+  def dvsOf(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
+    val node = manifestNode(spark, dir, v).path("dvs")
+    if (node.isMissingNode) Map.empty
+    else {
+      val it = node.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }
+  }
+
+  /** Read `names` under dir/data with two synthetic columns appended:
+    * `_gdv_f` (the file's base name) and `_gdv_p` (the row's ordinal inside
+    * that file) — parquet's `_metadata` constant columns, zero extra I/O.
+    * The (file, position) pair is the row's physical identity, which is
+    * what a deletion vector masks.
+    */
+  private def readWithPos(spark: SparkSession, dir: String, names: Seq[String],
+                          mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+    val df = reader.parquet(names.map(n => s"$dir/data/$n"): _*)
+    require(!df.columns.contains("_gdv_f") && !df.columns.contains("_gdv_p"),
+      "table schema collides with the reserved _gdv_f/_gdv_p columns")
+    df.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_gdv_f"),
+      col("_metadata.row_index").as("_gdv_p"))
+  }
+
+  /** The LIVE deletion-vector rows (file, pos) masking `restrict`'s files:
+    * each dv sidecar is read once and filtered to the rows whose data file
+    * still POINTS at it — a file re-deleted later points at a newer
+    * sidecar, so its rows in the older shared sidecar are dead metadata
+    * (vacuumable with the manifest that referenced them), never reapplied.
+    */
+  private def dvRowsFor(spark: SparkSession, dir: String,
+                        dvs: Map[String, String],
+                        restrict: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rel = dvs.filter { case (f, _) => restrict.contains(f) }
+    val sess = spark
+    import sess.implicits._
+    if (rel.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
+    else {
+      val pointers = rel.toSeq.toDF("file", "_dv_src")
+      spark.read.parquet(rel.values.toSeq.distinct.map(n => s"$dir/data/$n"): _*)
+        .select(col("file"), col("pos"),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("_dv_src"))
+        .join(broadcast(pointers), Seq("file", "_dv_src"))
+        .select("file", "pos")
+    }
+  }
+
+  /** Read `names` with the snapshot's deletion vectors APPLIED: a
+    * broadcast anti-join of the scan against the dv rows on physical
+    * (file, position) identity. DV-free reads take the plain-scan branch —
+    * a table that never deletes pays zero plan change. The dv side is
+    * broadcast by construction: deletion vectors are the SMALL-delete
+    * path (GDPR erasure, spot retractions); bulk deletes belong to
+    * [[merge]]'s copy-on-write rewrite.
+    */
+  private def readApplied(spark: SparkSession, dir: String, names: Seq[String],
+                          dvs: Map[String, String],
+                          mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rel = dvs.filter { case (f, _) => names.contains(f) }
+    if (rel.isEmpty) {
+      val reader =
+        if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
+      reader.parquet(names.map(n => s"$dir/data/$n"): _*)
+    } else {
+      val mask = dvRowsFor(spark, dir, rel, names)
+        .withColumnRenamed("file", "_gdv_f").withColumnRenamed("pos", "_gdv_p")
+      readWithPos(spark, dir, names, mergeSchema)
+        .join(broadcast(mask), Seq("_gdv_f", "_gdv_p"), "left_anti")
+        .drop("_gdv_f", "_gdv_p")
+    }
+  }
+
   /** Per-commit random token: staging dirs, manifest temps, and data-file
     * names all embed one, so concurrent commit ATTEMPTS never collide on
     * intermediate paths (only the manifest publish itself is contended,
@@ -290,7 +373,8 @@ object Versioned {
     */
   private[graft] def publishManifest(spark: SparkSession, dir: String, v: Long,
                                      files: Seq[String], epoch: Long,
-                                     prevMax: Long): Boolean = {
+                                     prevMax: Long,
+                                     dvs: Map[String, String] = Map.empty): Boolean = {
     val fs = fsOf(spark, new Path(dir))
     val carried = math.max(epoch, prevMax)
     val node = mapper.createObjectNode()
@@ -300,6 +384,13 @@ object Versioned {
     node.put("n_files", files.size)
     val arr = node.putArray("files")
     files.foreach(arr.add)
+    // D28: deletion-vector pointers — data file name → the dv sidecar
+    // holding its deleted row positions. Absent for dv-free snapshots, so
+    // pre-D28 manifests and tables that never delete pay nothing.
+    if (dvs.nonEmpty) {
+      val dvNode = node.putObject("dvs")
+      dvs.toSeq.sortBy(_._1).foreach { case (f, d) => dvNode.put(f, d) }
+    }
     // D22f: per-file column min/max for data skipping. Old files resolve
     // from the immutable cache (seeded by the manifest reads every commit
     // path already performs); only newly staged files pay a footer read —
@@ -578,8 +669,11 @@ object Versioned {
         val prior = versions(spark, dir).lastOption
         val v = prior.getOrElse(0L) + 1
         val prevFiles = prior.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+        // a rebase over a deleteWhere carries the head's dv pointers — the
+        // append adds files, it never unmasks rows
+        val prevDvs = prior.map(dvsOf(spark, dir, _)).getOrElse(Map.empty[String, String])
         if (publishManifest(spark, dir, v, prevFiles ++ named, epoch,
-          priorMaxEpoch(spark, dir, prior))) Some(v) else None
+          priorMaxEpoch(spark, dir, prior), prevDvs)) Some(v) else None
       }
       published match {
         case Some(v) => graft.Tables.invalidateSpread(dir); return v
@@ -674,10 +768,20 @@ object Versioned {
   def newFiles(spark: SparkSession, dir: String,
                since: Long, to: Long): Option[Seq[String]] = {
     val toF = readManifest(spark, dir, to)
+    // since ≤ 0 is a pure LISTING of `to`'s files (callers use it as file
+    // identity, not as rows) — dv masking doesn't change what files exist
     if (since <= 0) return Some(toF.map(n => s"$dir/data/$n"))
+    val toDvs = dvsOf(spark, dir, to)
     val sinceF = readManifest(spark, dir, since).toSet
-    if (!sinceF.subsetOf(toF.toSet)) None
-    else Some(toF.filterNot(sinceF).map(n => s"$dir/data/$n"))
+    if (!sinceF.subsetOf(toF.toSet)) return None
+    // a deleteWhere in the span keeps the file set identical but changes
+    // ROWS — surviving files must keep their dv pointer unchanged, and the
+    // added files must be unmasked, for the file-level delta to be exact
+    val sinceDvs = dvsOf(spark, dir, since)
+    val added = toF.filterNot(sinceF)
+    if (sinceF.exists(f => sinceDvs.get(f) != toDvs.get(f)) ||
+        added.exists(toDvs.contains)) None
+    else Some(added.map(n => s"$dir/data/$n"))
   }
 
   /** D22e — row-level CHANGE FEED between two committed versions: what a
@@ -717,13 +821,20 @@ object Versioned {
       s"version $from not present under $dir (have $vs)")
     val toF = readManifest(spark, dir, to)
     val fromF = if (from <= 0) Seq.empty[String] else readManifest(spark, dir, from)
-    val added = toF.filterNot(fromF.toSet)
-    val removed = fromF.filterNot(toF.toSet)
-    def readNames(names: Seq[String]): Option[DataFrame] =
+    val toDvs = dvsOf(spark, dir, to)
+    val fromDvs =
+      if (from <= 0) Map.empty[String, String] else dvsOf(spark, dir, from)
+    // a file both manifests share but whose dv POINTER moved changed rows
+    // without changing name ([[deleteWhere]]) — read it on both sides,
+    // each under its own mask; the diff below nets exactly the masked rows
+    val dvChanged = toF.toSet.intersect(fromF.toSet)
+      .filter(f => fromDvs.get(f) != toDvs.get(f)).toSeq
+    val added = toF.filterNot(fromF.toSet) ++ dvChanged
+    val removed = fromF.filterNot(toF.toSet) ++ dvChanged
+    def readNames(names: Seq[String], dvs: Map[String, String]): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(names.map(n => s"$dir/data/$n"): _*))
-    val (aOpt, rOpt) = (readNames(added), readNames(removed))
+      else Some(readApplied(spark, dir, names, dvs, mergeSchema = true))
+    val (aOpt, rOpt) = (readNames(added, toDvs), readNames(removed, fromDvs))
     // union of columns, to-side order first; a side missing a column
     // (evolution across the span) surfaces null for it
     val fields = {
@@ -770,7 +881,9 @@ object Versioned {
 
   /** Read a snapshot: the pinned `version`, or the latest when ≤ 0. Reads
     * exactly the manifest's files — concurrent commits and un-vacuumed
-    * stale files are invisible by construction.
+    * stale files are invisible by construction — with the snapshot's
+    * deletion vectors applied ([[deleteWhere]]); dv-free snapshots keep
+    * the plain-scan plan.
     *
     * `mergeSchema = true` reconciles schema ACROSS the snapshot's files —
     * the schema-evolution read for append chains whose later appends added
@@ -786,9 +899,8 @@ object Versioned {
     require(vs.nonEmpty, s"no committed versions under $dir")
     val v = if (version > 0) version else vs.last
     require(vs.contains(v), s"version $v not present under $dir (have $vs)")
-    val files = readManifest(spark, dir, v).map(n => s"$dir/data/$n")
-    val reader = if (mergeSchema) spark.read.option("mergeSchema", "true") else spark.read
-    reader.parquet(files: _*)
+    readApplied(spark, dir, readManifest(spark, dir, v), dvsOf(spark, dir, v),
+      mergeSchema)
   }
 
   /** D22f — stats-pruned range read: rows of a snapshot where `colName` ∈
@@ -821,8 +933,11 @@ object Versioned {
       }
     }
     val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    // dv note: committed min/max may describe rows a dv has since masked —
+    // a SUPERSET bound, so pruning can read an all-dead file but never
+    // skips a live row; the dv-applied read below restores exactness.
     if (keep.isEmpty) read(spark, dir, v).where(pred).limit(0)
-    else spark.read.parquet(keep.map(n => s"$dir/data/$n"): _*).where(pred)
+    else readApplied(spark, dir, keep, dvsOf(spark, dir, v)).where(pred)
   }
 
   private def toL(a: Any): Long = a match {
@@ -853,7 +968,8 @@ object Versioned {
         val prior = versions(spark, dir).lastOption
         val v = prior.getOrElse(0L) + 1
         if (publishManifest(spark, dir, v, files, epochOf(spark, dir, to),
-          priorMaxEpoch(spark, dir, prior))) Some(v) else None
+          priorMaxEpoch(spark, dir, prior), dvsOf(spark, dir, to))) Some(v)
+        else None
       }
       published match {
         case Some(v) => graft.Tables.invalidateSpread(dir); return v
@@ -861,6 +977,103 @@ object Versioned {
       }
     }
     sys.error(s"rollback of $dir could not publish after $attempts attempts")
+  }
+
+  /** Stage one dv sidecar parquet (columns `file`, `pos`) and return its
+    * immutable name under data/. One file per delete commit: the rows are
+    * positions, not data — megabytes where the masked table is terabytes —
+    * and the read side broadcasts them whole.
+    */
+  private def stageDv(spark: SparkSession, rows: DataFrame, dir: String,
+                      attempt: Long): String = {
+    val base = new Path(dir)
+    val fs = fsOf(spark, base)
+    fs.mkdirs(new Path(base, "data"))
+    val tok = newToken()
+    val staging = new Path(base, s"_staging-v$attempt-$tok")
+    rows.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val name = f"dv-v$attempt%d-$tok.parquet"
+    if (!fs.rename(part, new Path(base, s"data/$name")))
+      sys.error(s"could not place dv sidecar for v$attempt")
+    fs.delete(staging, true)
+    name
+  }
+
+  /** D28 — deletion-vector DELETE (merge-on-read): mask every current row
+    * matching `predicate` by committing a POSITIONAL sidecar — (file, row
+    * ordinal) pairs — and pointing the affected data files at it in the
+    * next manifest. ZERO data bytes are rewritten: the complement of
+    * [[merge]]'s copy-on-write rewrite, and the shape a 100 TB table
+    * needs for the small-delete regime (GDPR erasure of a handful of
+    * keys, spot retractions, quarantining a bad crawl slice) where
+    * rewriting every touched multi-GB file to drop a few rows would
+    * dominate the job. Readers ([[read]], [[prunedRead]], [[changeFeed]],
+    * [[merge]], [[optimize]]) apply the mask as a broadcast anti-join on
+    * physical (file, position) identity — parquet `_metadata` constant
+    * columns, no stored row ids, no schema change.
+    *
+    * Semantics: deletes the rows of the CURRENT snapshot matching the
+    * predicate, evaluated on live rows only (already-masked rows stay
+    * masked). Re-deleting a file unions positions into a fresh sidecar and
+    * repoints the file — the old sidecar's rows for it become dead
+    * metadata reclaimed with their manifest by [[vacuum]]. A predicate
+    * matching nothing returns the current version, NO new commit. Time
+    * travel is exact: pre-delete versions carry no pointer and read the
+    * rows back.
+    *
+    * Maintenance: [[optimize]] MATERIALIZES dvs (compaction reads masked
+    * rows out), so dv chains do not accumulate forever; a dv-bearing file
+    * at target size materializes when its dead fraction warrants a
+    * rewrite. Stats stay superset-sound (see [[prunedRead]]).
+    *
+    * Concurrency: replace-flavored OCC like [[merge]] — the predicate was
+    * evaluated against the observed head, and a concurrent commit may add
+    * or rewrite matching rows, so a lost race throws
+    * [[ConcurrentWriteException]] and the RETRY re-derives from the new
+    * head (deleteWhere's intent is head-independent; the raced attempt's
+    * sidecar is vacuum debris).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions._
+    val basis = versions(spark, dir).lastOption
+    require(basis.nonEmpty, s"deleteWhere requires an existing table under $dir")
+    val files = readManifest(spark, dir, basis.get)
+    val dvs = dvsOf(spark, dir, basis.get)
+    val mask = dvRowsFor(spark, dir, dvs, files)
+      .withColumnRenamed("file", "_gdv_f").withColumnRenamed("pos", "_gdv_p")
+    val matches = readWithPos(spark, dir, files)
+      .join(broadcast(mask), Seq("_gdv_f", "_gdv_p"), "left_anti")
+      .where(predicate)
+      .select(col("_gdv_f").as("file"), col("_gdv_p").as("pos"))
+      .persist() // two consumers: affected-file discovery + sidecar write
+    try {
+      val affected = matches.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq // manifest-cardinality bound
+      if (affected.isEmpty) return basis.get
+      // fresh sidecar = new positions ∪ the affected files' LIVE old
+      // positions (their pointers move here; unaffected files keep theirs)
+      val carried = dvRowsFor(spark, dir, dvs, affected)
+      val v = basis.get + 1
+      val dvName = stageDv(spark, matches.unionByName(carried), dir, v)
+      lockFor(dir).synchronized {
+        val head = versions(spark, dir).lastOption
+        if (head != basis)
+          throw new ConcurrentWriteException(
+            s"deleteWhere on $dir based on v${basis.get} lost to a concurrent " +
+              s"commit (head is now v${head.getOrElse(0L)}); the staged sidecar " +
+              "is vacuumable — retry: it re-derives from the new head")
+        if (!publishManifest(spark, dir, v, files, -1L,
+          priorMaxEpoch(spark, dir, basis),
+          dvs ++ affected.map(_ -> dvName)))
+          throw new ConcurrentWriteException(
+            s"deleteWhere on $dir lost the v$v manifest publish to a concurrent " +
+              "committer in another process; retry")
+      }
+      graft.Tables.invalidateSpread(dir)
+      v
+    } finally { matches.unpersist(); () }
   }
 
   /** D22c — keyed MERGE: apply a change set (upserts + deletes by key) to
@@ -932,8 +1145,9 @@ object Versioned {
         stats.get(n).flatMap(_.get(keyCol)).collect {
           case ("l", mn: Long, mx: Long) => (n, mn, mx)
         })
-      val candidatePaths: Seq[String] =
-        if (bounded.isEmpty) basisFiles.map(n => s"$dir/data/$n")
+      val dvs = dvsOf(spark, dir, basis.get)
+      val candidateNames: Seq[String] =
+        if (bounded.isEmpty) basisFiles
         else {
           val sess = spark
           import sess.implicits._
@@ -943,20 +1157,28 @@ object Versioned {
               col(keyCol).cast("long") <= col("_mx"))
             .select("_f").distinct().collect().map(_.getString(0))
           val unbounded = basisFiles.filterNot(bounded.map(_._1).toSet)
-          (hit.toSeq ++ unbounded).map(n => s"$dir/data/$n")
+          hit.toSeq ++ unbounded
         }
-      val touched =
-        if (candidatePaths.isEmpty) Array.empty[String]
-        else spark.read.parquet(candidatePaths: _*)
-          .select(input_file_name().as("_file"), col(keyCol))
-          .join(keys, Seq(keyCol))
-          .select("_file").distinct()
-          .collect().map(_.getString(0))
-      val touchedNames = touched.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      // touched-file discovery over LIVE rows only — a key whose every row
+      // a dv already masked must not drag its file into the rewrite
+      val touchedNames: Set[String] =
+        if (candidateNames.isEmpty) Set.empty
+        else {
+          val dmask = dvRowsFor(spark, dir, dvs, candidateNames)
+            .withColumnRenamed("file", "_gdv_f").withColumnRenamed("pos", "_gdv_p")
+          readWithPos(spark, dir, candidateNames)
+            .join(broadcast(dmask), Seq("_gdv_f", "_gdv_p"), "left_anti")
+            .select(col("_gdv_f").as("_file"), col(keyCol))
+            .join(keys, Seq(keyCol))
+            .select("_file").distinct()
+            .collect().map(_.getString(0)).toSet
+        }
+      // rewriting a touched file MATERIALIZES its dv (survivors are read
+      // dv-applied and the pointer is dropped); untouched files keep theirs
       val survivors =
-        if (touched.isEmpty) spark.createDataFrame(
+        if (touchedNames.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
-        else spark.read.parquet(touched.toIndexedSeq: _*)
+        else readApplied(spark, dir, touchedNames.toSeq, dvs)
           .join(keys, Seq(keyCol), "left_anti")
       val upserts = net.where(col(opCol) =!= deleteOp)
         .select(cols.map(col): _*)
@@ -973,7 +1195,7 @@ object Versioned {
         val prevFiles = readManifest(spark, dir, basis.get)
         if (!publishManifest(spark, dir, v,
           prevFiles.filterNot(touchedNames) ++ staged, epoch,
-          priorMaxEpoch(spark, dir, basis)))
+          priorMaxEpoch(spark, dir, basis), dvs -- touchedNames))
           throw new ConcurrentWriteException(
             s"merge into $dir lost the v$v manifest publish to a concurrent " +
               "committer in another process; retry the merge")
@@ -1015,13 +1237,18 @@ object Versioned {
     val sized = prevFiles.map { n =>
       n -> fs.getFileStatus(new Path(dir, s"data/$n")).getLen
     }
+    val dvs = dvsOf(spark, dir, basis.get)
     val (small, big) = sized.partition(_._2 < targetBytes)
-    if (small.size < 2) return basis.get
+    // act when ≥2 small files need coalescing OR a small file carries a
+    // deletion vector (the rewrite MATERIALIZES it — dv chains don't
+    // accumulate forever; [[deleteWhere]]'s maintenance contract)
+    if (small.size < 2 && !small.exists(p => dvs.contains(p._1)))
+      return basis.get
     val totalSmall = small.map(_._2).sum
     val n = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-    val compacted = spark.read.option("mergeSchema", "true")
-      .parquet(small.map { case (name, _) => s"$dir/data/$name" }: _*)
-      .repartition(n)
+    val compacted =
+      readApplied(spark, dir, small.map(_._1), dvs, mergeSchema = true)
+        .repartition(n)
     val v = basis.get + 1
     val staged = stage(spark, compacted, dir, v)
     lockFor(dir).synchronized {
@@ -1031,7 +1258,7 @@ object Versioned {
           s"optimize of $dir based on v${basis.get} lost to a concurrent commit; " +
             "staged files are vacuumable — retry")
       if (!publishManifest(spark, dir, v, big.map(_._1) ++ staged, -1L,
-        priorMaxEpoch(spark, dir, basis)))
+        priorMaxEpoch(spark, dir, basis), dvs.filter(kv => big.exists(_._1 == kv._1))))
         throw new ConcurrentWriteException(
           s"optimize of $dir lost the v$v manifest publish; retry")
     }
@@ -1096,7 +1323,10 @@ object Versioned {
     val fs = fsOf(spark, base)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
-    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    // dv sidecars are references too: a retained manifest pointing at a
+    // sidecar keeps it alive exactly like a data file
+    val live = keep.flatMap(v =>
+      readManifest(spark, dir, v) ++ dvsOf(spark, dir, v).values).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     // data/ may not exist yet: vacuum on a table with no commits (or one
     // whose every commit crashed pre-rename) is a legal no-op, not a
