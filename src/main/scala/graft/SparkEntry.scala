@@ -91,6 +91,7 @@ object SparkEntry {
     "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
     "zipf_fit"             -> ((s, d) => graft.ops.Corpus.zipfFit(s, d)),
     "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
+    "hybrid_search"        -> ((s, d) => graft.ops.Relevance.hybridSearch(s, d)),
     "phrase_search"        -> ((s, d) => graft.ops.Relevance.phraseSearch(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
@@ -2468,6 +2469,62 @@ object SparkEntry {
         |       ), 6) AS score
         |FROM tf JOIN dfs USING (w) CROSS JOIN stats
         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // RRF fusion of the B53 BM25 pool and the B5 exact-cosine pool; both
+    // pool scores round to 6 dp BEFORE ranking and the fused sum rounds
+    // before the final rank, so the two engines rank identical integers.
+    "hybrid_search" ->
+      """WITH q(query_id, terms) AS (VALUES
+        |  (CAST(0 AS BIGINT), ['spark', 'window', 'merge']),
+        |  (CAST(1 AS BIGINT), ['customer', 'join', 'stream'])),
+        |qt AS (SELECT query_id, unnest(terms) AS w FROM q),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM d),
+        |e AS (SELECT doc_id, unnest(tok) AS w FROM d),
+        |tf AS (SELECT e.doc_id, dl.dl, e.w, count(*) AS tf
+        |       FROM e JOIN dl USING (doc_id)
+        |       WHERE e.w IN (SELECT DISTINCT w FROM qt)
+        |       GROUP BY e.doc_id, dl.dl, e.w),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |lexs AS (SELECT qt.query_id, tf.doc_id,
+        |           round(sum(
+        |             ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |             * (tf.tf * (1.2 + 1.0))
+        |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+        |                               / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+        |           ), 6) AS score
+        |         FROM tf JOIN qt USING (w) JOIN dfs USING (w) CROSS JOIN stats
+        |         WHERE tf.doc_id <> qt.query_id
+        |         GROUP BY qt.query_id, tf.doc_id),
+        |lex AS (SELECT query_id, doc_id, lex_rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |          FROM lexs) WHERE lex_rank <= 50),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN (0, 1)),
+        |sems AS (SELECT query_id, vec_id AS doc_id,
+        |           round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) /
+        |                 (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |                  sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+        |         FROM emb, qv WHERE vec_id <> query_id),
+        |sem AS (SELECT query_id, doc_id, sem_rank FROM (
+        |          SELECT query_id, doc_id,
+        |                 CAST(row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+        |          FROM sems) WHERE sem_rank <= 50),
+        |fused AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+        |            round(coalesce(1.0 / (60.0 + lex_rank), 0)
+        |                + coalesce(1.0 / (60.0 + sem_rank), 0), 6) AS rrf
+        |          FROM lex FULL OUTER JOIN sem USING (query_id, doc_id))
+        |SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank FROM (
+        |  SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "doc_top_terms" ->
       """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

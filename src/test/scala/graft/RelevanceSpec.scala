@@ -951,4 +951,76 @@ class RelevanceSpec extends SparkSpec {
     }
     assert(counts.values.max === n, "the reported gram is the most frequent")
   }
+
+  test("hybridSearch: full independent local replay of BM25 + cosine + RRF") {
+    val queries = Seq(0L -> Seq("spark", "window", "merge"),
+                      1L -> Seq("customer", "join", "stream"))
+    val got = Relevance.hybridSearch(spark, sf0001).collect().toSeq.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))
+    }
+    assert(got.size === queries.size * 10)
+
+    // plain-Scala recomputation, token-for-token the registered arithmetic
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allTerms = queries.flatMap(_._2).toSet
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1)) }
+    val nDocs = toks.length
+    val dl = toks.map { case (id, ts) => (id, ts.length.toLong) }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf: Map[(Long, String), Long] = toks.flatMap { case (id, ts) =>
+      ts.filter(allTerms).groupBy(identity)
+        .map { case (w, occ) => ((id, w), occ.length.toLong) }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (w, ks) => (w, ks.size.toLong) }
+    def lexRanks(q: Long, terms: Seq[String]): Map[Long, Long] = {
+      val scored = toks.map(_._1).filter(_ != q).flatMap { d =>
+        val parts = terms.flatMap(w => tf.get((d, w)).map { t =>
+          val dfi = df(w)
+          val idf = math.log(1.0 + (nDocs - dfi + 0.5) / (dfi + 0.5))
+          idf * (t * (1.2 + 1.0)) /
+            (t + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl))
+        })
+        if (parts.isEmpty) None else Some((d, round6(parts.sum)))
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(50)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }.toMap
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val embMap = embs.toMap
+    def semRanks(q: Long): Map[Long, Long] = {
+      val qv = embMap(q)
+      embs.filter(_._1 != q).map { case (id, v) => (id, round6(cos(v, qv))) }
+        .sortBy { case (d, c) => (-c, d) }.take(50)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }.toMap
+    }
+    val expected = queries.flatMap { case (q, terms) =>
+      val lex = lexRanks(q, terms)
+      val sem = semRanks(q)
+      (lex.keySet ++ sem.keySet).toSeq.map { d =>
+        val rrf = round6(
+          lex.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          sem.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        (d, rrf)
+      }.sortBy { case (d, rrf) => (-rrf, d) }.take(10).zipWithIndex.map {
+        case ((d, rrf), i) => (q, i + 1L, d, rrf, lex.get(d), sem.get(d))
+      }
+    }
+    assert(got.sortBy(t => (t._1, t._2)) === expected.sortBy(t => (t._1, t._2)))
+  }
 }
