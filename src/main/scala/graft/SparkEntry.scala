@@ -86,6 +86,7 @@ object SparkEntry {
     "novelty_curve"        -> ((s, d) => graft.ops.Corpus.noveltyCurve(s, d)),
     "source_lang_drift"    -> ((s, d) => graft.ops.Corpus.sourceLangDrift(s, d)),
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
+    "curation_lineage"     -> ((s, d) => graft.ops.Curation.curationLineage(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
     "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d)),
     "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d)),
     "scd2_history"         -> ((s, d) => ChangeEvents.scd2History(s, d)),
+    "scd2_merge"           -> ((s, d) => ChangeEvents.scd2Merge(s, d)),
     "daily_fill"           -> ((s, d) => Analytics.dailyFill(s, d)),
     "event_paths"          -> ((s, d) => Analytics.eventPaths(s, d)),
     "new_vs_returning"     -> ((s, d) => Analytics.newVsReturning(s, d)),
@@ -1379,6 +1381,25 @@ object SparkEntry {
         |  UNION ALL SELECT '2_min_words', s2, s1 - s2 FROM a
         |  UNION ALL SELECT '3_repetition', s3, s2 - s3 FROM a)
         |ORDER BY stage""".stripMargin,
+
+    // row-level lineage over the SAME flag definitions as filter_funnel
+    // (concat_ws skips the NULL arms on both engines; all-pass -> '')
+    "curation_lineage" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents),
+        |f AS (SELECT doc_id,
+        |             n_chars BETWEEN 100 AND 20000 AS f1,
+        |             len(tok) >= 30 AS f2,
+        |             round(1.0 - CAST(len(list_distinct(
+        |                 [array_to_string(tok[i:i+1], ' ')
+        |                  for i in generate_series(1, greatest(len(tok)-1, 1))])) AS DOUBLE)
+        |               / greatest(len(tok)-1, 1), 6) <= 0.07 AS f3
+        |      FROM t)
+        |SELECT doc_id,
+        |       concat_ws(',', CASE WHEN NOT f1 THEN 'length' END,
+        |                      CASE WHEN NOT f2 THEN 'min_words' END,
+        |                      CASE WHEN NOT f3 THEN 'repetition' END) AS fail_stages,
+        |       (f1 AND f2 AND f3) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
@@ -2856,6 +2877,23 @@ object SparkEntry {
     // SCD2: lead() runs over ALL ops per key (a delete closes the prior
     // version) BEFORE deletes are filtered — same order as the Spark side.
     "scd2_history" ->
+      s"""WITH $evCte,
+         |changes AS (SELECT user_id AS document_key, event_id,
+         |              $opType AS operation_type,
+         |              $fullDoc AS full_document
+         |            FROM ev),
+         |v AS (SELECT *, lead(event_id) OVER (PARTITION BY document_key
+         |                                     ORDER BY event_id) AS valid_to_id
+         |      FROM changes)
+         |SELECT document_key, event_id AS valid_from_id, valid_to_id,
+         |       valid_to_id IS NULL AS is_current, full_document
+         |FROM v WHERE operation_type <> 'delete'
+         |ORDER BY document_key, valid_from_id""".stripMargin,
+
+    // the INCREMENTAL path (rebuild first half, scd2Maintain the second)
+    // against the FULL-rebuild oracle: the driver's hash compare IS the
+    // incremental ≡ rebuild equality proof, re-certified every run
+    "scd2_merge" ->
       s"""WITH $evCte,
          |changes AS (SELECT user_id AS document_key, event_id,
          |              $opType AS operation_type,

@@ -214,20 +214,93 @@ object ChangeEvents {
     * lead is whatever follows). Engine-exact: integer ids, boolean flag,
     * the same byte-pinned full_document JSON as the queue payload.
     */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Fold(changeSet(Tables.events(spark, dir)))
+      .orderBy("document_key", "valid_from_id")
+
+  /** The SCD2 fold over an explicit change envelope (the [[changeSet]]
+    * shape) — shared by the full rebuild ([[scd2History]]) and the
+    * incremental path ([[scd2Maintain]]) so the two can never disagree on
+    * the versioning rule. Unordered output; callers order for display.
+    */
+  def scd2Fold(changes: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col("document_key")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
-      .select(
-        col("user_id").as("document_key"),
-        col("event_id"),
-        operationType(col("event_type")).as("operation_type"),
-        fullDocumentJson.as("full_document"))
+    changes
       .withColumn("valid_to_id", lead(col("event_id"), 1).over(byKey))
       .where(col("operation_type") =!= "delete")
       .select(col("document_key"), col("event_id").as("valid_from_id"),
         col("valid_to_id"), col("valid_to_id").isNull.as("is_current"),
         col("full_document"))
-      .orderBy("document_key", "valid_from_id")
+  }
+
+  /** C25b — INCREMENTAL SCD2 maintenance: fold a new change-feed batch into
+    * an EXISTING history table without touching the feed that built it —
+    * the nightly/streaming load path every warehouse SCD2 dimension runs,
+    * where re-folding the full feed ([[scd2History]]) is a 100 TB rebuild
+    * but the batch is megabytes.
+    *
+    * Requires the standard feed-order precondition: every batch `event_id`
+    * exceeds every event id already folded into `history` (change feeds
+    * are ordered; [[graft.events.ResumeTokens]] is how the connector
+    * guarantees exactly this). Under it, the incremental answer is
+    * PROVABLY the full-rebuild answer:
+    *
+    *  - keys absent from the batch keep their history rows bit-for-bit
+    *    (their full-feed window sees no new events);
+    *  - an affected key's OPEN version closes at the key's FIRST batch
+    *    event id — in the full rebuild that open row's `lead(event_id)` is
+    *    exactly that id, whatever the batch op is (update closes it, and a
+    *    delete closes it without emitting, both already the lead rule);
+    *  - closed versions are immutable (their lead landed long ago);
+    *  - the batch's own rows fold with the SAME window rule, confined to
+    *    the batch: each row's in-batch lead equals its full-feed lead
+    *    because nothing after the batch exists yet, and the batch's first
+    *    row per key needs no predecessor — its effect on the predecessor
+    *    is the close above.
+    *
+    * Registered as `scd2_merge` against the FULL-rebuild oracle: the
+    * driver's DuckDB compare certifies incremental ≡ rebuild on every run.
+    *
+    * Scale shape: one window shuffle over the (small) batch plus one
+    * key-equi-join of history against the batch's per-key first-id
+    * aggregate — no window over the history side at all. On a Versioned
+    * table the same delta (closed rows as upserts + new rows as inserts,
+    * keyed by (document_key, valid_from_id)) drives [[graft.ops.Versioned.merge]],
+    * which rewrites only the files containing affected keys
+    * (VersionedSpec pins that composition).
+    */
+  def scd2Maintain(history: DataFrame, batch: DataFrame): DataFrame = {
+    val firstBatch = batch.groupBy(col("document_key"))
+      .agg(min(col("event_id")).as("_close_id"))
+    // ONE left join covers both cases (an inner + anti pair would compute
+    // the history side twice): a null _close_id means the key is untouched
+    // and the row rides bit-for-bit; a hit means every row of the key ends
+    // non-current — the open one (if any) closes at the key's first batch
+    // id, closed rows keep their bounds
+    val carried = history.join(firstBatch, Seq("document_key"), "left")
+      .select(col("document_key"), col("valid_from_id"),
+        when(col("_close_id").isNull, col("valid_to_id"))
+          .otherwise(coalesce(col("valid_to_id"), col("_close_id"))).as("valid_to_id"),
+        (col("_close_id").isNull && col("is_current")).as("is_current"),
+        col("full_document"))
+    carried.unionByName(scd2Fold(batch))
+  }
+
+  /** The registered `scd2_merge` query: split the feed at 90% of the id
+    * range (one tiny column-pruned scalar agg) — the nightly-load shape,
+    * where history dwarfs the batch — rebuild history from the prefix,
+    * then [[scd2Maintain]] the batch into it. The oracle is the FULL-feed
+    * rebuild SQL, so the driver's hash compare is the incremental ≡
+    * rebuild equality, re-certified on every run (OpsSpec additionally
+    * pins 25/50/75% splits).
+    */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = changeSet(Tables.events(spark, dir))
+    val b = ev.agg(min(col("event_id")).cast("long"), max(col("event_id")).cast("long")).head()
+    val split = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 9 / 10
+    val history = scd2Fold(ev.where(col("event_id") <= split))
+    val batch = ev.where(col("event_id") > split)
+    scd2Maintain(history, batch).orderBy("document_key", "valid_from_id")
   }
 
   /** A7 — multi-collection fan-out (server.rs:174-199 spawns one job per

@@ -599,6 +599,34 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** B52b — per-document curation lineage: the ROW-LEVEL complement to
+    * [[filterFunnel]]'s aggregate report. For every document, the list of
+    * funnel stages it fails (independently — a doc can fail several) and
+    * the final keep flag, computed from the SAME [[funnelFlags]] definition
+    * the funnel and the B61 weak-supervision labels share, so the three
+    * views can never drift. This is the provenance record a curation
+    * pipeline ships with a training-data release: "why is doc X absent"
+    * becomes a lookup, not a re-run, and per-stage counts reconcile against
+    * the funnel by construction (CurationSpec pins both reconciliations).
+    *
+    * One fused scan, zero shuffle (the ORDER BY is verification-only):
+    * the flags are pure column arithmetic over text, so at 100 TB this
+    * runs at scan speed and writes one narrow lineage table.
+    */
+  def curationLineage(spark: SparkSession, dir: String,
+                      minChars: Long = 100, maxChars: Long = 20000,
+                      minWords: Int = 30, maxRep: Double = 0.07): DataFrame = {
+    val (p1, p2, p3) = funnelFlags(minChars, maxChars, minWords, maxRep)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat_ws(",",
+        when(!p1, lit("length")),
+        when(!p2, lit("min_words")),
+        when(!p3, lit("repetition"))).as("fail_stages"),
+      (p1 && p2 && p3).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

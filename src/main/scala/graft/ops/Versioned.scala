@@ -1229,7 +1229,8 @@ object Versioned {
     * incremental consumers to their full-recompute fallback.
     */
   def optimize(spark: SparkSession, dir: String,
-               targetBytes: Long = 128L * 1024 * 1024): Long = {
+               targetBytes: Long = 128L * 1024 * 1024,
+               clusterBy: Seq[String] = Nil): Long = {
     val basis = versions(spark, dir).lastOption
     require(basis.nonEmpty, s"optimize requires an existing table under $dir")
     val fs = fsOf(spark, new Path(dir))
@@ -1238,6 +1239,36 @@ object Versioned {
       n -> fs.getFileStatus(new Path(dir, s"data/$n")).getLen
     }
     val dvs = dvsOf(spark, dir, basis.get)
+    // clustered OPTIMIZE (OPTIMIZE ... CLUSTER BY): rewrite the WHOLE
+    // snapshot range-sorted on the cluster keys, so every file owns a
+    // narrow key slice and the manifest's per-file min/max (D22f) turns
+    // prunedRead/merge candidate scans into near-exact file selection —
+    // D13's layout discipline applied IN-HISTORY, where D13 itself would
+    // break the manifest log. All dvs materialize; size targeting and
+    // history semantics are the compaction path's.
+    if (clusterBy.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val total = sized.map(_._2).sum
+      val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      val clustered = readApplied(spark, dir, prevFiles, dvs, mergeSchema = true)
+        .repartitionByRange(nOut, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+      val v = basis.get + 1
+      val staged = stage(spark, clustered, dir, v)
+      lockFor(dir).synchronized {
+        val head = versions(spark, dir).lastOption
+        if (head != basis)
+          throw new ConcurrentWriteException(
+            s"optimize of $dir based on v${basis.get} lost to a concurrent commit; " +
+              "staged files are vacuumable — retry")
+        if (!publishManifest(spark, dir, v, staged, -1L,
+          priorMaxEpoch(spark, dir, basis), Map.empty))
+          throw new ConcurrentWriteException(
+            s"optimize of $dir lost the v$v manifest publish; retry")
+      }
+      graft.Tables.invalidateSpread(dir)
+      return v
+    }
     val (small, big) = sized.partition(_._2 < targetBytes)
     // act when ≥2 small files need coalescing OR a small file carries a
     // deletion vector (the rewrite MATERIALIZES it — dv chains don't
@@ -1322,7 +1353,13 @@ object Versioned {
     val base = new Path(dir)
     val fs = fsOf(spark, base)
     val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // D22h: tagged versions are PINNED — a named ref (a training-data
+    // release, an audit snapshot) holds its manifest and files through any
+    // retention window, exactly like Iceberg tags survive snapshot expiry
+    val pinned = tags(spark, dir).values.toSet
+    val (drop0, keep0) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val keep = keep0 ++ drop0.filter(pinned)
+    val drop = drop0.filterNot(pinned)
     // dv sidecars are references too: a retained manifest pointing at a
     // sidecar keeps it alive exactly like a data file
     val live = keep.flatMap(v =>
@@ -1353,5 +1390,103 @@ object Versioned {
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     graft.Tables.invalidateSpread(dir)
     (deletedData ++ deletedManifests ++ debris).toSeq
+  }
+
+  // ---- D22g: named refs (tags) -------------------------------------------
+
+  private val tagNameRule = "[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
+  private def tagPath(dir: String, name: String) =
+    new Path(new Path(dir, "refs"), s"$name.json")
+
+  /** D22h — tag a version under a stable name: the reproducibility primitive
+    * a training-data pipeline needs most — "model M trained on
+    * `corpus@release-2026-08`" must stay readable long after the retention
+    * window rolls the version number out. A tag is a tiny JSON ref under
+    * `refs/`; [[vacuum]] treats tagged versions as pinned (manifest and
+    * files survive any `keepLast`), and [[readTag]] resolves the name to a
+    * time-travel read. Tags are IMMUTABLE once created — publishing uses
+    * the same temp + no-overwrite rename as manifests, so two writers
+    * racing the same name get one winner and one clean error; [[retag]] is
+    * the explicit atomic-replace escape hatch, [[untag]] releases the pin.
+    * Defaults to the latest version. Returns the pinned version.
+    */
+  def tag(spark: SparkSession, dir: String, name: String,
+          version: Long = -1L): Long = {
+    require(name.matches(tagNameRule), s"tag name must match $tagNameRule: '$name'")
+    val vs = versions(spark, dir)
+    val v = if (version < 0) vs.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"cannot tag an empty table: $dir"))
+    else version
+    require(vs.contains(v), s"version $v does not exist under $dir (have $vs)")
+    val fs = fsOf(spark, new Path(dir))
+    fs.mkdirs(new Path(dir, "refs"))
+    val tmp = new Path(dir, s"_staging-tag-${newToken()}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"name":"$name","version":$v}""".getBytes("UTF-8"))
+    finally out.close()
+    val target = fs.makeQualified(tagPath(dir, name))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    val won =
+      try { fc.rename(fs.makeQualified(tmp), target,
+        org.apache.hadoop.fs.Options.Rename.NONE); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: java.nio.file.FileAlreadyExistsException |
+                   _: org.apache.hadoop.fs.PathExistsException => false }
+    if (!won) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $dir — tags are immutable; " +
+          "untag first or retag to move it atomically")
+    }
+    v
+  }
+
+  /** Atomically move an existing (or create a new) tag — rename with
+    * OVERWRITE, so readers see the old target or the new, never a gap.
+    */
+  def retag(spark: SparkSession, dir: String, name: String, version: Long): Long = {
+    require(name.matches(tagNameRule), s"tag name must match $tagNameRule: '$name'")
+    require(versions(spark, dir).contains(version),
+      s"version $version does not exist under $dir")
+    val fs = fsOf(spark, new Path(dir))
+    fs.mkdirs(new Path(dir, "refs"))
+    val tmp = new Path(dir, s"_staging-tag-${newToken()}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"name":"$name","version":$version}""".getBytes("UTF-8"))
+    finally out.close()
+    val target = fs.makeQualified(tagPath(dir, name))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), target,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    version
+  }
+
+  /** Delete a tag; returns whether it existed. The pinned version becomes
+    * ordinary history and the next [[vacuum]] may reclaim it.
+    */
+  def untag(spark: SparkSession, dir: String, name: String): Boolean = {
+    require(name.matches(tagNameRule), s"tag name must match $tagNameRule: '$name'")
+    fsOf(spark, new Path(dir)).delete(tagPath(dir, name), false)
+  }
+
+  /** All tags on the table, name → version. Missing refs/ dir = no tags. */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsOf(spark, new Path(dir))
+    val refs = new Path(dir, "refs")
+    if (!fs.exists(refs)) Map.empty
+    else fs.listStatus(refs).filter(_.getPath.getName.endsWith(".json")).map { st =>
+      val in = fs.open(st.getPath)
+      val node = try mapper.readTree(in) finally in.close()
+      node.get("name").asText() -> node.get("version").asLong()
+    }.toMap
+  }
+
+  /** Time-travel read through a named ref. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = tags(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $dir"))
+    read(spark, dir, v)
   }
 }

@@ -503,6 +503,39 @@ class CurationSpec extends SparkSpec {
       "3_repetition" -> (2L, 1L))) // doc 4
   }
 
+  test("curation lineage: independent per-doc fail lists reconcile exactly with the funnel's first-fail attribution") {
+    val clean = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> clean,
+      1L -> clean.replace("tok0", "tokA"),
+      2L -> "tiny doc",                               // fails length AND min_words
+      3L -> (0 until 12).map(i => s"verylongword$i").mkString(" "),
+      4L -> Seq.fill(40)("spam ham").mkString(" ")))
+    val lin = graft.ops.Curation.curationLineage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fail_stages"), r.getAs[Boolean]("keep"))).toMap
+    // lineage is INDEPENDENT flags: doc 2 lists BOTH failures the funnel's
+    // first-fail attribution collapses into stage 1
+    assert(lin === Map(
+      0L -> ("", true), 1L -> ("", true),
+      2L -> ("length,min_words", false),
+      3L -> ("min_words", false),
+      4L -> ("repetition", false)))
+    // reconciliation against the funnel: first-failing-stage counts derive
+    // from the lineage lists, and survivors equal the keep count
+    val fun = graft.ops.Curation.filterFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("survivors"), r.getAs[Long]("dropped_here"))).toMap
+    def fails(s: String, st: String) = s.split(",").contains(st)
+    val v = lin.values.toSeq
+    assert(fun("1_length")._2 === v.count(t => fails(t._1, "length")))
+    assert(fun("2_min_words")._2 ===
+      v.count(t => !fails(t._1, "length") && fails(t._1, "min_words")))
+    assert(fun("3_repetition")._2 === v.count(t =>
+      !fails(t._1, "length") && !fails(t._1, "min_words") && fails(t._1, "repetition")))
+    assert(fun("3_repetition")._1 === v.count(_._2))
+  }
+
   test("source overlap: planted shared shingles produce exact pair counts; the df cap drops universal boilerplate") {
     // docsDir assigns source = src(id % 3); each doc is exactly one 8-gram
     val common = (0 until 8).map(i => s"c$i").mkString(" ")

@@ -399,6 +399,49 @@ class OpsSpec extends SparkSpec {
     assert(current === applied, "SCD2's open versions must equal the apply-changes state")
   }
 
+  test("scd2Maintain: incremental fold equals the full rebuild at every split, on real data and a planted adversary") {
+    val s = spark
+    import s.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("document_key"), r.getAs[Long]("valid_from_id"),
+        Option(r.getAs[java.lang.Long]("valid_to_id")).map(_.toLong),
+        r.getAs[Boolean]("is_current"), r.getAs[String]("full_document")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // real feed: split at 25% / 50% / 75% of the id range — incremental
+    // must equal the rebuild regardless of where the batch boundary falls
+    val ev = ChangeEvents.changeSet(graft.Tables.events(spark, sf0001))
+    val full = canon(ChangeEvents.scd2Fold(ev))
+    val b = ev.agg(org.apache.spark.sql.functions.min(col("event_id")),
+      org.apache.spark.sql.functions.max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val split = lo + ((hi - lo) * q).toLong
+      val hist = ChangeEvents.scd2Fold(ev.where(col("event_id") <= split))
+      val inc = ChangeEvents.scd2Maintain(hist, ev.where(col("event_id") > split))
+      assert(canon(inc) === full, s"incremental != rebuild at split q=$q")
+    }
+    // planted adversary: delete-as-first-batch-op closes the open version
+    // without emitting; insert-after-delete reopens; a new key appears only
+    // in the batch; an untouched key must ride through bit-for-bit
+    val feed = Seq(
+      (1L, 10L, "insert", "{a1}"), (1L, 20L, "update", "{a2}"), // untouched key
+      (2L, 11L, "insert", "{b1}"),                              // open at split
+      (2L, 31L, "delete", "{bx}"), (2L, 35L, "insert", "{b2}"), // close-then-reopen in batch
+      (3L, 12L, "insert", "{c1}"),                              // open at split
+      (3L, 32L, "update", "{c2}"), (3L, 36L, "update", "{c3}"), // two batch events
+      (4L, 33L, "insert", "{d1}")                               // key born in the batch
+    ).toDF("document_key", "event_id", "operation_type", "full_document")
+    val histP = ChangeEvents.scd2Fold(feed.where(col("event_id") <= 30))
+    val incP = ChangeEvents.scd2Maintain(histP, feed.where(col("event_id") > 30))
+    assert(canon(incP) === canon(ChangeEvents.scd2Fold(feed)))
+    val got = canon(incP)
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)) ===
+      Seq((11L, Some(31L), false), (35L, None, true)),
+      "delete closes at the delete id without emitting; the later insert reopens")
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)) ===
+      Seq((12L, Some(32L)), (32L, Some(36L)), (36L, None)))
+  }
+
   test("dailyFill: full calendar grid, zero-filled flows, carry-forward gauges match a local replay") {
     val got = Analytics.dailyFill(spark, sf0001).collect()
       .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day"),

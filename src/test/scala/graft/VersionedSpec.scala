@@ -999,4 +999,122 @@ class VersionedSpec extends SparkSpec {
       case e => fail(s"unexpected failure: $e")
     }
   }
+
+  test("clustered OPTIMIZE: a scattered layout re-sorts in-history; pruning tightens, rows and time travel are exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-cluster") + "/table"
+    // 200 keys hash-scattered across 5 files: every file's [min,max] spans
+    // the whole key range, so a point-range prunedRead must read all 5
+    val seed = (0 until 200).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartition(5, col("payload"))
+    Versioned.commit(spark, seed, dir)                                     // v1
+    val scattered = Versioned.prunedRead(spark, dir, "id", 5L, 7L)
+    assert(scattered.inputFiles.length >= 3,
+      "a hash-scattered layout mostly cannot prune — the fixture's premise")
+    // mask one row first so the clustered rewrite must materialize the dv
+    Versioned.deleteWhere(spark, dir, col("id") === 6L)                    // v2
+    val v = Versioned.optimize(spark, dir,
+      targetBytes = 4L * 1024, clusterBy = Seq("id"))                      // v3
+    assert(v === 3L)
+    assert(Versioned.dvsOf(spark, dir, v).isEmpty, "rewrite materializes dvs")
+    // identical rows (minus the masked one), tight per-file bounds
+    val after = Versioned.read(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === (0L until 200L).filterNot(_ == 6L))
+    val pruned = Versioned.prunedRead(spark, dir, "id", 5L, 7L)
+    assert(pruned.inputFiles.length === 1,
+      s"clustered layout answers a 3-key range from 1 file (read ${pruned.inputFiles.length})")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 7L))
+    // history intact: the pre-optimize scattered snapshot still reads, and
+    // the rewrite is correctly a non-append for incremental consumers
+    assert(Versioned.read(spark, dir, 1).count() === 200L)
+    assert(Versioned.newFiles(spark, dir, 2L, 3L).isEmpty,
+      "clustered optimize is not a pure append")
+  }
+
+  test("tags pin versions through vacuum: a tagged release stays readable past retention; untag releases it") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("versioned-tags") + "/table"
+    Versioned.commit(spark, rows(0, 10), dir)                       // v1
+    assert(Versioned.tag(spark, dir, "release-A") === 1L)           // default = latest
+    Versioned.commit(spark, rows(100, 10), dir)                     // v2 (replace: v1 files now unique to v1)
+    Versioned.append(spark, rows(200, 5), dir)                      // v3
+    // immutability + validation
+    intercept[IllegalStateException] { Versioned.tag(spark, dir, "release-A", 2L) }
+    intercept[IllegalArgumentException] { Versioned.tag(spark, dir, "nope", 99L) }
+    intercept[IllegalArgumentException] { Versioned.tag(spark, dir, "../evil", 1L) }
+    assert(Versioned.tags(spark, dir) === Map("release-A" -> 1L))
+    // retention would drop v1 and v2 — the tag pins v1 (manifest AND files)
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 3L),
+      "v2 reclaimed, tagged v1 pinned, head v3 retained")
+    assert(deleted.exists(_ == "manifest-v2.json"))
+    assert(Versioned.readTag(spark, dir, "release-A").collect().map(_.getLong(0)).sorted
+      === (0L until 10L).toArray, "the tagged release reads bit-for-bit after vacuum")
+    assert(Versioned.read(spark, dir).count() === 15L, "head = v2 replace + v3 append")
+    // retag moves the name atomically; untag releases the pin for vacuum
+    assert(Versioned.retag(spark, dir, "release-A", 3L) === 3L)
+    assert(Versioned.tags(spark, dir) === Map("release-A" -> 3L))
+    assert(Versioned.untag(spark, dir, "release-A"))
+    assert(!Versioned.untag(spark, dir, "release-A"), "second untag reports absence")
+    val deleted2 = Versioned.vacuum(spark, dir, keepLast = 1, graceMs = 0L)
+    assert(Versioned.versions(spark, dir) === Seq(3L), "unpinned v1 reclaimed")
+    assert(deleted2.exists(_ == "manifest-v1.json"))
+  }
+
+  test("SCD2 maintenance composes with MERGE: the delta rewrites only affected-key files; the table equals the full rebuild") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.events.ChangeEvents
+    val dir = tempDir("versioned-scd2") + "/table"
+    // 20 dimension keys born at ids 10..200; the batch touches only keys
+    // 17/18/19 (update, update, delete-then-reopen) — high scd_keys, so a
+    // range-clustered history isolates them in the tail file
+    val feed = ((1 to 20).map(k => (k.toLong, k * 10L, "insert", s"{v$k}")) ++ Seq(
+      (18L, 300L, "update", "{v18b}"),
+      (19L, 301L, "delete", "{x}"),
+      (19L, 305L, "insert", "{v19b}"),
+      (17L, 302L, "update", "{v17b}")
+    )).toDF("document_key", "event_id", "operation_type", "full_document")
+    val skey = (col("document_key") * 100000L + col("valid_from_id")).as("scd_key")
+    val history = ChangeEvents.scd2Fold(feed.where(col("event_id") <= 200))
+      .select(col("*"), skey)
+    Versioned.commit(spark, history.repartitionByRange(5, col("scd_key")), dir)
+    val before = Versioned.newFiles(spark, dir, -1L, 1L).get
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(before.size === 5)
+    // the incremental delta is exactly the maintained rows history lacks:
+    // closed versions (same scd_key, new bounds) + the batch's own versions
+    val maintained = ChangeEvents
+      .scd2Maintain(history.drop("scd_key"), feed.where(col("event_id") > 200))
+      .select(col("*"), skey)
+    val delta = maintained.except(history)
+      .withColumn("op", lit("upsert")).withColumn("seq", col("scd_key"))
+    val v = Versioned.merge(spark, delta, dir,
+      keyCol = "scd_key", orderCol = "seq", opCol = "op")
+    assert(v === 2L)
+    val after = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest-v2.json")))
+      val fl = node.path("files")
+      (0 until fl.size()).map(fl.get(_).asText()).toSet
+    }
+    // keys 17-19's open versions live in the tail range file; the other
+    // four files of the history ride into v2 by name, zero bytes moved
+    assert((before & after).size === 4,
+      s"exactly 1 of 5 files rewritten: kept=${(before & after).size}")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("document_key"), r.getAs[Long]("valid_from_id"),
+        Option(r.getAs[java.lang.Long]("valid_to_id")).map(_.toLong),
+        r.getAs[Boolean]("is_current"), r.getAs[String]("full_document")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(Versioned.read(spark, dir).drop("scd_key")) ===
+      canon(ChangeEvents.scd2Fold(feed)),
+      "merged table must equal the full-feed rebuild")
+    // time travel still reads the pre-batch history
+    assert(Versioned.read(spark, dir, 1).count() === history.count())
+  }
 }
