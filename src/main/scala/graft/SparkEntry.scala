@@ -50,6 +50,7 @@ object SparkEntry {
     "containment_pairs"    -> ((s, d) => Dedup.containmentPrefixPairs(s, d)),
     "lsh_precision"        -> ((s, d) => Dedup.lshPrecision(s, d)),
     "ann_brute_topk"       -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "ann_truncated_rerank" -> ((s, d) => Similarity.truncatedRerank(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     // Index lifecycle: build + persist the IVF index, then answer from the
@@ -95,6 +96,7 @@ object SparkEntry {
     "hybrid_search"        -> ((s, d) => graft.ops.Relevance.hybridSearch(s, d)),
     "phrase_search"        -> ((s, d) => graft.ops.Relevance.phraseSearch(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
+    "memorization_risk"    -> ((s, d) => graft.ops.Corpus.memorizationRisk(s, d)),
     "doc_chunks"           -> ((s, d) => graft.ops.Corpus.chunk(s, d)),
     "doc_packing"          -> ((s, d) => graft.ops.Corpus.docPacking(s, d)),
     "packing_efficiency"   -> ((s, d) => graft.ops.Corpus.packingEfficiency(s, d)),
@@ -122,6 +124,7 @@ object SparkEntry {
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
+    "matryoshka_fidelity"  -> ((s, d) => graft.ops.Embeddings.matryoshkaFidelity(s, d)),
     "embedding_outliers"   -> ((s, d) => graft.ops.Embeddings.embeddingOutliers(s, d)),
     "length_histogram"     -> ((s, d) => graft.ops.Corpus.lengthHistogram(s, d)),
     "label_prototypes"     -> ((s, d) => graft.ops.Embeddings.labelPrototypes(s, d)),
@@ -203,6 +206,7 @@ object SparkEntry {
     "event_transitions"    -> ((s, d) => Analytics.eventTransitions(s, d)),
     "rfm_segments"         -> ((s, d) => Analytics.rfmSegments(s, d)),
     "source_quality"       -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
+    "source_quantile_norm" -> ((s, d) => TextAnalysis.sourceQuantileNorm(s, d)),
     "attribution"          -> ((s, d) => Analytics.lastTouchAttribution(s, d)),
     "dq_checks"            -> ((s, d) => graft.ops.Contracts.dqChecks(s, d)),
     "event_anomalies"      -> ((s, d) => Analytics.eventAnomalies(s, d)),
@@ -885,6 +889,76 @@ object SparkEntry {
         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |      FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the coarse pass scores 16-dim prefixes, the exact pass re-ranks the
+    // bounded top-50 pool — both stages deterministic (ties by vec_id),
+    // replayed verbatim
+    "ann_truncated_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id, v, qv,
+        |        round(
+        |          list_sum(list_transform(list_zip(v[1:16], qv[1:16]), p -> p[1] * p[2])) /
+        |          (sqrt(list_sum(list_transform(v[1:16], x -> x * x))) *
+        |           sqrt(list_sum(list_transform(qv[1:16], x -> x * x)))), 6) AS cos_head
+        |      FROM e, q WHERE vec_id <> query_id),
+        |pool AS (SELECT query_id, vec_id, v, qv FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                       ORDER BY cos_head DESC, vec_id) AS crank
+        |          FROM s) WHERE crank <= 50),
+        |r AS (SELECT query_id, vec_id,
+        |        round(
+        |          list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) /
+        |          (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |           sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos
+        |      FROM pool)
+        |SELECT query_id, rank, neighbor_id, cos
+        |FROM (SELECT query_id, vec_id AS neighbor_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |      FROM r)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "matryoshka_fidelity" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |d AS (SELECT unnest([8, 16, 32]) AS td),
+        |f AS (SELECT CAST(td AS BIGINT) AS trunc_dim,
+        |        round(sqrt(list_sum(list_transform(v[1:td], x -> x * x))) /
+        |              sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS fid
+        |      FROM e, d)
+        |SELECT trunc_dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(CAST(sum(CAST(fid AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_fidelity,
+        |       min(fid) AS min_fidelity
+        |FROM f GROUP BY trunc_dim ORDER BY trunc_dim""".stripMargin,
+
+    "source_quantile_norm" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+        |m AS (SELECT doc_id, source,
+        |        round(least(1.0, CAST(len(tok) AS DOUBLE) / 200.0) *
+        |              (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE)), 6)
+        |          AS quality_score
+        |      FROM t)
+        |SELECT doc_id, source, quality_score,
+        |       round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score), 6)
+        |         AS q_in_source
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "memorization_risk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id,
+        |        [('0x' || substr(md5(x), 1, 15))::BIGINT for x in
+        |         list_distinct([array_to_string(tok[i:i+7], ' ')
+        |                        for i in generate_series(1, greatest(len(tok)-7, 1))])] AS hv
+        |      FROM t),
+        |ex AS (SELECT doc_id, unnest(hv) AS h FROM g),
+        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+        |r AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |             CAST(count(*) FILTER (WHERE df <= 2) AS BIGINT) AS n_rare
+        |      FROM ex JOIN df USING (h) GROUP BY ex.doc_id)
+        |SELECT doc_id, n_grams, n_rare,
+        |       round(CAST(n_rare AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS risk
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "ann_ivf_topk" -> ivfOracleSql(),
 

@@ -188,6 +188,39 @@ object Corpus {
       )
       .orderBy("lang", "source")
 
+  /** B13e — MEMORIZATION-RISK scoring: per document, the count and fraction
+    * of its distinct n-grams that are corpus-RARE (document frequency ≤
+    * `maxDf`). A doc dominated by sequences nothing else in the corpus
+    * contains is the verbatim-memorization risk extraction attacks target
+    * (Carlini-style: rare long n-grams are what a model can only emit by
+    * memorizing THIS document) — the inverse of the contamination lens:
+    * B13 asks "does training data contain the eval set", this asks "which
+    * training docs would be attributable if regurgitated". High-risk docs
+    * are the ones to dedup hardest, audit for PII, or down-weight.
+    *
+    * Same machinery as the dedup family: distinct n-gram hashes per doc
+    * from the codegen'd ShingleHashes pass, one explode → df groupBy
+    * (map-side partials absorb common grams), one hash join back. At
+    * 100 TB the df table is the shared shingle universe B51/B57 already
+    * build — maintainable as an index; nothing here is corpus-quadratic.
+    */
+  def memorizationRisk(spark: SparkSession, dir: String, n: Int = 8,
+                       maxDf: Long = 2L): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(VectorExpressions.shingleHashes(col("text"), n, md5Based = true)
+          .getField("hv")).as("hv"))
+    val df = grams.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("hv"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).cast("long").as("n_rare"))
+      .select(col("doc_id"), col("n_grams"), col("n_rare"),
+        round(col("n_rare").cast("double") / col("n_grams").cast("double"), 6)
+          .as("risk"))
+      .orderBy("doc_id")
+  }
+
   /** B22 — corpus vocabulary: per-token corpus frequency (tf) and document
     * frequency (df), deterministic top-k by tf — the counting pass a
     * tokenizer/BPE training run makes over the corpus. Two-level

@@ -60,6 +60,40 @@ object Embeddings {
     * lambda passes per vector — with identical arithmetic order, so the
     * oracle hash is unchanged. Registered as `embedding_quantize`.
     */
+  /** B18b — MATRYOSHKA truncation fidelity: per prefix length d, how much
+    * of each vector's norm the first d dimensions carry —
+    * `||x[1:d]|| / ||x||`, which IS `cos(x, truncate(x))`, the exact
+    * retrieval-fidelity loss of serving truncated embeddings. MRL-trained
+    * embeddings front-load signal so a d≪dim prefix preserves ranking at a
+    * fraction of the storage/bandwidth — THE cheapest ANN scale lever
+    * (truncate 64→16 dims = 4× less to scan) — and this report says
+    * whether a given embedding column has that property before you bet an
+    * index on it (B5e bets on it per-query and re-ranks exactly).
+    *
+    * One scan: the dims explode is a 3-literal array, per-row arithmetic
+    * only, one tiny groupBy. Mean accumulates the 6-dp per-vector
+    * fidelities in DECIMAL so the oracle lands on identical bits.
+    */
+  def matryoshkaFidelity(spark: SparkSession, dir: String,
+                         dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val fid = Tables.embeddings(spark, dir)
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("trunc_dim", explode(lit(dims.toArray)))
+      .select(col("trunc_dim").cast("long").as("trunc_dim"),
+        round(
+          sqrt(aggregate(slice(col("v"), lit(1), col("trunc_dim")),
+            lit(0.0), (acc, x) => acc + x * x)) /
+            sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)),
+          6).as("fid"))
+    fid.groupBy(col("trunc_dim"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        round(sum(col("fid").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_fidelity"),
+        min(col("fid")).as("min_fidelity"))
+      .orderBy("trunc_dim")
+  }
+
   def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
     val qz = graft.functions.VectorExpressions.quantizeVector(col("embedding"))
     Tables.embeddings(spark, dir)

@@ -85,6 +85,42 @@ object Similarity {
       .transform(boundedSort(_, "query_id", "rank"))
   }
 
+  /** B5e — TRUNCATED-PREFIX two-stage retrieval (Matryoshka-style): stage 1
+    * scores every vector against the broadcast queries on only the first
+    * `d` dimensions and keeps the top-`candidates` per query; stage 2
+    * re-ranks that bounded pool with the EXACT full-dimension cosine. The
+    * adaptive-retrieval pattern MRL serving uses: at 100 TB the d-dim
+    * prefix lives as its OWN column (or the int8-quantized head), so the
+    * coarse pass reads d/dim of the bytes and the exact pass touches only
+    * `candidates` vectors per query — the cheapest ANN accelerator that
+    * needs NO index build or maintenance (vs B5b/B5c/B5d), at the cost of
+    * recall only where the prefix misranks beyond the candidate margin
+    * (B18b's fidelity report says whether the embedding column earns it).
+    * Deterministic end-to-end (ties by vec_id), so the oracle replays it
+    * exactly; AnnSpec pins recall@k vs the brute baseline.
+    */
+  def truncatedRerank(spark: SparkSession, dir: String, nQueries: Int = 5,
+                      k: Int = 5, d: Int = 16, candidates: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val coarse = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_head", round(
+        cosine(slice(col("embedding"), 1, d), slice(col("query_vec"), 1, d)), 6))
+    val byHead = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_head").desc, col("vec_id"))
+    val pool = coarse.withColumn("crank", row_number().over(byHead))
+      .where(col("crank") <= candidates)
+    val byExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pool
+      .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))
+      .withColumn("rank", row_number().over(byExact).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .transform(boundedSort(_, "query_id", "rank"))
+  }
+
   /** Deterministic Gaussian hyperplanes (java.util.Random is LCG-spec'd, so
     * the matrix is stable across JVMs). Shipped to executors as one literal
     * constant — no per-row RNG, no per-element hashing.

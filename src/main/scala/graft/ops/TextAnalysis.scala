@@ -139,6 +139,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** B50c — per-source QUANTILE NORMALIZATION of the quality score: each
+    * doc's within-source percentile rank. Raw heuristic scores are not
+    * comparable across sources (a boilerplate-heavy crawl saturates low, a
+    * curated source saturates high), so thresholding the raw score
+    * over-prunes some sources and under-prunes others; ranking each doc
+    * WITHIN its source puts every source on the same [0,1] axis — the
+    * standard fix when blending heterogeneous sources into one corpus mix
+    * (keep the top-q of EACH source, not the global top-q). `percent_rank`
+    * ties share a value in Spark and DuckDB alike, so the oracle lands on
+    * identical bits; ORDER BY the score alone keeps tie groups engine-
+    * independent.
+    *
+    * Scale shape: one projection for the score + ONE window partitioned by
+    * source (the natural shuffle key; a dominating source is the
+    * sourceCapSample two-level scaffold's case). Nothing corpus-global.
+    */
+  def sourceQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = toks(col("text"))
+    val nTok = size(tokens).cast("double")
+    val uniqRatio = size(array_distinct(tokens)).cast("double") / nTok
+    val score = round(least(lit(1.0), nTok / lit(200.0)) * uniqRatio, 6)
+    val bySource = Window.partitionBy(col("source")).orderBy(col("quality_score"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), score.as("quality_score"))
+      .withColumn("q_in_source", round(percent_rank().over(bySource), 6))
+      .orderBy("doc_id")
+  }
+
   /** B10 — document fingerprinting: winnowing-style rolling fingerprint —
     * hash every k-token shingle, keep the minimum (and the document-level
     * hash). The shingle hashing runs in the codegen'd ShingleHashes

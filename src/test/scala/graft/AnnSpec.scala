@@ -150,4 +150,48 @@ class AnnSpec extends SparkSpec {
       assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b }, "cos non-increasing")
     }
   }
+
+  test("truncated-prefix rerank: recall scales with the candidate margin; exact cosines on whatever it returns") {
+    val k = 5
+    val brute = Similarity.bruteTopK(spark, sf0001, nQueries = 5, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    def recallAt(cand: Int): Double = {
+      val got = Similarity.truncatedRerank(spark, sf0001, nQueries = 5, k = k,
+        candidates = cand)
+        .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+      // stage 2 is EXACT: any returned pair's cosine equals the brute pair's
+      got.foreach { case (pair, cos) =>
+        brute.get(pair).foreach(b => assert(cos === b, s"$pair rerank cos $cos != brute $b")) }
+      got.map(_._1).count(brute.contains).toDouble / brute.size
+    }
+    // these embeddings are ISOTROPIC (no MRL structure), the hard case for
+    // prefix screening: a 16-of-64 prefix ranks weakly, so recall must be
+    // bought with candidate margin — the knob the operator exposes. The
+    // assertions pin the tradeoff rather than assuming MRL-friendly data.
+    val r50 = recallAt(50)
+    val r300 = recallAt(300)
+    assert(r50 >= 0.3, s"recall@$k = $r50 with candidates=50 (isotropic floor)")
+    assert(r300 >= 0.9, s"recall@$k = $r300 with candidates=300 of 500")
+    assert(r300 >= r50, "recall is monotone in the candidate margin")
+    // a conservative pool is exact by construction: candidates >= corpus
+    val exact = Similarity.truncatedRerank(spark, sf0001, nQueries = 5, k = k,
+      candidates = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(exact === brute, "an all-corpus candidate pool must reproduce brute force exactly")
+  }
+
+  test("matryoshka fidelity: monotone in the prefix length, bounded by 1, full-dim sanity") {
+    import graft.ops.Embeddings
+    val rows = Embeddings.matryoshkaFidelity(spark, sf0001, dims = Seq(8, 16, 32, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(rows.map(_._2).distinct.length === 1, "every prefix sees every vector")
+    rows.foreach { case (d, _, mean, mn) =>
+      assert(mn > 0.0 && mean <= 1.0 && mn <= mean, s"d=$d out of bounds: mean=$mean min=$mn") }
+    // fidelity grows with the prefix: ||x[1:d]|| is non-decreasing in d
+    val means = rows.map(_._3).toSeq
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, s"non-monotone: $means")
+    val (_, _, meanFull, minFull) = rows.last
+    assert(meanFull === 1.0 && minFull === 1.0, "the full-dim prefix is the vector itself")
+  }
 }

@@ -536,6 +536,53 @@ class CurationSpec extends SparkSpec {
     assert(fun("3_repetition")._1 === v.count(_._2))
   }
 
+  test("memorization risk: corpus-unique grams score 1, triple-duplicated text scores 0, pair-shared stays rare") {
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val tri = words("t", 20)   // three byte-identical docs: every 8-gram df=3
+    val uniq = words("u", 20)  // corpus-unique: every 8-gram df=1
+    val pair = words("p", 20)  // shared by exactly two docs: df=2, still rare
+    val dir = docsDir(Seq(1L -> tri, 2L -> tri, 3L -> tri, 4L -> uniq,
+      5L -> pair, 6L -> pair))
+    val got = graft.ops.Corpus.memorizationRisk(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nGrams = 20 - 7 // distinct 8-grams of a 20-token no-repeat doc
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) === ((nGrams.toLong, 0L, 0.0)), s"doc $id: df=3 grams are not rare") }
+    assert(got(4L) === ((nGrams.toLong, nGrams.toLong, 1.0)), "corpus-unique doc is max risk")
+    Seq(5L, 6L).foreach { id =>
+      assert(got(id) === ((nGrams.toLong, nGrams.toLong, 1.0)),
+        s"doc $id: df=2 <= maxDf stays attributable") }
+    // raising nothing: with maxDf=1 the pair stops counting as rare
+    val strict = graft.ops.Corpus.memorizationRisk(spark, dir, maxDf = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(5L) === 0L && strict(4L) === nGrams.toLong)
+  }
+
+  test("source quantile norm: within-source percent ranks replay locally; scales align across sources") {
+    // docsDir assigns source = src{id % 3}; vary uniq-token ratio per doc so
+    // scores differ within each source
+    def doc(n: Int, uniq: Int) =
+      ((0 until uniq).map(i => s"w$i") ++ Seq.fill(n - uniq)("filler")).mkString(" ")
+    val dir = docsDir((1L to 12L).map(i => i -> doc(30, 2 + (i % 7).toInt)))
+    val got = graft.ops.TextAnalysis.sourceQuantileNorm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 12)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      // local percent_rank replay: ties share (rank-1)/(n-1)
+      val sorted = rows.sortBy(_._3)
+      val expected = rows.map { r =>
+        val below = rows.count(_._3 < r._3)
+        r._1 -> BigDecimal(below.toDouble / (n - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      rows.foreach { r =>
+        assert(r._4 === expected(r._1), s"$src doc ${r._1}: ${r._4} != ${expected(r._1)}") }
+      assert(sorted.last._4 === 1.0 && sorted.head._4 === 0.0,
+        s"$src spans the full [0,1] axis")
+    }
+  }
+
   test("source overlap: planted shared shingles produce exact pair counts; the df cap drops universal boilerplate") {
     // docsDir assigns source = src(id % 3); each doc is exactly one 8-gram
     val common = (0 until 8).map(i => s"c$i").mkString(" ")

@@ -60,6 +60,9 @@ class PlanGuardSpec extends SparkSpec {
                           // vectors (bounded by construction, not by data)
                           // against the corpus; ann_lsh/ann_ivf are the
                           // scale paths and stay equi-join-only
+    "ann_truncated_rerank", // same bounded probe-set broadcast as ann_brute;
+                          // the coarse pass scans prefix dims, the exact
+                          // pass is candidate-bounded per query
     "q22_dormant",        // broadcast 1-row (Σbal, n) average-balance scalar
     "q15_top_supplier",   // broadcast 1-row max-revenue scalar
     "q11_important",      // broadcast 1-row (Σvalue, n_parts) stock-value scalar
