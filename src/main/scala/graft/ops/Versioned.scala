@@ -374,11 +374,16 @@ object Versioned {
   private[graft] def publishManifest(spark: SparkSession, dir: String, v: Long,
                                      files: Seq[String], epoch: Long,
                                      prevMax: Long,
-                                     dvs: Map[String, String] = Map.empty): Boolean = {
+                                     dvs: Map[String, String] = Map.empty,
+                                     op: String = "commit"): Boolean = {
     val fs = fsOf(spark, new Path(dir))
     val carried = math.max(epoch, prevMax)
     val node = mapper.createObjectNode()
     node.put("version", v)
+    // D22i: the operation log — which kind of commit produced this version
+    // and when (wall clock at publish) — powers [[history]] and [[readAsOf]]
+    node.put("op", op)
+    node.put("ts", System.currentTimeMillis())
     node.put("epoch", epoch)
     node.put("max_epoch", carried)
     node.put("n_files", files.size)
@@ -629,7 +634,7 @@ object Versioned {
             s"commit (head is now v${head.getOrElse(0L)}); staged files are " +
             "unreferenced and vacuumable")
       if (!publishManifest(spark, dir, v, named, epoch,
-        priorMaxEpoch(spark, dir, basis)))
+        priorMaxEpoch(spark, dir, basis), op = "replace"))
         throw new ConcurrentWriteException(
           s"replace of $dir lost the v$v manifest publish to a concurrent " +
             "committer in another process; staged files are unreferenced and vacuumable")
@@ -673,7 +678,7 @@ object Versioned {
         // append adds files, it never unmasks rows
         val prevDvs = prior.map(dvsOf(spark, dir, _)).getOrElse(Map.empty[String, String])
         if (publishManifest(spark, dir, v, prevFiles ++ named, epoch,
-          priorMaxEpoch(spark, dir, prior), prevDvs)) Some(v) else None
+          priorMaxEpoch(spark, dir, prior), prevDvs, op = "append")) Some(v) else None
       }
       published match {
         case Some(v) => graft.Tables.invalidateSpread(dir); return v
@@ -730,7 +735,8 @@ object Versioned {
           s"checked replace of $dir based on v${basis.getOrElse(0L)} lost to a " +
             s"concurrent commit (head is now v${head.getOrElse(0L)}); staged files " +
             "are unreferenced and vacuumable")
-      if (!publishManifest(spark, dir, v, named, epoch, priorMaxEpoch(spark, dir, basis)))
+      if (!publishManifest(spark, dir, v, named, epoch, priorMaxEpoch(spark, dir, basis),
+        op = "replace"))
         throw new ConcurrentWriteException(
           s"checked replace of $dir lost the v$v manifest publish to a concurrent " +
             "committer in another process; staged files are unreferenced and vacuumable")
@@ -968,7 +974,8 @@ object Versioned {
         val prior = versions(spark, dir).lastOption
         val v = prior.getOrElse(0L) + 1
         if (publishManifest(spark, dir, v, files, epochOf(spark, dir, to),
-          priorMaxEpoch(spark, dir, prior), dvsOf(spark, dir, to))) Some(v)
+          priorMaxEpoch(spark, dir, prior), dvsOf(spark, dir, to),
+          op = "rollback")) Some(v)
         else None
       }
       published match {
@@ -1066,7 +1073,7 @@ object Versioned {
               "is vacuumable — retry: it re-derives from the new head")
         if (!publishManifest(spark, dir, v, files, -1L,
           priorMaxEpoch(spark, dir, basis),
-          dvs ++ affected.map(_ -> dvName)))
+          dvs ++ affected.map(_ -> dvName), op = "delete"))
           throw new ConcurrentWriteException(
             s"deleteWhere on $dir lost the v$v manifest publish to a concurrent " +
               "committer in another process; retry")
@@ -1195,7 +1202,7 @@ object Versioned {
         val prevFiles = readManifest(spark, dir, basis.get)
         if (!publishManifest(spark, dir, v,
           prevFiles.filterNot(touchedNames) ++ staged, epoch,
-          priorMaxEpoch(spark, dir, basis), dvs -- touchedNames))
+          priorMaxEpoch(spark, dir, basis), dvs -- touchedNames, op = "merge"))
           throw new ConcurrentWriteException(
             s"merge into $dir lost the v$v manifest publish to a concurrent " +
               "committer in another process; retry the merge")
@@ -1262,7 +1269,7 @@ object Versioned {
             s"optimize of $dir based on v${basis.get} lost to a concurrent commit; " +
               "staged files are vacuumable — retry")
         if (!publishManifest(spark, dir, v, staged, -1L,
-          priorMaxEpoch(spark, dir, basis), Map.empty))
+          priorMaxEpoch(spark, dir, basis), Map.empty, op = "optimize"))
           throw new ConcurrentWriteException(
             s"optimize of $dir lost the v$v manifest publish; retry")
       }
@@ -1289,7 +1296,8 @@ object Versioned {
           s"optimize of $dir based on v${basis.get} lost to a concurrent commit; " +
             "staged files are vacuumable — retry")
       if (!publishManifest(spark, dir, v, big.map(_._1) ++ staged, -1L,
-        priorMaxEpoch(spark, dir, basis), dvs.filter(kv => big.exists(_._1 == kv._1))))
+        priorMaxEpoch(spark, dir, basis), dvs.filter(kv => big.exists(_._1 == kv._1)),
+        op = "optimize"))
         throw new ConcurrentWriteException(
           s"optimize of $dir lost the v$v manifest publish; retry")
     }
@@ -1392,7 +1400,51 @@ object Versioned {
     (deletedData ++ deletedManifests ++ debris).toSeq
   }
 
-  // ---- D22g: named refs (tags) -------------------------------------------
+  // ---- D22i: the operation log -------------------------------------------
+
+  /** One row per retained version, newest last: (version, op, ts, epoch,
+    * n_files) — DESCRIBE HISTORY for the table. `op` says what produced
+    * the version (append / replace / merge / optimize / delete / rollback
+    * / commit), `ts` is the publish wall clock. Manifests written before
+    * the fields existed report op="commit" and the manifest FILE's
+    * modification time (same clock, coarser fs granularity) so old tables
+    * stay auditable. Metadata-only: one small read per retained manifest,
+    * never a data scan.
+    */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String, Long, Long, Int)] = {
+    val fs = fsOf(spark, new Path(dir))
+    versions(spark, dir).map { v =>
+      val node = manifestNode(spark, dir, v)
+      val ts =
+        if (node.has("ts")) node.get("ts").asLong()
+        else fs.getFileStatus(manifestPath(dir, v)).getModificationTime
+      (v,
+        if (node.has("op")) node.get("op").asText() else "commit",
+        ts,
+        node.path("epoch").asLong(-1L),
+        node.path("n_files").asInt(0))
+    }
+  }
+
+  /** Time-travel by WALL CLOCK: read the newest version whose publish `ts`
+    * is ≤ `tsMillis` — "the corpus as the pipeline saw it at 14:00", the
+    * timestamp face of `read(dir, version)`. Throws when the table has no
+    * version that old (distinguishable from an empty frame: the caller
+    * asked about a time before the table existed). Commit timestamps are
+    * assigned at publish under the OCC serialization, so they ascend with
+    * versions on one table; clock skew across WRITERS is the usual
+    * lakehouse caveat (Delta shares it) — version pins (tags, D22h) are
+    * the reproducibility primitive, timestamps are the exploration one.
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val h = history(spark, dir).filter(_._3 <= tsMillis)
+    require(h.nonEmpty,
+      s"no version of $dir published at or before $tsMillis " +
+        s"(earliest is ${history(spark, dir).headOption.map(_._3)})")
+    read(spark, dir, h.last._1)
+  }
+
+  // ---- D22h: named refs (tags) -------------------------------------------
 
   private val tagNameRule = "[A-Za-z0-9][A-Za-z0-9._-]{0,63}"
   private def tagPath(dir: String, name: String) =

@@ -1033,6 +1033,35 @@ class VersionedSpec extends SparkSpec {
       "clustered optimize is not a pure append")
   }
 
+  test("operation log: history names each commit kind in order; readAsOf travels by wall clock") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-history") + "/table"
+    Versioned.commit(spark, rows(0, 10), dir)                            // v1 replace
+    Versioned.append(spark, rows(100, 5), dir)                          // v2 append
+    val changes = Seq((0L, "fresh", "update", 1L))
+      .toDF("id", "payload", "operation_type", "seq")
+    Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq") // v3 merge
+    Versioned.deleteWhere(spark, dir, col("id") === 101L)                // v4 delete
+    Versioned.optimize(spark, dir, targetBytes = 64L * 1024 * 1024)      // v5 optimize
+    Versioned.rollback(spark, dir, to = 2L)                              // v6 rollback
+    val h = Versioned.history(spark, dir)
+    assert(h.map(t => (t._1, t._2)) === Seq(1L -> "replace", 2L -> "append",
+      3L -> "merge", 4L -> "delete", 5L -> "optimize", 6L -> "rollback"))
+    val tss = h.map(_._3)
+    assert(tss.zip(tss.tail).forall { case (a, b) => a <= b }, "publish times ascend")
+    assert(h.head._5 > 0, "n_files recorded")
+    // timestamp travel: as-of each commit's own ts reads that version's rows
+    val atV1 = Versioned.readAsOf(spark, dir, h.head._3)
+    assert(atV1.count() === 10L, "as-of v1's publish instant reads v1")
+    assert(Versioned.readAsOf(spark, dir, h.last._3 + 60000L).count() === 15L,
+      "a future instant reads the head (the v2 state the rollback restored)")
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, dir, h.head._3 - 60000L)
+    }
+  }
+
   test("tags pin versions through vacuum: a tagged release stays readable past retention; untag releases it") {
     val s = spark
     import s.implicits._
