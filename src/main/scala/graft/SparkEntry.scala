@@ -119,6 +119,7 @@ object SparkEntry {
     "source_cap_sample"    -> ((s, d) => graft.ops.Curation.sourceCapSample(s, d)),
     "priority_sample"      -> ((s, d) => graft.ops.Curation.prioritySample(s, d)),
     "quality_ensemble"     -> ((s, d) => graft.ops.Curation.qualityEnsemble(s, d)),
+    "signal_agreement"     -> ((s, d) => graft.ops.Curation.signalAgreement(s, d)),
     "training_order"       -> ((s, d) => graft.ops.Curation.trainingOrder(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
@@ -499,6 +500,45 @@ object SparkEntry {
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
        |  FROM d) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared DuckDB CTE prefix deriving the three ensemble signals
+    * (quality_score / coverage / cross_entropy) joined per doc as `j` —
+    * ONE definition consumed by both the `quality_ensemble` and
+    * `signal_agreement` oracles, the same no-drift discipline the Scala
+    * side gets from reusing the component ops.
+    */
+  private val ensembleSignalCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |qs AS (SELECT doc_id,
+        |         round(least(1.0, CAST(len(tok) AS DOUBLE) / 200.0) *
+        |               (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE)), 6)
+        |           AS quality_score
+        |       FROM t),
+        |bg AS (SELECT doc_id, tok[i] || ' ' || tok[i + 1] AS bigram
+        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+        |pdc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        |cmn AS (SELECT bigram FROM pdc GROUP BY bigram HAVING sum(cnt) >= 5),
+        |cov AS (SELECT t.doc_id,
+        |          CASE WHEN a.n_bigrams IS NULL THEN NULL
+        |               ELSE round(a.n_common / CAST(a.n_bigrams AS DOUBLE), 6) END AS coverage
+        |        FROM t LEFT JOIN (
+        |          SELECT pdc.doc_id, CAST(sum(pdc.cnt) AS BIGINT) AS n_bigrams,
+        |            CAST(sum(CASE WHEN cmn.bigram IS NULL THEN 0 ELSE pdc.cnt END) AS BIGINT) AS n_common
+        |          FROM pdc LEFT JOIN cmn USING (bigram) GROUP BY pdc.doc_id) a USING (doc_id)),
+        |b2 AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
+        |pd2 AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b2 GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd2 GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT unnest(tok) AS w FROM t)),
+        |lp AS (SELECT cb.w1, cb.w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp
+        |       FROM cb JOIN cu USING (w1) CROSS JOIN v),
+        |ced AS (SELECT pd2.doc_id, sum(pd2.cnt) AS nb, sum(pd2.cnt * lp.lp) AS s
+        |        FROM pd2 JOIN lp USING (w1, w2) GROUP BY 1),
+        |ce AS (SELECT t.doc_id, round(-ced.s / ced.nb, 6) AS cross_entropy
+        |       FROM t LEFT JOIN ced USING (doc_id)),
+        |j AS (SELECT qs.doc_id, qs.quality_score, cov.coverage, ce.cross_entropy
+        |      FROM qs JOIN cov USING (doc_id) JOIN ce USING (doc_id)),""".stripMargin
 
   private val cosSql =
     "round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / " +
@@ -1818,37 +1858,7 @@ object SparkEntry {
     // moments accumulate in DECIMAL so variance/std/z land on identical
     // bits; null signals (no-bigram docs) drop out of that doc's mean.
     "quality_ensemble" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-        |qs AS (SELECT doc_id,
-        |         round(least(1.0, CAST(len(tok) AS DOUBLE) / 200.0) *
-        |               (CAST(len(list_distinct(tok)) AS DOUBLE) / CAST(len(tok) AS DOUBLE)), 6)
-        |           AS quality_score
-        |       FROM t),
-        |bg AS (SELECT doc_id, tok[i] || ' ' || tok[i + 1] AS bigram
-        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
-        |pdc AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
-        |cmn AS (SELECT bigram FROM pdc GROUP BY bigram HAVING sum(cnt) >= 5),
-        |cov AS (SELECT t.doc_id,
-        |          CASE WHEN a.n_bigrams IS NULL THEN NULL
-        |               ELSE round(a.n_common / CAST(a.n_bigrams AS DOUBLE), 6) END AS coverage
-        |        FROM t LEFT JOIN (
-        |          SELECT pdc.doc_id, CAST(sum(pdc.cnt) AS BIGINT) AS n_bigrams,
-        |            CAST(sum(CASE WHEN cmn.bigram IS NULL THEN 0 ELSE pdc.cnt END) AS BIGINT) AS n_common
-        |          FROM pdc LEFT JOIN cmn USING (bigram) GROUP BY pdc.doc_id) a USING (doc_id)),
-        |b2 AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
-        |       FROM t, unnest(generate_series(1, len(tok) - 1)) AS g(i)),
-        |pd2 AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM b2 GROUP BY 1, 2, 3),
-        |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd2 GROUP BY 1, 2),
-        |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT unnest(tok) AS w FROM t)),
-        |lp AS (SELECT cb.w1, cb.w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp
-        |       FROM cb JOIN cu USING (w1) CROSS JOIN v),
-        |ced AS (SELECT pd2.doc_id, sum(pd2.cnt) AS nb, sum(pd2.cnt * lp.lp) AS s
-        |        FROM pd2 JOIN lp USING (w1, w2) GROUP BY 1),
-        |ce AS (SELECT t.doc_id, round(-ced.s / ced.nb, 6) AS cross_entropy
-        |       FROM t LEFT JOIN ced USING (doc_id)),
-        |j AS (SELECT qs.doc_id, qs.quality_score, cov.coverage, ce.cross_entropy
-        |      FROM qs JOIN cov USING (doc_id) JOIN ce USING (doc_id)),
+      (ensembleSignalCtes + """
         |m AS (SELECT count(*) AS n,
         |        sum(CAST(quality_score AS DECIMAL(18,6))) AS s_q,
         |        sum(CAST(quality_score AS DECIMAL(18,6)) * CAST(quality_score AS DECIMAL(18,6))) AS ss_q,
@@ -1877,7 +1887,54 @@ object SparkEntry {
         |       CAST((z_q IS NOT NULL)::int + (z_c IS NOT NULL)::int + (z_p IS NOT NULL)::int AS BIGINT) AS n_signals,
         |       round((coalesce(z_q, 0.0) + coalesce(z_c, 0.0) + coalesce(z_p, 0.0)) /
         |             ((z_q IS NOT NULL)::int + (z_c IS NOT NULL)::int + (z_p IS NOT NULL)::int), 6) AS ensemble
-        |FROM z ORDER BY doc_id""".stripMargin,
+        |FROM z ORDER BY doc_id""".stripMargin),
+
+    // pairwise Pearson agreement over the SAME signal join (shared CTEs):
+    // per pair, decimal-exact sums restricted to rows where BOTH signals
+    // are present; r in doubles from those exact sums
+    "signal_agreement" ->
+      (ensembleSignalCtes + """
+        |m AS (SELECT
+        |  count(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN 1 END) AS n_qc,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) END) AS qc_sx,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN CAST(coverage AS DECIMAL(18,6)) END) AS qc_sy,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) * CAST(quality_score AS DECIMAL(18,6)) END) AS qc_sxx,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN CAST(coverage AS DECIMAL(18,6)) * CAST(coverage AS DECIMAL(18,6)) END) AS qc_syy,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND coverage IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) * CAST(coverage AS DECIMAL(18,6)) END) AS qc_sxy,
+        |  count(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN 1 END) AS n_qp,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) END) AS qp_sx,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(cross_entropy AS DECIMAL(18,6)) END) AS qp_sy,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) * CAST(quality_score AS DECIMAL(18,6)) END) AS qp_sxx,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(cross_entropy AS DECIMAL(18,6)) * CAST(cross_entropy AS DECIMAL(18,6)) END) AS qp_syy,
+        |  sum(CASE WHEN quality_score IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(quality_score AS DECIMAL(18,6)) * CAST(cross_entropy AS DECIMAL(18,6)) END) AS qp_sxy,
+        |  count(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN 1 END) AS n_cp,
+        |  sum(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(coverage AS DECIMAL(18,6)) END) AS cp_sx,
+        |  sum(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(cross_entropy AS DECIMAL(18,6)) END) AS cp_sy,
+        |  sum(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(coverage AS DECIMAL(18,6)) * CAST(coverage AS DECIMAL(18,6)) END) AS cp_sxx,
+        |  sum(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(cross_entropy AS DECIMAL(18,6)) * CAST(cross_entropy AS DECIMAL(18,6)) END) AS cp_syy,
+        |  sum(CASE WHEN coverage IS NOT NULL AND cross_entropy IS NOT NULL THEN CAST(coverage AS DECIMAL(18,6)) * CAST(cross_entropy AS DECIMAL(18,6)) END) AS cp_sxy
+        |  FROM j),
+        |p AS (
+        |  SELECT 'coverage~cross_entropy' AS pair, CAST(n_cp AS BIGINT) AS n_both,
+        |    CAST(n_cp AS DOUBLE) * CAST(cp_sxy AS DOUBLE) - CAST(cp_sx AS DOUBLE) * CAST(cp_sy AS DOUBLE) AS num,
+        |    (CAST(n_cp AS DOUBLE) * CAST(cp_sxx AS DOUBLE) - CAST(cp_sx AS DOUBLE) * CAST(cp_sx AS DOUBLE)) *
+        |    (CAST(n_cp AS DOUBLE) * CAST(cp_syy AS DOUBLE) - CAST(cp_sy AS DOUBLE) * CAST(cp_sy AS DOUBLE)) AS den2
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'quality_score~coverage', CAST(n_qc AS BIGINT),
+        |    CAST(n_qc AS DOUBLE) * CAST(qc_sxy AS DOUBLE) - CAST(qc_sx AS DOUBLE) * CAST(qc_sy AS DOUBLE),
+        |    (CAST(n_qc AS DOUBLE) * CAST(qc_sxx AS DOUBLE) - CAST(qc_sx AS DOUBLE) * CAST(qc_sx AS DOUBLE)) *
+        |    (CAST(n_qc AS DOUBLE) * CAST(qc_syy AS DOUBLE) - CAST(qc_sy AS DOUBLE) * CAST(qc_sy AS DOUBLE))
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'quality_score~cross_entropy', CAST(n_qp AS BIGINT),
+        |    CAST(n_qp AS DOUBLE) * CAST(qp_sxy AS DOUBLE) - CAST(qp_sx AS DOUBLE) * CAST(qp_sy AS DOUBLE),
+        |    (CAST(n_qp AS DOUBLE) * CAST(qp_sxx AS DOUBLE) - CAST(qp_sx AS DOUBLE) * CAST(qp_sx AS DOUBLE)) *
+        |    (CAST(n_qp AS DOUBLE) * CAST(qp_syy AS DOUBLE) - CAST(qp_sy AS DOUBLE) * CAST(qp_sy AS DOUBLE))
+        |  FROM m)
+        |SELECT pair, n_both,
+        |       CASE WHEN den2 > 0 THEN round(num / sqrt(den2), 6) END AS r
+        |FROM p ORDER BY pair""".stripMargin),
 
     "lm_perplexity" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),

@@ -210,8 +210,14 @@ object Corpus {
       .select(col("doc_id"),
         explode(VectorExpressions.shingleHashes(col("text"), n, md5Based = true)
           .getField("hv")).as("hv"))
-    val df = grams.groupBy(col("hv")).agg(count(lit(1)).as("df"))
-    grams.join(df, Seq("hv"))
+    // df via a count window over the gram hash instead of groupBy + join
+    // back: the join formulation scans and re-hashes the corpus TWICE (both
+    // join inputs are the same exploded pipeline); the window pays the same
+    // one shuffle on hv but reads the corpus once (measured 9.2 → 2.7 s at
+    // 50×, flipping the family from 2.5× slower to 0.76× vs the anchor). hv is high-cardinality, so partitions stay tiny (a pathological
+    // hot gram is the dedup family's guarded case, not this report's).
+    val byGram = Window.partitionBy(col("hv"))
+    grams.withColumn("df", count(lit(1)).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_grams"),
         sum(when(col("df") <= maxDf, 1L).otherwise(0L)).cast("long").as("n_rare"))

@@ -454,14 +454,23 @@ object Curation {
     * plan-audited, and 50×-measured) + two doc_id-keyed joins + ONE
     * broadcast scalar row of moments + a projection. Nothing new shuffles.
     */
-  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+  /** The three-signal per-doc join (quality_score / coverage /
+    * cross_entropy) — ONE definition shared by [[qualityEnsemble]] and
+    * [[signalAgreement]], so the blend and its diagnostic can never
+    * disagree on what a "signal" is.
+    */
+  private def ensembleSignals(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.ops.TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     val c = graft.ops.Relevance.bigramCoverage(spark, dir)
       .select(col("doc_id"), col("coverage"))
     val p = graft.ops.Relevance.lmPerplexity(spark, dir)
       .select(col("doc_id"), col("cross_entropy"))
-    val joined = q.join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+    q.join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+  }
+
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val joined = ensembleSignals(spark, dir)
     def dec(x: Column) = x.cast("decimal(18,6)")
     val stats = joined.agg(
       count(lit(1)).as("n"),
@@ -490,6 +499,59 @@ object Curation {
         round((coalesce(col("z_q"), lit(0.0)) + coalesce(col("z_c"), lit(0.0)) +
           coalesce(col("z_p"), lit(0.0))) / col("n_signals"), 6).as("ensemble"))
       .orderBy("doc_id")
+  }
+
+  /** B8e — SIGNAL-AGREEMENT matrix: pairwise Pearson correlation among the
+    * ensemble's three signals over the docs where BOTH members of a pair
+    * are present. The diagnostic behind B8d's "rank by agreement" premise:
+    * near-1 correlations mean the signals are redundant (the blend adds
+    * nothing over any one of them), near-0 means they measure different
+    * failure modes (the blend is earning its keep), and a SIGN FLIP on
+    * cross_entropy (expected positive vs quality under its sign-inverted
+    * role) says a signal is mis-calibrated for this corpus before it
+    * pollutes the ensemble — the check a curation run does when
+    * transplanting filters to a new source mix.
+    *
+    * Float discipline as B8d: counts and sums (x, y, x², y², xy per pair,
+    * restricted to both-present rows) accumulate in DECIMAL — exact at any
+    * partition order — and r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    * runs in doubles from those exact sums, so DuckDB lands on identical
+    * bits; a zero-variance side yields NULL r, never a division by zero.
+    * One pass: the component pipelines + ONE 18-sum aggregate row,
+    * exploded to 3 rows driver-free.
+    */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val joined = ensembleSignals(spark, dir)
+    def dec(x: Column) = x.cast("decimal(18,6)")
+    def sums(x: String, y: String, tag: String) = {
+      val both = col(x).isNotNull && col(y).isNotNull
+      Seq(
+        count(when(both, lit(1))).as(s"n_$tag"),
+        sum(when(both, dec(col(x)))).as(s"${tag}_sx"),
+        sum(when(both, dec(col(y)))).as(s"${tag}_sy"),
+        sum(when(both, dec(col(x)) * dec(col(x)))).as(s"${tag}_sxx"),
+        sum(when(both, dec(col(y)) * dec(col(y)))).as(s"${tag}_syy"),
+        sum(when(both, dec(col(x)) * dec(col(y)))).as(s"${tag}_sxy"))
+    }
+    val aggs = sums("quality_score", "coverage", "qc") ++
+      sums("quality_score", "cross_entropy", "qp") ++
+      sums("coverage", "cross_entropy", "cp")
+    val m = joined.agg(aggs.head, aggs.tail: _*)
+    def pairStruct(name: String, tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      def d(c: String) = col(s"${tag}_$c").cast("double")
+      val num = n * d("sxy") - d("sx") * d("sy")
+      val den2 = (n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))
+      struct(lit(name).as("pair"), col(s"n_$tag").cast("long").as("n_both"),
+        when(den2 > 0, round(num / sqrt(den2), 6)).as("r"))
+    }
+    m.select(explode(array(
+      pairStruct("coverage~cross_entropy", "cp"),
+      pairStruct("quality_score~coverage", "qc"),
+      pairStruct("quality_score~cross_entropy", "qp"))).as("row"))
+      .select(col("row.pair").as("pair"), col("row.n_both").as("n_both"),
+        col("row.r").as("r"))
+      .orderBy("pair")
   }
 
   /** B41 — training-order shuffle + shard assignment: the step between a

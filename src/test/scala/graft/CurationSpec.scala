@@ -536,6 +536,43 @@ class CurationSpec extends SparkSpec {
     assert(fun("3_repetition")._1 === v.count(_._2))
   }
 
+  test("signal agreement: each pair's r equals an independent local Pearson over both-present docs") {
+    val sig = graft.ops.Curation
+      .qualityEnsemble(spark, sf0001) // carries the three raw signals per doc
+      .collect().map(r => (
+        Option(r.getAs[java.lang.Double]("quality_score")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("coverage")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("cross_entropy")).map(_.toDouble)))
+    def pearson(xs: Seq[(Double, Double)]): Option[Double] = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val syy = xs.map(t => t._2 * t._2).sum
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      if (den2 > 0) Some((n * sxy - sx * sy) / math.sqrt(den2)) else None
+    }
+    val expected = Map(
+      "quality_score~coverage" -> sig.collect { case (Some(a), Some(b), _) => (a, b) }.toSeq,
+      "quality_score~cross_entropy" -> sig.collect { case (Some(a), _, Some(c)) => (a, c) }.toSeq,
+      "coverage~cross_entropy" -> sig.collect { case (_, Some(b), Some(c)) => (b, c) }.toSeq)
+    val got = graft.ops.Curation.signalAgreement(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[java.lang.Double]("r")).map(_.toDouble)))
+    assert(got.map(_._1).sorted.toSeq === expected.keys.toSeq.sorted)
+    got.foreach { case (pair, nBoth, r) =>
+      val xs = expected(pair)
+      assert(nBoth === xs.length.toLong, s"$pair n_both")
+      (r, pearson(xs)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"$pair: $a vs local $b")
+        case (None, None) =>
+        case (a, b) => fail(s"$pair: r=$a local=$b")
+      }
+    }
+    // every pair is populated at this SF and correlations are sane
+    assert(got.forall(_._2 > 100), "both-present populations exist")
+    assert(got.forall(_._3.exists(v => v >= -1.0 && v <= 1.0)))
+  }
+
   test("memorization risk: corpus-unique grams score 1, triple-duplicated text scores 0, pair-shared stays rare") {
     def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val tri = words("t", 20)   // three byte-identical docs: every 8-gram df=3

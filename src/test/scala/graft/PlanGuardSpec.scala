@@ -66,6 +66,9 @@ class PlanGuardSpec extends SparkSpec {
     "q22_dormant",        // broadcast 1-row (Σbal, n) average-balance scalar
     "q15_top_supplier",   // broadcast 1-row max-revenue scalar
     "q11_important",      // broadcast 1-row (Σvalue, n_parts) stock-value scalar
+    "signal_agreement",   // same signal join as quality_ensemble: inherits
+                          // lm_perplexity's V scalar; its own pair sums
+                          // collapse to ONE aggregate row, no further join
     "quality_ensemble"    // broadcast 1-row corpus-moments scalar (decimal
                           // sums/sums-of-squares for the three z-scores);
                           // inherits lm_perplexity's V scalar too
