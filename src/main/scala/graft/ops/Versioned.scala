@@ -1123,15 +1123,38 @@ object Versioned {
             keyCol: String, orderCol: String,
             opCol: String = "operation_type",
             deleteOp: String = "delete",
-            epoch: Long = -1L): Long = {
+            epoch: Long = -1L,
+            mergeSchema: Boolean = false): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val basis = versions(spark, dir).lastOption
     require(basis.nonEmpty, s"merge requires an existing table under $dir")
-    val snap = read(spark, dir, basis.get)
+    val snap = read(spark, dir, basis.get, mergeSchema)
     val cols = snap.schema.fieldNames.toSeq
     require(!cols.contains(opCol),
       s"table schema already has '$opCol' — pass a distinct opCol")
+    // D22c schema evolution (opt-in, Delta's autoMerge in miniature): extra
+    // DATA columns on the change set (anything beyond the snapshot schema,
+    // the op marker, and a non-schema orderCol) widen the table; survivors
+    // from rewritten files null-fill them and files the merge does not
+    // touch ride by name — their rows surface null through mergeSchema
+    // reads, parquet's standard evolution semantics (the D22 append path's
+    // contract, applied to upserts). Off by default: an unexpected column
+    // on a change feed is usually a BUG, and silently widening a 100 TB
+    // table should take an explicit flag.
+    val newCols =
+      if (!mergeSchema) Seq.empty
+      else changes.schema.fields
+        .filterNot(f => cols.contains(f.name) || f.name == opCol || f.name == orderCol)
+        .toSeq
+    if (!mergeSchema) {
+      val extra = changes.schema.fieldNames
+        .filterNot(n => cols.contains(n) || n == opCol || n == orderCol)
+      require(extra.isEmpty,
+        s"change set carries columns not in the table schema: ${extra.toSeq.sorted} — " +
+          "pass mergeSchema = true to evolve the table, or drop them")
+    }
+    val targetCols = cols ++ newCols.map(_.name)
     // net action per key: last op in orderCol wins (ties broken by the
     // caller's orderCol being unique per key, as event ids are)
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
@@ -1182,13 +1205,19 @@ object Versioned {
         }
       // rewriting a touched file MATERIALIZES its dv (survivors are read
       // dv-applied and the pointer is dropped); untouched files keep theirs
-      val survivors =
-        if (touchedNames.isEmpty) spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), snap.schema)
-        else readApplied(spark, dir, touchedNames.toSeq, dvs)
-          .join(keys, Seq(keyCol), "left_anti")
       val upserts = net.where(col(opCol) =!= deleteOp)
-        .select(cols.map(col): _*)
+        .select(targetCols.map(col): _*)
+      val survivors =
+        if (touchedNames.isEmpty) upserts.limit(0)
+        else {
+          val base = readApplied(spark, dir, touchedNames.toSeq, dvs, mergeSchema)
+            .join(keys, Seq(keyCol), "left_anti")
+          val have = base.schema.fieldNames.toSet
+          base.select(targetCols.map { c =>
+            if (have(c)) col(c)
+            else lit(null).cast(newCols.find(_.name == c).get.dataType).as(c)
+          }: _*)
+        }
       val rewritten = survivors.unionByName(upserts)
       val v = basis.get + 1
       val staged = stage(spark, rewritten, dir, v)

@@ -1033,6 +1033,44 @@ class VersionedSpec extends SparkSpec {
       "clustered optimize is not a pure append")
   }
 
+  test("MERGE schema evolution: opt-in extra columns widen the table; untouched rows surface null; default refuses") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("versioned-merge-evolve") + "/table"
+    val seed = (0 until 40).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    Versioned.commit(spark, seed, dir)
+    val changes = Seq(
+      (5L, "fresh", 0.9, "update", 1L),
+      (1000L, "new", 0.5, "insert", 2L)
+    ).toDF("id", "payload", "score", "operation_type", "seq")
+    // default: an unexpected column is a bug, not a silent widening
+    val e = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq")
+    }
+    assert(e.getMessage.contains("score") && e.getMessage.contains("mergeSchema"))
+    val v = Versioned.merge(spark, changes, dir, keyCol = "id", orderCol = "seq",
+      mergeSchema = true)
+    assert(v === 2L)
+    val got = Versioned.read(spark, dir, mergeSchema = true).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getAs[java.lang.Double]("score")).map(_.toDouble))).toMap
+    assert(got.size === 41)
+    assert(got(5L) === (("fresh", Some(0.9))), "upserted row carries the new column")
+    assert(got(1000L) === (("new", Some(0.5))))
+    assert(got(7L) === (("payload7", None)),
+      "a row in the rewritten file but not in the change set null-fills")
+    assert(got(39L) === (("payload39", None)),
+      "rows in files the merge never touched surface null through mergeSchema")
+    // a second evolved merge on the already-widened table needs no flag
+    val more = Seq((6L, "six", 0.1, "update", 3L))
+      .toDF("id", "payload", "score", "operation_type", "seq")
+    Versioned.merge(spark, more, dir, keyCol = "id", orderCol = "seq",
+      mergeSchema = true)
+    assert(Versioned.read(spark, dir, mergeSchema = true)
+      .where(col("id") === 6L).head().getAs[Double]("score") === 0.1)
+  }
+
   test("operation log: history names each commit kind in order; readAsOf travels by wall clock") {
     val s = spark
     import s.implicits._
