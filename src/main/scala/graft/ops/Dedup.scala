@@ -1035,6 +1035,56 @@ object Dedup {
       numHashes, bands, maxBucket, portable = true, minJaccard)
       .orderBy("id_a", "id_b")
 
+  /** B4b — near-dup pair EXPLANATION: for every verified LSH pair, the
+    * disjoint matched-k-gram token ISLANDS in id_a's coordinates — where
+    * inside the document the overlap actually sits and how long it runs.
+    * A jaccard score says two docs are near-dups; a reviewer deciding
+    * survivor-vs-drop (or debugging a surprising pair) needs the WHERE —
+    * the doc-vs-doc sibling of B13c's eval-vs-corpus span report, sharing
+    * its island rule (consecutive matched starts merge while coverage can
+    * overlap; a start gap > k means ≥1 clean token between, so spans are
+    * disjoint by construction).
+    *
+    * Scale shape: pairs come from the SAME guarded banded-LSH verify as
+    * `ngram_jaccard_lsh` (bounded, never all-pairs); the positional pass
+    * joins pairs → a-side positions by id_a and probes the b-side distinct
+    * gram set by (id_b, h) — both keyed equi-joins, work ∝ matched grams
+    * of emitted pairs, not the corpus. Docs shorter than k tokens carry no
+    * full k-gram and yield no spans (their pairs still report jaccard).
+    */
+  def dupPairSpans(spark: SparkSession, dir: String, shingleK: Int = 3,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val k = shingleK
+    val pairs = ngramJaccardLshPortable(spark, dir, shingleK = k,
+      minJaccard = minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val st = Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode(VectorExpressions.positionalShingleHashes(col("text"), k,
+          md5Based = true)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      .persist() // two consumers: a-side positions + b-side gram sets
+    val aSide = pairs.join(st.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+    val bSet = st.select(col("doc_id").as("id_b"), col("h")).distinct()
+    val matched = aSide.join(bSet, Seq("id_b", "h"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("pos"))
+    val w = Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("pos"))
+    matched
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("id_a"), col("id_b"), col("jaccard"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_grams"))
+      .orderBy("id_a", "id_b", "span_start")
+  }
+
   /** B59 — LSH candidate-precision report: one row summarizing how well the
     * banding is tuned — candidate pairs produced, candidates whose EXACT
     * Jaccard clears the dedup threshold, and the precision ratio. Precision

@@ -538,4 +538,38 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(prec - acc.toDouble / cands) < 1e-6)
     assert(prec > 0.0 && prec <= 1.0)
   }
+
+  test("dupPairSpans: a planted shared-prefix/suffix pair yields exactly its two disjoint islands") {
+    val s = spark
+    import s.implicits._
+    // doc0 = A(12) x B(12), doc1 = A(12) y B(12): matched 3-gram starts are
+    // 1..10 (inside A) and 14..23 (inside B); the 11..13 starts straddle the
+    // differing middle token. Islands: [1,12] and [14,25], gap 4 > k=3.
+    val a = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a x $b"),
+      (1L, s"$a y $b"),
+      (2L, "totally different content about unrelated matters entirely separate from both"))
+    val dir = tempDir("dedup-pair-spans")
+    docs.map { case (id, t) => (id, t, "en", s"src$id", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dupPairSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(t => (t._1, t._2)).toSet === Set((0L, 1L)),
+      "exactly the planted pair is explained")
+    val spans = got.map(t => (t._4, t._5, t._6, t._7)).sortBy(_._1)
+    assert(spans.toSeq === Seq((1L, 12L, 12L, 10L), (14L, 25L, 12L, 10L)),
+      s"exact islands expected, got $spans")
+    // disjoint by construction: ≥1 clean token between consecutive spans
+    spans.sliding(2).foreach { case Array(x, y) =>
+      assert(y._1 > x._2 + 1, s"overlapping spans: $x then $y")
+    }
+    // jaccard column matches the registered verify's score for the pair
+    val j = Dedup.ngramJaccardLshPortable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.forall(t => j((t._1, t._2)) === t._3))
+  }
 }
