@@ -1155,6 +1155,11 @@ object Versioned {
           "pass mergeSchema = true to evolve the table, or drop them")
     }
     val targetCols = cols ++ newCols.map(_.name)
+    // null-fill types resolve against snapshot ∪ change columns — needed in
+    // BOTH directions under mergeSchema: a change set may omit a column a
+    // prior append evolved in, and a touched file may predate it
+    val fillType = (snap.schema.fields ++ newCols)
+      .map(f => f.name -> f.dataType).toMap
     // net action per key: last op in orderCol wins (ties broken by the
     // caller's orderCol being unique per key, as event ids are)
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
@@ -1205,8 +1210,13 @@ object Versioned {
         }
       // rewriting a touched file MATERIALIZES its dv (survivors are read
       // dv-applied and the pointer is dropped); untouched files keep theirs
+      val haveChange = net.schema.fieldNames.toSet
       val upserts = net.where(col(opCol) =!= deleteOp)
-        .select(targetCols.map(col): _*)
+        .select(targetCols.map { c =>
+          if (haveChange(c)) col(c)
+          else if (mergeSchema) lit(null).cast(fillType(c)).as(c)
+          else col(c) // strict mode: analysis fails naming the column, as before
+        }: _*)
       val survivors =
         if (touchedNames.isEmpty) upserts.limit(0)
         else {
@@ -1214,8 +1224,7 @@ object Versioned {
             .join(keys, Seq(keyCol), "left_anti")
           val have = base.schema.fieldNames.toSet
           base.select(targetCols.map { c =>
-            if (have(c)) col(c)
-            else lit(null).cast(newCols.find(_.name == c).get.dataType).as(c)
+            if (have(c)) col(c) else lit(null).cast(fillType(c)).as(c)
           }: _*)
         }
       val rewritten = survivors.unionByName(upserts)

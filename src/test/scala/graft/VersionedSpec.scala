@@ -1069,6 +1069,17 @@ class VersionedSpec extends SparkSpec {
       mergeSchema = true)
     assert(Versioned.read(spark, dir, mergeSchema = true)
       .where(col("id") === 6L).head().getAs[Double]("score") === 0.1)
+    // the REVERSE direction: a change set may OMIT a column a prior commit
+    // evolved in — mergeSchema null-fills it on the upserted row while a
+    // touched file that predates the column null-fills its survivors
+    val narrow = Seq((8L, "eight", "update", 4L))
+      .toDF("id", "payload", "operation_type", "seq")
+    Versioned.merge(spark, narrow, dir, keyCol = "id", orderCol = "seq",
+      mergeSchema = true)
+    val after = Versioned.read(spark, dir, mergeSchema = true).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getAs[java.lang.Double]("score")))).toMap
+    assert(after(8L) === (("eight", None)), "omitted evolved column null-fills the upsert")
+    assert(after(6L) === (("six", Some(0.1))), "prior evolved values survive")
   }
 
   test("operation log: history names each commit kind in order; readAsOf travels by wall clock") {
