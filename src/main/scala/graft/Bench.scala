@@ -158,6 +158,15 @@ object Bench {
     val sharedSpark = qresults.collect { case (k, v) if sharedKeys(k) => v }.sum
     val duckTotal = duckBest.collect { case (k, v) if sharedKeys(k) => v }.sum
     val aggRatio = if (duckTotal > 0) sharedSpark / duckTotal else -1.0
+    // Floor-normalized aggregate (r16, VERDICT r15 #8): with most of the
+    // registry idling at the measured ~0.216 s job floor, the plain ratio's
+    // numerator is dominated by fixed scheduling cost (96.5 s of 185.3 s at
+    // r15) and real-work drift hides inside it. Subtracting the floor per
+    // query surfaces the REAL work's round-over-round movement at a glance.
+    val excessSpark = qresults.collect {
+      case (k, v) if sharedKeys(k) => math.max(0.0, v - PerfGate.jobFloorSec)
+    }.sum
+    val excessRatio = if (duckTotal > 0) excessSpark / duckTotal else -1.0
     val anchorFields = if (duckBest.isEmpty) "" else {
       val dd = qresults.collect { case (k, _) if duckBest.contains(k) => k -> duckBest(k) }
       val ratios = qresults.collect {
@@ -165,6 +174,7 @@ object Bench {
       }
       s""","duckdb":${jsonMap(dd)},"spark_over_duckdb":${jsonMap(ratios)}""" +
         s""","duckdb_total":${fmt(duckTotal)},"ratio_vs_duckdb":${fmt(aggRatio)}""" +
+        s""","ratio_excess_vs_duckdb":${fmt(excessRatio)}""" +
         s""","anchor":"same-session interleaved duckdb, min of $reps""""
     }
     // --- perf-regression tripwire (VERDICT r8 stretch #8) -----------------
@@ -231,7 +241,7 @@ object Bench {
     val compactAnchor = if (duckBest.isEmpty) "" else {
       // same hoisted aggregate as the full line; regression count only —
       // names live in the full line / bench_latest
-      s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(aggRatio)},"regr":${regressions.size}"""
+      s""","duckdb_total":${fmt2(duckTotal)},"ratio_vs_duckdb":${fmt(aggRatio)},"ratio_excess":${fmt(excessRatio)},"regr":${regressions.size}"""
     }
     def compactLine(foldBelow: Double): String = {
       val (bigQ, smallQ) = qresults.partition { case (_, v) => v >= foldBelow || v < 0 }

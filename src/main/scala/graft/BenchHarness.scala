@@ -26,7 +26,16 @@ object BenchHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // 16384, not the 4096 it started at: the interleaved bench now runs
+      // 180+ queries × 3 passes through one session, and crossing the cache
+      // limit silently re-Janino-compiles (and re-JITs) early queries on
+      // every later pass — the mechanism behind bm25_search's r15
+      // "regression" (1.71 s interleaved vs 0.68 s converged-isolated on an
+      // unchanged body; reproduced by shrinking this knob, see README perf
+      // notes). Compiled classes are small; a 128 GiB driver holds 16k.
+      // Env-overridable so the eviction mechanism stays falsifiable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "16384"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -47,6 +47,15 @@ object PerfGate {
     */
   val absFloorSec = 0.3
 
+  /** The measured per-query job floor on this host (tools/FloorProbe:
+    * canonical scan→shuffle→agg at sf0.1 = 0.216 s) — the fixed scheduling
+    * cost every query pays regardless of its work. [[Bench]] subtracts it
+    * per query for the `ratio_excess_vs_duckdb` summary field, so
+    * round-over-round drift in REAL work stays visible when most of the
+    * registry idles at the floor (131 of 182 queries at r15).
+    */
+  val jobFloorSec = 0.216
+
   /** Should this query trip the wire?
     *
     * @param curSpark  this run's Spark wall (min-of-reps), seconds

@@ -799,8 +799,11 @@ object SparkEntry {
          |FROM j""".stripMargin,
 
     // the doc-vs-doc span report over the SAME banded pairs: matched
-    // 3-gram islands in id_a's coordinates, gap > k breaks (B13c's rule)
-    "dup_pair_spans" ->
+    // k-gram islands in id_a's coordinates, gap > k breaks (B13c's rule).
+    // Every k-derived constant interpolates from Dedup.DefaultShingleK —
+    // the operator's own default — so op and oracle cannot desync.
+    "dup_pair_spans" -> {
+      val k = graft.ops.Dedup.DefaultShingleK
       s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
          |v AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
          |      FROM hb),
@@ -811,25 +814,26 @@ object SparkEntry {
          |pairs AS (SELECT id_a, id_b, round(inter / (szsum - inter), 6) AS jaccard
          |          FROM p WHERE round(inter / (szsum - inter), 6) >= 0.5),
          |stp AS (SELECT doc_id, i AS pos,
-         |          ('0x' || substr(md5(array_to_string(tok[i:i+2], ' ')), 1, 15))::BIGINT AS h
-         |        FROM t, unnest(generate_series(1, greatest(len(tok) - 2, 1))) AS g(i)
-         |        WHERE len(tok) >= 3),
+         |          ('0x' || substr(md5(array_to_string(tok[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS h
+         |        FROM t, unnest(generate_series(1, greatest(len(tok) - ${k - 1}, 1))) AS g(i)
+         |        WHERE len(tok) >= $k),
          |bset AS (SELECT DISTINCT doc_id AS id_b, h FROM stp),
          |m AS (SELECT pr.id_a, pr.id_b, pr.jaccard, st.pos
          |      FROM pairs pr JOIN stp st ON st.doc_id = pr.id_a
          |                    JOIN bset b ON b.id_b = pr.id_b AND b.h = st.h),
          |fl AS (SELECT id_a, id_b, jaccard, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY id_a, id_b ORDER BY pos) > 3
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY id_a, id_b ORDER BY pos) > $k
          |              THEN 1 ELSE 0 END AS brk FROM m),
          |gr AS (SELECT id_a, id_b, jaccard, pos,
          |         sum(brk) OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp FROM fl)
          |SELECT id_a, id_b, jaccard,
          |       CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
-         |       CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS span_len,
+         |       CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+         |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_len,
          |       count(*) AS n_grams
          |FROM gr GROUP BY id_a, id_b, jaccard, grp
-         |ORDER BY id_a, id_b, span_start""".stripMargin,
+         |ORDER BY id_a, id_b, span_start""".stripMargin
+    },
 
     "ngram_jaccard_lsh" ->
       s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},

@@ -272,6 +272,17 @@ object ChangeEvents {
   def scd2Maintain(history: DataFrame, batch: DataFrame): DataFrame = {
     val firstBatch = batch.groupBy(col("document_key"))
       .agg(min(col("event_id")).as("_close_id"))
+    // Feed-order precondition GUARD (r16, ADVICE r15): every batch event_id
+    // must exceed every id already folded into the key's history — a
+    // replayed or out-of-order batch would otherwise silently close open
+    // rows at stale ids. Both sides are in hand exactly here (each history
+    // row next to its key's first batch id), so the check is two codegen'd
+    // comparisons per joined row — no extra pass, no shuffle — and fires as
+    // a runtime error instead of corrupting the dimension. valid_to_id is
+    // checked too: a trailing delete's id appears only as a close bound.
+    val violated = col("_close_id").isNotNull &&
+      (col("_close_id") <= col("valid_from_id") ||
+        col("_close_id") <= coalesce(col("valid_to_id"), col("_close_id") - 1))
     // ONE left join covers both cases (an inner + anti pair would compute
     // the history side twice): a null _close_id means the key is untouched
     // and the row rides bit-for-bit; a hit means every row of the key ends
@@ -279,7 +290,13 @@ object ChangeEvents {
     // id, closed rows keep their bounds
     val carried = history.join(firstBatch, Seq("document_key"), "left")
       .select(col("document_key"), col("valid_from_id"),
-        when(col("_close_id").isNull, col("valid_to_id"))
+        when(violated, raise_error(format_string(
+          "scd2Maintain: feed-order precondition violated for key %s — batch " +
+            "event_id %s does not exceed already-folded history ids (row " +
+            "valid_from_id %s, valid_to_id %s); the batch is replayed or " +
+            "out of order", col("document_key"), col("_close_id"),
+          col("valid_from_id"), col("valid_to_id"))))
+          .when(col("_close_id").isNull, col("valid_to_id"))
           .otherwise(coalesce(col("valid_to_id"), col("_close_id"))).as("valid_to_id"),
         (col("_close_id").isNull && col("is_current")).as("is_current"),
         col("full_document"))

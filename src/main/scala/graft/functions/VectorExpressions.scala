@@ -89,6 +89,12 @@ object VectorExpressions {
   def tokenCounts(text: Column): Column =
     sqlshim.column(TokenCounts(sqlshim.expression(text)))
 
+  /** Per-document query-term frequencies + doc length in one scan:
+    * struct(dl, tf: array<long> aligned with `terms`). See TermFrequencies.
+    */
+  def termFrequencies(text: Column, terms: Seq[String]): Column =
+    sqlshim.column(TermFrequencies(sqlshim.expression(text), terms.toIndexedSeq))
+
   /** Count of positions where two long arrays agree — the MinHash
     * signature-agreement kernel. See ArrayAgreeCount.
     */
@@ -917,6 +923,69 @@ case class TokenCounts(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+/** Query-term frequencies + whitespace doc length in ONE allocation-free
+  * scan per row: struct(dl = (count of ' ') + 1 ≡ size(split(text, ' '))
+  * with trailing empties kept, tf[i] = count of space-delimited tokens
+  * byte-equal to terms(i)).
+  *
+  * The BM25 retrieval kernel (B53/B53c): the composed formulation —
+  * split → explode → filter(isin) → groupBy(doc_id, dl, w) — tokenizes
+  * the whole corpus into an array per row and SHUFFLES every matched
+  * token to count it; at retrieval the counts are per-document facts a
+  * single scan can produce, so the shuffle buys nothing. Here each row
+  * is one char scan with regionMatches per segment (no substring
+  * allocation, no array); the tf frame derives map-side and the only
+  * remaining exchanges are the tiny df/stats aggregates. Values are
+  * bit-identical to the composed plan (exact token equality, same dl),
+  * so the oracle SQL is unchanged — FunctionsSpec pins the parity.
+  * CodegenFallback per the D1 convention: one interpreted call per row
+  * around a tight loop; the surrounding projection stays codegen'd.
+  */
+case class TermFrequencies(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tf", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"term_frequencies expects string, got $t")
+    }
+
+  @transient private lazy val termArr: Array[String] = terms.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val tf = new Array[Long](termArr.length)
+    var dl = 1L
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val len = i - start
+        var t = 0
+        while (t < termArr.length) {
+          val term = termArr(t)
+          if (term.length == len && s.regionMatches(start, term, 0, len)) tf(t) += 1
+          t += 1
+        }
+        if (i < n) dl += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    InternalRow(dl, new GenericArrayData(tf))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermFrequencies =
     copy(child = newChild)
 }
 

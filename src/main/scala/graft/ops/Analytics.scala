@@ -789,9 +789,14 @@ object Analytics {
     * (map-side); the self-join meets rows only on a shared ORDER key, so
     * per-key width is basket size — bounded by order economics, not
     * corpus size (the classic market-basket bound); `minSupport` prunes
-    * the pair table before any ranking; part frequencies attach by keyed
-    * joins (part cardinality is fact-scale at 100 TB — no broadcast hint,
-    * AQE decides); the order-count scalar is a 1-row broadcast attach and
+    * the pair table before any ranking. Part frequencies attach to the
+    * basket rows BEFORE pairing (one part-keyed join of the cached basket
+    * frame — r16, VERDICT r15 #2: attaching them to the PAIR table
+    * afterwards re-shuffled the fact-scale pair aggregate twice and was
+    * 5.1× the anchor at 50×); c1/c2 then ride the pair groupBy as
+    * functionally-dependent keys, adding no cardinality. The frequency
+    * join stays un-hinted (part cardinality is fact-scale at 100 TB — AQE
+    * decides); the order-count scalar is a 1-row broadcast attach and
     * the final top-k is TakeOrdered. Lift casts to double BEFORE
     * multiplying — B28's documented long-overflow guard.
     */
@@ -799,17 +804,19 @@ object Analytics {
                      minSupport: Int = 3, k: Int = 50): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist() // feeds order count, part frequencies, and both join sides
+      .persist() // feeds order count and part frequencies
     val nOrders = baskets.agg(count_distinct(col("l_orderkey")).as("n_orders"))
     val freq = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-    val pairs = baskets.select(col("l_orderkey"), col("l_partkey").as("p1"))
-      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("p2")), Seq("l_orderkey"))
+    val withC = baskets.join(freq, Seq("l_partkey"))
+      .persist() // both pairing sides
+    val pairs = withC
+      .select(col("l_orderkey"), col("l_partkey").as("p1"), col("c").as("c1"))
+      .join(withC.select(col("l_orderkey"), col("l_partkey").as("p2"), col("c").as("c2")),
+        Seq("l_orderkey"))
       .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
+      .groupBy("p1", "p2", "c1", "c2").agg(count(lit(1)).as("pair_cnt"))
       .where(col("pair_cnt") >= minSupport)
     pairs
-      .join(freq.select(col("l_partkey").as("p1"), col("c").as("c1")), Seq("p1"))
-      .join(freq.select(col("l_partkey").as("p2"), col("c").as("c2")), Seq("p2"))
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("pair_cnt"),
         round((col("pair_cnt").cast("double") * col("n_orders").cast("double")) /

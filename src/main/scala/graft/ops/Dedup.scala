@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The engine-wide default shingle width. [[dupPairSpans]]' oracle SQL
+    * derives its gap/extent/slice constants from THIS value (SparkEntry
+    * interpolates it), so changing the default cannot silently desync the
+    * operator from its oracle.
+    */
+  val DefaultShingleK: Int = 3
+
   // ---------------------------------------------------------------- exact
 
   /** B1 — exact dedup: keep the first doc_id per identical text. Grouping on
@@ -1052,7 +1059,8 @@ object Dedup {
     * of emitted pairs, not the corpus. Docs shorter than k tokens carry no
     * full k-gram and yield no spans (their pairs still report jaccard).
     */
-  def dupPairSpans(spark: SparkSession, dir: String, shingleK: Int = 3,
+  def dupPairSpans(spark: SparkSession, dir: String,
+                   shingleK: Int = DefaultShingleK,
                    minJaccard: Double = 0.5): DataFrame = {
     val k = shingleK
     val pairs = ngramJaccardLshPortable(spark, dir, shingleK = k,

@@ -33,16 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** The aggregate this view maintains, applied to any docs frame. */
+  /** The aggregate this view maintains, applied to any docs frame —
+    * count/sum (invertible) plus max (non-invertible, the D24b case).
+    */
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
-      sum(col("n_chars")).as("n_chars"))
+      sum(col("n_chars")).as("n_chars"),
+      max(col("n_chars")).as("max_chars"))
 
+  /** Append-path merge: inserts can only raise a max, so max-of-maxes is
+    * exact here (deletes never take this path — they arrive via the feed).
+    */
   private def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("lang").agg(
       sum(col("n_docs")).as("n_docs"),
-      sum(col("n_chars")).as("n_chars"))
+      sum(col("n_chars")).as("n_chars"),
+      max(col("max_chars")).as("max_chars"))
 
   /** Base version the state currently covers (0 = no state yet). */
   def covered(spark: SparkSession, stateDir: String): Long =
@@ -62,7 +69,10 @@ object IncrementalAgg {
     *     count/sum are invertible, so inserts weigh +1 and deletes −1 and
     *     the feed's file pruning keeps the read at O(changed files) — the
     *     r14 "fall back to full recompute" gap, closed by composition
-    *     (keys whose count reaches 0 drop out of the state);
+    *     (keys whose count reaches 0 drop out of the state). The
+    *     non-invertible max refreshes by AFFECTED-GROUP recompute (r16):
+    *     only groups present in the feed re-scan their snapshot rows;
+    *     untouched groups keep their stored max;
     *  3. first build, a FULL replace (no shared files — the feed would
     *     read old+new, strictly worse than recomputing new), or a covered
     *     version whose manifest was vacuumed → full recompute, always
@@ -85,13 +95,36 @@ object IncrementalAgg {
           else spark.read.parquet(delta: _*))
         mergeStates(Versioned.read(spark, stateDir), deltaAgg)
       case None if feedApplicable =>
-        val signed = Versioned.changeFeed(spark, tableDir, cov, cur)
+        val feed = Versioned.changeFeed(spark, tableDir, cov, cur)
           .withColumn("_w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        val deltaAgg = signed.groupBy("lang").agg(
+          .persist() // two consumers: signed count/sum deltas + affected keys
+        val deltaAgg = feed.groupBy("lang").agg(
           sum(col("_w")).as("n_docs"),
           sum(col("_w") * col("n_chars")).as("n_chars"))
-        mergeStates(Versioned.read(spark, stateDir), deltaAgg)
+        val prior = Versioned.read(spark, stateDir)
+        val counts = prior.select("lang", "n_docs", "n_chars").unionByName(deltaAgg)
+          .groupBy("lang").agg(
+            sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"))
           .where(col("n_docs") > 0)
+        // D24b (r16, VERDICT r15 #7): max is NOT delete-invertible — a
+        // deleted row may BE the group max, and no signed delta can lower a
+        // max. Instead of the r15 full-recompute fallback, recompute max
+        // ONLY for groups the feed touched: a snapshot read semi-joined to
+        // the feed's key set — O(changed groups) rows on a key-clustered
+        // layout (D13/D22f prune the untouched files), while untouched
+        // groups keep their stored max bit-for-bit.
+        val affected = feed.select("lang").distinct()
+        val remax = Versioned.read(spark, tableDir, cur)
+          .join(affected, Seq("lang"), "left_semi")
+          .groupBy("lang").agg(max(col("n_chars")).as("_max_new"))
+        counts
+          .join(affected.withColumn("_aff", lit(true)), Seq("lang"), "left")
+          .join(remax, Seq("lang"), "left")
+          .join(prior.select(col("lang"), col("max_chars").as("_max_prior")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            when(col("_aff"), col("_max_new")).otherwise(col("_max_prior"))
+              .as("max_chars"))
       case None => // first build, full replace, or vacuumed basis — recompute
         aggregate(Versioned.read(spark, tableDir, cur))
     }

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY.md §2 B6).
   *
   * Media payloads are opaque `binary` columns travelling next to typed
-  * metadata. The decode/feature-extract step is the only part that needs a
-  * codec library (absent in this container), so it is STUBBED with a
-  * deterministic fake — but the Spark-side plumbing is real: schema, batch
-  * shape (`mapPartitions` over iterator batches, the Scala analog of
-  * `mapInPandas`), and partition sizing all match what a real decoder would
-  * see. At 100 TB this pipeline is a narrow per-partition pass; media bytes
-  * never shuffle.
+  * metadata. IMAGE decode is REAL as of r16 — [[decodeRealFeatures]] binds
+  * the JDK's own `javax.imageio` readers (PNG/JPEG/GIF/BMP, zero added
+  * dependency) and reports true raster dimensions + Rec. 601 mean luma,
+  * contract-tested bit-exactly on an in-test-generated PNG. Audio/video
+  * decode still needs codec libraries this container lacks, so those (and
+  * the registered oracle queries, whose synthetic payloads are UTF-8 text,
+  * not image containers) ride the documented deterministic STUB — the
+  * Spark-side plumbing is identical either way: schema, batch shape
+  * (`mapPartitions` over iterator batches, the Scala analog of
+  * `mapInPandas`), and partition sizing all match what any real decoder
+  * sees. At 100 TB this pipeline is a narrow per-partition pass; media
+  * bytes never shuffle.
   */
 object Multimodal {
 
@@ -60,6 +65,66 @@ object Multimodal {
     val sum = cps.foldLeft(0L)(_ + _)
     MediaFeatures(docId, kind, n, width = 16 + head % 64, height = 16 + (n % 64),
       mean_luma = if (cps.isEmpty) 0.0 else sum.toDouble / cps.length)
+  }
+
+  /** A decode result that names which codec produced it: "imageio" for a
+    * payload the JDK decoded as a real image container, "stub" otherwise.
+    */
+  case class DecodedFeatures(doc_id: Long, kind: String, decoder: String,
+                             n_bytes: Int, width: Int, height: Int,
+                             mean_luma: Double)
+
+  /** REAL image decode via JDK `javax.imageio` (r16, VERDICT r15 #5 — no
+    * new dependency: PNG/JPEG/GIF/BMP readers ship in the JDK). Decodes the
+    * payload's actual pixel raster and reports true width/height plus the
+    * Rec. 601 mean luma (0.299·R + 0.587·G + 0.114·B over row-major ARGB),
+    * the exact numbers OpsSpec replays bit-for-bit from an in-test-generated
+    * PNG. Returns None when the bytes are not a decodable image container —
+    * the synthetic corpus payloads are UTF-8 text, so the REGISTERED
+    * `multimodal_decode` query stays on the portable stub and this binding
+    * is the production seam for real media columns.
+    */
+  private def decodeImageIO(docId: Long, kind: String,
+                            payload: Array[Byte]): Option[DecodedFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some(DecodedFeatures(docId, kind, "imageio", payload.length, w, h,
+          sum / (w.toLong * h)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** B6 production decode: try the REAL JDK ImageIO codec per row, fall back
+    * to the deterministic stub for non-image payloads — same mapPartitions
+    * batch shape as [[decodeFeatures]], with the winning codec named per row
+    * so a pipeline can audit its decode coverage.
+    */
+  def decodeRealFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows => rows.map { case (id, kind, payload) =>
+        decodeImageIO(id, kind, payload).getOrElse {
+          val f = decodeStub(id, kind, payload)
+          DecodedFeatures(id, kind, "stub", f.n_bytes, f.width, f.height, f.mean_luma)
+        }
+      } }
+      .toDF()
   }
 
   /** B6 — batched decode over partitions: the iterator-in/iterator-out shape

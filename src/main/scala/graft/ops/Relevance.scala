@@ -361,26 +361,61 @@ object Relevance {
   def bm25Search(spark: SparkSession, dir: String,
                  terms: Seq[String] = Seq("spark", "window", "merge"),
                  k1: Double = 1.2, b: Double = 0.75, topK: Int = 50): DataFrame = {
-    val withDl = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), size(col("tok")).cast("long").as("dl"), col("tok"))
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("tok")).as("w"))
-      .where(col("w").isin(terms: _*))
-      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // ONE allocation-free corpus scan (TermFrequencies, D1) feeds both
+    // consumers. The split → explode → filter → groupBy formulation this
+    // replaces shuffled every matched token, replayed the full tokenize for
+    // df, and shuffled again to re-group scores by doc (measured in the r15
+    // 50× plan: three full corpus passes + three exchanges). Per-doc term
+    // counts are per-document FACTS — one scan produces them; everything
+    // corpus-level the score needs (N, Σdl, and per-term df) collapses to
+    // ONE broadcast row; the per-term contributions then unroll as plain
+    // codegen'd arithmetic over the counts array, so the only remaining
+    // exchanges are the 1-row stats agg and the TakeOrdered top-k. The
+    // persisted frame is (doc_id, dl, tf[|terms|]) ≈ a few longs per doc.
+    val tc = termCounts(Tables.documents(spark, dir), terms).persist()
+    def tfi(i: Int) = element_at(col("tfs"), i + 1)
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.indices.map(i => sum((tfi(i) > 0).cast("long")).as(s"df_$i"))
+    val stats = tc.agg(statAggs.head, statAggs.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dfTab), Seq("w"))
-      .crossJoin(broadcast(stats))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), round(sum(contrib), 6).as("score"))
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+    // matched-term guard per contribution: an unmatched term adds exact 0.0
+    // (never NaN/-0.0), so the unrolled sum equals the oracle's per-doc sum
+    // up to summation order — orders below the 6 dp rounding step
+    def contrib(i: Int) = when(tfi(i) > 0,
+      idf(i) * (tfi(i) * (lit(k1) + lit(1.0))) /
+        (tfi(i) + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+      .otherwise(lit(0.0))
+    tc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => tfi(i) > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        terms.indices.map(i => (tfi(i) > 0).cast("long")).reduce(_ + _).as("n_terms"),
+        round(terms.indices.map(contrib).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** The BM25 scan kernel shared by [[bm25Search]] and [[hybridSearch]]:
+    * (doc_id, dl, tf[terms-aligned]) in one TermFrequencies pass — callers
+    * persist it (it feeds tf rows, df, and corpus stats).
+    */
+  private def termCounts(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.termFrequencies(col("text"), terms).as("tc"))
+      .select(col("doc_id"), col("tc.dl").as("dl"), col("tc.tf").as("tfs"))
+
+  /** (doc_id, dl, w, tf) rows with tf > 0, derived map-side from a
+    * [[termCounts]] frame — the shape the split/explode/groupBy plan
+    * produced, without the token shuffle.
+    */
+  private def termFrequencyRows(tc: DataFrame, terms: Seq[String]): DataFrame =
+    tc.select(col("doc_id"), col("dl"),
+        posexplode(col("tfs")).as(Seq("i", "tf")))
+      .where(col("tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(typedLit(terms), col("i") + 1).as("w"), col("tf"))
 
   /** B53b — exact PHRASE-occurrence search: every (doc_id, pos) where a
     * k-token phrase occurs, corpus-wide — B53's exact-match complement
@@ -482,15 +517,12 @@ object Relevance {
     // ---- lexical pool: BM25 per query over its own term set ----
     val qTerms = queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }
       .toDF("query_id", "w")
-    val withDl = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), size(col("tok")).cast("long").as("dl"), col("tok"))
-    val tf = withDl
-      .select(col("doc_id"), col("dl"), explode(col("tok")).as("w"))
-      .where(col("w").isin(queries.flatMap(q => q._2).distinct: _*))
-      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-      .persist() // feeds the df count AND the per-query scoring join
-    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // one TermFrequencies corpus scan feeds tf rows, df, and corpus stats
+    // (bm25Search's r16 shape; the per-query fan-out joins the same rows)
+    val allTerms = queries.flatMap(q => q._2).distinct
+    val tc = termCounts(Tables.documents(spark, dir), allTerms).persist()
+    val tf = termFrequencyRows(tc, allTerms)
+    val stats = tc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfTab = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

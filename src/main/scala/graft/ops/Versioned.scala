@@ -1129,7 +1129,15 @@ object Versioned {
     import org.apache.spark.sql.functions._
     val basis = versions(spark, dir).lastOption
     require(basis.nonEmpty, s"merge requires an existing table under $dir")
-    val snap = read(spark, dir, basis.get, mergeSchema)
+    // The authoritative table schema is ALWAYS the mergeSchema-reconciled
+    // union across the snapshot's files: a prior evolved commit leaves the
+    // table heterogeneous, and inferring from an arbitrary file (parquet's
+    // mergeSchema=false behavior) could pick a pre-evolution file and
+    // silently DROP the evolved column from every rewritten survivor —
+    // permanent data loss once vacuum reclaims the prior version. The
+    // caller's `mergeSchema` flag authorizes widening from the CHANGE SET
+    // only; it never weakens how the table's own schema is resolved.
+    val snap = read(spark, dir, basis.get, mergeSchema = true)
     val cols = snap.schema.fieldNames.toSeq
     require(!cols.contains(opCol),
       s"table schema already has '$opCol' — pass a distinct opCol")
@@ -1153,6 +1161,15 @@ object Versioned {
       require(extra.isEmpty,
         s"change set carries columns not in the table schema: ${extra.toSeq.sorted} — " +
           "pass mergeSchema = true to evolve the table, or drop them")
+      // … and must carry EVERY table column: with the table schema resolved
+      // across all files, a change set minted against a pre-evolution view
+      // would otherwise fail deep in analysis (or, before r16's fix, lose
+      // the evolved column outright). Fail here, naming the gap.
+      val missing = cols.filterNot(changes.schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"change set omits table columns: ${missing.sorted} (the table may have " +
+          "been evolved by a prior commit) — include them, or pass " +
+          "mergeSchema = true to null-fill omitted columns on upserts")
     }
     val targetCols = cols ++ newCols.map(_.name)
     // null-fill types resolve against snapshot ∪ change columns — needed in
@@ -1220,7 +1237,9 @@ object Versioned {
       val survivors =
         if (touchedNames.isEmpty) upserts.limit(0)
         else {
-          val base = readApplied(spark, dir, touchedNames.toSeq, dvs, mergeSchema)
+          // survivors read schema-reconciled for the same reason as `snap`:
+          // a touched file may predate an evolution this merge didn't ask for
+          val base = readApplied(spark, dir, touchedNames.toSeq, dvs, mergeSchema = true)
             .join(keys, Seq(keyCol), "left_anti")
           val have = base.schema.fieldNames.toSet
           base.select(targetCols.map { c =>
@@ -1548,8 +1567,12 @@ object Versioned {
     val target = fs.makeQualified(tagPath(dir, name))
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), target,
+    // delete the temp ref if the overwrite rename throws (mirrors tag's
+    // lost-race cleanup) — a failed retag must not leak staging debris that
+    // vacuum's manifest-based sweep won't classify
+    try fc.rename(fs.makeQualified(tmp), target,
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Throwable => fs.delete(tmp, false); throw e }
     version
   }
 

@@ -27,6 +27,48 @@ class OpsSpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("multimodal REAL image decode: an in-test PNG decodes bit-exactly via JDK ImageIO; non-image payloads fall back to the stub") {
+    val s = spark
+    import s.implicits._
+    // generate a genuine 5x3 PNG with known pixels — no fixture file, no
+    // new dependency (BufferedImage + ImageIO ship in the JDK)
+    val (w, h) = (5, 3)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 50) << 16) | ((y * 80) << 8) | ((x + y) * 20))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK must carry a PNG writer")
+    val png = bos.toByteArray
+    // the bit-exact expectation, replayed locally with the same Rec. 601
+    // arithmetic in the same row-major order
+    var expLuma = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      expLuma += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+    }
+    expLuma /= (w * h).toDouble
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "image", "not an image container".getBytes("UTF-8"))
+    ).toDF("doc_id", "kind", "payload")
+    val got = Multimodal.decodeRealFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decoder"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Double]("mean_luma"), r.getAs[Int]("n_bytes"))).toMap
+    assert(got(1L)._1 === "imageio", "a real PNG must decode via the real codec")
+    assert(got(1L)._2 === w && got(1L)._3 === h, "true raster dimensions")
+    assert(got(1L)._4 === expLuma, "mean luma must match the local replay bit-for-bit")
+    assert(got(1L)._5 === png.length)
+    assert(got(2L)._1 === "stub", "undecodable bytes fall back to the documented stub")
+    // the fallback's features equal the stub path exactly (one seam, two codecs)
+    val stubRow = Multimodal.decodeFeatures(media.where(col("doc_id") === 2L))
+      .collect().head
+    assert((got(2L)._2, got(2L)._3, got(2L)._4) ===
+      ((stubRow.getAs[Int]("width"), stubRow.getAs[Int]("height"),
+        stubRow.getAs[Double]("mean_luma"))))
+  }
+
   test("multimodal: media bytes survive the pipeline untouched (sha matches source text)") {
     val meta = Multimodal.mediaMeta(spark, sf0001).where(col("doc_id") === 1).collect().head
     val doc = Tables.documents(spark, sf0001).where(col("doc_id") === 1).collect().head
@@ -440,6 +482,22 @@ class OpsSpec extends SparkSpec {
       "delete closes at the delete id without emitting; the later insert reopens")
     assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)) ===
       Seq((12L, Some(32L)), (32L, Some(36L)), (36L, None)))
+    // feed-order guard (r16): a REPLAYED batch (ids already folded into
+    // history) must throw at execution, never silently close open rows at
+    // stale ids — both the valid_from collision and the delete-id case
+    // (id 31 appears in history only as a close bound) are violations
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val replayFrom = ChangeEvents.scd2Maintain(
+      ChangeEvents.scd2Fold(feed), feed.where(col("event_id") === 32L))
+    val eReplay = intercept[Exception] { replayFrom.collect() }
+    assert(chain(eReplay).contains("feed-order precondition"),
+      s"replayed valid_from id must trip the guard, got: ${chain(eReplay)}")
+    val replayClose = ChangeEvents.scd2Maintain(
+      ChangeEvents.scd2Fold(feed), feed.where(col("event_id") === 31L))
+    val eClose = intercept[Exception] { replayClose.collect() }
+    assert(chain(eClose).contains("feed-order precondition"),
+      "a replayed delete id (present only as a close bound) must trip the guard")
   }
 
   test("dailyFill: full calendar grid, zero-filled flows, carry-forward gauges match a local replay") {

@@ -118,6 +118,25 @@ class PerfRegressionSpec extends AnyFunSuite {
     assert(problems.isEmpty, "\n" + problems.mkString("\n"))
   }
 
+  test("the floor-normalized aggregate is present and bounded by the plain ratio") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("bench_latest.json")),
+      "no local bench artifact — run `make bench` first")
+    val node = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("bench_latest.json")))
+    assume(node.has("ratio_vs_duckdb"), "bench ran without its DuckDB anchor")
+    assume(node.has("ratio_excess_vs_duckdb"),
+      "bench_latest.json predates the r16 floor-normalized field — re-run `make bench`")
+    val plain = node.path("ratio_vs_duckdb").asDouble()
+    val excess = node.path("ratio_excess_vs_duckdb").asDouble()
+    // per-query max(0, wall − floor) ≤ wall, summed over the same shared
+    // keys and divided by the same anchor total — so the excess ratio is
+    // non-negative and can never exceed the plain ratio
+    assert(excess >= 0.0, s"excess ratio must be non-negative, got $excess")
+    assert(excess <= plain + 1e-9,
+      s"excess ratio $excess exceeds the plain ratio $plain — the floor " +
+        "subtraction or the shared-key set diverged between the two aggregates")
+  }
+
   // ---- the gate itself, pinned case by case ------------------------------
 
   test("anchored queries (≥50ms) trip on ratio alone") {

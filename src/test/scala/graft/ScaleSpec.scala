@@ -217,20 +217,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("GraftExtensions registers cosine_sim for SQL users") {
+  test("GraftExtensions exposes the operator surface to SQL: scalar family + table-valued entry points") {
     // exercise the extension's registration shape...
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // ...and the SQL surface through the same builder on the live session
-    // (getOrCreate reuses the shared test session, so extensions-by-config
-    // can't be exercised in-JVM; the registry path is identical)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("cosine_sim",
-      children => graft.functions.CosineSim(children.head, children(1)), "built-in")
+    // ...and the SQL surface through the SAME companion builders on the live
+    // session (getOrCreate reuses the shared test session, so
+    // extensions-by-config can't be exercised in-JVM; the registry path and
+    // the builders are identical — one definition, two wiring paths)
+    GraftExtensions.scalarFunctions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    // cosine_sim: exact, orthogonal, and dimension-mismatch-to-null
     val r = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
-    val r2 = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").collect().head
-    assert(math.abs(r2.getDouble(0)) < 1e-12)
-    // dimension mismatch is an error signal (null), never a truncated score
     val r3 = spark.sql("SELECT cosine_sim(array(1.0D, 0.0D, 3.0D), array(1.0D, 0.0D)) AS c").collect().head
-    assert(r3.isNullAt(0))
+    assert(r3.isNullAt(0), "dimension mismatch is an error signal (null), never a truncated score")
+    // token_counts ≡ the composed-builtin formulation
+    val tc = spark.sql("SELECT token_counts('ab cd  ef-gh').ws_tokens AS w, " +
+      "token_counts('ab cd  ef-gh').bpeish_tokens AS b").collect().head
+    assert(tc.getLong(0) === 4L && tc.getLong(1) === 5L)
+    // term_frequencies: literal term list, exact counts + dl
+    val tf = spark.sql("SELECT term_frequencies('a b a c', array('a', 'c')) AS t").collect().head
+    assert(tf.getStruct(0).getLong(0) === 4L)
+    assert(tf.getStruct(0).getSeq[Long](1) === Seq(2L, 1L))
+    // shingle_hashes: same md5 family the Scala API uses
+    val sh = spark.sql("SELECT size(shingle_hashes('a b c d', 3).h24) AS n").collect().head
+    assert(sh.getInt(0) === 2, "two 3-shingles of a 4-token doc")
+    // deflated_size: repetition compresses below the raw length
+    val ds = spark.sql("SELECT deflated_size(repeat('ab', 200), 6) AS z").collect().head
+    assert(ds.getLong(0) < 100L)
+    // a non-literal parameter is a clear resolution error, not a misplan
+    val bad = intercept[Exception] {
+      spark.sql("SELECT deflated_size('x', ws_tokens) FROM " +
+        "(SELECT token_counts('a').ws_tokens AS ws_tokens)").collect()
+    }
+    assert(bad.getMessage.contains("literal"))
+    // table-valued entry points: the flagship ops from pure SQL, plan-equal
+    // to the Scala API
+    val sqlDedup = spark.sql(s"SELECT * FROM graft_dedup_survivors('$sf0001') ORDER BY doc_id")
+    val apiDedup = graft.ops.Dedup.exact(spark, sf0001).orderBy("doc_id")
+    assert(sqlDedup.collect() === apiDedup.collect(),
+      "SQL TVF must answer exactly like the Scala API")
+    val sqlBm25 = spark.sql(
+      s"SELECT * FROM graft_bm25('$sf0001', array('spark', 'window', 'merge'))")
+    val apiBm25 = graft.ops.Relevance.bm25Search(spark, sf0001)
+    assert(sqlBm25.collect() === apiBm25.collect())
   }
 }

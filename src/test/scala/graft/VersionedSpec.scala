@@ -193,11 +193,14 @@ class VersionedSpec extends SparkSpec {
     val base = tempDir("incr-base") + "/table"
     val state = tempDir("incr-state") + "/agg"
     def stateMap() = Versioned.read(spark, state).collect()
-      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"))).toMap
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("max_chars"))).toMap
     def fullMap() = Versioned.read(spark, base).groupBy("lang")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("d"),
-        org.apache.spark.sql.functions.sum("n_chars").as("c"))
-      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"))).toMap
+        org.apache.spark.sql.functions.sum("n_chars").as("c"),
+        org.apache.spark.sql.functions.max("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"),
+        r.getAs[Long]("m"))).toMap
 
     Versioned.commit(spark, docs("en" -> 10L, "en" -> 30L, "fr" -> 20L), base)
     assert(IncrementalAgg.refresh(spark, base, state) === ((1L, false)), "first build is a full pass")
@@ -206,7 +209,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.append(spark, docs("en" -> 5L, "de" -> 100L), base)
     assert(IncrementalAgg.refresh(spark, base, state) === ((2L, true)), "append refreshes incrementally")
     assert(stateMap() === fullMap())
-    assert(stateMap()("en") === ((3L, 45L)))
+    assert(stateMap()("en") === ((3L, 45L, 30L)))
 
     // crash-replay: refreshing an already-covered version is a no-op commit-wise
     val versionsBefore = Versioned.versions(spark, state)
@@ -217,7 +220,7 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(spark, docs("zh" -> 9L, "zh" -> 1L), base)
     assert(IncrementalAgg.refresh(spark, base, state) === ((3L, false)), "rewrite forces the full path")
     assert(stateMap() === fullMap())
-    assert(stateMap() === Map("zh" -> ((2L, 10L))))
+    assert(stateMap() === Map("zh" -> ((2L, 10L, 9L))))
   }
 
   test("data skipping: commits record per-file min/max, prunedRead reads only overlapping files, merge prunes its key scan") {
@@ -299,10 +302,12 @@ class VersionedSpec extends SparkSpec {
     val base = tempDir("incr-feed-base") + "/table"
     val state = tempDir("incr-feed-state") + "/agg"
     def stateMap() = Versioned.read(spark, state).collect()
-      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"))).toMap
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("max_chars"))).toMap
     def fullMap() = Versioned.read(spark, base).groupBy("lang")
-      .agg(count(lit(1)).as("d"), sum("n_chars").as("c"))
-      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"))).toMap
+      .agg(count(lit(1)).as("d"), sum("n_chars").as("c"), max("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("d"), r.getAs[Long]("c"),
+        r.getAs[Long]("m"))).toMap
 
     // keyed base so MERGE applies; range-partitioned so the merge touches
     // only some files and the feed path stays cheaper than a recompute
@@ -324,31 +329,46 @@ class VersionedSpec extends SparkSpec {
       "a files-shared rewrite must refresh via the change feed, not a full pass")
     assert(stateMap() === fullMap())
     assert(!stateMap().contains("fr"), "a lang whose last doc was deleted drops out")
-    assert(stateMap()("en") === ((2L, 45L)) && stateMap()("de") === ((2L, 107L)))
+    assert(stateMap()("en") === ((2L, 45L, 35L)) && stateMap()("de") === ((2L, 107L, 100L)))
+
+    // D24b: delete the row that HOLDS en's max (id 2, n_chars 35) — a
+    // signed delta cannot lower a max, so the feed path must recompute it
+    // from the affected group's surviving rows (en falls back to 10) while
+    // untouched groups (de) keep their stored max; still the feed path,
+    // never a full recompute
+    val dropMax = Seq((2L, "en", 35L, "delete", 4L))
+      .toDF("id", "lang", "n_chars", "operation_type", "seq")
+    Versioned.merge(spark, dropMax, base, keyCol = "id", orderCol = "seq")   // v3
+    assert(IncrementalAgg.refresh(spark, base, state) === ((3L, true)),
+      "a max-dropping delete must still ride the feed path")
+    assert(stateMap() === fullMap())
+    assert(stateMap()("en") === ((1L, 10L, 10L)),
+      "the deleted group max falls back to the surviving rows' max")
+    assert(stateMap()("de") === ((2L, 107L, 100L)), "untouched group max rides")
 
     // one LARGE append file so the next optimize is partial (it rides by
     // name while the small files compact — shared files keep the feed
     // path applicable); the append itself refreshes incrementally
     val bulk = (100L until 5100L).map(i => (i, "pt", 3L)).toDF("id", "lang", "n_chars")
       .coalesce(1)
-    Versioned.append(spark, bulk, base)                                     // v3
-    assert(IncrementalAgg.refresh(spark, base, state) === ((3L, true)))
+    Versioned.append(spark, bulk, base)                                     // v4
+    assert(IncrementalAgg.refresh(spark, base, state) === ((4L, true)))
     assert(stateMap() === fullMap())
 
     // partial OPTIMIZE rewrites the small files but no rows: feed path,
     // state row-identical
-    val v4 = Versioned.optimize(spark, base, targetBytes = 2000L)
-    assert(v4 === 4L, "optimize must have found >= 2 sub-target files")
-    assert(Versioned.newFiles(spark, base, 3L, 4L).isEmpty, "optimize is not a pure append")
-    assert(IncrementalAgg.refresh(spark, base, state) === ((4L, true)),
+    val v5 = Versioned.optimize(spark, base, targetBytes = 2000L)
+    assert(v5 === 5L, "optimize must have found >= 2 sub-target files")
+    assert(Versioned.newFiles(spark, base, 4L, 5L).isEmpty, "optimize is not a pure append")
+    assert(IncrementalAgg.refresh(spark, base, state) === ((5L, true)),
       "a partial optimize must refresh via the (empty) change feed")
     assert(stateMap() === fullMap())
 
     // a FULL replace shares no files — the feed would read old+new, so
     // refresh recomputes instead
-    Versioned.commit(spark, Seq((50L, "zh", 9L)).toDF("id", "lang", "n_chars"), base) // v5
-    assert(IncrementalAgg.refresh(spark, base, state) === ((5L, false)))
-    assert(stateMap() === Map("zh" -> ((1L, 9L))))
+    Versioned.commit(spark, Seq((50L, "zh", 9L)).toDF("id", "lang", "n_chars"), base) // v6
+    assert(IncrementalAgg.refresh(spark, base, state) === ((6L, false)))
+    assert(stateMap() === Map("zh" -> ((1L, 9L, 9L))))
   }
 
   test("concurrent appends all succeed with serialized versions and no lost rows or files") {
@@ -1062,13 +1082,28 @@ class VersionedSpec extends SparkSpec {
       "a row in the rewritten file but not in the change set null-fills")
     assert(got(39L) === (("payload39", None)),
       "rows in files the merge never touched surface null through mergeSchema")
-    // a second evolved merge on the already-widened table needs no flag
+    // a second merge on the already-widened table carrying the FULL evolved
+    // column set needs no flag — and, the r16 data-loss regression pin: the
+    // UNFLAGGED merge must resolve the heterogeneous table's schema across
+    // all files, so survivors rewritten from POST-evolution files keep their
+    // `score` values instead of losing them to a pre-evolution inferred schema
     val more = Seq((6L, "six", 0.1, "update", 3L))
       .toDF("id", "payload", "score", "operation_type", "seq")
-    Versioned.merge(spark, more, dir, keyCol = "id", orderCol = "seq",
-      mergeSchema = true)
+    Versioned.merge(spark, more, dir, keyCol = "id", orderCol = "seq")
     assert(Versioned.read(spark, dir, mergeSchema = true)
       .where(col("id") === 6L).head().getAs[Double]("score") === 0.1)
+    assert(Versioned.read(spark, dir, mergeSchema = true)
+      .where(col("id") === 1000L).head().getAs[Double]("score") === 0.5,
+      "evolved values in files the unflagged merge rewrote must survive")
+    // strict mode on an evolved table with a change set that OMITS the
+    // evolved column fails loudly at entry, naming the gap — never a silent
+    // column drop, never a deep analysis error
+    val narrowStrict = Seq((9L, "nine", "update", 9L))
+      .toDF("id", "payload", "operation_type", "seq")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, narrowStrict, dir, keyCol = "id", orderCol = "seq")
+    }
+    assert(e2.getMessage.contains("omits") && e2.getMessage.contains("score"))
     // the REVERSE direction: a change set may OMIT a column a prior commit
     // evolved in — mergeSchema null-fills it on the upserted row while a
     // touched file that predates the column null-fills its survivors
