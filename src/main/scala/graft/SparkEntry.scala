@@ -95,6 +95,10 @@ object SparkEntry {
     "zipf_fit"             -> ((s, d) => graft.ops.Corpus.zipfFit(s, d)),
     "bm25_search"          -> ((s, d) => graft.ops.Relevance.bm25Search(s, d)),
     "hybrid_search"        -> ((s, d) => graft.ops.Relevance.hybridSearch(s, d)),
+    // rows-only: the IVF pool's recall-vs-brute gap makes a brute oracle
+    // wrong by design; the pool rides the oracled ann_ivf_topk machinery
+    // and RelevanceSpec replays the fusion.
+    "hybrid_search_ivf"    -> ((s, d) => graft.ops.Relevance.hybridSearchIvf(s, d)),
     "phrase_search"        -> ((s, d) => graft.ops.Relevance.phraseSearch(s, d)),
     "doc_top_terms"        -> ((s, d) => graft.ops.Corpus.topTerms(s, d)),
     "memorization_risk"    -> ((s, d) => graft.ops.Corpus.memorizationRisk(s, d)),
@@ -124,6 +128,7 @@ object SparkEntry {
     "training_order"       -> ((s, d) => graft.ops.Curation.trainingOrder(s, d)),
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
+    "lm_trigram_ppl"       -> ((s, d) => graft.ops.Relevance.lmTrigramPerplexity(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "matryoshka_fidelity"  -> ((s, d) => graft.ops.Embeddings.matryoshkaFidelity(s, d)),
@@ -145,6 +150,7 @@ object SparkEntry {
     "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "lang_confusion"       -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    "code_switch"          -> ((s, d) => TextAnalysis.codeSwitch(s, d)),
     "source_concentration" -> ((s, d) => graft.ops.Corpus.sourceConcentration(s, d)),
     "text_quality"         -> ((s, d) => TextAnalysis.quality(s, d)),
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -1992,6 +1998,36 @@ object SparkEntry {
         |       round(exp(-d.s / d.nb), 4) AS perplexity
         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    // the trigram interpolated model mirrors lm_perplexity's CTE shape one
+    // n-gram order higher; λ/k literals and the p-assembly order are written
+    // identically to Relevance.lmTrigramPerplexity's column tree
+    "lm_trigram_ppl" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |tg AS (SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2, tok[i + 2] AS w3
+        |       FROM t, unnest(generate_series(1, greatest(len(tok) - 2, 0))) AS g(i)),
+        |pd AS (SELECT doc_id, w1, w2, w3, count(*) AS cnt FROM tg GROUP BY 1, 2, 3, 4),
+        |tri AS (SELECT w1, w2, w3, sum(cnt) AS c3 FROM pd GROUP BY 1, 2, 3),
+        |cx3 AS (SELECT w1, w2, sum(c3) AS cx3 FROM tri GROUP BY 1, 2),
+        |bg AS (SELECT tok[i] AS w2, tok[i + 1] AS w3
+        |       FROM t, unnest(generate_series(1, greatest(len(tok) - 1, 0))) AS g(i)),
+        |bi AS (SELECT w2, w3, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cx2 AS (SELECT w2, sum(cb) AS cx2 FROM bi GROUP BY 1),
+        |u AS (SELECT unnest(tok) AS w3 FROM t),
+        |uni AS (SELECT w3, count(*) AS c1 FROM u GROUP BY 1),
+        |sc AS (SELECT count(*) AS n_total, count(DISTINCT w3) AS vocab FROM u),
+        |lp AS (SELECT tri.w1, tri.w2, tri.w3,
+        |         ln(0.6 * (CAST(c3 AS DOUBLE) / cx3.cx3)
+        |          + 0.3 * (CAST(cb AS DOUBLE) / cx2.cx2)
+        |          + 0.1 * ((c1 + 0.5) / (n_total + 0.5 * vocab))) AS lp
+        |       FROM tri JOIN cx3 USING (w1, w2) JOIN bi USING (w2, w3)
+        |            JOIN cx2 USING (w2) JOIN uni USING (w3) CROSS JOIN sc),
+        |d AS (SELECT pd.doc_id, sum(pd.cnt) AS nt, sum(pd.cnt * lp.lp) AS s
+        |      FROM pd JOIN lp USING (w1, w2, w3) GROUP BY 1)
+        |SELECT t.doc_id, t.lang, CAST(coalesce(d.nt, 0) AS BIGINT) AS n_trigrams,
+        |       round(-d.s / d.nt, 6) AS cross_entropy,
+        |       round(exp(-d.s / d.nt), 4) AS perplexity
+        |FROM t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -2013,6 +2049,51 @@ object SparkEntry {
          |       round(CAST(n_docs AS DOUBLE) /
          |             sum(n_docs) OVER (PARTITION BY lang_declared), 6) AS frac_of_declared
          |FROM c ORDER BY lang_declared, lang_pred""".stripMargin,
+
+    // runner-up language + flag over the SAME per-language hit counts as
+    // lang_id; thresholds interpolate from TextAnalysis's own constants and
+    // the primary-mask -1 trick mirrors the Spark value-masking exactly
+    "code_switch" -> {
+      val sw = graft.ops.TextAnalysis.langStopwords
+      val hitExprs = sw.map { case (l, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(tok, x -> list_contains($arr, x))) AS BIGINT) AS hits_$l"
+      }.mkString(",\n        ")
+      val bestExpr = sw.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
+      val secExpr = sw.map { case (l, _) =>
+        s"CASE WHEN primary_lang = '$l' THEN CAST(-1 AS BIGINT) ELSE hits_$l END"
+      }.mkString("greatest(", ", ", ")")
+      val primaryCases = sw.map { case (l, _) =>
+        s"WHEN hits_$l = primary_hits THEN '$l'"
+      }.mkString("\n            ")
+      val secondaryCases = sw.map { case (l, _) =>
+        s"WHEN primary_lang <> '$l' AND hits_$l = secondary_hits THEN '$l'"
+      }.mkString("\n            ")
+      val hitNames = sw.map { case (l, _) => s"hits_$l" }.mkString(", ")
+      val minHits = graft.ops.TextAnalysis.CodeSwitchMinHits
+      val minRate = graft.ops.TextAnalysis.CodeSwitchMinRate
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |        $hitExprs,
+         |        CAST(len(tok) AS BIGINT) AS n_tokens
+         |      FROM t),
+         |b AS (SELECT *, $bestExpr AS primary_hits FROM h),
+         |p AS (SELECT *, CASE $primaryCases
+         |                ELSE 'und' END AS primary_lang FROM b),
+         |s AS (SELECT *, $secExpr AS secondary_hits FROM p),
+         |s2 AS (SELECT *,
+         |         CASE WHEN secondary_hits <= 0 THEN 'und'
+         |            $secondaryCases
+         |            ELSE 'und' END AS secondary_lang,
+         |         round(CAST(secondary_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |           AS secondary_rate
+         |       FROM s)
+         |SELECT doc_id, lang AS lang_declared, primary_lang, primary_hits,
+         |       secondary_lang, secondary_hits, n_tokens, secondary_rate,
+         |       (primary_hits > 0 AND secondary_hits >= $minHits
+         |        AND secondary_rate >= $minRate) AS code_switched
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, length(text) AS len, string_split(text, ' ') AS tok

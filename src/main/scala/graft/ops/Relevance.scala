@@ -513,12 +513,59 @@ object Relevance {
                          1L -> Seq("customer", "join", "stream")),
                    k1: Double = 1.2, b: Double = 0.75,
                    poolK: Int = 50, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    // ---- semantic pool: exact cosine vs each query's own embedding ----
+    val emb = Tables.embeddings(spark, dir)
+    val qVecs = emb.where(col("vec_id").isin(queries.map(q => q._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val sem = poolCut(emb.join(broadcast(qVecs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosine(col("embedding"), col("query_vec")), 6))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cos")),
+      "cos", "sem_rank", poolK)
+    rrfFuse(lexicalPool(spark, dir, queries, k1, b, poolK), sem, rrfK, topK)
+  }
+
+  /** B53d — hybrid retrieval with the IVF semantic pool: the 100 TB shape
+    * [[hybridSearch]]'s scaladoc promises — the semantic side rides B5's
+    * IVF probe (nearest-centroid bucketing + nprobe-cell candidate join,
+    * the SAME machinery the oracled `ann_ivf_topk` runs) instead of scoring
+    * every corpus vector, so the semantic cost scales with the probed
+    * nprobe/cells fraction, not the corpus. The lexical pool and the RRF
+    * fusion are shared code with the exact sibling — same rank contract,
+    * same audit columns. Registered rows-only (the IVF pool's recall-vs-
+    * brute gap makes a brute-force oracle wrong BY DESIGN; the IVF pool
+    * itself is hash-verified through `ann_ivf_topk`'s replayed-pipeline
+    * oracle) with a RelevanceSpec replay: plain-Scala RRF over the
+    * spec-replayed lexical ranks and the independently-verified IVF ranks.
+    */
+  def hybridSearchIvf(spark: SparkSession, dir: String,
+                      queries: Seq[(Long, Seq[String])] =
+                        Seq(0L -> Seq("spark", "window", "merge"),
+                            1L -> Seq("customer", "join", "stream")),
+                      k1: Double = 1.2, b: Double = 0.75,
+                      poolK: Int = 50, rrfK: Int = 60, topK: Int = 10,
+                      cells: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val nQueries = queries.map(_._1).max.toInt + 1
+    require(queries.map(_._1).toSet == (0L until nQueries).toSet,
+      "IVF pool reuses ivfTopKOf's contiguous query-id contract (0..n-1)")
+    val sem = Similarity.ivfTopKOf(Tables.embeddings(spark, dir),
+      nQueries, poolK, cells, nprobe, dim)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    rrfFuse(lexicalPool(spark, dir, queries, k1, b, poolK), sem, rrfK, topK)
+  }
+
+  /** The BM25 lexical pool shared by both hybrid variants: per-query
+    * (query_id, doc_id, lex_rank ≤ poolK) over the [[termCounts]] scan
+    * kernel — one corpus pass feeds tf rows, df, and corpus stats; the
+    * per-query fan-out is a broadcast join on the |queries|·|terms| term
+    * table.
+    */
+  private def lexicalPool(spark: SparkSession, dir: String,
+                          queries: Seq[(Long, Seq[String])],
+                          k1: Double, b: Double, poolK: Int): DataFrame = {
     import spark.implicits._
-    // ---- lexical pool: BM25 per query over its own term set ----
     val qTerms = queries.flatMap { case (q, ts) => ts.map(w => (q, w)) }
       .toDF("query_id", "w")
-    // one TermFrequencies corpus scan feeds tf rows, df, and corpus stats
-    // (bm25Search's r16 shape; the per-query fan-out joins the same rows)
     val allTerms = queries.flatMap(q => q._2).distinct
     val tc = termCounts(Tables.documents(spark, dir), allTerms).persist()
     val tf = termFrequencyRows(tc, allTerms)
@@ -528,39 +575,42 @@ object Relevance {
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    // two-level top-k pool cut (see scaladoc): shard-local rank fans the
-    // corpus-sized sort out across 32·|queries| tasks; the per-query rank
-    // then orders only the ≤ 32·poolK shard survivors. Identical result to
-    // a single per-query window (every global top-poolK row is top-poolK
-    // in its shard), without the |queries|-task sort serialization.
-    def poolCut(scored: DataFrame, scoreCol: String, rankName: String): DataFrame = {
-      val shard = pmod(hash(col("doc_id")), lit(32))
-      val w1 = Window.partitionBy(col("query_id"), shard)
-        .orderBy(col(scoreCol).desc, col("doc_id"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col(scoreCol).desc, col("doc_id"))
-      scored.withColumn("_shard_rank", row_number().over(w1))
-        .where(col("_shard_rank") <= poolK)
-        .withColumn(rankName, row_number().over(w2).cast("long"))
-        .where(col(rankName) <= poolK)
-        .select(col("query_id"), col("doc_id"), col(rankName))
-    }
-    val lex = poolCut(tf
+    poolCut(tf
       .join(broadcast(qTerms), Seq("w"))
       .where(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfTab), Seq("w"))
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(contrib), 6).as("score")), "score", "lex_rank")
-    // ---- semantic pool: exact cosine vs each query's own embedding ----
-    val emb = Tables.embeddings(spark, dir)
-    val qVecs = emb.where(col("vec_id").isin(queries.map(q => q._1): _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val sem = poolCut(emb.join(broadcast(qVecs), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Similarity.cosine(col("embedding"), col("query_vec")), 6))
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("cos")),
-      "cos", "sem_rank")
-    // ---- RRF fusion over the two bounded pools ----
+      .agg(round(sum(contrib), 6).as("score")), "score", "lex_rank", poolK)
+  }
+
+  /** Two-level top-k pool cut (B32's hot-key scaffold): shard-local rank
+    * fans the corpus-sized sort out across 32·|queries| tasks; the
+    * per-query rank then orders only the ≤ 32·poolK shard survivors.
+    * Identical result to a single per-query window (every global top-poolK
+    * row is top-poolK in its shard), without the |queries|-task sort
+    * serialization (measured here: 11.8 s → ~2 s at 50× docs).
+    */
+  private def poolCut(scored: DataFrame, scoreCol: String, rankName: String,
+                      poolK: Int): DataFrame = {
+    val shard = pmod(hash(col("doc_id")), lit(32))
+    val w1 = Window.partitionBy(col("query_id"), shard)
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    scored.withColumn("_shard_rank", row_number().over(w1))
+      .where(col("_shard_rank") <= poolK)
+      .withColumn(rankName, row_number().over(w2).cast("long"))
+      .where(col(rankName) <= poolK)
+      .select(col("query_id"), col("doc_id"), col(rankName))
+  }
+
+  /** RRF fusion over two bounded (query_id, doc_id, rank) pools — shared by
+    * both hybrid variants so the fusion rule cannot drift between them.
+    * Fusion cost never scales with the corpus, only the pools do.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame,
+                      rrfK: Int, topK: Int): DataFrame = {
     val fused = round(
       coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("lex_rank")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("sem_rank")), lit(0.0)), 6)
@@ -574,5 +624,87 @@ object Relevance {
         col("lex_rank"), col("sem_rank"))
       // ≤ |queries|·topK rows: one-partition in-place sort, no range exchange
       .repartition(1).sortWithinPartitions("query_id", "rank")
+  }
+
+  /** B35c — interpolated TRIGRAM LM perplexity: the n-gram upgrade of
+    * [[lmPerplexity]] (real curation stacks score with 5-gram KenLM;
+    * trigrams are where context starts separating fluent text from bag-of-
+    * words junk that fools a bigram model). Per trigram position,
+    *
+    *   p(w3|w1w2) = λ3·c3/cx3 + λ2·cb/cx2 + λ1·(c1+k)/(N+kV)
+    *
+    * — MLE trigram and bigram conditionals interpolated with an add-k
+    * unigram floor (Jelinek-Mercer with fixed weights λ = 0.6/0.3/0.1,
+    * k = 0.5). Contexts count n-gram STARTS (cx3 = trigrams starting
+    * (w1,w2), cx2 = bigrams starting w2), so each conditional sums to 1
+    * exactly; the corpus is its own model (self-referential outlier
+    * scoring, B35's contract), so c3 ≥ 1 for every scored position. Per
+    * doc: cross_entropy = −(1/n) Σ ln p over its n trigram positions,
+    * perplexity = exp(·); docs under 3 tokens keep a row with
+    * n_trigrams = 0 and null scores.
+    *
+    * Scale shape (B35's, one order higher): positional trigrams explode
+    * with zero shuffle and per-(doc, trigram) counts partial-aggregate
+    * map-side; the persisted result feeds the trigram model AND the
+    * scoring join; bigram/unigram model tables aggregate map-side
+    * combined; N/V broadcast as one row; every model attach is a keyed
+    * equi-join bounded by n-gram vocabulary, never the corpus.
+    *
+    * Float parity: every model count is an exact integer on both engines;
+    * p assembles as three (divide, multiply) pairs and two adds written in
+    * the same order in the oracle SQL; ln/exp ulp noise and per-doc
+    * summation order sit ~7 orders below the 6-dp rounding step (B35's
+    * argument, one term wider).
+    */
+  def lmTrigramPerplexity(spark: SparkSession, dir: String,
+                          l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1,
+                          addK: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    // persisted: feeds the corpus trigram counts AND the scoring join
+    // (lazily persisted — released by graft.Caches.clear)
+    val perDoc = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)), " +
+          "(x, i) -> struct(x AS w1, tok[i + 1] AS w2, tok[i + 2] AS w3))"))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val tri = perDoc.groupBy("w1", "w2", "w3").agg(sum(col("cnt")).as("c3"))
+    val ctx3 = tri.groupBy("w1", "w2").agg(sum(col("c3")).as("cx3"))
+    val bi = toks
+      .select(explode(expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)), " +
+          "(x, i) -> struct(x AS w2, tok[i + 1] AS w3))")).as("bg"))
+      .groupBy(col("bg.w2").as("w2"), col("bg.w3").as("w3"))
+      .agg(count(lit(1)).as("cb"))
+    val ctx2 = bi.groupBy("w2").agg(sum(col("cb")).as("cx2"))
+    val uniAll = toks.select(explode(col("tok")).as("w3"))
+    val uni = uniAll.groupBy("w3").agg(count(lit(1)).as("c1"))
+    val scalars = uniAll.agg(count(lit(1)).as("n_total"),
+      count_distinct(col("w3")).as("vocab"))
+    val p =
+      lit(l3) * (col("c3").cast("double") / col("cx3")) +
+      lit(l2) * (col("cb").cast("double") / col("cx2")) +
+      lit(l1) * ((col("c1") + lit(addK)) / (col("n_total") + lit(addK) * col("vocab")))
+    val logProb = tri
+      .join(ctx3, Seq("w1", "w2"))
+      .join(bi, Seq("w2", "w3"))
+      .join(ctx2, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"), col("w3"), log(p).as("lp"))
+    val scored = perDoc.join(logProb, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_trigrams"), sum(col("cnt") * col("lp")).as("s"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(-col("s") / col("n_trigrams"), 6).as("cross_entropy"),
+        round(exp(-col("s") / col("n_trigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
   }
 }

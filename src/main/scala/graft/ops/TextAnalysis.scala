@@ -78,6 +78,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** B7c — code-switching detection: per doc, the PRIMARY language (argmax
+    * stopword hits, B7's evidence) plus the RUNNER-UP language and its
+    * evidence — a doc whose second language clears both an absolute-hit and
+    * a rate floor is flagged `code_switched`. The signal B7's single argmax
+    * throws away: mixed-language documents (boilerplate chrome in one
+    * language wrapping content in another, concatenated crawl fragments,
+    * genuine code-switching) pollute per-language corpora and skew
+    * per-lang curation thresholds (B44's terciles, B62's length
+    * histograms), and the runner-up rate is exactly the triage column.
+    *
+    * Same ONE codegen'd StopwordHits pass as B7 (no second tokenize), pure
+    * projection after it — scan-speed at any scale, zero shuffle. Ties
+    * break to the earlier language in [[langStopwords]] for BOTH slots
+    * (deterministic, mirrored in the oracle SQL); the runner-up maximum
+    * excludes the primary slot by value-masking it to −1, so a doc whose
+    * two top languages tie reports the later one as secondary with the
+    * full tied count.
+    */
+  /** [[codeSwitch]] flag thresholds — the oracle SQL interpolates THESE
+    * (the dup_pair_spans lesson: a hardcoded copy desyncs silently).
+    */
+  val CodeSwitchMinHits: Int = 3
+  val CodeSwitchMinRate: Double = 0.03
+
+  def codeSwitch(spark: SparkSession, dir: String,
+                 minHits: Int = CodeSwitchMinHits,
+                 minRate: Double = CodeSwitchMinRate): DataFrame = {
+    val hc = graft.functions.VectorExpressions
+      .stopwordHits(col("text"), langStopwords.map(_._2))
+    val langs = langStopwords.map(_._1)
+    val primaryOrdered = langs
+      .foldLeft(when(lit(false), "x")) { (acc, l) =>
+        acc.when(col(s"hits_$l") === col("primary_hits"), l)
+      }.otherwise("und")
+    val secondaryOrdered = langs
+      .foldLeft(when(lit(false), "x")) { (acc, l) =>
+        acc.when(col("primary_lang") =!= l &&
+          col(s"hits_$l") === col("secondary_hits"), l)
+      }.otherwise("und")
+    Tables.documents(spark, dir)
+      .withColumn("hc", hc)
+      .withColumns(langs.zipWithIndex.map { case (l, i) =>
+        s"hits_$l" -> element_at(col("hc.hits"), i + 1)
+      }.toMap)
+      .withColumn("n_tokens", col("hc.n_tokens"))
+      .withColumn("primary_hits", langs.map(l => col(s"hits_$l")).reduce(greatest(_, _)))
+      .withColumn("primary_lang", primaryOrdered)
+      .withColumn("secondary_hits", langs.map(l =>
+        when(col("primary_lang") === l, lit(-1L)).otherwise(col(s"hits_$l")))
+        .reduce(greatest(_, _)))
+      .withColumn("secondary_lang",
+        when(col("secondary_hits") <= 0, lit("und")).otherwise(secondaryOrdered))
+      .withColumn("secondary_rate",
+        round(col("secondary_hits").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("code_switched",
+        col("primary_hits") > 0 && col("secondary_hits") >= minHits &&
+          col("secondary_rate") >= minRate)
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        col("primary_lang"), col("primary_hits"),
+        col("secondary_lang"), col("secondary_hits"),
+        col("n_tokens"), col("secondary_rate"), col("code_switched"))
+      .orderBy("doc_id")
+  }
+
   /** B8 — quality scoring: length, token, punctuation and repetition signals
     * combined into one score. Integer-ratio doubles are IEEE-exact, so the
     * oracle agrees bit-for-bit.

@@ -1023,4 +1023,128 @@ class RelevanceSpec extends SparkSpec {
     }
     assert(got.sortBy(t => (t._1, t._2)) === expected.sortBy(t => (t._1, t._2)))
   }
+
+  test("hybridSearchIvf: fusion replays from the independently-oracled IVF pool + plain-Scala lexical ranks and RRF") {
+    val queries = Seq(0L -> Seq("spark", "window", "merge"),
+                      1L -> Seq("customer", "join", "stream"))
+    val got = Relevance.hybridSearchIvf(spark, sf0001).collect().toSeq.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))
+    }
+    assert(got.size === queries.size * 10)
+    // semantic ranks from the SAME IVF machinery the hash-green
+    // `ann_ivf_topk` oracle verifies (deterministic k-means, so a second
+    // build reproduces the pool bit-for-bit)
+    val sem: Map[(Long, Long), Long] = graft.ops.Similarity
+      .ivfTopKOf(graft.Tables.embeddings(spark, sf0001),
+        nQueries = 2, k = 50, cells = 16, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("rank")).toMap
+    // lexical ranks replayed in plain Scala (the exact-hybrid test's replay)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allTerms = queries.flatMap(_._2).toSet
+    val toksL = docs.map { case (id, t) => (id, t.split(" ", -1)) }
+    val nDocs = toksL.length
+    val dl = toksL.map { case (id, ts) => (id, ts.length.toLong) }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tfL: Map[(Long, String), Long] = toksL.flatMap { case (id, ts) =>
+      ts.filter(allTerms).groupBy(identity)
+        .map { case (w, occ) => ((id, w), occ.length.toLong) }
+    }.toMap
+    val dfL: Map[String, Long] =
+      tfL.keys.groupBy(_._2).map { case (w, ks) => (w, ks.size.toLong) }
+    def lexRanks(q: Long, terms: Seq[String]): Map[Long, Long] = {
+      val scored = toksL.map(_._1).filter(_ != q).flatMap { d =>
+        val parts = terms.flatMap(w => tfL.get((d, w)).map { t =>
+          val dfi = dfL(w)
+          val idf = math.log(1.0 + (nDocs - dfi + 0.5) / (dfi + 0.5))
+          idf * (t * (1.2 + 1.0)) /
+            (t + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl))
+        })
+        if (parts.isEmpty) None else Some((d, round6(parts.sum)))
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(50)
+        .zipWithIndex.map { case ((d, _), i) => (d, i + 1L) }.toMap
+    }
+    val expected = queries.flatMap { case (q, terms) =>
+      val lex = lexRanks(q, terms)
+      val semQ = sem.collect { case ((`q`, d), r) => d -> r }.toMap
+      (lex.keySet ++ semQ.keySet).toSeq.map { d =>
+        val rrf = round6(
+          lex.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          semQ.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        (d, rrf)
+      }.sortBy { case (d, rrf) => (-rrf, d) }.take(10).zipWithIndex.map {
+        case ((d, rrf), i) => (q, i + 1L, d, rrf, lex.get(d), semQ.get(d))
+      }
+    }
+    assert(got.sortBy(t => (t._1, t._2)) === expected.sortBy(t => (t._1, t._2)))
+  }
+
+  test("lmTrigramPerplexity: hand-checkable interpolated model; short docs keep null rows") {
+    val dir = tempDir("lmtri")
+    // corpus: two identical 3-token docs + one 2-token doc (no trigrams).
+    // trigram (a,b,c): c3 = 2, cx3(a,b) = 2 → p3 = 1
+    // bigram (b,c): cb = 2, cx2(b·) = 2 → p2 = 1
+    // unigram c: c1 = 3 (both "a b c" docs AND "x c"), N = 8 tokens,
+    // V = 4 → p1 = (3+0.5)/(8+0.5·4) = 0.35
+    // p = 0.6·1 + 0.3·1 + 0.1·0.35 = 0.935; ce = −ln(0.935)
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "a b c"), (3L, "x c")))
+    val m = Relevance.lmTrigramPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.size === 3)
+    assert(m(1L).getAs[Long]("n_trigrams") === 1L)
+    val expCe = math.rint(-math.log(0.6 * 1.0 + 0.3 * 1.0 + 0.1 * 0.35) * 1e6) / 1e6
+    assert(m(1L).getAs[Double]("cross_entropy") === expCe)
+    assert(m(1L).getAs[Double]("cross_entropy") === m(2L).getAs[Double]("cross_entropy"))
+    assert(m(3L).getAs[Long]("n_trigrams") === 0L, "a 2-token doc has no trigrams")
+    assert(m(3L).isNullAt(m(3L).fieldIndex("perplexity")))
+  }
+
+  test("lmTrigramPerplexity separates shuffled text the bigram model underseparates") {
+    val dir = tempDir("lmtri2")
+    val sentence = "the cat sat on the mat today"
+    writeDocs(dir, Seq(
+      (1L, sentence), (2L, sentence), (3L, sentence), (4L, sentence),
+      (5L, "mat the on sat cat today the")))
+    val tri = Relevance.lmTrigramPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(tri(5L) > tri(1L),
+      s"shuffled transitions must score higher trigram perplexity: ${tri(5L)} vs ${tri(1L)}")
+    assert(tri(1L) === tri(4L), "identical docs score identically")
+    // and it is fully scored on the driver corpus (≥3-token docs)
+    val rows = Relevance.lmTrigramPerplexity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("cross_entropy"))))
+  }
+
+  test("codeSwitch: a planted mixed-language doc is flagged; pure and evidence-free docs are not") {
+    val dir = tempDir("codesw")
+    writeDocs(dir, Seq(
+      // en-dominant with a real de block: 4 en hits, 3 de hits of 12 tokens
+      (1L, "the cat of the house and der hund von der strasse x"),
+      // pure en: runner-up evidence is zero
+      (2L, "the cat of the house and it is on a mat"),
+      // no stopwords at all: zero evidence either way
+      (3L, "qqq www eee rrr"),
+      // de-primary with trace en (1 hit): under the min-hits floor
+      (4L, "der hund und die katze von der strasse the end")))
+    val m = graft.ops.TextAnalysis.codeSwitch(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[String]("primary_lang") === "en")
+    assert(m(1L).getAs[String]("secondary_lang") === "de")
+    assert(m(1L).getAs[Long]("secondary_hits") === 3L) // der ×2 + von
+    assert(m(1L).getAs[Boolean]("code_switched"), "mixed doc must flag")
+    assert(m(2L).getAs[String]("primary_lang") === "en")
+    assert(!m(2L).getAs[Boolean]("code_switched"), "pure doc must not flag")
+    assert(m(3L).getAs[Long]("primary_hits") === 0L)
+    assert(!m(3L).getAs[Boolean]("code_switched"), "zero evidence never flags")
+    assert(m(4L).getAs[String]("primary_lang") === "de")
+    assert(!m(4L).getAs[Boolean]("code_switched"),
+      "a single foreign stopword is under the min-hits floor")
+  }
 }
