@@ -129,6 +129,11 @@ object SparkEntry {
     "bigram_coverage"      -> ((s, d) => graft.ops.Relevance.bigramCoverage(s, d)),
     "lm_perplexity"        -> ((s, d) => graft.ops.Relevance.lmPerplexity(s, d)),
     "lm_trigram_ppl"       -> ((s, d) => graft.ops.Relevance.lmTrigramPerplexity(s, d)),
+    "source_lm_divergence" -> ((s, d) => graft.ops.Relevance.sourceLmDivergence(s, d)),
+    // rows-only: DataSketches HLL estimates are engine-specific bytes with
+    // no DuckDB equivalent; AnalyticsSketchSpec bounds the merged estimate
+    // against the exact weekly distinct and pins merge ≡ direct build.
+    "sketch_dau_rollup"    -> ((s, d) => Analytics.sketchDauRollup(s, d)),
     "pseudonymize"         -> ((s, d) => graft.ops.Curation.pseudonymize(s, d)),
     "embedding_quantize"   -> ((s, d) => graft.ops.Embeddings.quantizeSummary(s, d)),
     "matryoshka_fidelity"  -> ((s, d) => graft.ops.Embeddings.matryoshkaFidelity(s, d)),
@@ -2027,6 +2032,38 @@ object SparkEntry {
         |       round(-d.s / d.nt, 6) AS cross_entropy,
         |       round(exp(-d.s / d.nt), 4) AS perplexity
         |FROM t LEFT JOIN d ON t.doc_id = d.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // both models share lm_perplexity's add-k estimator; per-doc cross-
+    // entropies round to 6 dp BEFORE the per-source average (identical
+    // round-6 inputs make avg's summation-order noise invisible at round-6)
+    "source_lm_divergence" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+        |b AS (SELECT doc_id, source, tok[i] AS w1, tok[i + 1] AS w2
+        |      FROM t, unnest(generate_series(1, greatest(len(tok) - 1, 0))) AS g(i)),
+        |pd AS (SELECT doc_id, source, w1, w2, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+        |cb AS (SELECT w1, w2, sum(cnt) AS cbi FROM pd GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cbi) AS cw FROM cb GROUP BY 1),
+        |un AS (SELECT source, unnest(tok) AS w FROM t),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM un),
+        |lpg AS (SELECT w1, w2, ln((cbi + 0.5) / (cw + 0.5 * vocab)) AS lp_g
+        |        FROM cb JOIN cu USING (w1) CROSS JOIN v),
+        |cbs AS (SELECT source, w1, w2, sum(cnt) AS cbs FROM pd GROUP BY 1, 2, 3),
+        |cus AS (SELECT source, w1, sum(cbs) AS cws FROM cbs GROUP BY 1, 2),
+        |vs AS (SELECT source, count(DISTINCT w) AS vs FROM un GROUP BY 1),
+        |lpl AS (SELECT cbs.source, w1, w2,
+        |          ln((cbs.cbs + 0.5) / (cus.cws + 0.5 * vs.vs)) AS lp_l
+        |        FROM cbs JOIN cus USING (source, w1) JOIN vs USING (source)),
+        |d AS (SELECT pd.doc_id, pd.source,
+        |        round(-sum(pd.cnt * lpg.lp_g) / sum(pd.cnt), 6) AS ce_g,
+        |        round(-sum(pd.cnt * lpl.lp_l) / sum(pd.cnt), 6) AS ce_l
+        |      FROM pd JOIN lpg USING (w1, w2)
+        |           JOIN lpl ON lpl.source = pd.source AND lpl.w1 = pd.w1 AND lpl.w2 = pd.w2
+        |      GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(ce_g), 6) AS mean_ce_global,
+        |       round(avg(ce_l), 6) AS mean_ce_local,
+        |       round(avg(ce_g - ce_l), 6) AS divergence
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

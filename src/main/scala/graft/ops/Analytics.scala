@@ -444,6 +444,47 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** C15c — STORED-SKETCH rollup (r16): per-day DataSketches HLL sketches
+    * built ONCE, then any coarser range (here ISO weeks) answered by
+    * MERGING the daily sketches — `hll_union_agg` over sketch BYTES, never
+    * a rescan of the events. This is the production incremental-distinct
+    * pattern at 100 TB: the per-day sketch table is the persisted artifact
+    * (KBs per day regardless of event volume; a D22 append chain maintains
+    * it per D24's discipline), and every ad-hoc range query costs
+    * |days-in-range| sketch merges instead of a corpus scan — the
+    * capability `approx_count_distinct` (one-shot, C15b) cannot compose
+    * into. Output per week: days merged, merged-estimate DAU... WAU, with
+    * the summed daily estimates alongside (their gap = cross-day repeat
+    * visitors, readable directly from the sketch table).
+    *
+    * Registered rows-only BY DESIGN: DataSketches HLL estimates are
+    * engine-specific bytes with no DuckDB equivalent; AnalyticsSketchSpec
+    * bounds the merged estimate against the exact weekly distinct at the
+    * sketch's documented rsd (lgK 12 ≈ 1.6% ·5 safety, the C15b precedent)
+    * and pins merge-vs-direct-build agreement.
+    */
+  def sketchDauRollup(spark: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr(epochFloorDiv(86400)).as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        count(lit(1)).as("n_events"))
+      // the persisted artifact: (day, sketch-bytes, volume) — at 100 TB
+      // this table is what survives; everything below reads only it
+      .persist()
+    byDay
+      .withColumn("week", expr("day div 7"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("days_merged"),
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("wau_est"),
+        sum(hll_sketch_estimate(col("sk"))).as("sum_daily_dau_est"))
+      .select(col("week"), col("days_merged"), col("n_events"), col("wau_est"),
+        col("sum_daily_dau_est"),
+        (col("sum_daily_dau_est") - col("wau_est")).as("repeat_visits_est"))
+      .orderBy("week")
+  }
+
   /** C9 — distribution stats: EXACT token-count percentiles per language
     * (p25/p50/p90/p99, linear interpolation — the same definition as
     * SQL `quantile_cont`, so the oracle agrees bit-for-bit). Exact

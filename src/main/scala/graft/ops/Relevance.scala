@@ -656,6 +656,69 @@ object Relevance {
     * summation order sit ~7 orders below the 6-dp rounding step (B35's
     * argument, one term wider).
     */
+  /** B35d — per-source LM divergence: for each source, the mean per-doc
+    * cross-entropy GAP between the global corpus bigram model and the
+    * source's OWN bigram model — an empirical KL(source ‖ corpus) estimate
+    * over bigram transitions. The mixture-drift diagnostic B60's unigram χ²
+    * and B39's split-KL miss: a source can match the corpus vocabulary
+    * exactly and still diverge in TRANSITIONS (templated word salad,
+    * machine-generated text), and the source with the largest gap is the
+    * one pulling a trained model away from the mixture. gap ≈ 0 = the
+    * source speaks the corpus's language; large positive = its own model
+    * fits it far better — distributionally alien content.
+    *
+    * Both models share B35's add-k estimator (k/V global, k/V_s local —
+    * each conditional sums to 1 exactly); both score the SAME persisted
+    * per-(doc, bigram) counts, so the comparison is paired, never sampled.
+    * Per-doc cross-entropies round to 6 dp BEFORE averaging (the
+    * source_quality precedent: identical round-6 inputs make the avg's
+    * summation-order noise invisible at the round-6 output). Scale shape =
+    * B35 twice over the one persisted explode: model tables are
+    * (source ×) bigram-vocab-bounded keyed joins with map-side partials;
+    * the final aggregate collapses to source cardinality.
+    */
+  def sourceLmDivergence(spark: SparkSession, dir: String,
+                         addK: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("tok"))
+    // persisted: feeds BOTH model aggregations and the paired scoring join
+    val perDoc = toks
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)), " +
+          "(x, i) -> struct(x AS w1, tok[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val uni = toks.select(col("source"), explode(col("tok")).as("w"))
+    // global model (B35's exactly)
+    val bi = perDoc.groupBy("w1", "w2").agg(sum(col("cnt")).as("cbi"))
+    val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
+    val vocab = uni.agg(count_distinct(col("w")).as("vocab"))
+    val lpG = bi.join(starts, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("cbi") + lit(addK)) / (col("cw") + lit(addK) * col("vocab"))).as("lp_g"))
+    // source-local model (same estimator, source-keyed)
+    val biS = perDoc.groupBy("source", "w1", "w2").agg(sum(col("cnt")).as("cbs"))
+    val startsS = biS.groupBy("source", "w1").agg(sum(col("cbs")).as("cws"))
+    val vocabS = uni.groupBy("source").agg(count_distinct(col("w")).as("vs"))
+    val lpL = biS.join(startsS, Seq("source", "w1")).join(vocabS, Seq("source"))
+      .select(col("source"), col("w1"), col("w2"),
+        log((col("cbs") + lit(addK)) / (col("cws") + lit(addK) * col("vs"))).as("lp_l"))
+    val scored = perDoc
+      .join(lpG, Seq("w1", "w2"))
+      .join(lpL, Seq("source", "w1", "w2"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("nb"),
+        round(-sum(col("cnt") * col("lp_g")) / sum(col("cnt")), 6).as("ce_g"),
+        round(-sum(col("cnt") * col("lp_l")) / sum(col("cnt")), 6).as("ce_l"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ce_g")), 6).as("mean_ce_global"),
+        round(avg(col("ce_l")), 6).as("mean_ce_local"),
+        round(avg(col("ce_g") - col("ce_l")), 6).as("divergence"))
+      .orderBy("source")
+  }
+
   def lmTrigramPerplexity(spark: SparkSession, dir: String,
                           l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1,
                           addK: Double = 0.5): DataFrame = {

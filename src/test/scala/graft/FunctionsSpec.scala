@@ -148,6 +148,27 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
   }
 
+  test("TermFrequencies == the split+filter counts it replaces, adversarial strings included") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("spark", "window", "merge", "a", "")
+    val adversarial = Seq(
+      (1L, ""), (2L, " "), (3L, "a  a"), (4L, "spark spark spark"),
+      (5L, " spark"), (6L, "sparkx xspark spark"), (7L, "mergewindow merge window"),
+      (8L, "héllo spark wörld"), (9L, "emoji 😀 spark"))
+      .toDF("doc_id", "text")
+    val tokens = split(col("text"), " ")
+    val expTf = array(terms.map(t =>
+      size(filter(tokens, x => x === lit(t))).cast("long")): _*)
+    val df = corpus().select("doc_id", "text").union(adversarial)
+      .select(
+        VectorExpressions.termFrequencies(col("text"), terms).as("tc"),
+        size(tokens).cast("long").as("exp_dl"),
+        expTf.as("exp_tf"))
+    val bad = df.where(col("tc.dl") =!= col("exp_dl") || col("tc.tf") =!= col("exp_tf"))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("TokenHashes == the per-token transform lambdas, duplicates kept") {
     val tokens = split(col("text"), " ")
     val df = corpus().select(

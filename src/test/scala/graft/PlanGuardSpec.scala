@@ -50,6 +50,12 @@ class PlanGuardSpec extends SparkSpec {
     "hybrid_search",      // inherits bm25's corpus-stats scalar; its query
                           // vectors broadcast like ann_brute's probe set
                           // (bounded by construction, not by data)
+    "hybrid_search_ivf",  // same lexical pool: inherits bm25's corpus-stats
+                          // scalar; the IVF semantic side is equi-join-only
+    "lm_trigram_ppl",     // broadcast 1-row (N, vocab) scalar — lm_perplexity's
+                          // V scalar one n-gram order higher
+    "source_lm_divergence", // broadcast global-vocab scalar (the source-local
+                          // model's V attaches by a keyed source join)
     "daily_fill",         // broadcast 1-row (min_day, max_day) span scalar
     "source_concentration", // broadcast 1-row top-k-volume scalar
     "basket_affinity",    // broadcast 1-row order-count scalar

@@ -330,6 +330,60 @@ class RelevanceSpec extends SparkSpec {
     }
   }
 
+  test("sketchDauRollup: merged weekly sketches bound the exact WAU; repeat-visit gap is non-negative") {
+    import org.apache.spark.sql.functions.{col => c, expr => e, countDistinct}
+    // DataSketches HLL at lgK 12 has rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%; the 5x
+    // safety factor is the distinctUsersApprox precedent (rsd is a std
+    // dev, not a hard bound)
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    val got = Analytics.sketchDauRollup(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("days_merged"), r.getAs[Long]("wau_est"),
+          r.getAs[Long]("sum_daily_dau_est"))).toMap
+    assert(got.nonEmpty)
+    // same floor-division day/week derivation as the operator
+    val exact = Tables.events(spark, sf0001)
+      .select(c("user_id"),
+        e("((cast(ts as long) - pmod(cast(ts as long), 86400)) div 86400) div 7").as("week"))
+      .groupBy("week").agg(countDistinct(c("user_id")).as("wau"))
+      .collect().map(r => r.getAs[Long]("week") -> r.getAs[Long]("wau")).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (w, n) =>
+      val err = math.abs(got(w)._2 - n).toDouble / n
+      assert(err <= 5 * rsd, s"week $w: merged-sketch WAU=${got(w)._2} exact=$n err=$err")
+      // summed daily estimates count cross-day repeaters multiple times:
+      // the gap the rollup reports must never be (materially) negative
+      assert(got(w)._3.toDouble >= got(w)._2 * (1 - 5 * rsd),
+        s"week $w: daily-sum ${got(w)._3} below merged ${got(w)._2}")
+    }
+  }
+
+  test("sourceLmDivergence: a transition-alien source diverges; conforming sources sit near zero") {
+    val dir = tempDir("srcdiv")
+    val s = spark
+    import s.implicits._
+    val normal = "the cat sat on the mat and the dog ran to the tree"
+    // source B speaks the corpus's transitions; source C has its own —
+    // same vocabulary, reversed word order (B60's unigram χ² cannot see it)
+    val rows =
+      (1L to 8L).map(i => (i, normal, "en", "srcA", normal.length)) ++
+      (9L to 12L).map(i => (i, normal, "en", "srcB", normal.length)) ++
+      (13L to 16L).map(i =>
+        (i, normal.split(" ").reverse.mkString(" "), "en", "srcC", normal.length))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Relevance.sourceLmDivergence(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("divergence"))).toMap
+    assert(got.keySet === Set("srcA", "srcB", "srcC"))
+    assert(got("srcA")._1 === 8L)
+    assert(got("srcC")._2 > got("srcA")._2,
+      s"transition-alien source must diverge more: ${got("srcC")} vs ${got("srcA")}")
+    assert(got("srcC")._2 > 0.1, s"alien source divergence must be material: ${got("srcC")._2}")
+    // srcA dominates the corpus, so the global model ≈ its local model
+    assert(math.abs(got("srcA")._2) < got("srcC")._2 / 2)
+  }
+
   test("dailyTrend: RANGE frame shrinks across gap days (not last-7-rows)") {
     val s = spark
     import s.implicits._
