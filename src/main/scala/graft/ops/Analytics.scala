@@ -843,21 +843,33 @@ object Analytics {
     */
   def basketAffinity(spark: SparkSession, dir: String,
                      minSupport: Int = 3, k: Int = 50): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist() // feeds order count and part frequencies
-    val nOrders = baskets.agg(count_distinct(col("l_orderkey")).as("n_orders"))
-    val freq = baskets.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-    val withC = baskets.join(freq, Seq("l_partkey"))
-      .persist() // both pairing sides
-    val pairs = withC
-      .select(col("l_orderkey"), col("l_partkey").as("p1"), col("c").as("c1"))
-      .join(withC.select(col("l_orderkey"), col("l_partkey").as("p2"), col("c").as("c2")),
-        Seq("l_orderkey"))
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2", "c1", "c2").agg(count(lit(1)).as("pair_cnt"))
+    // ONE wide exchange total (r16; the r15 shape paid a distinct exchange
+    // PLUS an orderkey self-join that shuffled + sorted the frame twice):
+    // fold each basket straight to its sorted distinct-part array
+    // (collect_set dedups in the aggregation buffer — the separate
+    // distinct() pass folds away), then everything derives from the cached
+    // 1-row-per-order frame: order count is its count, part frequency is a
+    // small explode+agg, and ordered pairs explode MAP-SIDE — p2 ranges
+    // over the strictly-later slice of the sorted array, so p1 < p2 by
+    // construction and each unordered pair appears exactly once, the
+    // self-join's multiset bit-for-bit. Per-basket explode is quadratic in
+    // basket size — the same order-economics bound the join had.
+    val basketArr = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .persist() // feeds order count, part frequencies, and the pair explode
+    val nOrders = basketArr.agg(count(lit(1)).as("n_orders"))
+    val freq = basketArr.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val pairs = basketArr
+      .select(posexplode(col("parts")).as(Seq("i", "p1")), col("parts"))
+      .select(col("p1"),
+        explode(expr("slice(parts, i + 2, size(parts))")).as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("pair_cnt"))
       .where(col("pair_cnt") >= minSupport)
     pairs
+      .join(freq.select(col("l_partkey").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(freq.select(col("l_partkey").as("p2"), col("c").as("c2")), Seq("p2"))
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("pair_cnt"),
         round((col("pair_cnt").cast("double") * col("n_orders").cast("double")) /
