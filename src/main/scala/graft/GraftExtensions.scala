@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * AND table-valued entry points for SQL users, so the engine composes with
@@ -47,12 +47,22 @@ object GraftExtensions {
     case Literal(i: Int, IntegerType) => i
     case _ => throw new IllegalArgumentException(s"$fn: $arg must be an int literal")
   }
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(i: Int, IntegerType) => i.toLong
+    case Literal(l: Long, LongType) => l
+    case _ => throw new IllegalArgumentException(s"$fn: $arg must be an integer literal")
+  }
   private def litStrings(e: Expression, fn: String, arg: String): Seq[String] = e match {
     case l @ Literal(_, ArrayType(StringType, _)) if l.value != null =>
       l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
         .map(_.toString).toSeq
-    case _ if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+    // element type must be string too: array(1, 2) is foldable ArrayType but
+    // would surface a raw ClassCastException from toArray[UTF8String] below
+    case _ if e.foldable && (e.dataType match {
+        case ArrayType(StringType, _) => true
+        case _ => false
+      }) =>
       e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
         .map(_.toString).toSeq
@@ -125,5 +135,24 @@ object GraftExtensions {
       val terms = litStrings(children(1), "graft_bm25", "terms")
       graft.ops.Relevance.bm25Search(org.apache.spark.sql.SparkSession.active,
         dir, terms).queryExecution.logical
+    }),
+    // r17 (VERDICT r16 #8): the retrieval family joins the SQL surface —
+    // same return-the-Scala-plan discipline, no parallel implementation.
+    ("graft_phrase_search", children => {
+      arity(children, 2, "graft_phrase_search('<dir>', 'tok1 tok2 ...')")
+      val dir = litString(children.head, "graft_phrase_search", "dir")
+      val phrase = litString(children(1), "graft_phrase_search", "phrase")
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Relevance.phraseOccurrences(
+        graft.Tables.documents(spark, dir), phrase).queryExecution.logical
+    }),
+    ("graft_hybrid_search", children => {
+      arity(children, 3,
+        "graft_hybrid_search('<dir>', <query_vec_id>, array('term', ...))")
+      val dir = litString(children.head, "graft_hybrid_search", "dir")
+      val qid = litLong(children(1), "graft_hybrid_search", "query_vec_id")
+      val terms = litStrings(children(2), "graft_hybrid_search", "terms")
+      graft.ops.Relevance.hybridSearch(org.apache.spark.sql.SparkSession.active,
+        dir, Seq(qid -> terms)).queryExecution.logical
     }))
 }

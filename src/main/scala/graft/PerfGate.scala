@@ -56,6 +56,27 @@ object PerfGate {
     */
   val jobFloorSec = 0.216
 
+  /** Trip multiple for the FLOOR-NORMALIZED aggregate
+    * (`ratio_excess_vs_duckdb`) against its pinned baseline value (r17,
+    * VERDICT r16 #4). The per-query gates above can all stay quiet while
+    * real work drifts a few hundred ms each across the ~135 queries folded
+    * below the bench's 1.5 s reporting threshold — the aggregate is the
+    * only place that drift sums to a visible signal. 2.0×: the aggregate
+    * averages ~190 queries, so per-query noise largely cancels and the
+    * worst observed uniform host drift (~1.6× on unchanged code) taxes
+    * numerator and same-session anchor denominator together; a genuine
+    * doubling of floor-adjusted real work relative to the anchor is a
+    * plan-regression signal, not weather.
+    */
+  val excessTolerance = 2.0
+
+  /** Should the aggregate excess ratio trip? Non-positive inputs (anchor
+    * missing, baseline predating the field) never trip — absence of
+    * evidence is a coverage problem, not a regression.
+    */
+  def excessRegressed(curExcess: Double, baseExcess: Double): Boolean =
+    curExcess > 0 && baseExcess > 0 && curExcess > excessTolerance * baseExcess
+
   /** Should this query trip the wire?
     *
     * @param curSpark  this run's Spark wall (min-of-reps), seconds

@@ -66,6 +66,10 @@ object SparkEntry {
       Similarity.buildIvfIndex(s, d, ivfIndexDir(d))
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d))
     }),
+    // B5f: rows-only by design — recall compares two engine-side
+    // retrievals (the approximate arm having no SQL oracle is the point);
+    // AnnRecallSpec pins per-method floors on the same statistic.
+    "ann_recall_report"    -> ((s, d) => Similarity.annRecallReport(s, d)),
     "embedding_near_dup"   -> ((s, d) => Similarity.embeddingNearDup(s, d, minCos = 0.45)),
     "semantic_contamination" -> ((s, d) => Similarity.semanticContamination(s, d)),
     "semantic_dedup"       -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -230,6 +234,7 @@ object SparkEntry {
     "new_vs_returning"     -> ((s, d) => Analytics.newVsReturning(s, d)),
     "purchase_intervals"   -> ((s, d) => Analytics.purchaseIntervals(s, d)),
     "basket_affinity"      -> ((s, d) => Analytics.basketAffinity(s, d)),
+    "basket_affinity_top"  -> ((s, d) => Analytics.basketAffinityTop(s, d)),
     "content_novelty"      -> ((s, d) => graft.ops.Curation.contentNovelty(s, d)),
     "winsorized_stats"     -> ((s, d) => Analytics.winsorizedStats(s, d)),
     // round-12 additions — the sketch siblings of the percentile-family
@@ -3258,6 +3263,28 @@ object SparkEntry {
         |f AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
         |p AS (SELECT a.l_partkey AS p1, x.l_partkey AS p2, count(*) AS pair_cnt
         |      FROM b a JOIN b x ON a.l_orderkey = x.l_orderkey AND a.l_partkey < x.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, pair_cnt,
+        |       round((CAST(pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) /
+        |             (CAST(f1.c AS DOUBLE) * CAST(f2.c AS DOUBLE)), 6) AS lift
+        |FROM p JOIN f f1 ON f1.l_partkey = p.p1
+        |       JOIN f f2 ON f2.l_partkey = p.p2
+        |       CROSS JOIN n
+        |ORDER BY pair_cnt DESC, lift DESC, p1, p2 LIMIT 50""".stripMargin,
+
+    // C29b: the Apriori-pruned head sibling — the top-500 cut uses the same
+    // (c DESC, l_partkey) total tie order in both engines, so the pruned
+    // pair table (and the hash) replays exactly; c1/c2 and n_orders stay
+    // FULL-corpus, matching the Scala side's comparable-lift contract.
+    "basket_affinity_top" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |f AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+        |top AS (SELECT l_partkey FROM f ORDER BY c DESC, l_partkey LIMIT 500),
+        |bt AS (SELECT l_orderkey, l_partkey FROM b
+        |       WHERE l_partkey IN (SELECT l_partkey FROM top)),
+        |p AS (SELECT a.l_partkey AS p1, x.l_partkey AS p2, count(*) AS pair_cnt
+        |      FROM bt a JOIN bt x ON a.l_orderkey = x.l_orderkey AND a.l_partkey < x.l_partkey
         |      GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT p1, p2, pair_cnt,
         |       round((CAST(pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE)) /

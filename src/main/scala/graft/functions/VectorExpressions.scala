@@ -95,6 +95,19 @@ object VectorExpressions {
   def termFrequencies(text: Column, terms: Seq[String]): Column =
     sqlshim.column(TermFrequencies(sqlshim.expression(text), terms.toIndexedSeq))
 
+  /** Per-doc token-entropy sufficient statistics in one tokenize pass:
+    * struct(n_tokens, n_distinct, s = Σ c·ln c). See TokenEntropyStats.
+    */
+  def tokenEntropyStats(text: Column): Column =
+    sqlshim.column(TokenEntropyStats(sqlshim.expression(text)))
+
+  /** Per-doc DISTINCT space-joined n-grams with within-doc counts in one
+    * tokenize pass: array<struct(g, c)>, first-occurrence order. See
+    * NgramCounts.
+    */
+  def ngramCounts(text: Column, n: Int): Column =
+    sqlshim.column(NgramCounts(sqlshim.expression(text), n))
+
   /** Count of positions where two long arrays agree — the MinHash
     * signature-agreement kernel. See ArrayAgreeCount.
     */
@@ -986,6 +999,127 @@ case class TermFrequencies(child: Expression, terms: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermFrequencies =
+    copy(child = newChild)
+}
+
+/** Per-document token-entropy sufficient statistics in ONE tokenize pass:
+  * struct(n_tokens = size(split(text, ' ')) with trailing empties kept,
+  * n_distinct = distinct tokens, s = Σ_tok c·ln(c) over per-doc token
+  * counts) — everything B8b's Shannon entropy needs, computed row-local.
+  *
+  * Replaces the explode → groupBy(doc_id, tok) → groupBy(doc_id)
+  * formulation: per-doc token counts are per-document FACTS (the same
+  * argument as TermFrequencies), so shuffling every distinct (doc, token)
+  * string across the cluster to count it buys nothing — measured 4.96×
+  * the anchor at the 50× crossover, all exchange. Here the corpus is
+  * touched once and NOTHING shuffles (the downstream plan is a pure
+  * projection). ln is java.lang.Math.log — the identical function Spark's
+  * builtin `log` applies in the plan this replaces — and the Σ c·ln(c)
+  * fold order is fixed by the token hash map's deterministic iteration;
+  * order-dependent ulp noise sits ~7 orders below the caller's 6 dp
+  * rounding step (lmPerplexity's documented float budget). CodegenFallback
+  * per the D1 convention: one interpreted call per row around a tight
+  * loop; the surrounding projection stays codegen'd.
+  */
+case class TokenEntropyStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_entropy_stats expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val m = new java.util.HashMap[String, Array[Long]](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val c = m.get(toks(i))
+      if (c == null) m.put(toks(i), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    var s = 0.0
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > 1) s += c.toDouble * java.lang.Math.log(c.toDouble)
+    }
+    InternalRow(toks.length.toLong, m.size.toLong, s)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyStats =
+    copy(child = newChild)
+}
+
+/** Per-document DISTINCT space-joined word n-grams with within-doc counts
+  * in ONE tokenize pass: array<struct(g: string, c: long)> in
+  * first-occurrence order, over split(text, ' ') tokens (trailing empties
+  * kept). A doc with fewer than n tokens yields an empty array — the same
+  * rows the `slice`-based transform produced none for.
+  *
+  * The B28 collocation kernel: the composed plan exploded one row per
+  * n-gram OCCURRENCE (an interpreted transform-lambda building a struct
+  * per position) and left the map-side combine to rediscover the within-doc
+  * duplicates it just materialized. Per-doc pre-aggregation here shrinks
+  * the explode to distinct grams per doc and the exchange to (gram, count)
+  * rows; Σ_doc c is the occurrence total bit-for-bit, so corpus-level
+  * aggregates — and the oracle SQL — are unchanged. CodegenFallback per
+  * the D1 convention.
+  */
+case class NgramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "ngram_counts: n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_counts expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val nGrams = toks.length - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[String, Array[Long]](nGrams * 2)
+    var i = 0
+    while (i < nGrams) {
+      val g = if (n == 1) toks(i) else {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        sb.toString
+      }
+      val c = m.get(g)
+      if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCounts =
     copy(child = newChild)
 }
 

@@ -279,16 +279,39 @@ object Corpus {
     * corpus size) and broadcasts; the token explode partial-aggregates
     * per doc map-side. Registered at vocabSize=16 so the stand-in corpus
     * (~31 types) yields a real fraction spread.
+    *
+    * ZERO corpus-wide shuffles (r17 — the r16 shape composed [[vocabTop]]
+    * verbatim and then re-exploded the same corpus for scoring: two full
+    * tokenizes + corpus-wide (doc, token) exchanges, 6.35× the anchor at
+    * 50×). Two passes, neither shuffling anything doc-scale:
+    *
+    *  1. VOCAB: per-doc distinct token counts derive MAP-SIDE
+    *     ([[graft.functions.VectorExpressions.ngramCounts]], n=1 — no
+    *     groupBy(doc, token) exchange exists), partial-aggregate to
+    *     vocabulary-cardinality rows per partition, and the top-`vocabSize`
+    *     cut (vocabTop's exact tf DESC + token tie rule) collects to the
+    *     driver — `vocabSize` strings, the documented bounded-collect
+    *     class (IVF centroids, union-find edges). At 100 TB the vocabulary
+    *     shuffle is KBs per partition; the collect is KBs total.
+    *  2. SCORE: the vocab rides back as [[graft.functions.VectorExpressions
+    *     .termFrequencies]]'s term list, so per-doc in-vocab occurrences
+    *     (Σ tf) and total tokens (dl) come out of ONE row-local scan — the
+    *     scoring "join" is a pure projection against a 16-entry literal;
+    *     n_oov = dl − Σ tf is the left-anti arithmetic bit-for-bit.
     */
   def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
-    val vocab = vocabTop(spark, dir, vocabSize)
-      .select(col("token"), lit(1).as("_in"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 1)).as("g"))
+      .groupBy(col("g.g").as("token")).agg(sum(col("g.c")).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(vocabSize)
+      .select("token").collect().map(_.getString(0)).toSeq
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(vocab), Seq("token"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .termFrequencies(col("text"), vocab).as("tc"))
+      .select(col("doc_id"), col("tc.dl").as("n_tokens"),
+        (col("tc.dl") - expr("aggregate(tc.tf, 0L, (a, x) -> a + x)")).as("n_oov"))
       .withColumn("oov_frac",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("doc_id")

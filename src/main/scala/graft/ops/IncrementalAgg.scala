@@ -82,8 +82,17 @@ object IncrementalAgg {
     val cur = Versioned.versions(spark, tableDir).last
     val cov = covered(spark, stateDir)
     if (cur == cov) return (cov, true)
-    val incremental = if (cov <= 0) None else Versioned.newFiles(spark, tableDir, cov, cur)
-    val feedApplicable = cov > 0 && incremental.isEmpty &&
+    // Schema migration guard: a state table committed before max_chars was
+    // added to the aggregate can't be merged incrementally (mergeStates /
+    // the feed path would fail at analysis selecting the missing column).
+    // One full recompute re-publishes the state under the current schema;
+    // subsequent refreshes take the incremental paths again.
+    val stateCurrent = cov <= 0 ||
+      Versioned.read(spark, stateDir).columns.contains("max_chars")
+    val incremental =
+      if (cov <= 0 || !stateCurrent) None
+      else Versioned.newFiles(spark, tableDir, cov, cur)
+    val feedApplicable = cov > 0 && stateCurrent && incremental.isEmpty &&
       Versioned.versions(spark, tableDir).contains(cov) && {
         val curF = Versioned.newFiles(spark, tableDir, -1L, cur).get.toSet
         Versioned.newFiles(spark, tableDir, -1L, cov).get.exists(curF)

@@ -160,15 +160,19 @@ object Relevance {
                      minCount: Long = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // Persisted: feeds BOTH the corpus-count aggregate and the scoring join
-    // (different aggregates — no exchange reuse), so the explode + widest
-    // shuffle run once, exactly like sparseCosinePairs' index. Lazily
-    // persisted — released by graft.Caches.clear (see Caches).
+    // (different aggregates — no exchange reuse), so the tokenize runs
+    // once, exactly like sparseCosinePairs' index. Lazily persisted —
+    // released by graft.Caches.clear (see Caches). r17: per-(doc, bigram)
+    // counts are per-document facts, so NgramCounts derives the frame
+    // MAP-SIDE — the groupBy(doc_id, bigram) exchange (the plan's widest,
+    // one row per distinct bigram per doc) no longer exists; the corpus
+    // aggregate partial-combines to bigram-vocabulary rows per partition
+    // and the scoring aggregate collapses to one row per doc before
+    // either shuffles.
     val perDoc = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> concat_ws(' ', x, tok[i + 1]))"))
-        .as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.g").as("bigram"), col("g.c").as("cnt"))
       .persist()
     val common = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("tot"))
       .where(col("tot") >= minCount)
@@ -226,25 +230,32 @@ object Relevance {
     */
   def lmPerplexity(spark: SparkSession, dir: String, addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
     // Persisted: feeds the corpus bigram counts AND the scoring join.
     // Lazily persisted — released by graft.Caches.clear (see Caches).
-    val perDoc = toks
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> struct(x AS w1, tok[i + 1] AS w2))"))
-        .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    // r17: per-(doc, bigram) counts derive MAP-SIDE (NgramCounts — the
+    // same kernel surgery as collocations/bigramCoverage), so the
+    // groupBy(doc, w1, w2) exchange is gone; the bigram travels as ONE
+    // space-joined string and splits into its start token only on the
+    // vocabulary-sized model table (tokens are space-free, so the first
+    // space is an unambiguous seam). Arithmetic is unchanged token for
+    // token — the float budget below still holds.
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.g").as("bigram"), col("g.c").as("cnt"))
       .persist()
-    val bi = perDoc.groupBy("w1", "w2").agg(sum(col("cnt")).as("cbi"))
+    val bi = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("cbi"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
-    val vocab = toks.select(explode(col("tok")).as("w"))
-      .agg(count_distinct(col("w")).as("vocab"))
+    val vocab = docs
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 1)).as("g"))
+      .agg(count_distinct(col("g.g")).as("vocab"))
     val logProb = bi.join(starts, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("bigram"),
         log((col("cbi") + lit(addK)) / (col("cw") + lit(addK) * col("vocab"))).as("lp"))
-    val scored = perDoc.join(logProb, Seq("w1", "w2"))
+    val scored = perDoc.join(logProb, Seq("bigram"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
         sum(col("cnt") * col("lp")).as("s"))
@@ -306,20 +317,31 @@ object Relevance {
 
   def collocations(spark: SparkSession, dir: String,
                    minCount: Int = 5, k: Int = 50): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(split(col("text"), " ").as("tok"))
-    // tok[i] is 0-based in Spark SQL; slice is 1-based — pairs (tok[i], tok[i+1])
-    // for i in 0..n-2. One-token docs produce an empty slice, no rows.
-    val bigrams = toks
-      .select(explode(expr(
-        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> struct(x AS w1, tok[i + 1] AS w2))"))
-        .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = toks.select(explode(col("tok")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val n = uni.agg(sum("cnt").as("n_tokens"))
-    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val docs = Tables.documents(spark, dir)
+    // r17 kernel reshape (the bm25 TermFrequencies surgery, VERDICT r16
+    // #6): both explodes ran interpreted per-position lambdas and shipped
+    // one row per n-gram OCCURRENCE into the groupBy (5.6× the anchor at
+    // 50×, all exchange + lambda). NgramCounts pre-aggregates within the
+    // doc in one tight tokenize pass, so the explode carries distinct
+    // grams per doc and the shuffle carries (gram, count) — Σ c is the
+    // occurrence total bit-for-bit, so the pair/unigram aggregates (and
+    // the oracle) are unchanged. The bigram travels as ONE space-joined
+    // string and splits back into (w1, w2) only on the minSupport-pruned
+    // pair table (tokens are space-free by construction, so the first
+    // space is an unambiguous seam).
+    val pairCnt = docs
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 2)).as("g"))
+      .groupBy(col("g.g").as("bigram")).agg(sum(col("g.c")).as("pair_cnt"))
       .where(col("pair_cnt") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", expr("substring(bigram, instr(bigram, ' ') + 1)"))
+    val uni = docs
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 1)).as("g"))
+      .groupBy(col("g.g").as("w")).agg(sum(col("g.c")).as("cnt"))
+    val n = uni.agg(sum("cnt").as("n_tokens"))
+    pairCnt
       .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
       .crossJoin(broadcast(n))
@@ -361,6 +383,11 @@ object Relevance {
   def bm25Search(spark: SparkSession, dir: String,
                  terms: Seq[String] = Seq("spark", "window", "merge"),
                  k1: Double = 1.2, b: Double = 0.75, topK: Int = 50): DataFrame = {
+    // The graft_bm25 SQL TVF exposes arbitrary user term arrays: a repeated
+    // term must score once (the grouped-by-term plan this kernel replaced
+    // collapsed duplicates), and zero terms has no scoreable plan.
+    require(terms.nonEmpty, "bm25Search: terms must be non-empty")
+    val ts = terms.distinct
     // ONE allocation-free corpus scan (TermFrequencies, D1) feeds both
     // consumers. The split → explode → filter → groupBy formulation this
     // replaces shuffled every matched token, replayed the full tokenize for
@@ -372,11 +399,11 @@ object Relevance {
     // codegen'd arithmetic over the counts array, so the only remaining
     // exchanges are the 1-row stats agg and the TakeOrdered top-k. The
     // persisted frame is (doc_id, dl, tf[|terms|]) ≈ a few longs per doc.
-    val tc = termCounts(Tables.documents(spark, dir), terms).persist()
+    val tc = termCounts(Tables.documents(spark, dir), ts).persist()
     def tfi(i: Int) = element_at(col("tfs"), i + 1)
     val statAggs =
       Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
-        terms.indices.map(i => sum((tfi(i) > 0).cast("long")).as(s"df_$i"))
+        ts.indices.map(i => sum((tfi(i) > 0).cast("long")).as(s"df_$i"))
     val stats = tc.agg(statAggs.head, statAggs.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     def idf(i: Int) =
@@ -389,10 +416,10 @@ object Relevance {
         (tfi(i) + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
       .otherwise(lit(0.0))
     tc.crossJoin(broadcast(stats))
-      .where(terms.indices.map(i => tfi(i) > 0).reduce(_ || _))
+      .where(ts.indices.map(i => tfi(i) > 0).reduce(_ || _))
       .select(col("doc_id"),
-        terms.indices.map(i => (tfi(i) > 0).cast("long")).reduce(_ + _).as("n_terms"),
-        round(terms.indices.map(contrib).reduce(_ + _), 6).as("score"))
+        ts.indices.map(i => (tfi(i) > 0).cast("long")).reduce(_ + _).as("n_terms"),
+        round(ts.indices.map(contrib).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
@@ -513,6 +540,7 @@ object Relevance {
                          1L -> Seq("customer", "join", "stream")),
                    k1: Double = 1.2, b: Double = 0.75,
                    poolK: Int = 50, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "hybridSearch: queries must be non-empty")
     // ---- semantic pool: exact cosine vs each query's own embedding ----
     val emb = Tables.embeddings(spark, dir)
     val qVecs = emb.where(col("vec_id").isin(queries.map(q => q._1): _*))
@@ -544,6 +572,7 @@ object Relevance {
                       k1: Double = 1.2, b: Double = 0.75,
                       poolK: Int = 50, rrfK: Int = 60, topK: Int = 10,
                       cells: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "hybridSearchIvf: queries must be non-empty")
     val nQueries = queries.map(_._1).max.toInt + 1
     require(queries.map(_._1).toSet == (0L until nQueries).toSet,
       "IVF pool reuses ivfTopKOf's contiguous query-id contract (0..n-1)")
@@ -680,33 +709,43 @@ object Relevance {
   def sourceLmDivergence(spark: SparkSession, dir: String,
                          addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("tok"))
-    // persisted: feeds BOTH model aggregations and the paired scoring join
-    val perDoc = toks
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)), " +
-          "(x, i) -> struct(x AS w1, tok[i + 1] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "source", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    // persisted: feeds BOTH model aggregations and the paired scoring join.
+    // r17 kernel reshape (lmPerplexity's surgery): per-(doc, bigram) counts
+    // derive MAP-SIDE via NgramCounts — the groupBy(doc, source, w1, w2)
+    // exchange (this query's widest; 4.12 s at sf0.1, top-5 cost) is gone.
+    // The bigram travels as one space-joined string; its start token splits
+    // off only on the (source ×) bigram-vocab-bounded model tables.
+    val perDoc = docs
+      .select(col("doc_id"), col("source"), explode(graft.functions
+        .VectorExpressions.ngramCounts(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.g").as("bigram"), col("g.c").as("cnt"))
       .persist()
-    val uni = toks.select(col("source"), explode(col("tok")).as("w"))
+    // vocab sizes need only DISTINCT tokens, so the per-doc-distinct
+    // explode (NgramCounts n=1) feeds count_distinct with fewer rows than
+    // the every-occurrence explode it replaces
+    val uni = docs.select(col("source"), explode(graft.functions
+        .VectorExpressions.ngramCounts(col("text"), 1)).as("g"))
+      .select(col("source"), col("g.g").as("w"))
     // global model (B35's exactly)
-    val bi = perDoc.groupBy("w1", "w2").agg(sum(col("cnt")).as("cbi"))
+    val bi = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("cbi"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
     val vocab = uni.agg(count_distinct(col("w")).as("vocab"))
     val lpG = bi.join(starts, Seq("w1")).crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
+      .select(col("bigram"),
         log((col("cbi") + lit(addK)) / (col("cw") + lit(addK) * col("vocab"))).as("lp_g"))
     // source-local model (same estimator, source-keyed)
-    val biS = perDoc.groupBy("source", "w1", "w2").agg(sum(col("cnt")).as("cbs"))
+    val biS = perDoc.groupBy("source", "bigram").agg(sum(col("cnt")).as("cbs"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val startsS = biS.groupBy("source", "w1").agg(sum(col("cbs")).as("cws"))
     val vocabS = uni.groupBy("source").agg(count_distinct(col("w")).as("vs"))
     val lpL = biS.join(startsS, Seq("source", "w1")).join(vocabS, Seq("source"))
-      .select(col("source"), col("w1"), col("w2"),
+      .select(col("source"), col("bigram"),
         log((col("cbs") + lit(addK)) / (col("cws") + lit(addK) * col("vs"))).as("lp_l"))
     val scored = perDoc
-      .join(lpG, Seq("w1", "w2"))
-      .join(lpL, Seq("source", "w1", "w2"))
+      .join(lpG, Seq("bigram"))
+      .join(lpL, Seq("source", "bigram"))
       .groupBy("doc_id", "source")
       .agg(sum(col("cnt")).as("nb"),
         round(-sum(col("cnt") * col("lp_g")) / sum(col("cnt")), 6).as("ce_g"),
@@ -723,31 +762,43 @@ object Relevance {
                           l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1,
                           addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
     // persisted: feeds the corpus trigram counts AND the scoring join
-    // (lazily persisted — released by graft.Caches.clear)
-    val perDoc = toks
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)), " +
-          "(x, i) -> struct(x AS w1, tok[i + 1] AS w2, tok[i + 2] AS w3))"))
-        .as("tg"))
-      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
-        col("tg.w3").as("w3"))
-      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    // (lazily persisted — released by graft.Caches.clear).
+    // r17 kernel reshape (lmPerplexity's surgery, one order up): per-doc
+    // n-gram counts derive MAP-SIDE via NgramCounts for all three orders —
+    // the groupBy(doc, w1, w2, w3) exchange is gone, the bigram/unigram
+    // passes explode per-doc-distinct (gram, count) rows instead of every
+    // occurrence, and grams travel as single space-joined strings that
+    // split into components only on the vocabulary-bounded model tables
+    // (tokens are space-free; split(' ') recovers exactly n parts).
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("g.g").as("tri"), col("g.c").as("cnt"))
       .persist()
-    val tri = perDoc.groupBy("w1", "w2", "w3").agg(sum(col("cnt")).as("c3"))
+    val triWs = split(col("tri"), " ")
+    val tri = perDoc.groupBy("tri").agg(sum(col("cnt")).as("c3"))
+      .select(col("tri"), col("c3"), triWs.getItem(0).as("w1"),
+        triWs.getItem(1).as("w2"), triWs.getItem(2).as("w3"))
     val ctx3 = tri.groupBy("w1", "w2").agg(sum(col("c3")).as("cx3"))
-    val bi = toks
-      .select(explode(expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)), " +
-          "(x, i) -> struct(x AS w2, tok[i + 1] AS w3))")).as("bg"))
-      .groupBy(col("bg.w2").as("w2"), col("bg.w3").as("w3"))
-      .agg(count(lit(1)).as("cb"))
+    val biWs = split(col("bigram"), " ")
+    // model tables are vocab-bounded but their PRODUCING passes are corpus
+    // scans — persisted so the two consumers each (join + context rollup)
+    // don't re-tokenize the corpus
+    val bi = docs
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 2)).as("g"))
+      .groupBy(col("g.g").as("bigram")).agg(sum(col("g.c")).as("cb"))
+      .select(biWs.getItem(0).as("w2"), biWs.getItem(1).as("w3"), col("cb"))
+      .persist()
     val ctx2 = bi.groupBy("w2").agg(sum(col("cb")).as("cx2"))
-    val uniAll = toks.select(explode(col("tok")).as("w3"))
-    val uni = uniAll.groupBy("w3").agg(count(lit(1)).as("c1"))
-    val scalars = uniAll.agg(count(lit(1)).as("n_total"),
-      count_distinct(col("w3")).as("vocab"))
+    val uni = docs
+      .select(explode(graft.functions.VectorExpressions
+        .ngramCounts(col("text"), 1)).as("g"))
+      .groupBy(col("g.g").as("w3")).agg(sum(col("g.c")).as("c1"))
+      .persist()
+    val scalars = uni.agg(sum(col("c1")).as("n_total"),
+      count(lit(1)).as("vocab"))
     val p =
       lit(l3) * (col("c3").cast("double") / col("cx3")) +
       lit(l2) * (col("cb").cast("double") / col("cx2")) +
@@ -758,8 +809,8 @@ object Relevance {
       .join(ctx2, Seq("w2"))
       .join(uni, Seq("w3"))
       .crossJoin(broadcast(scalars))
-      .select(col("w1"), col("w2"), col("w3"), log(p).as("lp"))
-    val scored = perDoc.join(logProb, Seq("w1", "w2", "w3"))
+      .select(col("tri"), log(p).as("lp"))
+    val scored = perDoc.join(logProb, Seq("tri"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_trigrams"), sum(col("cnt") * col("lp")).as("s"))
     docs.select(col("doc_id"), col("lang"))

@@ -121,6 +121,44 @@ object Similarity {
       .transform(boundedSort(_, "query_id", "rank"))
   }
 
+  /** B5f (r17, VERDICT r16 #7) — ANN recall report: recall@k of each
+    * approximate retrieval path (sign-LSH, IVF probe, truncated-prefix
+    * rerank) against the exact brute-force top-k, as a REGISTERED query —
+    * so the driver's correctness artifact witnesses retrieval quality
+    * every round, not just the test suite. AnnSpec pins the same statistic
+    * with per-method lower bounds; this surfaces it as data.
+    *
+    * Rows-only registration by design: recall compares two engine-side
+    * retrievals (the approximate arm has no SQL oracle — that gap is the
+    * whole point of the report), but every input is deterministic (fixed
+    * planes, fixed k-means seed, total tie orders), so the numbers are
+    * stable run to run and AnnRecallSpec pins their floors.
+    *
+    * Shapes: the brute baseline persists once and feeds all three
+    * comparisons; each comparison is a left-semi join on
+    * (query, neighbor) over ≤ nQueries·k rows — the report costs three
+    * top-k retrievals plus KB-sized joins.
+    */
+  def annRecallReport(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val brute = bruteTopK(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id").persist()
+    val expected = brute.agg(count(lit(1)).as("n_expected"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfTopK(spark, dir, nQueries, k),
+      "lsh" -> lshTopK(spark, dir, nQueries, k),
+      "truncated" -> truncatedRerank(spark, dir, nQueries, k))
+    methods.map { case (name, df) =>
+      df.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(expected))
+        .select(lit(name).as("method"), lit(k).cast("long").as("k"),
+          col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected"), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("method")
+  }
+
   /** Deterministic Gaussian hyperplanes (java.util.Random is LCG-spec'd, so
     * the matrix is stable across JVMs). Shipped to executors as one literal
     * constant — no per-row RNG, no per-element hashing.

@@ -141,6 +141,31 @@ class AnnSpec extends SparkSpec {
     assert(derived.map(_.toSeq).toSeq === explicit.map(_.toSeq).toSeq)
   }
 
+  test("ann_recall_report: one row per method with spec-pinned floors (r17, B5f)") {
+    val rows = Similarity.annRecallReport(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh", "truncated"),
+      "one row per method, method-ordered")
+    val recall = rows.map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_expected") === 50L, "nQueries*k brute rows")
+      assert(r.getAs[Long]("n_hit") <= 50L)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+      assert(r.getAs[Long]("k") === 10L)
+    }
+    // floors: lsh carries the suite's standing >=0.9 pin (same statistic as
+    // the recall@10 test above); ivf's 4-of-16-cell probe and the
+    // isotropic-hard truncated prefix get conservative floors — the report
+    // exists to WITNESS these numbers in the round artifact, the suite only
+    // guards against collapse.
+    assert(recall("lsh") >= 0.9, s"lsh recall ${recall("lsh")}")
+    assert(recall("ivf") >= 0.5, s"ivf recall ${recall("ivf")}")
+    assert(recall("truncated") >= 0.3, s"truncated recall ${recall("truncated")}")
+    // hit counts reconcile with the per-method top-k joins
+    assert(byName("lsh").getAs[Long]("n_hit") ===
+      math.round(recall("lsh") * 50))
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)

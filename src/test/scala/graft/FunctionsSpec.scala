@@ -169,6 +169,53 @@ class FunctionsSpec extends SparkSpec {
     assert(bad.count() === 0, bad.collect().take(3).mkString("\n"))
   }
 
+  test("TokenEntropyStats == the explode+groupBy sufficient statistics, adversarial strings included") {
+    val s = spark
+    import s.implicits._
+    val adversarial = Seq(
+      (1L, ""), (2L, " "), (3L, "a  a"), (4L, "x x x x"),
+      (5L, "héllo héllo wörld"), (6L, "one"), (7L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val rows = corpus().select("doc_id", "text").union(adversarial)
+      .select(col("doc_id"), col("text"),
+        VectorExpressions.tokenEntropyStats(col("text")).as("st"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val expS = counts.filter(_ > 1).map(c => c.toDouble * math.log(c.toDouble)).sum
+      val st = r.getStruct(2)
+      assert(st.getLong(0) === toks.length.toLong, s"n_tokens for '${r.getString(1)}'")
+      assert(st.getLong(1) === counts.size.toLong, s"n_distinct for '${r.getString(1)}'")
+      // independent summation order — agreement must be well inside the
+      // 6 dp rounding step the caller applies
+      assert(math.abs(st.getDouble(2) - expS) < 1e-9,
+        s"s for '${r.getString(1)}': ${st.getDouble(2)} vs $expS")
+    }
+  }
+
+  test("NgramCounts == per-doc grouped explode counts, first-occurrence distinct, n=1..3") {
+    val s = spark
+    import s.implicits._
+    val adversarial = Seq(
+      (1L, ""), (2L, " "), (3L, "a  a"), (4L, "x y x y x"),
+      (5L, "one"), (6L, "héllo wörld héllo wörld"))
+      .toDF("doc_id", "text")
+    val docs = corpus().select("doc_id", "text").union(adversarial)
+    for (n <- 1 to 3) {
+      val rows = docs.select(col("doc_id"), col("text"),
+        VectorExpressions.ngramCounts(col("text"), n).as("g")).collect()
+      rows.foreach { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val exp = grams.distinct.map(g => g -> grams.count(_ == g).toLong)
+        val got = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => x.getString(0) -> x.getLong(1))
+        assert(got === exp, s"n=$n for '${r.getString(1)}'")
+      }
+    }
+  }
+
   test("TokenHashes == the per-token transform lambdas, duplicates kept") {
     val tokens = split(col("text"), " ")
     val df = corpus().select(

@@ -137,7 +137,39 @@ class PerfRegressionSpec extends AnyFunSuite {
         "subtraction or the shared-key set diverged between the two aggregates")
   }
 
+  test("the floor-normalized aggregate is GATED against its pinned baseline (r17)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("PERF_BASELINE.json")),
+      "no PERF_BASELINE.json committed at the repo root")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("bench_latest.json")),
+      "no local bench artifact — run `make bench` first")
+    def excess(path: String) = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      .path("ratio_excess_vs_duckdb").asDouble(0)
+    val base = excess("PERF_BASELINE.json")
+    val cur = excess("bench_latest.json")
+    assume(cur > 0, "bench ran without its DuckDB anchor")
+    assume(base > 0,
+      "PERF_BASELINE.json predates the ratio_excess_vs_duckdb field — " +
+        "re-record the baseline from a full bench line")
+    assert(!PerfGate.excessRegressed(cur, base),
+      f"aggregate floor-normalized ratio $cur%.3f exceeds " +
+        f"${PerfGate.excessTolerance}x its pinned baseline $base%.3f — " +
+        "real work drifted across the folded sub-1.5s queries even though " +
+        "no per-query gate tripped; diff bench_latest.json's per-query " +
+        "walls against PERF_BASELINE.json to find the spread")
+  }
+
   // ---- the gate itself, pinned case by case ------------------------------
+
+  test("the aggregate excess gate trips at 2x and stays quiet below (pinned)") {
+    // r16's measured value 0.819 as the pin: 1.9x stays quiet, 2.05x trips
+    assert(!PerfGate.excessRegressed(curExcess = 0.819 * 1.9, baseExcess = 0.819))
+    assert(PerfGate.excessRegressed(curExcess = 0.819 * 2.05, baseExcess = 0.819))
+    // missing evidence never trips: anchorless run (0) or pre-field baseline
+    assert(!PerfGate.excessRegressed(curExcess = 0.0, baseExcess = 0.819))
+    assert(!PerfGate.excessRegressed(curExcess = 5.0, baseExcess = 0.0))
+  }
+
 
   test("anchored queries (≥50ms) trip on ratio alone") {
     // ratio 2.0 vs baseline 0.5 = 4x > 3x; anchor 1.0s is real work

@@ -75,9 +75,17 @@ class PlanGuardSpec extends SparkSpec {
     "signal_agreement",   // same signal join as quality_ensemble: inherits
                           // lm_perplexity's V scalar; its own pair sums
                           // collapse to ONE aggregate row, no further join
-    "quality_ensemble"    // broadcast 1-row corpus-moments scalar (decimal
+    "quality_ensemble",   // broadcast 1-row corpus-moments scalar (decimal
                           // sums/sums-of-squares for the three z-scores);
                           // inherits lm_perplexity's V scalar too
+    "ann_recall_report",  // composes ann_brute + ann_truncated verbatim —
+                          // inherits their bounded probe-set broadcasts;
+                          // its own fusion joins are left-semi equi-joins
+                          // over ≤ nQueries·k rows + a 1-row n_expected
+                          // scalar
+    "basket_affinity_top" // broadcast 1-row order-count scalar (the exact
+                          // sibling's), plus the top-set rides as an array
+                          // LITERAL (no join at all)
   )
 
   test("no registered query plans a CartesianProduct; nested loops only for 1-row scalars") {

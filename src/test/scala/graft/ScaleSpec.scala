@@ -267,5 +267,28 @@ class ScaleSpec extends SparkSpec {
       s"SELECT * FROM graft_bm25('$sf0001', array('spark', 'window', 'merge'))")
     val apiBm25 = graft.ops.Relevance.bm25Search(spark, sf0001)
     assert(sqlBm25.collect() === apiBm25.collect())
+    // r17: the retrieval family — hybrid RRF and exact phrase — from SQL,
+    // row-for-row equal to the Scala plans they return
+    val sqlHybrid = spark.sql(
+      s"SELECT * FROM graft_hybrid_search('$sf0001', 0, array('spark', 'window', 'merge'))")
+    val apiHybrid = graft.ops.Relevance.hybridSearch(spark, sf0001,
+      queries = Seq(0L -> Seq("spark", "window", "merge")))
+    assert(sqlHybrid.collect() === apiHybrid.collect())
+    // derive a phrase that provably occurs: the first doc's first 3 tokens
+    val firstText = graft.Tables.documents(spark, sf0001)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val phrase = firstText.split(" ").take(3).mkString(" ")
+    val sqlPhrase = spark.sql(
+      s"SELECT * FROM graft_phrase_search('$sf0001', '$phrase')")
+    val apiPhrase = graft.ops.Relevance.phraseOccurrences(
+      graft.Tables.documents(spark, sf0001), phrase)
+    assert(sqlPhrase.collect() === apiPhrase.collect())
+    assert(sqlPhrase.count() > 0, "the derived phrase must actually occur")
+    // a non-string term array is the intended clear error, not a cast blowup
+    val badTerms = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$sf0001', array(1, 2))").collect()
+    }
+    assert(badTerms.getMessage.contains("string-array literal"),
+      s"got: ${badTerms.getMessage}")
   }
 }
