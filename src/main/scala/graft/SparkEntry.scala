@@ -3272,17 +3272,19 @@ object SparkEntry {
         |       CROSS JOIN n
         |ORDER BY pair_cnt DESC, lift DESC, p1, p2 LIMIT 50""".stripMargin,
 
-    // C29b: the Apriori-pruned head sibling — the top-500 cut uses the same
-    // (c DESC, l_partkey) total tie order in both engines, so the pruned
-    // pair table (and the hash) replays exactly; c1/c2 and n_orders stay
-    // FULL-corpus, matching the Scala side's comparable-lift contract.
+    // C29b: the Apriori-pruned head sibling — the top-500 cut (raw row
+    // count DESC, l_partkey — a total order) replays exactly in both
+    // engines, so the pruned pair table (and the hash) hash-matches;
+    // n_orders stays FULL-corpus and c1/c2 are exact for head parts
+    // (every occurrence of a head part survives the prune), matching the
+    // Scala side's comparable-lift contract.
     "basket_affinity_top" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
-        |f AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
-        |top AS (SELECT l_partkey FROM f ORDER BY c DESC, l_partkey LIMIT 500),
-        |bt AS (SELECT l_orderkey, l_partkey FROM b
+      """WITH rawf AS (SELECT l_partkey, count(*) AS rc FROM lineitem GROUP BY 1),
+        |top AS (SELECT l_partkey FROM rawf ORDER BY rc DESC, l_partkey LIMIT 500),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |bt AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         |       WHERE l_partkey IN (SELECT l_partkey FROM top)),
+        |f AS (SELECT l_partkey, count(*) AS c FROM bt GROUP BY 1),
         |p AS (SELECT a.l_partkey AS p1, x.l_partkey AS p2, count(*) AS pair_cnt
         |      FROM bt a JOIN bt x ON a.l_orderkey = x.l_orderkey AND a.l_partkey < x.l_partkey
         |      GROUP BY 1, 2 HAVING count(*) >= 3)

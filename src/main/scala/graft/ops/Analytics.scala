@@ -887,38 +887,44 @@ object Analytics {
     * the head anyway ("what sells together" among parts that sell).
     *
     * The prune is Apriori-shaped but by CATALOG HEAD, not support: keep
-    * only the `topParts` highest-frequency parts (tie → lower partkey),
-    * filter each basket's sorted part array to that set map-side, and pair
-    * within the filtered baskets. The candidate space is then ≤
-    * topParts²/2 distinct pairs REGARDLESS of corpus size — map-side
-    * partials collapse into a bounded exchange, the structural property
-    * the unpruned sibling provably cannot have. Deterministic end to end
-    * (exact counts, total tie order), so the DuckDB oracle replays it
-    * exactly — this sibling is hash-gated, not rows-only. Lift keeps the
-    * FULL-corpus part frequencies and order count, so scores are
-    * comparable with the exact sibling's.
+    * only the `topParts` highest-frequency parts (by raw lineitem row
+    * count — one map-side-combined catalog-cardinality aggregate; tie →
+    * lower partkey), prune the FACT ROWS to that set at scan time, and
+    * only then fold baskets and pair. The prune sits BELOW the basket
+    * groupBy — the r17a draft filtered the basket ARRAYS after folding
+    * them, which left the wide collect_set exchange carrying the full
+    * fact table (measured at 50×: no gain over the exact sibling; the
+    * exchange, not the pair space, is the cost). Here the wide exchange
+    * carries only head-part rows (0.8% of the fact at the 50× corpus)
+    * and the candidate space is ≤ topParts²/2 distinct pairs REGARDLESS
+    * of corpus size. Deterministic end to end (exact counts, total tie
+    * order), so the DuckDB oracle replays it exactly — this sibling is
+    * hash-gated, not rows-only.
+    *
+    * Lift stays comparable with the exact sibling: n_orders is the
+    * FULL-corpus distinct-order count, and c1/c2 are full-corpus
+    * distinct-order frequencies — exact for head parts because every
+    * occurrence of a head part survives the prune.
     *
     * The top-part set collects to the driver (≤ topParts longs — the
-    * documented bounded-collect class, like the IVF centroid matrices) and
-    * rides into the basket filter as an array literal: membership per part
-    * is a sorted-array binary search via array_contains on a KB literal,
-    * zero joins touched by the fact table.
+    * documented bounded-collect class, like the IVF centroid matrices)
+    * and rides into the fact filter as an IN-set literal: membership is a
+    * scan-side hash probe, zero joins touched by the fact table.
     */
   def basketAffinityTop(spark: SparkSession, dir: String,
                         minSupport: Int = 3, k: Int = 50,
                         topParts: Int = 500): DataFrame = {
-    val basketArr = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val top = li.groupBy("l_partkey").agg(count(lit(1)).as("rc"))
+      .orderBy(col("rc").desc, col("l_partkey")).limit(topParts)
+      .select("l_partkey").collect().map(_.getLong(0)).toSeq
+    val nOrders = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val basketArr = li.where(col("l_partkey").isInCollection(top))
       .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .persist() // feeds order count, part frequencies, and the pair explode
-    val nOrders = basketArr.agg(count(lit(1)).as("n_orders"))
+      .persist() // feeds head-part frequencies and the pair explode
     val freq = basketArr.select(explode(col("parts")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      .persist() // consumed by the top-set cut AND the c1/c2 attach
-    val top = freq.orderBy(col("c").desc, col("l_partkey")).limit(topParts)
-      .select("l_partkey").collect().map(_.getLong(0)).sorted
     val pairs = basketArr
-      .select(array_intersect(col("parts"), typedLit(top.toSeq)).as("parts"))
       .where(size(col("parts")) >= 2)
       .select(posexplode(col("parts")).as(Seq("i", "p1")), col("parts"))
       .select(col("p1"),
