@@ -93,6 +93,7 @@ object SparkEntry {
     "source_lang_drift"    -> ((s, d) => graft.ops.Corpus.sourceLangDrift(s, d)),
     "filter_funnel"        -> ((s, d) => graft.ops.Curation.filterFunnel(s, d)),
     "curation_lineage"     -> ((s, d) => graft.ops.Curation.curationLineage(s, d)),
+    "gopher_rules"         -> ((s, d) => graft.ops.Curation.gopherRules(s, d)),
     "vocab_top"            -> ((s, d) => graft.ops.Corpus.vocabTop(s, d)),
     "heavy_hitters"        -> ((s, d) => graft.ops.Corpus.heavyHitters(s, d)),
     "count_min_freq"       -> ((s, d) => graft.ops.Corpus.countMinFreq(s, d)),
@@ -1568,6 +1569,53 @@ object SparkEntry {
         |                      CASE WHEN NOT f3 THEN 'repetition' END) AS fail_stages,
         |       (f1 AND f2 AND f3) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // B8f: the Gopher battery — every statistic is integer counting (the
+    // word-length sum is len(text) − spaces, symbol counts are
+    // replace-length diffs, stopword presence is containment over the
+    // lowercased token list), ratios round to 6 dp BEFORE their threshold
+    // compare, and concat_ws skips NULL arms on both engines.
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |                  string_split(text, chr(10)) AS ln FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(w) AS BIGINT) AS n_words,
+        |        round(CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w), 6) AS mean_word_len,
+        |        round(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w), 6) AS hash_ratio,
+        |        round(CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |              + (len(text) - len(replace(text, '…', ''))) AS DOUBLE) / len(w), 6) AS ellipsis_ratio,
+        |        round(CAST(len(list_filter(ln, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        |              / len(ln), 6) AS bullet_frac,
+        |        round(CAST(len(list_filter(ln, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE)
+        |              / len(ln), 6) AS ellipsis_end_frac,
+        |        round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |              / len(w), 6) AS alpha_frac,
+        |        CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |              sw -> list_contains(string_split(lower(text), ' '), sw))) AS BIGINT) AS n_stopwords
+        |      FROM t),
+        |r AS (SELECT *,
+        |        n_words BETWEEN 50 AND 100000 AS r_wc,
+        |        mean_word_len BETWEEN 3.0 AND 10.0 AS r_mwl,
+        |        hash_ratio <= 0.1 AS r_hash,
+        |        ellipsis_ratio <= 0.1 AS r_ell,
+        |        bullet_frac <= 0.9 AS r_bul,
+        |        ellipsis_end_frac <= 0.3 AS r_ele,
+        |        alpha_frac >= 0.8 AS r_alp,
+        |        n_stopwords >= 2 AS r_stp
+        |      FROM s)
+        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+        |       bullet_frac, ellipsis_end_frac, alpha_frac, n_stopwords,
+        |       concat_ws(',', CASE WHEN NOT r_wc THEN 'word_count' END,
+        |                      CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+        |                      CASE WHEN NOT r_hash THEN 'hash_ratio' END,
+        |                      CASE WHEN NOT r_ell THEN 'ellipsis_ratio' END,
+        |                      CASE WHEN NOT r_bul THEN 'bullet_lines' END,
+        |                      CASE WHEN NOT r_ele THEN 'ellipsis_lines' END,
+        |                      CASE WHEN NOT r_alp THEN 'alpha_words' END,
+        |                      CASE WHEN NOT r_stp THEN 'stopwords' END) AS fail_rules,
+        |       (r_wc AND r_mwl AND r_hash AND r_ell AND r_bul AND r_ele
+        |        AND r_alp AND r_stp) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -689,6 +689,81 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** B8f (r17) — the Gopher rule battery (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1): the published threshold filter every
+    * production pretraining pipeline implements first, as a per-document
+    * rule report — each rule's statistic, the list of failed rules, and
+    * the keep flag. Distinct from B8's continuous quality score and B8d's
+    * z-score ensemble: this is the REPRODUCIBLE named-threshold battery
+    * (50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; '#' and '…'/'...'
+    * symbol-to-word ratios ≤ 0.1; ≤ 90% bullet-started lines; ≤ 30%
+    * ellipsis-ended lines; ≥ 80% of words contain a letter; ≥ 2 distinct
+    * English stopwords of Gopher's 8) a release can cite.
+    *
+    * Engine-exact by construction: every statistic is integer counting —
+    * the word-length SUM needs no per-word pass because the text is
+    * single-space joined (Σ len(word) = len(text) − (n_words − 1)),
+    * symbol counts are replace-length differences (both engines replace
+    * non-overlapping left-to-right), distinct-stopword presence rides
+    * [[VectorExpressions.stopwordHits]] (8 single-word lists → hits_i > 0
+    * is containment; its lowercase tokenize IS the rule's
+    * case-insensitivity), and each ratio rounds to 6 dp BEFORE its
+    * threshold compare so the boundary is bit-identical cross-engine.
+    *
+    * Scale shape: pure projection over one scan + the two array HOFs
+    * (alpha-word filter, line filters) — zero shuffle, zero joins; the
+    * ORDER BY is verification-only. At 100 TB the HOFs fold into a
+    * StopwordHits-style kernel; at gate scale they are exercised by
+    * CurationSpec's crafted bullet/ellipsis/symbol fixtures (the corpus
+    * itself is single-line and symbol-free — the degenerate rules must
+    * still compute exact zeros, not nulls).
+    */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = split(col("text"), " ")
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val meanWl = round((length(col("text")) - (nWords - 1)).cast("double") / nWords, 6)
+    val nHash = expr("length(text) - length(replace(text, '#', ''))").cast("long")
+    val nEll = expr("(length(text) - length(replace(text, '...', ''))) div 3") +
+      expr("length(text) - length(replace(text, '…', ''))").cast("long")
+    val nAlpha = expr("size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))").cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = expr("size(filter(split(text, '\\n'), x -> substring(x, 1, 1) IN ('-', '*', '•')))").cast("long")
+    val nEllEnd = expr("size(filter(split(text, '\\n'), x -> right(x, 3) = '...' OR right(x, 1) = '…'))").cast("long")
+    val stopHits = VectorExpressions.stopwordHits(col("text"), gopherStops.map(Seq(_)))
+    val nStop = gopherStops.indices
+      .map(i => (element_at(col("_sh.hits"), i + 1) > 0).cast("long")).reduce(_ + _)
+    val stats = docs
+      .withColumn("_sh", stopHits)
+      .select(col("doc_id"),
+        nWords.as("n_words"), meanWl.as("mean_word_len"),
+        round(nHash.cast("double") / nWords, 6).as("hash_ratio"),
+        round(nEll.cast("double") / nWords, 6).as("ellipsis_ratio"),
+        round(nBullet.cast("double") / nLines, 6).as("bullet_frac"),
+        round(nEllEnd.cast("double") / nLines, 6).as("ellipsis_end_frac"),
+        round(nAlpha.cast("double") / nWords, 6).as("alpha_frac"),
+        nStop.as("n_stopwords"))
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> col("n_words").between(50L, 100000L),
+      "mean_word_len" -> col("mean_word_len").between(3.0, 10.0),
+      "hash_ratio" -> (col("hash_ratio") <= 0.1),
+      "ellipsis_ratio" -> (col("ellipsis_ratio") <= 0.1),
+      "bullet_lines" -> (col("bullet_frac") <= 0.9),
+      "ellipsis_lines" -> (col("ellipsis_end_frac") <= 0.3),
+      "alpha_words" -> (col("alpha_frac") >= 0.8),
+      "stopwords" -> (col("n_stopwords") >= 2L))
+    stats
+      .withColumn("fail_rules",
+        concat_ws(",", rules.map { case (n, r) => when(!r, lit(n)) }: _*))
+      .withColumn("keep", rules.map(_._2).reduce(_ && _))
+      .orderBy("doc_id")
+  }
+
+  /** [[gopherRulesOf]] over the corpus documents table. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
   /** B17 — pseudonymization: stable sha256 pseudonym for the user key (same
     * user → same pseudonym, not reversible without the pepper) and numeric
     * PII-pattern redaction in the free-form payload. Pure projection — at

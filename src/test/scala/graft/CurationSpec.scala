@@ -86,6 +86,46 @@ class CurationSpec extends SparkSpec {
     assert(kept.map(_.getAs[Long]("doc_id")).toSet === again.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("gopherRules: every rule fires on its crafted offender; the clean doc passes all eight") {
+    // 60 words, all alphabetic, contains >= 2 Gopher stopwords, mean word
+    // length in [3, 10], no symbols, no bullet/ellipsis lines -> keep
+    val clean = (Seq.fill(12)("the quick brown fox with") :+ "").mkString(" ").trim
+    val tooShort = "the fox with haste"                       // < 50 words
+    val longWords = Seq.fill(60)("incomprehensibilities").mkString(" ") // mean > 10
+    val hashy = (Seq.fill(50)("tag #x") :+ "the fox with grass here now").mkString(" ") // '#' ratio > 0.1
+    val dotty = (Seq.fill(50)("wait ...") :+ "the fox with grass here now").mkString(" ") // '...' ratio > 0.1
+    val bullets = (1 to 60).map(i => s"- item $i of the long with list").mkString("\n") // > 90% bullet lines
+    val ellEnds = (1 to 60).map(i => s"item $i of the trailing with thought ...").mkString("\n") // > 30% ellipsis-ended
+    val numeric = (Seq.fill(55)("12345 67890") :+ "the with").mkString(" ") // alpha frac < 0.8
+    val noStops = Seq.fill(60)("alpha beta gamma delta").mkString(" ")      // < 2 stopwords
+    val dir = docsDir(Seq(
+      1L -> clean, 2L -> tooShort, 3L -> longWords, 4L -> hashy, 5L -> dotty,
+      6L -> bullets, 7L -> ellEnds, 8L -> numeric, 9L -> noStops))
+    val got = Curation.gopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fail_rules"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) === ("", true), s"clean doc must pass: ${got(1L)}")
+    def fails(id: Long, rule: String) = {
+      val (fr, keep) = got(id)
+      assert(!keep && fr.split(",").contains(rule), s"doc $id: expected $rule in '$fr'")
+    }
+    fails(2L, "word_count")
+    fails(3L, "mean_word_len")
+    fails(4L, "hash_ratio")
+    fails(5L, "ellipsis_ratio")
+    fails(6L, "bullet_lines")
+    fails(7L, "ellipsis_lines")
+    fails(8L, "alpha_words")
+    fails(9L, "stopwords")
+    // the degenerate-corpus contract: single-line symbol-free docs compute
+    // exact ZEROS for the line/symbol statistics, never nulls
+    val clean1 = Curation.gopherRules(spark, dir).where(col("doc_id") === 1L).collect().head
+    assert(clean1.getAs[Double]("hash_ratio") === 0.0)
+    assert(clean1.getAs[Double]("bullet_frac") === 0.0)
+    assert(clean1.getAs[Double]("ellipsis_end_frac") === 0.0)
+    assert(clean1.getAs[Double]("alpha_frac") === 1.0)
+  }
+
   test("pseudonymize is a stable 1:1 mapping and strips every digit from props") {
     val out = Curation.pseudonymize(spark, sf0001)
     val mapping = out
