@@ -146,6 +146,12 @@ object GraftExtensions {
       graft.ops.Relevance.phraseOccurrences(
         graft.Tables.documents(spark, dir), phrase).queryExecution.logical
     }),
+    ("graft_gopher_rules", children => {
+      arity(children, 1, "graft_gopher_rules('<dir>')")
+      val dir = litString(children.head, "graft_gopher_rules", "dir")
+      graft.ops.Curation.gopherRules(org.apache.spark.sql.SparkSession.active, dir)
+        .queryExecution.logical
+    }),
     ("graft_hybrid_search", children => {
       arity(children, 3,
         "graft_hybrid_search('<dir>', <query_vec_id>, array('term', ...))")

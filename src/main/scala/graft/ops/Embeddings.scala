@@ -94,6 +94,81 @@ object Embeddings {
       .orderBy("trunc_dim")
   }
 
+  /** B18c (r17) — PRODUCT quantization: the compression that makes
+    * billion-scale ANN storable at all (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the FAISS default).
+    * Split each dim-d vector into `m` subvectors, learn a k-centroid
+    * codebook per subspace (the SAME deterministic fixed-iteration k-means
+    * the IVF index uses — seeds are the lowest vec_ids, means round to
+    * 6 dp, so codebooks are bit-stable across runs and engines), and store
+    * each vector as m ⌈log₂k⌉-bit codes. At the defaults (m=8, k=16,
+    * d=64) a 256-byte float vector packs into ONE 32-bit code word —
+    * 64× — and the packed long column here IS that storage form. Distance
+    * evaluation against PQ codes is table lookups; this operator ships
+    * the storage+fidelity half (codebooks, codes, per-vector
+    * reconstruction cosine) that decides whether a corpus can afford the
+    * compression — B18b answers the same question for truncation, B18 for
+    * scalar int8.
+    *
+    * Scale shapes: codebook learning is m small k-means runs over SLICED
+    * subvectors (the persisted corpus frame feeds all m — each run's
+    * per-iteration job is one map-side-combined partial collect, never a
+    * row collect); encoding + reconstruction are pure projections — the
+    * per-subspace nearest-centroid probe is the codegen'd NearestCentroid
+    * kernel with the codebook riding as an expression field, and the
+    * reconstruction cosine evaluates against `element_at` on a KB
+    * codebook literal. Zero shuffle after learning; the verification-only
+    * ORDER BY is the output contract.
+    *
+    * Spec-verified (AnnSpec): code range/packing round-trip, bit-exact
+    * determinism across independent runs, fidelity floor on the isotropic
+    * gate corpus, and monotonicity in k. Not registered as a query: the
+    * m×iters k-means replay has no tractable SQL oracle (ann_ivf_topk
+    * already hash-verifies the shared k-means through its replayed
+    * pipeline), and unlike B61's GD loop the interesting outputs here are
+    * arrays — the spec's in-JVM replay is the stronger check.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+                  iters: Int = 2): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    require(m * sub == dim, s"m=$m must divide dim=$dim")
+    require(k >= 1 && k <= 16, "k must fit a 4-bit code (1..16)")
+    if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
+    (0 until m).map { j =>
+      Similarity.ivfCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        k, iters, sub)
+    }.toArray
+  }
+
+  /** Encode + fidelity over a learned codebook set: (vec_id, pq_code
+    * packed 4-bit little-endian per subspace, recon_cos = cosine of the
+    * vector against its codebook reconstruction, rounded 6 dp).
+    */
+  def pqFidelityOf(emb: DataFrame, m: Int = 8, k: Int = 16,
+                   dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(emb, m, k, dim)
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      graft.functions.VectorExpressions.nearestCentroid(
+        slice(col("embedding"), j * sub + 1, sub), books(j)) }
+    val packed = codes.zipWithIndex
+      .map { case (c, j) => shiftleft(c.cast("long"), 4 * j) }
+      .reduce(_ bitwiseOR _)
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(books(j).map(_.toSeq).toSeq), codes(j) + 1) }: _*)
+    emb.select(col("vec_id"), packed.as("pq_code"),
+        round(graft.functions.VectorExpressions.cosine(
+          asDouble(col("embedding")), recon), 6).as("recon_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** [[pqFidelityOf]] over the corpus embeddings table. */
+  def pqFidelity(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+                 dim: Int = 64): DataFrame =
+    pqFidelityOf(Tables.embeddings(spark, dir), m, k, dim)
+
   def quantizeSummary(spark: SparkSession, dir: String): DataFrame = {
     val qz = graft.functions.VectorExpressions.quantizeVector(col("embedding"))
     Tables.embeddings(spark, dir)

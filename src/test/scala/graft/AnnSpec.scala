@@ -166,6 +166,39 @@ class AnnSpec extends SparkSpec {
       math.round(recall("lsh") * 50))
   }
 
+  test("product quantization (B18c): packed codes round-trip, runs are bit-deterministic, fidelity is real and monotone in k") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val m = 8
+    val got = graft.ops.Embeddings.pqFidelityOf(emb, m = m, k = 8).collect()
+    assert(got.length.toLong === n, "one code per corpus vector")
+    got.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      // every 4-bit field must hold a valid centroid index < k=8
+      (0 until m).foreach { j =>
+        val c = (code >> (4 * j)) & 15L
+        assert(c < 8L, s"subspace $j code $c out of range in ${code.toBinaryString}")
+      }
+      val cos = r.getAs[Double]("recon_cos")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // deterministic end to end: independent learns + encodes, identical bits
+    val again = graft.ops.Embeddings.pqFidelityOf(emb, m = m, k = 8).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    def meanCos(k: Int): Double = {
+      val rows = graft.ops.Embeddings.pqFidelityOf(emb, m = m, k = k).collect()
+      rows.map(_.getAs[Double]("recon_cos")).sum / rows.length
+    }
+    val m16 = meanCos(16)
+    val m2 = meanCos(2)
+    // isotropic 64-dim corpus: 8x16 codebooks must carry real signal (a
+    // random-codes baseline sits near 0), and doubling codebook capacity
+    // must not lose fidelity
+    assert(m16 >= 0.3, s"mean recon cosine $m16 at k=16")
+    assert(m16 > m2, s"fidelity must grow with codebook size: k16=$m16 k2=$m2")
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)

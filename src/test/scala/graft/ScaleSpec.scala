@@ -284,6 +284,9 @@ class ScaleSpec extends SparkSpec {
       graft.Tables.documents(spark, sf0001), phrase)
     assert(sqlPhrase.collect() === apiPhrase.collect())
     assert(sqlPhrase.count() > 0, "the derived phrase must actually occur")
+    val sqlGopher = spark.sql(s"SELECT * FROM graft_gopher_rules('$sf0001')")
+    val apiGopher = graft.ops.Curation.gopherRules(spark, sf0001)
+    assert(sqlGopher.collect() === apiGopher.collect())
     // a non-string term array is the intended clear error, not a cast blowup
     val badTerms = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bm25('$sf0001', array(1, 2))").collect()
