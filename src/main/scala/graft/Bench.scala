@@ -186,30 +186,58 @@ object Bench {
     // absolute growth for sub-floor anchors whose ratio is noise-dominated
     // (the r9 false trip).
     val baselinePath = sys.env.getOrElse("GRAFT_PERF_BASELINE", "PERF_BASELINE.json")
-    val regressions: Seq[String] = if (duckBest.isEmpty) Nil else try {
+    val (regressions: Seq[String], anchorDrifts: Seq[String]) =
+      if (duckBest.isEmpty) (Nil, Nil) else try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
       val baseRatio = node.path("spark_over_duckdb")
       val baseWall = node.path("queries")
+      val baseDuck = node.path("duckdb")
       val perQuery = qresults.collect {
         case (k, v) if duckBest.contains(k) && PerfGate.regressed(
+          v, duckBest(k), baseWall.path(k).asDouble(0), baseRatio.path(k).asDouble(0)) => k
+      }
+      // Ratio fired but the Spark wall didn't move: anchor-side variance
+      // (r18, VERDICT r17 #1) — surfaced for adjudication/re-pin, kept OUT
+      // of `regressions` so DuckDB plan/host shifts can't read as Spark
+      // plan defects.
+      val drift = qresults.collect {
+        case (k, v) if duckBest.contains(k) && PerfGate.anchorDrift(
           v, duckBest(k), baseWall.path(k).asDouble(0), baseRatio.path(k).asDouble(0)) => k
       }
       // Aggregate floor-normalized drift gate (r17, VERDICT r16 #4): the
       // pseudo-key makes a trip visible in the same `regressions` field the
       // driver already reads; PerfRegressionSpec applies the identical
-      // PerfGate.excessRegressed rule to the committed artifacts.
-      if (PerfGate.excessRegressed(excessRatio,
-          node.path("ratio_excess_vs_duckdb").asDouble(0)))
+      // PerfGate.excessRegressed rule to the committed artifacts. BOTH
+      // sides are computed over the INTERSECTION of this run's measured
+      // keys and the baseline's recorded keys (ADVICE r17 #2): the pinned
+      // scalar predates any queries added since, so comparing it against a
+      // grown registry's aggregate would shift the statistic every round
+      // with no real regression.
+      val interKeys = sharedKeys.filter(k =>
+        baseWall.path(k).asDouble(0) > 0 && baseDuck.path(k).asDouble(0) > 0)
+      val curWallByKey = qresults.toMap
+      def excessOf(wall: String => Double, duck: String => Double): Double = {
+        val d = interKeys.toSeq.map(duck).sum
+        if (d > 0) interKeys.toSeq
+          .map(k => math.max(0.0, wall(k) - PerfGate.jobFloorSec)).sum / d
+        else -1.0
+      }
+      val curEx = excessOf(curWallByKey, duckBest)
+      val baseEx = excessOf(k => baseWall.path(k).asDouble(0),
+        k => baseDuck.path(k).asDouble(0))
+      val all = if (PerfGate.excessRegressed(curEx, baseEx))
         perQuery :+ "_aggregate_ratio_excess"
       else perQuery
+      (all, drift)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] no baseline ($baselinePath): ${e.getMessage}")
-      Nil
+      (Nil, Nil)
     }
     val regrField =
       if (duckBest.isEmpty) ""
-      else s""","regressions":[${regressions.map("\"" + _ + "\"").mkString(",")}]"""
+      else s""","regressions":[${regressions.map("\"" + _ + "\"").mkString(",")}]""" +
+        s""","anchor_drift":[${anchorDrifts.map("\"" + _ + "\"").mkString(",")}]"""
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(qresults)},"extras":${jsonMap(xresults)}$anchorFields$regrField,"sf":"$sfDir"$failedField}"""
     println(fullLine)
     // The stdout tail is lossy by design; persist the untruncated line where

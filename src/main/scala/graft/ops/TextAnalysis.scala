@@ -351,6 +351,12 @@ object TextAnalysis {
     */
   def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
+      // explode-drop parity (ADVICE r17 #3): the pre-r17 explode+groupBy
+      // plan dropped a null-text doc entirely (explode of null emits no
+      // rows — exactly the oracle's unnest), but the kernel projection
+      // would emit a null-stats row for it. Filter keeps the two plans
+      // row-identical if the corpus ever carries a null text.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.VectorExpressions.tokenEntropyStats(col("text")).as("st"))
       .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),

@@ -143,7 +143,7 @@ class AnnSpec extends SparkSpec {
 
   test("ann_recall_report: one row per method with spec-pinned floors (r17, B5f)") {
     val rows = Similarity.annRecallReport(spark, sf0001).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh", "truncated"),
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh", "pq", "truncated"),
       "one row per method, method-ordered")
     val recall = rows.map(r => r.getString(0) -> r.getAs[Double]("recall")).toMap
     val byName = rows.map(r => r.getString(0) -> r).toMap
@@ -160,10 +160,44 @@ class AnnSpec extends SparkSpec {
     // guards against collapse.
     assert(recall("lsh") >= 0.9, s"lsh recall ${recall("lsh")}")
     assert(recall("ivf") >= 0.5, s"ivf recall ${recall("ivf")}")
+    // pq probes the SAME cells as ivf and exact-reranks a 50-candidate ADC
+    // head, so its floor must hold at least the ivf row's (VERDICT r17 #3)
+    assert(recall("pq") >= 0.5, s"pq recall ${recall("pq")}")
     assert(recall("truncated") >= 0.3, s"truncated recall ${recall("truncated")}")
     // hit counts reconcile with the per-method top-k joins
     assert(byName("lsh").getAs[Long]("n_hit") ===
       math.round(recall("lsh") * 50))
+  }
+
+  test("IVF-PQ probe (B5g): exact-cos output contract, deterministic across rebuilds, recall within the probed cells") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_spec_").toString
+    Similarity.buildIvfPqIndex(spark, sf0001, idx)
+    val got = Similarity.ivfPqProbePersisted(spark, sf0001, idx).collect()
+    assert(got.length === 25, "5 queries x top-5")
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 5L), s"ranks for q$qid")
+      // rank order IS exact-cos order (the rerank is exact, not ADC)
+      val cos = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"cos desc for q$qid")
+      assert(rows.forall(_.getLong(2) != qid), "self never a neighbor")
+    }
+    // the exact rerank must reproduce brute-force cosines for the
+    // neighbors it returns (same round-6 contract as ivf/lsh)
+    val brute = Similarity.bruteTopK(spark, sf0001, 5, 200).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach { exp =>
+        assert(r.getDouble(3) === exp, s"cos mismatch vs brute for ${(r.getLong(0), r.getLong(2))}")
+      }
+    }
+    // a second build+probe into the same dir is bit-identical (fixed
+    // k-means seeds, shortest-repr sidecars, total tie orders)
+    Similarity.invalidateCentroidCache()
+    Similarity.buildIvfPqIndex(spark, sf0001, idx)
+    val again = Similarity.ivfPqProbePersisted(spark, sf0001, idx).collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
   test("product quantization (B18c): packed codes round-trip, runs are bit-deterministic, fidelity is real and monotone in k") {

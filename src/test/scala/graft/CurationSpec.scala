@@ -126,6 +126,25 @@ class CurationSpec extends SparkSpec {
     assert(clean1.getAs[Double]("alpha_frac") === 1.0)
   }
 
+  test("corpus_pipeline gopher stage (r18): composed output == stage-off output ∩ the structural-rule pass set") {
+    val structural = Set("word_count", "mean_word_len", "hash_ratio",
+      "ellipsis_ratio", "bullet_lines", "ellipsis_lines", "alpha_words")
+    val off = Curation.curatedCorpus(spark, sf0001, gopherStages = Nil)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val on = Curation.curatedCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stage must be EXACTLY the standalone battery's structural rules —
+    // same thresholds, same stats (the shared gopherRuleCols definition)
+    val pass = Curation.gopherRules(spark, sf0001).collect()
+      .filter(r => r.getAs[String]("fail_rules").split(",")
+        .filter(_.nonEmpty).forall(f => !structural(f)))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(on === (off & pass),
+      s"stage-on must equal stage-off ∩ structural-pass (on=${on.size}, " +
+        s"off=${off.size}, pass=${pass.size})")
+    assert(on.subsetOf(off))
+  }
+
   test("pseudonymize is a stable 1:1 mapping and strips every digit from props") {
     val out = Curation.pseudonymize(spark, sf0001)
     val mapping = out

@@ -194,6 +194,78 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GopherStats == an independent whitespace-run recompute, adversarial strings included") {
+    val s = spark
+    import s.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val adversarial = Seq(
+      (1L, ""), (2L, "   "), (3L, "a  a"), (4L, "the fox\nwith the\thaste\r\nnow"),
+      (5L, "..."), (6L, "....."), (7L, "..........."), (8L, "…… . .. ...."),
+      (9L, "• bullet\n- dash\n* star\nplain\n"),
+      (10L, "ends...\nends…\nmid...dle\nshort\n.."),
+      (11L, "The THE tHe of OF"), (12L, "#tag ## x#y"),
+      (13L, "héllo wörld straße 😀 the"), (14L, "list\n- item fused\nacross"),
+      (15L, "word\n"), (16L, "\n\n"))
+      .toDF("doc_id", "text")
+    def countNonOverlap(text: String, pat: String): Long = {
+      var i = 0; var c = 0L
+      while ({ i = text.indexOf(pat, i); i >= 0 }) { c += 1; i += pat.length }
+      c
+    }
+    val rows = corpus().select("doc_id", "text").union(adversarial)
+      .select(col("doc_id"), col("text"),
+        VectorExpressions.gopherStats(col("text"), stops).as("g"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val words = text.split("[ \t\n\r]", -1).filter(_.nonEmpty)
+      val lines = text.split("\n", -1)
+      val g = r.getStruct(2)
+      def chk(idx: Int, exp: Long, what: String) =
+        assert(g.getLong(idx) === exp, s"$what for '${text.take(60)}'")
+      chk(0, words.length.toLong, "n_words")
+      chk(1, words.map(w => w.codePointCount(0, w.length).toLong).sum, "word_chars")
+      chk(2, words.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toLong, "n_alpha_words")
+      chk(3, stops.count(sw => words.exists(_.toLowerCase == sw)).toLong, "n_stop_distinct")
+      chk(4, lines.length.toLong, "n_lines")
+      chk(5, lines.count(l => l.nonEmpty && "-*•".contains(l.head)).toLong, "n_bullet_lines")
+      chk(6, lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong, "n_ell_end_lines")
+      chk(7, text.count(_ == '#').toLong, "n_hash")
+      chk(8, countNonOverlap(text, "...") + text.count(_ == '…').toLong, "n_ellipsis")
+    }
+  }
+
+  test("PqAdcScore == cosine(query, reconstruction) on hand-packed codes") {
+    val s = spark
+    import s.implicits._
+    // m=2 subspaces × k=2 codes × sub=2 dims (dim=4)
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(3.0, 4.0)), // ‖·‖² = 1, 25
+      Array(Array(0.0, 2.0), Array(1.0, 1.0))) // ‖·‖² = 4, 2
+    val normLut = books.map(_.map(cb => cb.map(x => x * x).sum))
+    val q = Array(1.0, 2.0, 3.0, 4.0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // driver-built LUT, exactly the probe's layout: dot(q_j, book_j[c]) / ‖q‖
+    val lut = (for (j <- 0 to 1; c <- 0 to 1) yield
+      (q(j * 2) * books(j)(c)(0) + q(j * 2 + 1) * books(j)(c)(1)) / qNorm).toArray
+    // codes (c0=1, c1=0) packed 4-bit little-endian = 0x01; recon = (3,4,0,2)
+    val recon = Array(3.0, 4.0, 0.0, 2.0)
+    val expected = q.zip(recon).map { case (a, b) => a * b }.sum /
+      (qNorm * math.sqrt(recon.map(x => x * x).sum))
+    val got = Seq((1L, lut.toSeq)).toDF("code", "dot_lut")
+      .select(VectorExpressions.pqAdcScore(col("code"), col("dot_lut"), normLut, 4))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-12, s"adc $got vs cosine-of-recon $expected")
+    // a zero reconstruction scores 0.0, never NaN
+    val zBooks = Array(Array(Array(0.0, 0.0)), Array(Array(0.0, 0.0)))
+    val zNorm = zBooks.map(_.map(cb => cb.map(x => x * x).sum))
+    val z = Seq((0L, Seq(0.0, 0.0))).toDF("code", "dot_lut")
+      .select(VectorExpressions.pqAdcScore(col("code"), col("dot_lut"), zNorm, 4))
+      .collect().head.getDouble(0)
+    assert(z === 0.0)
+  }
+
   test("NgramCounts == per-doc grouped explode counts, first-occurrence distinct, n=1..3") {
     val s = spark
     import s.implicits._

@@ -142,21 +142,36 @@ class PerfRegressionSpec extends AnyFunSuite {
       "no PERF_BASELINE.json committed at the repo root")
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get("bench_latest.json")),
       "no local bench artifact — run `make bench` first")
-    def excess(path: String) = new ObjectMapper().readTree(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      .path("ratio_excess_vs_duckdb").asDouble(0)
-    val base = excess("PERF_BASELINE.json")
-    val cur = excess("bench_latest.json")
-    assume(cur > 0, "bench ran without its DuckDB anchor")
-    assume(base > 0,
-      "PERF_BASELINE.json predates the ratio_excess_vs_duckdb field — " +
+    // Both sides recomputed over the INTERSECTION of the two artifacts'
+    // per-query keys (ADVICE r17 #2): the pinned scalar was computed when
+    // the registry was smaller, so gating the current (grown) registry's
+    // scalar against it shifts the statistic every round that adds a query
+    // with no real regression. Same rule as Bench's `regressions` field.
+    val (_, baseWall, baseDuck) = maps("PERF_BASELINE.json")
+    val (_, curWall, curDuck) = maps("bench_latest.json")
+    assume(curDuck.nonEmpty, "bench ran without its DuckDB anchor")
+    assume(baseDuck.nonEmpty,
+      "PERF_BASELINE.json predates the per-query duckdb map — " +
         "re-record the baseline from a full bench line")
+    val inter = curWall.keySet & curDuck.keySet & baseWall.keySet & baseDuck.keySet
+    val keys = inter.filter(k => curWall(k) > 0 && curDuck(k) > 0 &&
+      baseWall(k) > 0 && baseDuck(k) > 0)
+    def excess(wall: Map[String, Double], duck: Map[String, Double]): Double = {
+      val d = keys.toSeq.map(duck).sum
+      if (d > 0) keys.toSeq
+        .map(k => math.max(0.0, wall(k) - PerfGate.jobFloorSec)).sum / d
+      else -1.0
+    }
+    val base = excess(baseWall, baseDuck)
+    val cur = excess(curWall, curDuck)
+    assume(cur > 0 && base > 0, "intersection carries no anchored work")
     assert(!PerfGate.excessRegressed(cur, base),
-      f"aggregate floor-normalized ratio $cur%.3f exceeds " +
-        f"${PerfGate.excessTolerance}x its pinned baseline $base%.3f — " +
-        "real work drifted across the folded sub-1.5s queries even though " +
-        "no per-query gate tripped; diff bench_latest.json's per-query " +
-        "walls against PERF_BASELINE.json to find the spread")
+      f"aggregate floor-normalized ratio $cur%.3f (over the ${keys.size} " +
+        f"shared keys) exceeds ${PerfGate.excessTolerance}x its pinned " +
+        f"baseline $base%.3f — real work drifted across the folded sub-1.5s " +
+        "queries even though no per-query gate tripped; diff " +
+        "bench_latest.json's per-query walls against PERF_BASELINE.json " +
+        "to find the spread")
   }
 
   // ---- the gate itself, pinned case by case ------------------------------
@@ -171,12 +186,35 @@ class PerfRegressionSpec extends AnyFunSuite {
   }
 
 
-  test("anchored queries (≥50ms) trip on ratio alone") {
-    // ratio 2.0 vs baseline 0.5 = 4x > 3x; anchor 1.0s is real work
+  test("anchored queries (≥50ms) need BOTH the ratio leg and the wall leg (r18)") {
+    // ratio 2.0 vs baseline 0.5 = 4x > 3x AND wall 0.5→2.0s (4x, +1.5s):
+    // a genuine regression trips both legs
     assert(PerfGate.regressed(curSpark = 2.0, curDuck = 1.0,
       baseSpark = 0.5, baseRatio = 0.5))
     // 2.9x ratio growth stays under the wire regardless of walls
     assert(!PerfGate.regressed(curSpark = 1.45, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+    // wall quadrupled but the anchor grew with it (host load taxing both
+    // columns): ratio leg quiet, no trip
+    assert(!PerfGate.regressed(curSpark = 2.0, curDuck = 4.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+  }
+
+  test("an anchor-side collapse is anchor_drift, not a regression (r17's semantic_contamination, verbatim)") {
+    // The r17 false trip: Spark wall 1.128→1.256s (1.11x, unchanged plan)
+    // while DuckDB's recursive-CTE anchor collapsed 76.29→20.93s, so
+    // ratio-vs-ratio read 0.060/0.0148 = 4.06x > 3x and fired. The
+    // hardened gate must NOT trip (the Spark wall never moved) …
+    val (cs, cd, bs, br) = (1.256, 20.93, 1.128, 1.128 / 76.29)
+    assert(!PerfGate.regressed(cs, cd, bs, br))
+    // … and must CLASSIFY it as anchor drift so the bench line still
+    // surfaces the shift for adjudication and re-pin
+    assert(PerfGate.anchorDrift(cs, cd, bs, br))
+    // a genuine regression is NOT drift: both legs fired → regressed only
+    assert(!PerfGate.anchorDrift(curSpark = 2.0, curDuck = 1.0,
+      baseSpark = 0.5, baseRatio = 0.5))
+    // ratio quiet → no drift either
+    assert(!PerfGate.anchorDrift(curSpark = 1.45, curDuck = 1.0,
       baseSpark = 0.5, baseRatio = 0.5))
   }
 
@@ -198,12 +236,23 @@ class PerfRegressionSpec extends AnyFunSuite {
       baseSpark = 0.9, baseRatio = 100.0))
   }
 
-  test("the floor boundary routes to the ratio gate at exactly 50ms") {
-    // anchor exactly at the floor: ratio gate applies (4x trips)
-    assert(PerfGate.regressed(curSpark = 1.0, curDuck = 0.05,
+  test("the floor boundary routes to the ratio+wall gate at exactly 50ms") {
+    // anchor exactly at the floor: both legs required — ratio 80 vs 5
+    // (16x) AND wall 0.9→4.0s (4.4x, +3.1s) → trips
+    assert(PerfGate.regressed(curSpark = 4.0, curDuck = 0.05,
       baseSpark = 0.9, baseRatio = 5.0))
-    // just under the floor: wall gate applies (1.1x wall — no trip)
-    assert(!PerfGate.regressed(curSpark = 1.0, curDuck = 0.049,
+    // same walls but the anchor grew too (ratio 2.0 vs 1.5, quiet):
+    // at/above the floor the ratio leg gates it out …
+    assert(!PerfGate.regressed(curSpark = 4.0, curDuck = 2.0,
+      baseSpark = 0.9, baseRatio = 1.5))
+    // … while just under the floor the wall gate alone applies and trips
+    assert(PerfGate.regressed(curSpark = 4.0, curDuck = 0.049,
+      baseSpark = 0.9, baseRatio = 1.5))
+    // at the floor with ratio fired but wall quiet (1.1x): no trip —
+    // that is the anchor_drift class
+    assert(!PerfGate.regressed(curSpark = 1.0, curDuck = 0.05,
+      baseSpark = 0.9, baseRatio = 5.0))
+    assert(PerfGate.anchorDrift(curSpark = 1.0, curDuck = 0.05,
       baseSpark = 0.9, baseRatio = 5.0))
   }
 
