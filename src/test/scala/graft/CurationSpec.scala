@@ -451,7 +451,16 @@ class CurationSpec extends SparkSpec {
       .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
     val dedup = graft.ops.Dedup.minhashDedupPortable(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(piped === (quality & rep & boiler & dedup))
+    // the r18 gopher stage is one more stage in the intersection — its
+    // structural-rule pass set per the standalone battery (the stage-level
+    // equivalence with gopherRuleCols is pinned by the dedicated test above)
+    val structural = Set("word_count", "mean_word_len", "hash_ratio",
+      "ellipsis_ratio", "bullet_lines", "ellipsis_lines", "alpha_words")
+    val gopher = Curation.gopherRules(spark, sf0001).collect()
+      .filter(_.getAs[String]("fail_rules").split(",")
+        .filter(_.nonEmpty).forall(f => !structural(f)))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(piped === (quality & rep & boiler & dedup & gopher))
     assert(piped.nonEmpty, "a normal corpus must not be filtered to nothing")
   }
 
