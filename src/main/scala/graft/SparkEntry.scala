@@ -287,6 +287,17 @@ object SparkEntry {
     }),
     "ann_ivf_probe" -> ((s, d) =>
       Similarity.ivfProbePersisted(s, d, ivfIndexDir(d, "extras"))),
+    // r18: the PQ lifecycle split, mirroring the IVF pair — the registered
+    // ann_pq_topk times build+probe together; these put the one-off index
+    // cost and the steady-state ADC probe cost on the board separately
+    // (its own "pq_extras" dir for the same mid-sample-failure isolation
+    // as the IVF extras).
+    "ann_pq_build" -> ((s, d) => {
+      Similarity.buildIvfPqIndex(s, d, ivfIndexDir(d, "pq_extras"))
+      Similarity.centroidsDF(s, ivfIndexDir(d, "pq_extras"))
+    }),
+    "ann_pq_probe" -> ((s, d) =>
+      Similarity.ivfPqProbePersisted(s, d, ivfIndexDir(d, "pq_extras"))),
     // Honest training cost: the weight memo means quality_* registered
     // queries time SCORING against the fitted model (a curation run trains
     // once — the memo's contract). This extra invalidates the memo first,
