@@ -196,8 +196,17 @@ class AnnSpec extends SparkSpec {
     // k-means seeds, shortest-repr sidecars, total tie orders)
     Similarity.invalidateCentroidCache()
     Similarity.buildIvfPqIndex(spark, sf0001, idx)
-    val again = Similarity.ivfPqProbePersisted(spark, sf0001, idx).collect()
+    val probed = Similarity.ivfPqProbePersisted(spark, sf0001, idx)
+    val again = probed.collect()
     assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the probed-cell IN literal reaches the code-table scan as a
+    // partition filter (the B5d pruning contract — unprobed cells' 4-byte
+    // code files are never read)
+    assert(new java.io.File(s"$idx/assignments").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected a partition filter on cell in:\n$plan")
   }
 
   test("product quantization (B18c): packed codes round-trip, runs are bit-deterministic, fidelity is real and monotone in k") {
