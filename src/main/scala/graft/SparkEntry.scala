@@ -76,6 +76,24 @@ object SparkEntry {
       Similarity.buildIvfPqIndex(s, d, ivfIndexDir(d, "pq"))
       Similarity.ivfPqProbePersisted(s, d, ivfIndexDir(d, "pq"))
     }),
+    // B5h (r18): the maintained-index lifecycle — build the IVF-PQ index
+    // from the even-vec_id half (a deterministic "initial snapshot"),
+    // APPEND the odd half against the frozen centroids+codebooks (the
+    // production daily-batch shape: one projection + a cells-way exchange
+    // over the batch, dynamic partition append), then report per-cell
+    // occupancy + mean reconstruction fidelity — the drift signal that
+    // schedules a rebuild. Rows-only by design (the m×iters k-means
+    // replay has no tractable SQL oracle — the B18c argument); AnnSpec
+    // replays the lifecycle and reconciles the census.
+    "ann_index_status"     -> ((s, d) => {
+      val idx = ivfIndexDir(d, "incr")
+      val emb = graft.Tables.embeddings(s, d)
+      Similarity.buildIvfPqIndexOf(
+        emb.where(org.apache.spark.sql.functions.col("vec_id") % 2 === 0), idx)
+      Similarity.ivfIndexAppend(
+        emb.where(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0), idx)
+      Similarity.ivfIndexStatus(s, idx)
+    }),
     // B5f: rows-only by design — recall compares two engine-side
     // retrievals (the approximate arm having no SQL oracle is the point);
     // AnnRecallSpec pins per-method floors on the same statistic.

@@ -162,19 +162,32 @@ object Embeddings {
     * packed 4-bit little-endian per subspace, recon_cos = cosine of the
     * vector against its codebook reconstruction, rounded 6 dp).
     */
-  def pqFidelityOf(emb: DataFrame, m: Int = 8, k: Int = 16,
-                   dim: Int = 64): DataFrame = {
-    val books = pqCodebooks(emb, m, k, dim)
+  /** Cosine of `vec` against its PQ reconstruction under `books`, rounded
+    * 6 dp — the per-vector fidelity statistic. Pure projection: codegen'd
+    * NearestCentroid per subspace + element_at on the KB codebook literal.
+    * Shared by [[pqFidelityOf]] and the maintained index's per-row
+    * fidelity column (Similarity.buildIvfPqIndex / ivfIndexAppend), so
+    * the staleness signal B5h aggregates is bit-identical to B18c's
+    * fidelity report.
+    */
+  def pqReconCos(vec: Column, books: Array[Array[Array[Double]]],
+                 dim: Int): Column = {
+    val m = books.length
     val sub = dim / m
     val codes = (0 until m).map { j =>
       graft.functions.VectorExpressions.nearestCentroid(
-        slice(col("embedding"), j * sub + 1, sub), books(j)) }
-    val packed = pqCode(col("embedding"), books, dim)
+        slice(vec, j * sub + 1, sub), books(j)) }
     val recon = concat((0 until m).map { j =>
       element_at(typedLit(books(j).map(_.toSeq).toSeq), codes(j) + 1) }: _*)
-    emb.select(col("vec_id"), packed.as("pq_code"),
-        round(graft.functions.VectorExpressions.cosine(
-          asDouble(col("embedding")), recon), 6).as("recon_cos"))
+    round(graft.functions.VectorExpressions.cosine(asDouble(vec), recon), 6)
+  }
+
+  def pqFidelityOf(emb: DataFrame, m: Int = 8, k: Int = 16,
+                   dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(emb, m, k, dim)
+    emb.select(col("vec_id"),
+        pqCode(col("embedding"), books, dim).as("pq_code"),
+        pqReconCos(col("embedding"), books, dim).as("recon_cos"))
       .orderBy("vec_id")
   }
 

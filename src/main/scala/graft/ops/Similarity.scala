@@ -578,8 +578,17 @@ object Similarity {
     */
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexDir: String,
                       cells: Int = 16, iters: Int = 2, dim: Int = 64,
-                      m: Int = 8, kCode: Int = 16): Unit = {
-    val emb = Tables.embeddings(spark, dir)
+                      m: Int = 8, kCode: Int = 16): Unit =
+    buildIvfPqIndexOf(Tables.embeddings(spark, dir), indexDir, cells, iters,
+      dim, m, kCode)
+
+  /** [[buildIvfPqIndex]] from an arbitrary embedding frame — the seam B5h's
+    * incremental lifecycle builds its base index through (index an initial
+    * corpus snapshot, then [[ivfIndexAppend]] later batches).
+    */
+  def buildIvfPqIndexOf(emb: DataFrame, indexDir: String,
+                        cells: Int = 16, iters: Int = 2, dim: Int = 64,
+                        m: Int = 8, kCode: Int = 16): Unit = {
     val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (own) emb.persist()
     try {
@@ -587,9 +596,11 @@ object Similarity {
       val books = Embeddings.pqCodebooks(emb, m, kCode, dim)
       writeCentroids(indexDir, centroids)
       writePqBooks(indexDir, books)
-      // same one-file-per-cell layout argument as buildIvfIndex
+      // same one-file-per-cell layout argument as buildIvfIndex; recon_cos
+      // rides per row (8 bytes) so the staleness report needs no vectors
       emb.select(col("vec_id"),
           Embeddings.pqCode(col("embedding"), books, dim).as("pq_code"),
+          Embeddings.pqReconCos(col("embedding"), books, dim).as("recon_cos"),
           nearestCell(col("embedding"), centroids).as("cell"))
         .repartition(cells, col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$indexDir/assignments")
@@ -598,6 +609,48 @@ object Similarity {
       ()
     } finally { if (own) { emb.unpersist(); () } }
   }
+
+  /** B5h (r18) — incremental index maintenance, the append half: encode a
+    * NEW batch of vectors against the index's FROZEN centroids + codebooks
+    * (read through the probe caches — the k-means never re-runs) and
+    * append its (vec_id, pq_code, recon_cos, cell) rows into the
+    * cell-partitioned assignments table. At 100 TB this is the production
+    * ingest shape — a daily embedding batch is one scan-speed projection
+    * plus a cells-way exchange over the BATCH (never the existing index),
+    * and dynamic partition append only touches the cells the batch lands
+    * in. Probes see appended vectors immediately (same partition-pruned
+    * scan); [[ivfIndexStatus]] reads the decaying recon_cos as the
+    * distribution-drift signal that schedules the next full rebuild —
+    * the B5d/D27 maintained-table discipline applied to the ANN index.
+    */
+  def ivfIndexAppend(newEmb: DataFrame, indexDir: String,
+                     dim: Int = 64): Unit = {
+    val centroids = centroidCache.computeIfAbsent(indexDir, d => readCentroids(d))
+    val books = pqBooksCache.computeIfAbsent(indexDir, d => readPqBooks(d))
+    newEmb.select(col("vec_id"),
+        Embeddings.pqCode(col("embedding"), books, dim).as("pq_code"),
+        Embeddings.pqReconCos(col("embedding"), books, dim).as("recon_cos"),
+        nearestCell(col("embedding"), centroids).as("cell"))
+      .repartition(centroids.length, col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$indexDir/assignments")
+    ()
+  }
+
+  /** B5h — the index health report: per cell, how many vectors it holds
+    * and their mean PQ-reconstruction cosine. Occupancy skew says whether
+    * the partition prune still buys nprobe/C (a hot cell degrades probes
+    * toward a full scan); fidelity decay on appended batches — scored
+    * against the FROZEN codebooks — is the numeric drift signal that a
+    * rebuild is due. Reads only the narrow code table (column-pruned to
+    * (cell, recon_cos)): at any corpus scale this is a map-side-combined
+    * C-row aggregate, no vectors touched.
+    */
+  def ivfIndexStatus(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/assignments")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("recon_cos")), 6).as("mean_recon_cos"))
+      .orderBy("cell")
 
   /** B5g — probe a persisted IVF-PQ index by asymmetric distance (ADC),
     * then exact-rerank: per query the driver builds the m·k dot-product

@@ -209,6 +209,40 @@ class AnnSpec extends SparkSpec {
       s"expected a partition filter on cell in:\n$plan")
   }
 
+  test("incremental IVF-PQ maintenance (B5h): append is probe-visible, census reconciles, fidelity column is real") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_incr_spec_").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 =!= 0)
+    val (nEven, nOdd) = (evens.count(), odds.count())
+    Similarity.buildIvfPqIndexOf(evens, idx)
+    val s0 = Similarity.ivfIndexStatus(spark, idx).collect()
+    assert(s0.map(_.getAs[Long]("n_vecs")).sum === nEven,
+      "pre-append census covers exactly the snapshot")
+    // append the odd half against the FROZEN centroids/codebooks
+    Similarity.ivfIndexAppend(odds, idx)
+    val s1 = Similarity.ivfIndexStatus(spark, idx).collect()
+    assert(s1.map(_.getAs[Long]("n_vecs")).sum === nEven + nOdd,
+      "post-append census conserves the population")
+    assert(s1.forall { r =>
+      val f = r.getAs[Double]("mean_recon_cos"); f > 0.0 && f <= 1.0
+    }, "per-cell fidelity is a real cosine mean")
+    // appended vectors are PROBE-VISIBLE through the same partition-pruned
+    // scan — the maintained-index contract
+    val neigh = Similarity.ivfPqProbePersisted(spark, sf0001, idx).collect()
+      .map(_.getLong(2))
+    assert(neigh.exists(_ % 2 == 1), "appended (odd) vectors must be retrievable")
+    assert(neigh.exists(_ % 2 == 0), "snapshot (even) vectors must still be retrievable")
+    // the lifecycle is deterministic end to end (frozen sidecars, fixed
+    // seeds): a fresh-JVM-equivalent replay reproduces the census bit-for-bit
+    Similarity.invalidateCentroidCache()
+    Similarity.buildIvfPqIndexOf(evens, idx)
+    Similarity.ivfIndexAppend(odds, idx)
+    val s2 = Similarity.ivfIndexStatus(spark, idx).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
   test("product quantization (B18c): packed codes round-trip, runs are bit-deterministic, fidelity is real and monotone in k") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
