@@ -495,7 +495,12 @@ object Curation {
   }
 
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
-    val joined = ensembleSignals(spark, dir)
+    // Persisted (r18, guide §2.4/§5): the three-signal join feeds TWO
+    // consumers — the corpus-moments aggregate and the final z-score
+    // projection. Without the persist the whole three-pipeline join ran
+    // twice (once per consumer); the persisted frame is doc_id + three
+    // doubles. Released by graft.Caches.clear like the component caches.
+    val joined = ensembleSignals(spark, dir).persist()
     def dec(x: Column) = x.cast("decimal(18,6)")
     val stats = joined.agg(
       count(lit(1)).as("n"),

@@ -134,12 +134,100 @@ object Embeddings {
     require(m * sub == dim, s"m=$m must divide dim=$dim")
     require(k >= 1 && k <= 16, "k must fit a 4-bit code (1..16)")
     if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
-    (0 until m).map { j =>
-      Similarity.ivfCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        k, iters, sub)
-    }.toArray
+    // FUSED learner (r18): all m subspace k-means share one job chain —
+    // one seed fetch + ONE mapPartitions pass per iteration accumulating
+    // every subspace's (cell → component sums, counts) partials at once —
+    // instead of m independent ivfCentroids runs (m×(1+iters) jobs, 24 at
+    // the defaults; measured as the job-floor wall behind ann_pq_build).
+    // BIT-IDENTICAL to the sliced per-subspace formulation it replaces
+    // (AnnSpec pins the equality): same seeds (the k lowest vec_ids,
+    // sliced driver-side), same per-row assignment arithmetic as
+    // NearestCentroid/CentroidKernel.cosines (doubles from floats, argmax
+    // by Double.compare with ties → higher idx, dimension mismatch →
+    // row skipped for that subspace), same partition-order driver merge,
+    // same HALF_UP 6-dp rounding, same empty-cell anchor keep.
+    Similarity.withoutAqe(emb.sparkSession) {
+      val seeds: Array[Seq[Float]] = emb.orderBy("vec_id").limit(k)
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        seeds.map(v => v.slice(j * sub, math.min((j + 1) * sub, v.length))
+          .toArray.map(_.toDouble))
+      }
+      for (_ <- 0 until iters) {
+        val cur = books
+        val partials = emb.select(col("embedding")).rdd.mapPartitions { rows =>
+          val sums = Array.tabulate(cur.length)(j =>
+            Array.fill(cur(j).length)(new Array[Double](sub)))
+          val cnts = Array.tabulate(cur.length)(j =>
+            Array.fill(cur(j).length)(new Array[Long](sub)))
+          val seen = Array.tabulate(cur.length)(j => new Array[Boolean](cur(j).length))
+          rows.foreach { r =>
+            if (!r.isNullAt(0)) {
+              val vec = r.getSeq[Float](0)
+              var j = 0
+              while (j < cur.length) {
+                val kj = cur(j).length
+                val dj = if (kj > 0) cur(j)(0).length else 0
+                val start = j * sub
+                val sliceLen = math.max(0, math.min(vec.length, start + sub) - start)
+                // assignment only on exact dimension match — the sliced
+                // formulation's cosines-null contract
+                if (kj > 0 && dj > 0 && sliceLen == dj) {
+                  val x = new Array[Double](dj)
+                  var na = 0.0
+                  var i = 0
+                  while (i < dj) {
+                    x(i) = vec(start + i).toDouble; na += x(i) * x(i); i += 1
+                  }
+                  val sna = math.sqrt(na)
+                  var best = 0
+                  var bestCos = 0.0
+                  var c = 0
+                  while (c < kj) {
+                    val ctr = cur(j)(c)
+                    var dotv = 0.0; var nb = 0.0
+                    var i2 = 0
+                    while (i2 < dj) { dotv += x(i2) * ctr(i2); nb += ctr(i2) * ctr(i2); i2 += 1 }
+                    val cos = dotv / (sna * math.sqrt(nb))
+                    if (c == 0 || java.lang.Double.compare(cos, bestCos) >= 0) {
+                      best = c; bestCos = cos
+                    }
+                    c += 1
+                  }
+                  seen(j)(best) = true
+                  var i3 = 0
+                  while (i3 < dj) {
+                    sums(j)(best)(i3) += x(i3); cnts(j)(best)(i3) += 1L; i3 += 1
+                  }
+                }
+                j += 1
+              }
+            }
+          }
+          (0 until cur.length).iterator.flatMap { j =>
+            seen(j).indices.iterator.filter(seen(j)).map(c =>
+              (j, c, sums(j)(c), cnts(j)(c)))
+          }
+        }.collect()
+        val totS = Array.tabulate(m)(j => Array.fill(cur(j).length)(new Array[Double](sub)))
+        val totN = Array.tabulate(m)(j => Array.fill(cur(j).length)(new Array[Long](sub)))
+        partials.foreach { case (j, cell, s, n) =>
+          var i = 0
+          while (i < s.length) { totS(j)(cell)(i) += s(i); totN(j)(cell)(i) += n(i); i += 1 }
+        }
+        books = Array.tabulate(m) { j =>
+          val c0 = cur(j)
+          c0.indices.map { cell =>
+            if (totN(j)(cell).forall(_ == 0L)) c0(cell)
+            else Array.tabulate(c0(cell).length)(i =>
+              if (totN(j)(cell)(i) == 0L) c0(cell)(i)
+              else java.math.BigDecimal.valueOf(totS(j)(cell)(i) / totN(j)(cell)(i))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }.toArray
+        }
+      }
+      books
+    }
   }
 
   /** Packed PQ code column for `vec` under a learned codebook set: m codes,

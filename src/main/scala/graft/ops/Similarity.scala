@@ -39,7 +39,7 @@ object Similarity {
     * writes, and probe joins keep the session's AQE — at 100 TB those are
     * exactly where runtime re-planning earns its cost.
     */
-  private def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+  private[graft] def withoutAqe[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
@@ -149,8 +149,14 @@ object Similarity {
     // not an inline stand-in
     val pqDir = tempIndexDir("recall_pq", dir)
     buildIvfPqIndex(spark, dir, pqDir)
+    // the ivf arm probes the SAME index (r18): buildIvfPqIndex writes the
+    // identical centroids.csv the inline ivfTopK k-means would recompute
+    // (same ivfCentroids call over the same frame), and ivfProbePersisted
+    // is spec-pinned result-identical to the inline build — so the report
+    // drops a redundant 3-job k-means + full-corpus assignment scan and
+    // reads only the probed cells' partitions instead.
     val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> ivfTopK(spark, dir, nQueries, k),
+      "ivf" -> ivfProbePersisted(spark, dir, pqDir, nQueries, k),
       "lsh" -> lshTopK(spark, dir, nQueries, k),
       "pq" -> ivfPqProbePersisted(spark, dir, pqDir, nQueries, k),
       "truncated" -> truncatedRerank(spark, dir, nQueries, k))

@@ -276,6 +276,29 @@ class AnnSpec extends SparkSpec {
     assert(m16 > m2, s"fidelity must grow with codebook size: k16=$m16 k2=$m2")
   }
 
+  test("fused PQ codebook learner (r18) is bit-identical to the sliced per-subspace k-means it replaced") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val (m, k, dim, iters) = (8, 16, 64, 2)
+    val sub = dim / m
+    val fused = graft.ops.Embeddings.pqCodebooks(emb, m, k, dim, iters)
+    // the pre-r18 formulation, literally: one independent ivfCentroids run
+    // per sliced subspace frame — the fused single-pass learner must land
+    // on the same bits (same seeds, same assignment arithmetic, same
+    // partition-order merge, same rounding)
+    val ref = (0 until m).map { j =>
+      Similarity.ivfCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        k, iters, sub)
+    }.toArray
+    assert(fused.length === ref.length)
+    (0 until m).foreach { j =>
+      assert(fused(j).map(_.toSeq).toSeq === ref(j).map(_.toSeq).toSeq,
+        s"subspace $j codebook diverged from the sliced formulation")
+    }
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)
