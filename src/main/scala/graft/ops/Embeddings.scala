@@ -133,33 +133,66 @@ object Embeddings {
     val sub = dim / m
     require(m * sub == dim, s"m=$m must divide dim=$dim")
     require(k >= 1 && k <= 16, "k must fit a 4-bit code (1..16)")
+    fusedKmeans(emb, (0 until m).map(j => KmeansSpec(j * sub, sub, k)), iters)
+  }
+
+  /** One learner of [[fusedKmeans]]: k centroids over the subvector
+    * [start, start+len). `fullRow` marks a learner whose input is the
+    * WHOLE row (start must be 0): seeds are untruncated and a row is
+    * assigned only when its full length matches the centroid dimension —
+    * exactly `Similarity.ivfCentroids`' contract, where slice learners
+    * replicate the sliced frame's cosines-null contract instead.
+    */
+  private[graft] final case class KmeansSpec(start: Int, len: Int, k: Int,
+                                             fullRow: Boolean = false) {
+    require(!fullRow || start == 0, "fullRow learners start at 0")
+  }
+
+  /** FUSED multi-learner k-means (r18): learn SEVERAL fixed-iteration
+    * cosine k-means models over (slices of) the same embedding frame in
+    * ONE job chain — one seed fetch + ONE mapPartitions pass per
+    * iteration accumulating every learner's (cell → component sums,
+    * counts) partials at once — instead of one (1 + iters)-job
+    * `ivfCentroids` chain per learner (m×(1+iters) jobs, 24 at the PQ
+    * defaults; measured as the job-floor wall behind ann_pq_build, and
+    * m× redundant corpus passes at any scale). BIT-IDENTICAL per learner
+    * to an independent `ivfCentroids` run over the equivalent frame
+    * (AnnSpec pins both the sliced and the fullRow form): same seeds
+    * (the k lowest vec_ids), same per-row assignment arithmetic as
+    * NearestCentroid/CentroidKernel.cosines (doubles from floats, argmax
+    * by Double.compare with ties → higher idx, dimension mismatch → row
+    * skipped for that learner), same partition-order driver merge, same
+    * HALF_UP 6-dp rounding, same empty-cell anchor keep.
+    */
+  private[graft] def fusedKmeans(emb: DataFrame, specs: Seq[KmeansSpec],
+                                 iters: Int): Array[Array[Array[Double]]] = {
+    require(specs.nonEmpty, "at least one learner")
     if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
-    // FUSED learner (r18): all m subspace k-means share one job chain —
-    // one seed fetch + ONE mapPartitions pass per iteration accumulating
-    // every subspace's (cell → component sums, counts) partials at once —
-    // instead of m independent ivfCentroids runs (m×(1+iters) jobs, 24 at
-    // the defaults; measured as the job-floor wall behind ann_pq_build).
-    // BIT-IDENTICAL to the sliced per-subspace formulation it replaces
-    // (AnnSpec pins the equality): same seeds (the k lowest vec_ids,
-    // sliced driver-side), same per-row assignment arithmetic as
-    // NearestCentroid/CentroidKernel.cosines (doubles from floats, argmax
-    // by Double.compare with ties → higher idx, dimension mismatch →
-    // row skipped for that subspace), same partition-order driver merge,
-    // same HALF_UP 6-dp rounding, same empty-cell anchor keep.
     Similarity.withoutAqe(emb.sparkSession) {
-      val seeds: Array[Seq[Float]] = emb.orderBy("vec_id").limit(k)
+      val sp = specs.toArray
+      val seeds: Array[Seq[Float]] = emb.orderBy("vec_id").limit(sp.map(_.k).max)
         .select("embedding").collect().map(_.getSeq[Float](0))
-      var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-        seeds.map(v => v.slice(j * sub, math.min((j + 1) * sub, v.length))
-          .toArray.map(_.toDouble))
+      var models: Array[Array[Array[Double]]] = sp.map { s =>
+        seeds.take(s.k).map { v =>
+          (if (s.fullRow) v
+           else v.slice(s.start, math.min(s.start + s.len, v.length)))
+            .toArray.map(_.toDouble)
+        }
       }
       for (_ <- 0 until iters) {
-        val cur = books
+        val cur = models
         val partials = emb.select(col("embedding")).rdd.mapPartitions { rows =>
+          // accumulators truncate at min(centroid dim, spec len) — equal in
+          // every non-degenerate case; mirrors ivfCentroids' dim-capped
+          // accumulation when seeds are over-length
+          def accLen(j: Int): Int = {
+            val dj = if (cur(j).nonEmpty) cur(j)(0).length else 0
+            math.min(dj, sp(j).len)
+          }
           val sums = Array.tabulate(cur.length)(j =>
-            Array.fill(cur(j).length)(new Array[Double](sub)))
+            Array.fill(cur(j).length)(new Array[Double](accLen(j))))
           val cnts = Array.tabulate(cur.length)(j =>
-            Array.fill(cur(j).length)(new Array[Long](sub)))
+            Array.fill(cur(j).length)(new Array[Long](accLen(j))))
           val seen = Array.tabulate(cur.length)(j => new Array[Boolean](cur(j).length))
           rows.foreach { r =>
             if (!r.isNullAt(0)) {
@@ -168,11 +201,16 @@ object Embeddings {
               while (j < cur.length) {
                 val kj = cur(j).length
                 val dj = if (kj > 0) cur(j)(0).length else 0
-                val start = j * sub
-                val sliceLen = math.max(0, math.min(vec.length, start + sub) - start)
-                // assignment only on exact dimension match — the sliced
-                // formulation's cosines-null contract
-                if (kj > 0 && dj > 0 && sliceLen == dj) {
+                val start = sp(j).start
+                // assignment only on exact dimension match — the
+                // cosines-null contract of the formulation each learner
+                // replaces (fullRow: the whole-row length; slice: the
+                // slice's length)
+                val matches =
+                  if (sp(j).fullRow) vec.length == dj
+                  else math.max(0,
+                    math.min(vec.length, start + sp(j).len) - start) == dj
+                if (kj > 0 && dj > 0 && matches) {
                   val x = new Array[Double](dj)
                   var na = 0.0
                   var i = 0
@@ -195,8 +233,9 @@ object Embeddings {
                     c += 1
                   }
                   seen(j)(best) = true
+                  val n = accLen(j)
                   var i3 = 0
-                  while (i3 < dj) {
+                  while (i3 < n) {
                     sums(j)(best)(i3) += x(i3); cnts(j)(best)(i3) += 1L; i3 += 1
                   }
                 }
@@ -209,24 +248,27 @@ object Embeddings {
               (j, c, sums(j)(c), cnts(j)(c)))
           }
         }.collect()
-        val totS = Array.tabulate(m)(j => Array.fill(cur(j).length)(new Array[Double](sub)))
-        val totN = Array.tabulate(m)(j => Array.fill(cur(j).length)(new Array[Long](sub)))
+        val totS = Array.tabulate(sp.length)(j =>
+          Array.fill(cur(j).length)(new Array[Double](sp(j).len)))
+        val totN = Array.tabulate(sp.length)(j =>
+          Array.fill(cur(j).length)(new Array[Long](sp(j).len)))
         partials.foreach { case (j, cell, s, n) =>
           var i = 0
           while (i < s.length) { totS(j)(cell)(i) += s(i); totN(j)(cell)(i) += n(i); i += 1 }
         }
-        books = Array.tabulate(m) { j =>
+        models = Array.tabulate(sp.length) { j =>
           val c0 = cur(j)
           c0.indices.map { cell =>
-            if (totN(j)(cell).forall(_ == 0L)) c0(cell)
-            else Array.tabulate(c0(cell).length)(i =>
+            val nz = math.min(c0(cell).length, sp(j).len)
+            if ((0 until nz).forall(totN(j)(cell)(_) == 0L)) c0(cell)
+            else Array.tabulate(nz)(i =>
               if (totN(j)(cell)(i) == 0L) c0(cell)(i)
               else java.math.BigDecimal.valueOf(totS(j)(cell)(i) / totN(j)(cell)(i))
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
           }.toArray
         }
       }
-      books
+      models
     }
   }
 

@@ -598,8 +598,27 @@ object Similarity {
     val own = emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (own) emb.persist()
     try {
-      val centroids = ivfCentroids(emb, cells, iters, dim)
-      val books = Embeddings.pqCodebooks(emb, m, kCode, dim)
+      // The cell k-means and the m subspace codebook k-means are
+      // independent learners over the same frame, so when their iteration
+      // counts agree (pqCodebooks is pinned at 2) they share ONE fused
+      // chain (r18): 1 seed job + iters passes for ALL m+1 learners,
+      // instead of two separate chains (3 + 3 jobs after the pqCodebooks
+      // fuse, 3 + 24 before it). Bit-identical per learner — AnnSpec pins
+      // the fullRow learner against ivfCentroids and the slice learners
+      // against the sliced formulation.
+      val sub = dim / m
+      require(m * sub == dim, s"m=$m must divide dim=$dim")
+      require(kCode >= 1 && kCode <= 16, "kCode must fit a 4-bit code (1..16)")
+      val (centroids, books) =
+        if (iters == 2) {
+          val all = Embeddings.fusedKmeans(emb,
+            Embeddings.KmeansSpec(0, dim, cells, fullRow = true) +:
+              (0 until m).map(j => Embeddings.KmeansSpec(j * sub, sub, kCode)),
+            iters)
+          (all.head, all.tail)
+        } else
+          (ivfCentroids(emb, cells, iters, dim),
+            Embeddings.pqCodebooks(emb, m, kCode, dim))
       writeCentroids(indexDir, centroids)
       writePqBooks(indexDir, books)
       // same one-file-per-cell layout argument as buildIvfIndex; recon_cos

@@ -297,6 +297,20 @@ class AnnSpec extends SparkSpec {
       assert(fused(j).map(_.toSeq).toSeq === ref(j).map(_.toSeq).toSeq,
         s"subspace $j codebook diverged from the sliced formulation")
     }
+    // the dual-fused index build (full-dim cells + m subspace codebooks in
+    // one chain) must reproduce BOTH independent learners to the bit
+    val cells = 16
+    val dual = graft.ops.Embeddings.fusedKmeans(emb,
+      graft.ops.Embeddings.KmeansSpec(0, dim, cells, fullRow = true) +:
+        (0 until m).map(j => graft.ops.Embeddings.KmeansSpec(j * sub, sub, k)),
+      iters)
+    val refCells = Similarity.ivfCentroids(emb, cells, iters, dim)
+    assert(dual.head.map(_.toSeq).toSeq === refCells.map(_.toSeq).toSeq,
+      "fullRow learner diverged from ivfCentroids")
+    (0 until m).foreach { j =>
+      assert(dual(j + 1).map(_.toSeq).toSeq === ref(j).map(_.toSeq).toSeq,
+        s"dual-fused subspace $j diverged from the sliced formulation")
+    }
   }
 
   test("brute-force top-k is deterministic and self-consistent") {
