@@ -108,6 +108,13 @@ object VectorExpressions {
   def ngramCounts(text: Column, n: Int): Column =
     sqlshim.column(NgramCounts(sqlshim.expression(text), n))
 
+  /** Every order 1..maxN of [[ngramCounts]] in ONE tokenize pass:
+    * array<struct(n, g, c)>, orders ascending, first-occurrence order
+    * within an order. See NgramMultiCounts.
+    */
+  def ngramMultiCounts(text: Column, maxN: Int): Column =
+    sqlshim.column(NgramMultiCounts(sqlshim.expression(text), maxN))
+
   /** Every Gopher-battery sufficient statistic in one scan per row:
     * struct(n_words, word_chars, n_alpha_words, n_stop_distinct, n_lines,
     * n_bullet_lines, n_ell_end_lines, n_hash, n_ellipsis). See GopherStats.
@@ -1135,6 +1142,75 @@ case class NgramCounts(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NgramCounts =
+    copy(child = newChild)
+}
+
+/** Per-document distinct n-gram counts for EVERY order 1..maxN in one
+  * tokenize pass: array<struct(n: int, g: string, c: long)>, orders
+  * ascending, first-occurrence order within an order. For a fixed order n,
+  * filtering this array's rows to that order yields exactly
+  * [[NgramCounts]](text, n)'s rows — same tokens (split(text, ' '),
+  * trailing empties kept), same grams, same counts — pinned by
+  * FunctionsSpec.
+  *
+  * The LM-family kernel (r19, guide §2.4 "share one pass"): lm_perplexity,
+  * lm_trigram_ppl and source_lm_divergence each need SEVERAL n-gram orders
+  * of the same corpus (model counts n=2 or 3, context/vocab tables n−1 and
+  * 1), and each order previously re-tokenized the corpus in its own scan.
+  * One multi-order pass feeds every order from a single persisted frame —
+  * at any scale that is (orders−1) fewer full corpus passes per query.
+  * CodegenFallback per the D1 convention.
+  */
+case class NgramMultiCounts(child: Expression, maxN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxN >= 1, "ngram_multi_counts: maxN must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_multi_counts expects string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var n = 1
+    while (n <= maxN) {
+      val nGrams = toks.length - n + 1
+      if (nGrams > 0) {
+        val m = new java.util.LinkedHashMap[String, Array[Long]](nGrams * 2)
+        var i = 0
+        while (i < nGrams) {
+          val g = if (n == 1) toks(i) else {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            sb.toString
+          }
+          val c = m.get(g)
+          if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+          i += 1
+        }
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += InternalRow(n, UTF8String.fromString(e.getKey), e.getValue()(0))
+        }
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramMultiCounts =
     copy(child = newChild)
 }
 

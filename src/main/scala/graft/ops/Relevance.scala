@@ -230,27 +230,44 @@ object Relevance {
     */
   def lmPerplexity(spark: SparkSession, dir: String, addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // Persisted: feeds the corpus bigram counts AND the scoring join.
-    // Lazily persisted — released by graft.Caches.clear (see Caches).
-    // r17: per-(doc, bigram) counts derive MAP-SIDE (NgramCounts — the
-    // same kernel surgery as collocations/bigramCoverage), so the
+    // Persisted: feeds the corpus bigram counts, the vocab scalar, AND the
+    // scoring join. Lazily persisted — released by graft.Caches.clear (see
+    // Caches). r17: per-(doc, bigram) counts derive MAP-SIDE (NgramCounts —
+    // the same kernel surgery as collocations/bigramCoverage), so the
     // groupBy(doc, w1, w2) exchange is gone; the bigram travels as ONE
     // space-joined string and splits into its start token only on the
     // vocabulary-sized model table (tokens are space-free, so the first
-    // space is an unambiguous seam). Arithmetic is unchanged token for
-    // token — the float budget below still holds.
-    val perDoc = docs
-      .select(col("doc_id"), explode(graft.functions.VectorExpressions
-        .ngramCounts(col("text"), 2)).as("g"))
-      .select(col("doc_id"), col("g.g").as("bigram"), col("g.c").as("cnt"))
+    // space is an unambiguous seam). r19 (guide §2.4): the vocab scalar
+    // needed a SECOND full tokenize scan (NgramCounts n=1 over the same
+    // corpus); the multi-order kernel emits both orders in ONE pass, so
+    // vocab now reads the same persisted frame. Counts per order are
+    // bit-identical to the per-order kernel (FunctionsSpec pins it) —
+    // arithmetic unchanged token for token, the float budget below holds.
+    // The cache holds the UNEXPLODED per-doc gram arrays — one row per doc,
+    // not one per gram: the array cache is corpus-row-count sized and each
+    // consumer re-explodes it at Generate speed, so the expensive work
+    // (split + per-doc counting) is paid once while the cache stays small.
+    // LAZY fill, measured both ways at sf0.1 AND 50× (min-of-reps, cold
+    // caches per sample): a blocking count() before the consumers
+    // serializes the whole tokenize pass onto the critical path and LOST
+    // at both scales (sf0.1 1.75 s vs 1.23 s lazy; 50× 3.90 s vs 3.23 s
+    // lazy) — concurrent first readers under AQE may duplicate some
+    // unfilled-partition work, but that duplication overlaps on otherwise
+    // idle cores and costs less than the serialized fill at every scale
+    // measured.
+    val gramArrs = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.ngramMultiCounts(col("text"), 2).as("garr"))
       .persist()
+    def ordRows(n: Int): DataFrame = gramArrs
+      .select(col("doc_id"), explode(col("garr")).as("g"))
+      .where(col("g.n") === n)
+      .select(col("doc_id"), col("g.g").as("gram"), col("g.c").as("cnt"))
+    val perDoc = ordRows(2)
+      .select(col("doc_id"), col("gram").as("bigram"), col("cnt"))
     val bi = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("cbi"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
-    val vocab = docs
-      .select(explode(graft.functions.VectorExpressions
-        .ngramCounts(col("text"), 1)).as("g"))
-      .agg(count_distinct(col("g.g")).as("vocab"))
+    val vocab = ordRows(1).agg(count_distinct(col("gram")).as("vocab"))
     val logProb = bi.join(starts, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("bigram"),
@@ -709,24 +726,32 @@ object Relevance {
   def sourceLmDivergence(spark: SparkSession, dir: String,
                          addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // persisted: feeds BOTH model aggregations and the paired scoring join.
+    // persisted: feeds BOTH model aggregations, BOTH vocab aggregates, and
+    // the paired scoring join.
     // r17 kernel reshape (lmPerplexity's surgery): per-(doc, bigram) counts
     // derive MAP-SIDE via NgramCounts — the groupBy(doc, source, w1, w2)
     // exchange (this query's widest; 4.12 s at sf0.1, top-5 cost) is gone.
     // The bigram travels as one space-joined string; its start token splits
     // off only on the (source ×) bigram-vocab-bounded model tables.
-    val perDoc = docs
-      .select(col("doc_id"), col("source"), explode(graft.functions
-        .VectorExpressions.ngramCounts(col("text"), 2)).as("g"))
-      .select(col("doc_id"), col("source"),
-        col("g.g").as("bigram"), col("g.c").as("cnt"))
+    // r19 (guide §2.4): the unigram vocab pass was a SECOND full tokenize
+    // scan; the multi-order kernel emits n=1 and n=2 in ONE pass (per-order
+    // counts bit-identical — FunctionsSpec pins the kernel). The cache
+    // holds the UNEXPLODED per-doc arrays, LAZILY filled — see
+    // lmPerplexity's measured argument (an eager blocking fill lost at
+    // both sf0.1 and 50×).
+    val gramArrs = docs.select(col("doc_id"), col("source"),
+        graft.functions.VectorExpressions.ngramMultiCounts(col("text"), 2).as("garr"))
       .persist()
-    // vocab sizes need only DISTINCT tokens, so the per-doc-distinct
-    // explode (NgramCounts n=1) feeds count_distinct with fewer rows than
-    // the every-occurrence explode it replaces
-    val uni = docs.select(col("source"), explode(graft.functions
-        .VectorExpressions.ngramCounts(col("text"), 1)).as("g"))
-      .select(col("source"), col("g.g").as("w"))
+    def ordRows(n: Int): DataFrame = gramArrs
+      .select(col("doc_id"), col("source"), explode(col("garr")).as("g"))
+      .where(col("g.n") === n)
+      .select(col("doc_id"), col("source"), col("g.g").as("gram"), col("g.c").as("cnt"))
+    val perDoc = ordRows(2)
+      .select(col("doc_id"), col("source"), col("gram").as("bigram"), col("cnt"))
+    // vocab sizes need only DISTINCT tokens — the kernel's n=1 rows are
+    // per-doc-distinct already
+    val uni = ordRows(1)
+      .select(col("source"), col("gram").as("w"))
     // global model (B35's exactly)
     val bi = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("cbi"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -762,8 +787,8 @@ object Relevance {
                           l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1,
                           addK: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // persisted: feeds the corpus trigram counts AND the scoring join
-    // (lazily persisted — released by graft.Caches.clear).
+    // persisted: feeds the trigram/bigram/unigram model counts AND the
+    // scoring join (lazily persisted — released by graft.Caches.clear).
     // r17 kernel reshape (lmPerplexity's surgery, one order up): per-doc
     // n-gram counts derive MAP-SIDE via NgramCounts for all three orders —
     // the groupBy(doc, w1, w2, w3) exchange is gone, the bigram/unigram
@@ -771,31 +796,38 @@ object Relevance {
     // occurrence, and grams travel as single space-joined strings that
     // split into components only on the vocabulary-bounded model tables
     // (tokens are space-free; split(' ') recovers exactly n parts).
-    val perDoc = docs
-      .select(col("doc_id"), explode(graft.functions.VectorExpressions
-        .ngramCounts(col("text"), 3)).as("g"))
-      .select(col("doc_id"), col("g.g").as("tri"), col("g.c").as("cnt"))
+    // r19 (guide §2.4): the three orders previously ran three SEPARATE
+    // tokenize scans of the corpus (tri, bi, uni — this query's dominant
+    // cost after the r17 reshape); the multi-order kernel emits all three
+    // in ONE pass. Per-order counts are bit-identical (FunctionsSpec pins
+    // the kernel). The cache holds the UNEXPLODED per-doc arrays, LAZILY
+    // filled — see lmPerplexity's measured argument (an eager blocking
+    // fill lost at both sf0.1 and 50×).
+    val gramArrs = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.ngramMultiCounts(col("text"), 3).as("garr"))
       .persist()
+    def ordRows(n: Int): DataFrame = gramArrs
+      .select(col("doc_id"), explode(col("garr")).as("g"))
+      .where(col("g.n") === n)
+      .select(col("doc_id"), col("g.g").as("gram"), col("g.c").as("cnt"))
+    val perDoc = ordRows(3)
+      .select(col("doc_id"), col("gram").as("tri"), col("cnt"))
     val triWs = split(col("tri"), " ")
     val tri = perDoc.groupBy("tri").agg(sum(col("cnt")).as("c3"))
       .select(col("tri"), col("c3"), triWs.getItem(0).as("w1"),
         triWs.getItem(1).as("w2"), triWs.getItem(2).as("w3"))
     val ctx3 = tri.groupBy("w1", "w2").agg(sum(col("c3")).as("cx3"))
     val biWs = split(col("bigram"), " ")
-    // model tables are vocab-bounded but their PRODUCING passes are corpus
-    // scans — persisted so the two consumers each (join + context rollup)
-    // don't re-tokenize the corpus
-    val bi = docs
-      .select(explode(graft.functions.VectorExpressions
-        .ngramCounts(col("text"), 2)).as("g"))
-      .groupBy(col("g.g").as("bigram")).agg(sum(col("g.c")).as("cb"))
+    // model tables are vocab-bounded; persisted so their two consumers each
+    // (join + context rollup) re-read KB tables, not the big grams frame
+    val bi = ordRows(2)
+      .select(col("gram").as("bigram"), col("cnt"))
+      .groupBy(col("bigram")).agg(sum(col("cnt")).as("cb"))
       .select(biWs.getItem(0).as("w2"), biWs.getItem(1).as("w3"), col("cb"))
       .persist()
     val ctx2 = bi.groupBy("w2").agg(sum(col("cb")).as("cx2"))
-    val uni = docs
-      .select(explode(graft.functions.VectorExpressions
-        .ngramCounts(col("text"), 1)).as("g"))
-      .groupBy(col("g.g").as("w3")).agg(sum(col("g.c")).as("c1"))
+    val uni = ordRows(1)
+      .groupBy(col("gram").as("w3")).agg(sum(col("cnt")).as("c1"))
       .persist()
     val scalars = uni.agg(sum(col("c1")).as("n_total"),
       count(lit(1)).as("vocab"))

@@ -288,6 +288,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NgramMultiCounts == NgramCounts per order, orders ascending, one pass (r19 LM-family kernel)") {
+    val s = spark
+    import s.implicits._
+    val adversarial = Seq(
+      (1L, ""), (2L, " "), (3L, "a  a"), (4L, "x y x y x"),
+      (5L, "one"), (6L, "héllo wörld héllo wörld"))
+      .toDF("doc_id", "text")
+    val docs = corpus().select("doc_id", "text").union(adversarial)
+    val rows = docs.select(col("doc_id"), col("text"),
+      VectorExpressions.ngramMultiCounts(col("text"), 3).as("m"),
+      VectorExpressions.ngramCounts(col("text"), 1).as("g1"),
+      VectorExpressions.ngramCounts(col("text"), 2).as("g2"),
+      VectorExpressions.ngramCounts(col("text"), 3).as("g3")).collect()
+    rows.foreach { r =>
+      val multi = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+      assert(multi.map(_._1) === multi.map(_._1).sorted,
+        s"orders not ascending for '${r.getString(1)}'")
+      for (n <- 1 to 3) {
+        val exp = r.getSeq[org.apache.spark.sql.Row](2 + n)
+          .map(x => (x.getString(0), x.getLong(1)))
+        val got = multi.filter(_._1 == n).map(x => (x._2, x._3))
+        assert(got === exp, s"n=$n for '${r.getString(1)}'")
+      }
+    }
+  }
+
   test("TokenHashes == the per-token transform lambdas, duplicates kept") {
     val tokens = split(col("text"), " ")
     val df = corpus().select(
