@@ -483,15 +483,60 @@ object Curation {
     * cross_entropy) — ONE definition shared by [[qualityEnsemble]] and
     * [[signalAgreement]], so the blend and its diagnostic can never
     * disagree on what a "signal" is.
+    *
+    * r19 fusion (guide §2.4, VERDICT r18 #7): B33's coverage and B35's
+    * cross-entropy both derive from the SAME per-(doc, bigram) count frame
+    * and the SAME corpus-wide bigram aggregate, so composing the two
+    * registered queries ran that derivation twice (two scoring joins, two
+    * per-doc aggregates, a separate vocab scan) plus a doc_id join to glue
+    * them back together. Here ONE multi-order kernel pass feeds ONE model
+    * table carrying BOTH the add-k log-probability and the common-bigram
+    * flag, ONE scoring join and ONE per-doc aggregate produce both
+    * columns. Column values are identical to the component queries'
+    * (CurationSpec pins this frame against the three-way component join;
+    * the count arithmetic is integer-exact and cross_entropy is the same
+    * Σ cnt·ln p over identical exact counts, rounded at 6 dp — B35's
+    * float budget absorbs partial-aggregation order). The constants are
+    * the component queries' registered defaults: addK = 0.5
+    * (lmPerplexity), minCount = 5 (bigramCoverage).
     */
-  private def ensembleSignals(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ensembleSignals(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.ops.TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
-    val c = graft.ops.Relevance.bigramCoverage(spark, dir)
-      .select(col("doc_id"), col("coverage"))
-    val p = graft.ops.Relevance.lmPerplexity(spark, dir)
-      .select(col("doc_id"), col("cross_entropy"))
-    q.join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+    val addK = 0.5
+    val minCount = 5L
+    // persisted UNEXPLODED per-doc gram arrays, LAZILY filled — see
+    // lmPerplexity's measured argument (an eager blocking fill lost at
+    // both sf0.1 and 50×). Released by graft.Caches.clear.
+    val gramArrs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.ngramMultiCounts(col("text"), 2).as("garr"))
+      .persist()
+    def ordRows(n: Int): DataFrame = gramArrs
+      .select(col("doc_id"), explode(col("garr")).as("g"))
+      .where(col("g.n") === n)
+      .select(col("doc_id"), col("g.g").as("gram"), col("g.c").as("cnt"))
+    val perDoc = ordRows(2)
+      .select(col("doc_id"), col("gram").as("bigram"), col("cnt"))
+    val bi = perDoc.groupBy("bigram").agg(sum(col("cnt")).as("cbi"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val starts = bi.groupBy("w1").agg(sum(col("cbi")).as("cw"))
+    val vocab = ordRows(1).agg(count_distinct(col("gram")).as("vocab"))
+    val model = bi.join(starts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"), (col("cbi") >= minCount).as("is_common"),
+        log((col("cbi") + lit(addK)) / (col("cw") + lit(addK) * col("vocab"))).as("lp"))
+    val scored = perDoc.join(model, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("is_common"), col("cnt")).otherwise(0L)).as("n_common"),
+        sum(col("cnt") * col("lp")).as("s"))
+    q.join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality_score"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n_common").cast("double") / col("n_bigrams").cast("double"), 6))
+          .as("coverage"),
+        round(-col("s") / col("n_bigrams"), 6).as("cross_entropy"))
   }
 
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {

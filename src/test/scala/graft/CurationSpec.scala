@@ -37,6 +37,30 @@ class CurationSpec extends SparkSpec {
     assert(m(3L).getAs[Boolean]("keep"))
   }
 
+  test("fused ensemble signals == the three-way component join (r19 fusion)") {
+    // the fused single-pass ensembleSignals must reproduce the literal
+    // composition of the three registered component queries — including a
+    // zero-bigram doc's null coverage/cross_entropy — or the blend has
+    // silently drifted from what quality_ensemble's scaladoc claims it is
+    def ref(dir: String) = {
+      val q = graft.ops.TextAnalysis.quality(spark, dir)
+        .select(col("doc_id"), col("quality_score"))
+      val c = graft.ops.Relevance.bigramCoverage(spark, dir)
+        .select(col("doc_id"), col("coverage"))
+      val p = graft.ops.Relevance.lmPerplexity(spark, dir)
+        .select(col("doc_id"), col("cross_entropy"))
+      q.join(c, Seq("doc_id")).join(p, Seq("doc_id"))
+    }
+    for (dir <- Seq(sf0001,
+      docsDir(Seq(1L -> varied, 2L -> "single", 3L -> (varied + " " + varied))))) {
+      val got = Curation.ensembleSignals(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      val exp = ref(dir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(got === exp, s"fused signals diverged on $dir")
+      graft.Caches.clear(spark)
+    }
+  }
+
   test("boilerplate ngrams find the shared template; fraction flags the template-only doc") {
     val template = "all rights reserved contact site admin"
     // 5 docs carry the template + fully doc-unique tails; doc 99 is pure template.
