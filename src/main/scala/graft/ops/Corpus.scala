@@ -1009,7 +1009,13 @@ object Corpus {
       .persist()
     val capped = sh.groupBy("h").agg(count(lit(1)).as("nsrc"))
       .where(col("nsrc") <= maxSources).select("h")
-    val shc = sh.join(capped, Seq("h"))
+    // Persisted (r19, guide §2.4/§5): the capped universe feeds THREE
+    // consumers — the per-source sizes and both self-join sides — and each
+    // one re-ran the df-cap aggregate plus its join against the sh cache
+    // (the before-plan shows the aggregate→broadcast→join block four
+    // times). One materialization serves all three; released by
+    // graft.Caches.clear like sh itself.
+    val shc = sh.join(capped, Seq("h")).persist()
     val sizes = shc.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = shc.select(col("source").as("source_a"), col("h"))
       .join(shc.select(col("source").as("source_b"), col("h")), Seq("h"))
