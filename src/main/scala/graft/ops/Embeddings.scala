@@ -148,6 +148,23 @@ object Embeddings {
     require(!fullRow || start == 0, "fullRow learners start at 0")
   }
 
+  /** Above this many input partitions the per-iteration partials are
+    * merged EXECUTOR-side instead of `collect()`ed to the driver (guide
+    * §5: the driver should do almost no data work). The driver payload of
+    * the collect path is partitions × Σ learner(k) × (dim doubles + dim
+    * longs) — pennies on a 32-core local session, GBs per iteration at
+    * 100 TB partition counts (10⁵–10⁶). The bound keeps the cheap
+    * single-job shape exactly where it is cheap (the collect never
+    * exceeds collectMax × models), and is conf/env-overridable so a
+    * cluster deployment can force either path. AnnSpec pins the two
+    * paths bit-identical, so the switch is a pure execution-strategy
+    * choice, never a semantic one.
+    */
+  private[graft] def kmeansCollectMax(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.kmeans.collectMaxPartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_KMEANS_COLLECT_MAX"))
+      .map(_.toInt).getOrElse(64)
+
   /** FUSED multi-learner k-means (r18): learn SEVERAL fixed-iteration
     * cosine k-means models over (slices of) the same embedding frame in
     * ONE job chain — one seed fetch + ONE mapPartitions pass per
@@ -161,13 +178,26 @@ object Embeddings {
     * (the k lowest vec_ids), same per-row assignment arithmetic as
     * NearestCentroid/CentroidKernel.cosines (doubles from floats, argmax
     * by Double.compare with ties → higher idx, dimension mismatch → row
-    * skipped for that learner), same partition-order driver merge, same
-    * HALF_UP 6-dp rounding, same empty-cell anchor keep.
+    * skipped for that learner), same ascending-partition merge order,
+    * same HALF_UP 6-dp rounding, same empty-cell anchor keep.
+    *
+    * r19 (guide §5, VERDICT r18 #3): the per-iteration merge of
+    * per-partition partials is O(partitions) driver traffic only below
+    * [[kmeansCollectMax]]; above it the partials shuffle to an
+    * executor-side merge keyed on (learner, cell) and SORTED by source
+    * partition id, so each key's sums fold in the SAME ascending-
+    * partition order the driver loop used — bit-identical totals (each
+    * key's accumulator only ever saw its own partials in partition
+    * order), O(dim) memory per reduce task, and the driver receives one
+    * row per (learner, cell) regardless of partition count.
     */
   private[graft] def fusedKmeans(emb: DataFrame, specs: Seq[KmeansSpec],
-                                 iters: Int): Array[Array[Array[Double]]] = {
+                                 iters: Int,
+                                 collectMax: Int = -1): Array[Array[Array[Double]]] = {
     require(specs.nonEmpty, "at least one learner")
     if (emb.storageLevel == org.apache.spark.storage.StorageLevel.NONE) emb.persist()
+    val collectBound =
+      if (collectMax >= 0) collectMax else kmeansCollectMax(emb.sparkSession)
     Similarity.withoutAqe(emb.sparkSession) {
       val sp = specs.toArray
       val seeds: Array[Seq[Float]] = emb.orderBy("vec_id").limit(sp.map(_.k).max)
@@ -181,7 +211,7 @@ object Embeddings {
       }
       for (_ <- 0 until iters) {
         val cur = models
-        val partials = emb.select(col("embedding")).rdd.mapPartitions { rows =>
+        val partialsRdd = emb.select(col("embedding")).rdd.mapPartitions { rows =>
           // accumulators truncate at min(centroid dim, spec len) — equal in
           // every non-degenerate case; mirrors ivfCentroids' dim-capped
           // accumulation when seeds are over-length
@@ -247,7 +277,56 @@ object Embeddings {
             seen(j).indices.iterator.filter(seen(j)).map(c =>
               (j, c, sums(j)(c), cnts(j)(c)))
           }
-        }.collect()
+        }
+        // Merge partials per (learner, cell), folding each key's sums in
+        // ascending source-partition order from a zero accumulator. Below
+        // the collect bound this is the one-job driver merge (collect()
+        // returns partition order; each key's accumulator only ever sees
+        // its own partials); above it the identical fold runs executor-
+        // side after a (learner, cell)-partitioned, partition-id-sorted
+        // shuffle — bit-identical by construction, pinned by AnnSpec.
+        val partials: Array[(Int, Int, Array[Double], Array[Long])] =
+          if (partialsRdd.getNumPartitions <= collectBound) partialsRdd.collect()
+          else {
+            val keyed = partialsRdd.mapPartitionsWithIndex { (pid, it) =>
+              it.map { case (j, c, s, n) => ((j, c, pid), (s, n)) }
+            }
+            val nKeys = sp.map(_.k).sum
+            // plain Int captured by the partitioner — referencing the
+            // DataFrame inside the anonymous class would drag it into the
+            // task closure
+            val nReduce = math.max(1,
+              math.min(nKeys, emb.sparkSession.sparkContext.defaultParallelism))
+            val partitioner = new org.apache.spark.Partitioner {
+              override def numPartitions: Int = nReduce
+              override def getPartition(key: Any): Int = {
+                val k = key.asInstanceOf[(Int, Int, Int)]
+                java.lang.Math.floorMod((k._1, k._2).hashCode, nReduce)
+              }
+            }
+            keyed.repartitionAndSortWithinPartitions(partitioner)
+              .mapPartitions { it =>
+                val out = scala.collection.mutable.ArrayBuffer
+                  .empty[(Int, Int, Array[Double], Array[Long])]
+                var curJ = -1; var curC = -1
+                var accS: Array[Double] = null
+                var accN: Array[Long] = null
+                def flush(): Unit =
+                  if (curJ >= 0) { out += ((curJ, curC, accS, accN)); () }
+                it.foreach { case ((j, c, _), (s, n)) =>
+                  if (j != curJ || c != curC) {
+                    flush()
+                    curJ = j; curC = c
+                    accS = new Array[Double](s.length)
+                    accN = new Array[Long](n.length)
+                  }
+                  var i = 0
+                  while (i < s.length) { accS(i) += s(i); accN(i) += n(i); i += 1 }
+                }
+                flush()
+                out.iterator
+              }.collect()
+          }
         val totS = Array.tabulate(sp.length)(j =>
           Array.fill(cur(j).length)(new Array[Double](sp(j).len)))
         val totN = Array.tabulate(sp.length)(j =>

@@ -313,6 +313,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("fused k-means executor-side partial merge (r19) is bit-identical to the driver collect merge") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val (m, k, dim, iters) = (8, 16, 64, 2)
+    val sub = dim / m
+    val specs = graft.ops.Embeddings.KmeansSpec(0, dim, 16, fullRow = true) +:
+      (0 until m).map(j => graft.ops.Embeddings.KmeansSpec(j * sub, sub, k))
+    // collectMax = MaxValue forces the r18 driver merge; 0 forces the
+    // distributed (learner, cell)-keyed pid-sorted merge. The totals fold
+    // in the same ascending-partition order either way, so every learner
+    // must land on identical bits — the guarantee that lets the partition
+    // bound pick the strategy by scale without touching semantics.
+    val viaCollect = graft.ops.Embeddings.fusedKmeans(emb, specs, iters,
+      collectMax = Int.MaxValue)
+    val viaShuffle = graft.ops.Embeddings.fusedKmeans(emb, specs, iters,
+      collectMax = 0)
+    assert(viaCollect.length === viaShuffle.length)
+    viaCollect.indices.foreach { j =>
+      assert(viaShuffle(j).map(_.toSeq).toSeq === viaCollect(j).map(_.toSeq).toSeq,
+        s"learner $j diverged between merge strategies")
+    }
+    // the spread frame is multi-partition here, so the distributed path
+    // actually merged across partitions rather than degenerating to one
+    assert(emb.rdd.getNumPartitions > 1)
+  }
+
   test("brute-force top-k is deterministic and self-consistent") {
     val rows = Similarity.bruteTopK(spark, sf0001, nQueries = 2, k = 3).collect()
     assert(rows.length === 6)
